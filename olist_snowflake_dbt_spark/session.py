@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]``; at cluster scale
+the same settings (AQE, skew-join handling, UTC session timezone, Arrow)
+are the ones you'd set for a 1000-executor job — only ``master`` and the
+memory knobs change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the harness box (local[32], 128 GiB). At cluster
+# scale, shuffle.partitions should be ~2-3x total cores and is largely
+# superseded by AQE's coalescing; these remain sane starting points.
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # money columns are DecimalType; keep Spark's exact decimal semantics
+    "spark.sql.ansi.enabled": "false",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "48g",
+}
+
+
+def get_spark(app_name: str = "olist_snowflake_dbt_spark", **overrides: str) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default 32).
+    Keyword overrides win over defaults.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    conf = dict(_DEFAULTS)
+    conf.update({str(k): str(v) for k, v in overrides.items()})
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        # reuse the driver-provided session; only apply runtime-settable conf
+        for k, v in conf.items():
+            if not k.startswith(("spark.driver.", "spark.ui.")):
+                try:
+                    active.conf.set(k, v)
+                except Exception:
+                    pass  # static conf on a live session — keep the session's value
+        return active
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+from olist_snowflake_dbt_spark.operators.dq import (
+    TestStatus,
+    accepted_values_failures,
+    evaluate_test,
+    not_null_failures,
+    relationship_failures,
+    unique_failures,
+    verdict_frame,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_unique_pass_and_fail(spark):
+    ok = _df(spark, [("a",), ("b",), (None,), (None,)], "order_id string")
+    assert unique_failures(ok, "order_id").count() == 0  # NULLs don't count
+    dup = _df(spark, [("a",), ("a",), ("b",)], "order_id string")
+    fails = unique_failures(dup, "order_id").collect()
+    assert len(fails) == 1
+    assert fails[0].unique_field == "a" and fails[0].n_records == 2
+
+
+def test_not_null(spark):
+    df = _df(spark, [("a", 1), (None, 2)], "order_id string, v long")
+    fails = not_null_failures(df, "order_id").collect()
+    assert len(fails) == 1 and fails[0].v == 2
+
+
+def test_relationships_anti_join(spark):
+    child = _df(spark, [("o1", "c1"), ("o2", "c9"), ("o3", None)],
+                "order_id string, customer_id string")
+    parent = _df(spark, [("c1",), ("c2",)], "customer_id string")
+    fails = relationship_failures(child, "customer_id", parent, "customer_id").collect()
+    # NULL FK is exempt (reference macro filters child NOT NULL)
+    assert [f.order_id for f in fails] == ["o2"]
+
+
+def test_accepted_values(spark):
+    df = _df(spark, [("O",), ("F",), ("X",), ("X",)], "status string")
+    fails = accepted_values_failures(df, "status", ["O", "F"]).collect()
+    assert len(fails) == 1
+    assert fails[0].value_field == "X" and fails[0].n_records == 2
+
+
+def test_verdict_and_evaluate(spark):
+    bad = _df(spark, [("x",)], "c string")
+    empty = bad.filter("c is null")
+    v = verdict_frame(bad).collect()[0]
+    assert v.failures == 1 and v.should_error
+    assert evaluate_test("t", empty).status == TestStatus.PASS
+    assert evaluate_test("t", bad).status == TestStatus.ERROR
+    # warn_if/error_if thresholds (dbt severity config)
+    assert evaluate_test("t", bad, warn_if=0, error_if=5).status == TestStatus.WARN
+
+
+def test_store_failures(spark, tmp_path):
+    bad = _df(spark, [("x",)], "c string")
+    path = str(tmp_path / "failures")
+    res = evaluate_test("t", bad, store_failures_path=path)
+    assert res.failures == 1
+    assert spark.read.parquet(path).count() == 1

@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_snowflake_dbt_spark.plans import (
+    CycleError,
+    ModelRegistry,
+    RefNotFoundError,
+)
+
+
+def _mini_registry(spark) -> ModelRegistry:
+    r = ModelRegistry(spark)
+    r.register_source("src", spark.range(10).withColumnRenamed("id", "x"))
+    r.register("a", lambda ctx: ctx.source("src").filter(F.col("x") > 2))
+    r.register("b", "select x + 1 as y from {{ ref('a') }}")
+    r.register("c", lambda ctx: ctx.ref("b").filter(F.col("y") > 5), depends_on=("b",))
+    return r
+
+
+def test_build_chain(spark):
+    r = _mini_registry(spark)
+    rows = r.build("c").collect()
+    assert sorted(x.y for x in rows) == [6, 7, 8, 9, 10]
+
+
+def test_static_refs_and_topo(spark):
+    r = _mini_registry(spark)
+    order = r.topological_order()
+    assert order.index("a") < order.index("b") < order.index("c")
+
+
+def test_ref_not_found_is_compile_error(spark):
+    r = ModelRegistry(spark)
+    r.register("broken", "select * from {{ ref('missing') }}")
+    with pytest.raises(RefNotFoundError):
+        r.graph()
+    with pytest.raises(RefNotFoundError):
+        r.build("broken")
+
+
+def test_cycle_detection(spark):
+    r = ModelRegistry(spark)
+    r.register("m1", "select * from {{ ref('m2') }}")
+    r.register("m2", "select * from {{ ref('m1') }}")
+    with pytest.raises(CycleError):
+        r.topological_order()
+    with pytest.raises(CycleError):
+        r.build("m1")
+
+
+def test_selection_grammar(spark):
+    r = _mini_registry(spark)
+    assert r.select("b") == {"b"}
+    assert r.select("+b") == {"a", "b"}
+    assert r.select("b+") == {"b", "c"}
+    assert r.select("+b+") == {"a", "b", "c"}
+    assert r.select("a,c") == {"a", "c"}
+    with pytest.raises(RefNotFoundError):
+        r.select("nope")
+
+
+def test_duplicate_model_rejected(spark):
+    r = _mini_registry(spark)
+    with pytest.raises(Exception):
+        r.register("a", "select 1")
+
+
+def test_build_memoized(spark):
+    r = _mini_registry(spark)
+    assert r.build("b") is r.build("b")

@@ -1,0 +1,113 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, then compares row count, column names, and an
+order-insensitive canonicalized value multiset. Stricter-or-equal to the
+driver's hash compare: exact value equality after canonicalization.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import sys
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v.normalize()}"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return "b:" + bytes(v).hex()
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    return f"{type(v).__name__}:{v}"
+
+
+def frame_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from olist_snowflake_dbt_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failed, passed, rows_only = [], [], []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            failed.append((name, f"SPARK ERROR: {e}"))
+            print(f"✗ {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            rows_only.append(name)
+            print(f"· {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            drows = rel.fetchall()
+            dcols = [d[0] for d in rel.description]
+        except Exception as e:
+            failed.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"✗ {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if not problems:
+            sm, dm = frame_multiset(scols, srows), frame_multiset(dcols, drows)
+            if sm != dm:
+                diff_s = list((sm - dm).items())[:3]
+                diff_d = list((dm - sm).items())[:3]
+                problems.append(f"values spark-only={diff_s} duckdb-only={diff_d}")
+        if problems:
+            failed.append((name, "; ".join(problems)))
+            print(f"✗ {name}: {'; '.join(problems)[:400]}")
+        else:
+            passed.append(name)
+            print(f"✓ {name} ({len(srows)} rows)")
+
+    print(f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
