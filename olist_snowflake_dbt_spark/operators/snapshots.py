@@ -1,0 +1,122 @@
+"""SCD-2 snapshots (SURVEY.md §2 B2): ``timestamp`` and ``check`` strategies.
+
+Semantics ported from dbt's snapshot materialization (global macros/
+materializations/snapshots/strategies.sql:53 ``timestamp``, :142 ``check``):
+maintain a slowly-changing-dimension type-2 history table with
+``dbt_valid_from`` / ``dbt_valid_to`` (NULL = current) and a change id.
+
+Implementation is the classic hash-diff + union rewrite:
+1. open rows  = snapshot WHERE valid_to IS NULL
+2. changed    = source ⋈ open rows where the strategy says "row changed"
+                (timestamp: source.updated_at > open.updated_at;
+                 check: any tracked column differs, NULL-safe)
+3. new keys   = source ANTI JOIN open rows
+4. result     = closed-history ∪ (open rows, closing changed ones with
+                valid_to = source's new valid_from) ∪ inserts
+
+All joins are key-equi joins → one shuffle by key (AQE broadcast when the
+source batch is small). No driver-side state; scales with the snapshot
+size. ``snapshot_time`` is an explicit parameter — determinism over
+wall-clock, and what a backfill pipeline needs anyway.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META = ("dbt_scd_id", "dbt_valid_from", "dbt_valid_to")
+
+
+def _scd_id(key_cols: Sequence[str], valid_from_col, prefix: str = "") -> F.Column:
+    return F.md5(
+        F.concat_ws("|", *[F.col(f"{prefix}{k}").cast("string") for k in key_cols],
+                    valid_from_col.cast("string"))
+    )
+
+
+def snapshot_init(source: DataFrame, key: Sequence[str], valid_from) -> DataFrame:
+    """First snapshot: every source row becomes an open SCD-2 row."""
+    vf = F.col(valid_from) if isinstance(valid_from, str) else valid_from
+    return source.select(
+        "*",
+        _scd_id(key, vf).alias("dbt_scd_id"),
+        vf.cast("timestamp").alias("dbt_valid_from"),
+        F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+    )
+
+
+def snapshot_apply(
+    snap: DataFrame,
+    source: DataFrame,
+    key: Sequence[str],
+    strategy: str = "timestamp",
+    updated_at: str | None = None,
+    check_cols: Sequence[str] | None = None,
+    snapshot_time=None,
+) -> DataFrame:
+    """Advance an SCD-2 snapshot with a new source batch.
+
+    ``timestamp`` strategy requires ``updated_at`` (change detected when the
+    source row's timestamp is newer); ``check`` requires ``check_cols``
+    (change when any tracked column differs, NULL-safe) and uses
+    ``snapshot_time`` (or ``updated_at``) as the new valid_from.
+    """
+    if strategy == "timestamp":
+        if updated_at is None:
+            raise ValueError("timestamp strategy requires updated_at")
+        new_vf = F.col(f"src.{updated_at}")
+    elif strategy == "check":
+        if not check_cols:
+            raise ValueError("check strategy requires check_cols")
+        if snapshot_time is None and updated_at is None:
+            raise ValueError("check strategy requires snapshot_time or updated_at")
+        new_vf = (
+            F.col(f"src.{updated_at}") if updated_at else F.lit(snapshot_time).cast("timestamp")
+        )
+    else:
+        raise ValueError(f"unknown snapshot strategy: {strategy!r}")
+
+    data_cols = [c for c in snap.columns if c not in META]
+    closed = snap.filter(F.col("dbt_valid_to").isNotNull())
+    open_rows = snap.filter(F.col("dbt_valid_to").isNull())
+
+    src = source.alias("src")
+    cur = open_rows.alias("cur")
+    key_cond = [F.col(f"src.{k}").eqNullSafe(F.col(f"cur.{k}")) for k in key]
+    joined = src.join(cur, on=key_cond, how="full_outer")
+
+    in_src = F.col(f"src.{key[0]}").isNotNull()
+    in_cur = F.col(f"cur.{key[0]}").isNotNull()
+    if strategy == "timestamp":
+        row_changed = F.col(f"src.{updated_at}") > F.col(f"cur.{updated_at}")
+    else:
+        row_changed = ~F.expr(
+            " AND ".join(f"src.{c} <=> cur.{c}" for c in check_cols)
+        )
+
+    # open rows that close this round (changed) keep cur.* but gain valid_to
+    closing = joined.filter(in_src & in_cur & row_changed).select(
+        *[F.col(f"cur.{c}").alias(c) for c in data_cols],
+        F.col("cur.dbt_scd_id").alias("dbt_scd_id"),
+        F.col("cur.dbt_valid_from").alias("dbt_valid_from"),
+        new_vf.cast("timestamp").alias("dbt_valid_to"),
+    )
+    # open rows that survive unchanged (or whose key left the source —
+    # dbt keeps them open unless hard-deletes are configured)
+    surviving = joined.filter(in_cur & ~(in_src & row_changed)).select(
+        *[F.col(f"cur.{c}").alias(c) for c in data_cols],
+        F.col("cur.dbt_scd_id").alias("dbt_scd_id"),
+        F.col("cur.dbt_valid_from").alias("dbt_valid_from"),
+        F.col("cur.dbt_valid_to").alias("dbt_valid_to"),
+    )
+    # inserts: brand-new keys + the new version of changed rows
+    inserts = joined.filter(in_src & (~in_cur | row_changed)).select(
+        *[F.col(f"src.{c}").alias(c) for c in data_cols],
+        _scd_id(key, new_vf, prefix="src.").alias("dbt_scd_id"),
+        new_vf.cast("timestamp").alias("dbt_valid_from"),
+        F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+    )
+    return closed.unionByName(closing).unionByName(surviving).unionByName(inserts)

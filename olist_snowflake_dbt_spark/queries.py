@@ -340,3 +340,430 @@ def q_dq_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fails = _t(spark, sf_dir, "orders").filter(~F.col("o_orderstatus").isin("O", "F"))
     return verdict_frame(fails)
+
+
+# =====================================================================
+# Relational breadth beyond the reference surface (SURVEY.md §2.C):
+# windows, top-k, set ops, dates, JSON, rollup, pivot, sessionization,
+# as-of joins. The reference has none of these; they complete the
+# capability envelope a warehouse user expects.
+# =====================================================================
+
+
+@query(
+    "window_running_agg",
+    """
+    SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+           ROW_NUMBER() OVER w AS rn,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER
+                (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS running_price,
+           LAG(l_linenumber) OVER w AS prev_line
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey)
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: row_number, running sum, lag. One shuffle on the
+    partition key; rows never leave their partition after that.
+    (l_orderkey, l_linenumber) is NOT unique in the testdata, so the
+    window order carries tie-breakers — a deterministic total order is
+    what makes running aggregates reproducible across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("decimal(38,2)")
+        .alias("running_price"),
+        F.lag("l_linenumber").over(w).alias("prev_line"),
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT * FROM (
+        SELECT l_returnflag,
+               l_orderkey AS order_id, l_linenumber AS line_no,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+               ) AS rnk
+        FROM lineitem
+    ) WHERE rnk <= 5
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group with a total order (ties broken by key) so the
+    result is deterministic. At scale: the window shuffles once by group;
+    no global sort, no driver collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_linenumber").alias("line_no"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@query(
+    "distinct_agg",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Spark expands to a two-phase partial-distinct
+    aggregate; no driver-side dedup."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "set_ops",
+    """
+    WITH big AS (SELECT o_custkey AS customer_id FROM orders
+                 WHERE o_totalprice > 200000),
+         recent AS (SELECT o_custkey AS customer_id FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+    SELECT customer_id, 'both' AS bucket
+      FROM (SELECT * FROM big INTERSECT SELECT * FROM recent)
+    UNION ALL
+    SELECT customer_id, 'big_only' AS bucket
+      FROM (SELECT * FROM big EXCEPT SELECT * FROM recent)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL composition."""
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("customer_id"))
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")).select(
+        F.col("o_custkey").alias("customer_id"))
+    both = big.intersect(recent).withColumn("bucket", F.lit("both"))
+    # EXCEPT is set semantics (like the SQL oracle) — subtract, not exceptAll
+    big_only = big.distinct().subtract(recent).withColumn("bucket", F.lit("big_only"))
+    return both.unionByName(big_only)
+
+
+@query(
+    "semi_join_exists",
+    """
+    SELECT c_custkey AS customer_id, c_mktsegment AS segment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS; no duplication of the left side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@query(
+    "scalar_functions",
+    """
+    SELECT c_custkey AS customer_id,
+           UPPER(c_name) AS name_upper,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           LENGTH(c_name) AS name_len,
+           c_name LIKE '%5' AS ends_in_5,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_bucket,
+           CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)) / 100, 1) AS DECIMAL(18,1))
+               AS bal_hundreds
+    FROM customer
+    """,
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/conditional/math scalar functions — all JVM-side codegen."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.col("c_name").like("%5").alias("ends_in_5"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.round(F.col("c_acctbal").cast("decimal(18,2)") / 100, 1)
+        .cast("decimal(18,1)")
+        .alias("bal_hundreds"),
+    )
+
+
+@query(
+    "date_functions",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup on extracted date parts."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue"),
+    )
+
+
+@query(
+    "json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON path extraction from a string column."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+@query(
+    "time_bucket_agg",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming windowed
+    agg in streaming/events.py — same grouping, same results)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.window("ts", "1 hour")["start"].alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+    )
+
+
+@query(
+    "grouping_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP with GROUPING indicators (subtotal rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_qty"),
+    ).select(
+        "l_returnflag", "l_linestatus", "g_flag", "g_status", "n_rows", "sum_qty"
+    )
+
+
+@query(
+    "pivot_status_by_year",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+    FROM orders GROUP BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation) over a fixed value list —
+    fixed values keep it one pass, no driver-side distinct-collect."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "order_year",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, session_no, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag + cumulative sum of session-break
+    flags, then per-session aggregation. The batch twin of streaming
+    session_window; one shuffle on user_id, order within partition."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+            <= 1800 * 1_000_000,
+            0,
+        ).otherwise(1).alias("new_session"),
+    )
+    numbered = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "asof_last_purchase",
+    """
+    SELECT event_id, user_id, ts, event_type,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_ts
+    FROM events
+    """,
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (self): for every event, the most recent purchase at or
+    before it — last_value(...ignore nulls) over an ordered window. The
+    pattern Spark lacks as a native operator, composed from built-ins
+    (option (a) of the custom-operator ladder)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow)
+    return e.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+        ).over(w).alias("last_purchase_ts"),
+    )
+
+
+@query(
+    "incremental_merge_sim",
+    """
+    WITH existing AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE ts < TIMESTAMP '2024-06-01'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    batch AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE ts >= TIMESTAMP '2024-06-01'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT * FROM existing WHERE user_id NOT IN (SELECT user_id FROM batch)
+    UNION ALL
+    SELECT * FROM batch
+    """,
+)
+def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 merge strategy exercised as a batch query: latest-state table
+    upserted with a newer batch via the engine's incremental_merge
+    (anti-join + union)."""
+    from .operators.incremental import incremental_merge
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    cutoff = F.lit("2024-06-01").cast("timestamp")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(df: DataFrame) -> DataFrame:
+        return df.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+    existing = latest(e.filter(F.col("ts") < cutoff))
+    batch = latest(e.filter(F.col("ts") >= cutoff))
+    return incremental_merge(existing, batch, ["user_id"])
+
+
+@query(
+    "scd2_window_rebuild",
+    """
+    SELECT user_id, value AS state_value, ts AS dbt_valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS dbt_valid_to
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def q_scd2_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 SCD-2 expressed as a change-log rebuild: each change row is
+    valid until the next change for the same key (lead over window) —
+    the batch-SQL twin of operators/snapshots.py."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        F.col("value").alias("state_value"),
+        F.col("ts").alias("dbt_valid_from"),
+        F.lead("ts").over(w).alias("dbt_valid_to"),
+    )

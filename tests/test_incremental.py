@@ -1,0 +1,142 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from olist_snowflake_dbt_spark.operators.incremental import (
+    IncrementalTable,
+    incremental_append,
+    incremental_delete_insert,
+    incremental_insert_overwrite,
+    incremental_merge,
+    incremental_microbatch,
+)
+from olist_snowflake_dbt_spark.operators.snapshots import snapshot_apply, snapshot_init
+
+SCHEMA = "id long, v string, ts timestamp"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _existing(spark):
+    return _df(spark, [
+        (1, "a", dt.datetime(2020, 1, 1)),
+        (2, "b", dt.datetime(2020, 1, 1)),
+    ])
+
+
+def _batch(spark):
+    return _df(spark, [
+        (2, "b2", dt.datetime(2020, 1, 2)),
+        (3, "c", dt.datetime(2020, 1, 2)),
+    ])
+
+
+def test_append(spark):
+    out = incremental_append(_existing(spark), _batch(spark))
+    assert out.count() == 4
+
+
+def test_merge_upserts(spark):
+    out = {r.id: r.v for r in incremental_merge(_existing(spark), _batch(spark), ["id"]).collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_merge_dedupe_order(spark):
+    batch = _df(spark, [
+        (2, "old", dt.datetime(2020, 1, 2)),
+        (2, "new", dt.datetime(2020, 1, 3)),
+    ])
+    out = {r.id: r.v for r in
+           incremental_merge(_existing(spark), batch, ["id"], dedupe_order="ts").collect()}
+    assert out[2] == "new"
+
+
+def test_delete_insert_allows_dup_batch_keys(spark):
+    batch = _df(spark, [
+        (2, "x", dt.datetime(2020, 1, 2)),
+        (2, "y", dt.datetime(2020, 1, 2)),
+    ])
+    out = incremental_delete_insert(_existing(spark), batch, ["id"])
+    assert out.filter("id = 2").count() == 2
+    assert out.count() == 3
+
+
+def test_insert_overwrite_partitions(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", "2020-01-01"), (2, "b", "2020-01-02")], "id long, v string, dt string")
+    batch = spark.createDataFrame([(9, "z", "2020-01-02")], "id long, v string, dt string")
+    out = incremental_insert_overwrite(existing, batch, ["dt"])
+    rows = {(r.id, r.dt) for r in out.collect()}
+    assert rows == {(1, "2020-01-01"), (9, "2020-01-02")}
+
+
+def test_microbatch_idempotent(spark):
+    existing = _existing(spark)
+    batch = _df(spark, [(5, "e", dt.datetime(2020, 1, 1, 5))])
+    out = incremental_microbatch(existing, batch, "ts", "1 day")
+    # batch's day bucket (jan 1) replaces existing jan-1 rows
+    assert {r.id for r in out.collect()} == {5}
+    out2 = incremental_microbatch(out, batch, "ts", "1 day")
+    assert {r.id for r in out2.collect()} == {5}
+
+
+def test_incremental_table_lifecycle(spark, tmp_path):
+    t = IncrementalTable(spark, str(tmp_path / "t"))
+    t.apply(_existing(spark), strategy="merge", unique_key=["id"])
+    assert t.read().count() == 2
+    t.apply(_batch(spark), strategy="merge", unique_key=["id"])
+    out = {r.id: r.v for r in t.read().collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}
+    t.apply(_df(spark, [(4, "d", dt.datetime(2020, 1, 3))]), strategy="append")
+    assert t.read().count() == 4
+
+
+def test_scd2_timestamp_strategy(spark):
+    src1 = _df(spark, [(1, "a", dt.datetime(2020, 1, 1)), (2, "b", dt.datetime(2020, 1, 1))])
+    snap = snapshot_init(src1, ["id"], "ts")
+    assert snap.filter("dbt_valid_to is null").count() == 2
+
+    src2 = _df(spark, [
+        (1, "a", dt.datetime(2020, 1, 1)),      # unchanged
+        (2, "b2", dt.datetime(2020, 1, 5)),     # changed (newer ts)
+        (3, "c", dt.datetime(2020, 1, 5)),      # new key
+    ])
+    snap2 = snapshot_apply(snap, src2, ["id"], "timestamp", updated_at="ts")
+    rows = snap2.collect()
+    assert len(rows) == 4  # 1 open unchanged + 2 closed/open pair for id=2 + 1 new
+    open_now = {r.id: r.v for r in rows if r.dbt_valid_to is None}
+    assert open_now == {1: "a", 2: "b2", 3: "c"}
+    closed = [r for r in rows if r.dbt_valid_to is not None]
+    assert len(closed) == 1 and closed[0].id == 2 and closed[0].v == "b"
+    assert closed[0].dbt_valid_to == dt.datetime(2020, 1, 5)
+
+
+def test_scd2_check_strategy_null_safe(spark):
+    src1 = spark.createDataFrame([(1, None), (2, "b")], "id long, v string")
+    snap = snapshot_init(
+        src1.withColumn("ts", __import__("pyspark").sql.functions.lit("2020-01-01").cast("timestamp")),
+        ["id"], "ts")
+    src2 = spark.createDataFrame([(1, None), (2, "bX")], "id long, v string")
+    snap2 = snapshot_apply(
+        snap, src2.withColumn(
+            "ts", __import__("pyspark").sql.functions.lit("2020-02-01").cast("timestamp")),
+        ["id"], "check", check_cols=["v"], updated_at="ts")
+    # id=1 NULL == NULL (null-safe) → unchanged; id=2 changed
+    assert snap2.filter("id = 1").count() == 1
+    assert snap2.filter("id = 2").count() == 2
+    assert snap2.filter("id = 2 and dbt_valid_to is null").collect()[0].v == "bX"
+
+
+def test_scd2_multiple_rounds(spark):
+    src1 = _df(spark, [(1, "v1", dt.datetime(2020, 1, 1))])
+    snap = snapshot_init(src1, ["id"], "ts")
+    for i, v in enumerate(["v2", "v3"], start=2):
+        src = _df(spark, [(1, v, dt.datetime(2020, 1, i))])
+        snap = snapshot_apply(snap, src, ["id"], "timestamp", updated_at="ts")
+    hist = sorted(snap.collect(), key=lambda r: r.dbt_valid_from)
+    assert [r.v for r in hist] == ["v1", "v2", "v3"]
+    assert [r.dbt_valid_to is None for r in hist] == [False, False, True]
+    # contiguous validity windows
+    assert hist[0].dbt_valid_to == hist[1].dbt_valid_from

@@ -1,0 +1,100 @@
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from olist_snowflake_dbt_spark.models.olist import register_olist_models
+from olist_snowflake_dbt_spark.operators.dq import TestStatus
+from olist_snowflake_dbt_spark.runner import Engine
+
+ORDERS_SCHEMA = (
+    "order_id string, customer_id string, order_status string, "
+    "order_purchase_timestamp timestamp, order_approved_at timestamp, "
+    "order_delivered_carrier_date timestamp, "
+    "order_delivered_customer_date timestamp, "
+    "order_estimated_delivery_date timestamp"
+)
+
+
+def _engine(spark, tmp_path, orders_rows=None):
+    eng = Engine(spark, str(tmp_path / "wh"))
+    orders = spark.createDataFrame(
+        orders_rows
+        or [
+            ("o1", "c1", "delivered", dt.datetime(2020, 1, 1), None, None, None, None),
+            ("o2", "c1", "invoiced", dt.datetime(2020, 1, 2), None, None, None, None),
+        ],
+        ORDERS_SCHEMA,
+    )
+    customers = spark.createDataFrame(
+        [("c1", "u1", 1037, "sao paulo", "SP")],
+        "customer_id string, customer_unique_id string, "
+        "customer_zip_code_prefix long, customer_city string, customer_state string",
+    )
+    items = spark.createDataFrame(
+        [
+            ("o1", 1, "p1", Decimal("10.00"), Decimal("2.50")),
+            ("o2", 1, "p2", Decimal("7.00"), Decimal("1.00")),
+        ],
+        "order_id string, order_item_id long, product_id string, "
+        "price decimal(38,2), freight_value decimal(38,2)",
+    )
+    eng.registry.register_source("olist_orders_dataset", orders)
+    eng.registry.register_source("olist_customers_dataset", customers)
+    eng.registry.register_source("olist_order_items_dataset", items)
+    register_olist_models(eng.registry)
+    # the reference's 5 tests (schema.yml:7-19 + assert_revenue_is_positive),
+    # with the stg_customers ref bug fixed to the intended model
+    eng.test_unique("fct_orders", "order_id")
+    eng.test_not_null("fct_orders", "order_id")
+    eng.test_not_null("fct_orders", "customer_id")
+    eng.test_relationships("fct_orders", "customer_id", "stg_olist_customers", "customer_id")
+    eng.test_singular(
+        "assert_revenue_is_positive",
+        "fct_orders",
+        lambda df: df.select("order_id", "total_order_value").filter(
+            F.col("total_order_value") < 0
+        ),
+    )
+    return eng
+
+
+def test_pipeline_all_green(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    result = eng.pipeline(select="+fct_orders")
+    assert result.ok
+    assert result.relations["fct_orders"].materialization == "table"
+    assert result.relations["stg_items"].materialization == "view"
+    assert len(result.tests) == 5
+    assert all(t.passed for t in result.tests)
+    # table was really written + registered
+    assert spark.table("fct_orders").count() == 2
+
+
+def test_pipeline_gating_on_failures(spark, tmp_path):
+    rows = [
+        ("o1", "c1", "delivered", dt.datetime(2020, 1, 1), None, None, None, None),
+        ("o1", "c9", "delivered", dt.datetime(2020, 1, 2), None, None, None, None),
+    ]
+    eng = _engine(spark, tmp_path, orders_rows=rows)
+    result = eng.pipeline(select="+fct_orders")
+    assert result.built_ok and not result.tests_ok
+    by_name = {t.name: t for t in result.tests}
+    assert by_name["unique_fct_orders_order_id"].status == TestStatus.ERROR
+    assert by_name["relationships_fct_orders_customer_id__stg_olist_customers"].failures == 1
+
+
+def test_select_subset_runs_only_ancestors(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    rels = eng.run(select="+stg_items")
+    assert set(rels) == {"stg_items"}
+
+
+def test_table_rerun_overwrites_atomically(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    eng.pipeline(select="+fct_orders")
+    first = spark.table("fct_orders").count()
+    eng.pipeline(select="+fct_orders")
+    assert spark.table("fct_orders").count() == first
