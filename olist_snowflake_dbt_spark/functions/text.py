@@ -1,0 +1,65 @@
+"""Text-column primitives: normalization, tokenization, shingles,
+fingerprints. All Catalyst expressions (regexp/array functions) — these
+run inside whole-stage codegen, so a 100 TB documents scan tokenizes at
+parquet-read speed with zero Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\S+"
+WORD_RE = "[a-z0-9]+"
+
+
+def normalize(text: Column | str) -> Column:
+    """Lowercase, collapse non-alphanumerics to single spaces, trim —
+    the canonical form used by fingerprints and shingles."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def tokens(text: Column | str) -> Column:
+    """Array of whitespace-delimited tokens (raw, case-preserving)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)
+
+
+def words(text: Column | str) -> Column:
+    """Array of normalized alphanumeric words."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), 0)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles over the normalized word sequence.
+    Documents shorter than n words yield a single shingle of all words."""
+    ws = words(text)
+    k = F.size(ws)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    return F.when(k <= 0, F.array()).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize(text))
+
+
+def rolling_hashes(text: Column | str, n: int = 8) -> Column:
+    """Karp-Rabin-style rolling fingerprints: xxhash64 of each n-char
+    window of the normalized text (winnowing's ingredient); distinct."""
+    c = normalize(text)
+    ln = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.when(ln <= 0, F.array()).otherwise(
+            F.transform(idx, lambda i: F.xxhash64(c.substr(i, F.lit(n))))
+        )
+    )

@@ -1,0 +1,230 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all shuffle-frugal and UDF-free:
+
+- :func:`exact_dedup`            — hash-groupBy on a normalized fingerprint;
+                                   one shuffle on the 128-bit hash.
+- :func:`ngram_jaccard_pairs`    — exact n-gram Jaccard via shingle
+                                   inverted index (explode → self-join on
+                                   shingle → count ∩ / ∪).
+- :func:`minhash_lsh_pairs`      — MinHash signatures + LSH banding;
+                                   candidates only where a band collides,
+                                   then signature-level verify. The scale
+                                   path: cost ∝ documents + collisions,
+                                   never O(n²).
+- :func:`simhash_pairs`          — 64-bit SimHash + banded Hamming join.
+- :func:`embedding_cosine_pairs` — near-dup by embedding cosine ≥ τ
+                                   (LSH-bucketed variant in similarity.py).
+
+Each pair-producer emits (id_a, id_b, score) with id_a < id_b; the
+``*_dedup`` wrappers reduce pairs to a keep/drop decision (keep the
+smallest id of each connected component's star — single-linkage via the
+smaller-id representative, one extra groupBy).
+
+At 100 TB: exact dedup is one shuffle of (hash, id); MinHash-LSH shuffles
+(band_key, id) — band keys are uniform xxhash64 values so no skew; the
+pair-verify join only touches colliding buckets. A hot bucket (e.g.
+boilerplate-heavy shingle sets) is capped with ``max_bucket`` to bound
+worst-case blow-up, trading recall for a hard cost ceiling — the standard
+web-dedup compromise, and it is logged, not silent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    hamming_bits,
+    lsh_band_keys,
+    minhash_signature,
+    signature_jaccard,
+    simhash_bits,
+    simhash_band_keys,
+)
+from ..functions.text import fingerprint, word_shingles, words
+from ..functions.vector import cosine_similarity
+
+
+# -- exact ------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per normalized-text fingerprint (the smallest id —
+    deterministic). Returns the surviving rows of ``df``."""
+    fp = df.withColumn("__fp", fingerprint(text_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# -- exact n-gram Jaccard --------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold.
+
+    Inverted-index self-join: explode distinct shingles, join on shingle,
+    count shared shingles per pair, Jaccard = ∩ / (|A|+|B|-∩). Exact but
+    O(sum of bucket²) in the worst case — the oracle/verify path; use
+    minhash_lsh_pairs at corpus scale."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(word_shingles(text_col, n)).alias("__shingles"),
+    ).withColumn("__n", F.size("__shingles"))
+    exploded = sh.select("__id", "__n", F.explode("__shingles").alias("__s"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+                 F.col("a.__n").alias("n_a"), F.col("b.__n").alias("n_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate pairs whose banded MinHash collides, verified by the
+    signature-level Jaccard estimate ≥ threshold.
+
+    Plan shape: scan → per-row signature (no shuffle) → explode band keys
+    → groupBy band (1 shuffle) → pairs within buckets → estimate+filter.
+    ``max_bucket`` drops pathologically hot buckets (boilerplate)."""
+    rows = bands and num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(
+            F.array_distinct(word_shingles(text_col, n)), num_hashes
+        ).alias("__sig"),
+    ).filter(~F.element_at("__sig", 1).isNull())
+    banded = sigs.select(
+        "__id", "__sig", F.explode(lsh_band_keys(F.col("__sig"), bands, rows)).alias("__band")
+    )
+    # cap hot buckets (documented recall tradeoff, not silent: count first)
+    bucket_sizes = banded.groupBy("__band").agg(F.count(F.lit(1)).alias("__bn"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("__bn") <= max_bucket).select("__band"), "__band"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.__band") == F.col("b.__band")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sig").alias("__sig_a"),
+            F.col("b.__sig").alias("__sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("est_jaccard", signature_jaccard(F.col("__sig_a"), F.col("__sig_b")))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# -- SimHash ----------------------------------------------------------
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ≤ max_hamming of the 64-bit
+    SimHash. Banded: pairs within distance < bands must share a band
+    (pigeonhole), so only band-colliding pairs are compared."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), simhash_bits(words(text_col)).alias("__sh")
+    )
+    banded = sh.select(
+        "__id", "__sh", F.explode(simhash_band_keys(F.col("__sh"), bands)).alias("__band")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.__band") == F.col("b.__band")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming_bits(F.col("a.__sh"), F.col("b.__sh")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- embedding cosine -------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup (verify/oracle path — O(n²) within
+    a block; the bucketed scale path is similarity.ann_lsh_topk with a
+    high τ). Norms are precomputed per ROW — recomputing them per pair
+    would multiply the dominant cost by 3n."""
+    from ..functions.vector import dot as vdot, norm
+
+    def side(suffix: str) -> DataFrame:
+        cols = [F.col(id_col).alias(f"id_{suffix}"),
+                F.col(vec_col).alias(f"__v{suffix}")]
+        if block_col:
+            cols.append(F.col(block_col).alias(f"__blk{suffix}"))
+        return df.select(*cols).withColumn(
+            f"__n{suffix}", norm(F.col(f"__v{suffix}")))
+
+    a, b = side("a"), side("b")
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        joined = a.join(b, (F.col("__blka") == F.col("__blkb")) & cond)
+    else:
+        joined = a.crossJoin(b).filter(cond)
+    return (
+        joined.withColumn(
+            "cosine",
+            F.when(
+                (F.col("__na") > 0) & (F.col("__nb") > 0),
+                vdot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# -- pairs → keep/drop ------------------------------------------------
+
+
+def drop_from_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Survivors of ``df`` after dropping, for every near-dup pair, all
+    members except each group's smallest id (star-representative
+    single-linkage: one groupBy of pair edges)."""
+    drops = pairs.select(F.col("id_b").alias("__drop")).dropDuplicates()
+    return df.join(drops, df[id_col] == F.col("__drop"), "left_anti")

@@ -1,0 +1,202 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- :func:`brute_force_topk` — exact cosine top-k: queries × corpus join,
+  windowed rank. The baseline and the oracle. Cost O(|Q|·|C|); right
+  whenever |Q| is small (broadcast the queries) or |C| fits a batch.
+- :func:`ann_lsh_topk` — approximate: random-hyperplane LSH (sign-bit
+  signatures from deterministic seeded projections), candidates share a
+  signature band, exact cosine re-rank within candidates. Sub-linear
+  candidate sets at corpus scale; recall tunable via (planes, bands).
+- :func:`ivf_topk` — IVF-style: k centroid "cells" picked as hashed
+  sample rows, each vector assigned to its nearest cell (one broadcast
+  join), queries probe ``nprobe`` nearest cells. The classic
+  billion-vector layout (cells ≈ partitions on disk).
+
+All pure DataFrame ops; the per-pair cosine is a Catalyst expression
+(functions/vector.py). At 100 TB the corpus side stays partitioned and
+is never collected; queries are broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    exact: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, cosine, rank).
+
+    Excludes self-matches. Deterministic under score ties (rank breaks
+    ties by neighbor id)."""
+    from ..functions.vector import norm
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", norm(F.col("__qv"), exact=exact))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", norm(F.col("__cv"), exact=exact))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("__qn") > 0) & (F.col("__cn") > 0),
+                dot(F.col("__qv"), F.col("__cv"), exact=exact)
+                / (F.col("__qn") * F.col("__cn")),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: components from a
+    splitmix-style integer hash — stable across engines and runs."""
+    comps = []
+    for j in range(dim):
+        x = (seed * 0x9E3779B97F4A7C15 + plane * 0xBF58476D1CE4E5B9 + j * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 27
+        comps.append(((x & 0xFFFF) / 32768.0) - 1.0)  # [-1, 1)
+    return comps
+
+
+def lsh_signature(vec_col, dim: int, planes: int = 16, seed: int = 42):
+    """Sign-bit signature as a long: bit p = sign of <v, hyperplane_p>."""
+    bits = []
+    for p in range(planes):
+        h = _hyperplane(dim, p, seed)
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col if not isinstance(vec_col, str) else F.col(vec_col),
+                F.array(*[F.lit(x) for x in h]),
+                lambda v, w: v.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 signature band with the
+    query; exact cosine re-rank on candidates only."""
+    width = planes // bands
+    mask = (1 << width) - 1
+
+    def band_keys(sig):
+        return F.array(*[
+            F.xxhash64(F.lit(b), F.shiftrightunsigned(sig, b * width).bitwiseAND(F.lit(mask)))
+            for b in range(bands)
+        ])
+
+    def with_bands(df: DataFrame, prefix: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"__{prefix}v"),
+        )
+        sig = lsh_signature(F.col(f"__{prefix}v"), dim, planes, seed)
+        return base.withColumn("__band", F.explode(band_keys(sig)))
+
+    q = with_bands(queries, "query")
+    c = with_bands(corpus, "neighbor")
+    cands = (
+        q.join(c, "__band")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_similarity(F.col("__queryv"), F.col("__neighborv"), exact=False))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF: centroids = deterministic hash-sampled corpus rows; vectors
+    assign to nearest centroid; queries probe the ``nprobe`` nearest
+    cells. One broadcast join for assignment, one for probing — the
+    corpus is never replicated."""
+    cents = (
+        corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+        .withColumn("__h", F.xxhash64(F.col("__cid")))
+        .orderBy("__h")
+        .limit(n_cells)
+        .select(F.monotonically_increasing_id().alias("cell"), "__cv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    assign_w = Window.partitionBy("neighbor_id").orderBy(
+        F.col("__sim").desc(), F.col("cell").asc())
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("__sim", dot(F.col("__nv"), F.col("__cv"), exact=False))
+        .withColumn("__rn", F.row_number().over(assign_w))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", "__nv", "cell")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__sim", dot(F.col("__qv"), F.col("__cv"), exact=False))
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", "cell")
+    )
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__nv"), exact=False))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

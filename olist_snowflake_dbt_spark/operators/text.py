@@ -1,0 +1,127 @@
+"""Text-analysis operators over a documents table: language ID, quality
+scoring, token statistics, fingerprinting.
+
+All Catalyst expressions over functions/text.py primitives — a 100 TB
+corpus is scored in a single scan with zero Python; every output column
+is deterministic (oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, token_count, tokens
+
+# Tiny per-language stopword sets — the heuristic's knowledge base. An
+# n-gram language model would be loaded the same way (broadcast lookup).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "人", "这"),
+}
+
+
+def _occurrences(c: Column, pat: str) -> Column:
+    """Count non-overlapping occurrences of a literal substring —
+    (len - len(replace)) / len(pat). Portable to any SQL engine."""
+    return ((F.length(c) - F.length(F.replace(c, F.lit(pat)))) / F.lit(len(pat))).cast("long")
+
+
+def _padded(text_col: str) -> Column:
+    """Lowercased text with whitespace collapsed and space-padded ends, so
+    ``' the '`` matches word-delimited tokens."""
+    return F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), F.lit(" ")
+    )
+
+
+def stopword_hits(text_col: str, lang: str) -> Column:
+    """Total stopword occurrences of ``lang`` in the text. Latin-script
+    stopwords match as space-delimited words; CJK stopwords match as
+    characters (no word boundaries in the script)."""
+    c = _padded(text_col)
+    total = F.lit(0).cast("long")
+    for w in STOPWORDS[lang]:
+        pat = w if lang == "zh" else f" {w} "
+        total = total + _occurrences(c, pat)
+    return total
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predict language by stopword vote: argmax over languages of the
+    stopword-occurrence count (ties → lexicographically first language,
+    fully deterministic). Adds ``predicted_lang``. One scan, ~50 string
+    scans per row, all codegen'd — no model download, no UDF."""
+    ranked = [
+        F.struct(
+            stopword_hits(text_col, lang).alias("hits"),
+            F.lit(-i).alias("tie"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(sorted(STOPWORDS))
+    ]
+    return df.withColumn("predicted_lang", F.array_max(F.array(*ranked))["lang"])
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score:
+
+    - ``n_tokens``, ``avg_token_len``
+    - ``punct_ratio``   (punctuation chars / chars)
+    - ``digit_ratio``   (digit chars / chars)
+    - ``upper_ratio``   (uppercase chars / chars)
+    - ``stopword_ratio``(English stopword tokens / tokens)
+    - ``quality``       in [0,1]: length-band * (1-punct) * stopword band
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[\.,!\?;:]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    sw_hits = stopword_hits(text_col, "en")
+    out = (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "avg_token_len",
+            F.when(n_tokens > 0,
+                   (F.length(F.regexp_replace(c, r"\s+", "")) / n_tokens)),
+        )
+        .withColumn("punct_ratio", F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0))
+        .withColumn("digit_ratio", F.when(n_chars > 0, n_digit / n_chars).otherwise(0.0))
+        .withColumn("upper_ratio", F.when(n_chars > 0, n_upper / n_chars).otherwise(0.0))
+        .withColumn("stopword_ratio", F.when(n_tokens > 0, sw_hits / n_tokens).otherwise(0.0))
+    )
+    len_band = (
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), F.lit(1.0))
+        .when(F.col("n_tokens") > 0, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    return out.withColumn(
+        "quality",
+        len_band * (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0)))
+        * (0.5 + 0.5 * F.least(F.col("stopword_ratio") * 4, F.lit(1.0))),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token accounting: ``n_tokens`` (whitespace),
+    ``n_subword_tokens`` (BPE-approximating regex: runs of letters,
+    digits, or single punctuation — the GPT-2 pre-tokenizer shape),
+    ``n_chars``."""
+    bpe_re = F.lit(r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]")
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn(
+            "n_subword_tokens", F.size(F.regexp_extract_all(F.col(text_col), bpe_re, 0))
+        )
+        .withColumn("n_chars_measured", F.length(text_col))
+    )
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("doc_fingerprint", fingerprint(text_col))

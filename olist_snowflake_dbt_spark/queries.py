@@ -767,3 +767,7 @@ def q_scd2_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("dbt_valid_from"),
         F.lead("ts").over(w).alias("dbt_valid_to"),
     )
+
+
+# extension queries (dedup / similarity / text) register on import
+from . import queries_ext  # noqa: E402,F401

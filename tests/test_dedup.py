@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_snowflake_dbt_spark.operators.dedup import (
+    drop_from_pairs,
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from olist_snowflake_dbt_spark.sources.readers import read_table
+
+
+@pytest.fixture(scope="module")
+def planted(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000)
+    return docs.unionByName(dup).cache()
+
+
+def test_exact_dedup_removes_planted(spark, planted):
+    base = planted.filter(F.col("doc_id") < 1_000_000).count()
+    assert exact_dedup(planted, "text", "doc_id").count() == base
+    # survivor of each dup pair is the smaller id
+    kept_ids = {r.doc_id for r in exact_dedup(planted, "text", "doc_id").collect()}
+    assert all(i < 1_000_000 for i in kept_ids)
+
+
+def test_exact_dedup_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string")
+    assert exact_dedup(df, "text", "doc_id").count() == 2
+
+
+def test_ngram_jaccard_identical_pairs_score_one(spark, planted):
+    pairs = ngram_jaccard_pairs(planted, "text", "doc_id", 3, 0.5)
+    planted_pairs = pairs.filter(F.col("id_b") >= 1_000_000).collect()
+    # every planted duplicate is found with jaccard exactly 1.0
+    assert len(planted_pairs) >= planted.filter(F.col("doc_id") >= 1_000_000).count()
+    for p in planted_pairs:
+        if p.id_b == p.id_a + 1_000_000:
+            assert p.jaccard == 1.0
+
+
+def test_minhash_recall_against_exact(spark, planted):
+    """MinHash-LSH must find (almost) everything exact Jaccard ≥ 0.6 finds."""
+    exact = {(r.id_a, r.id_b)
+             for r in ngram_jaccard_pairs(planted, "text", "doc_id", 3, 0.6).collect()}
+    approx = {(r.id_a, r.id_b)
+              for r in minhash_lsh_pairs(planted, "text", "doc_id",
+                                         n=3, num_hashes=64, bands=16,
+                                         threshold=0.5).collect()}
+    assert exact, "sanity: planted dups must produce exact pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_simhash_finds_planted_dups(spark, planted):
+    pairs = simhash_pairs(planted, "text", "doc_id", max_hamming=3)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(i, i + 1_000_000)
+                for (i,) in planted.filter(F.col("doc_id") >= 1_000_000)
+                .select((F.col("doc_id") - 1_000_000).alias("i")).collect()}
+    # identical docs have identical simhash → hamming 0 → always found
+    assert expected <= found
+
+
+def test_embedding_cosine_pairs_planted(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000)
+    e2 = emb.unionByName(dup)
+    pairs = embedding_cosine_pairs(e2, "embedding", "vec_id", 0.99).collect()
+    planted_n = dup.count()
+    exact_pairs = [p for p in pairs if p.id_b == p.id_a + 1_000_000]
+    assert len(exact_pairs) == planted_n
+    assert all(abs(p.cosine - 1.0) < 1e-12 for p in exact_pairs)
+
+
+def test_drop_from_pairs(spark, planted):
+    pairs = ngram_jaccard_pairs(planted, "text", "doc_id", 3, 0.99)
+    survivors = drop_from_pairs(planted, "doc_id", pairs)
+    # all planted clones (id_b side of a 1.0-jaccard pair) are dropped
+    assert survivors.filter(F.col("doc_id") >= 1_000_000).count() == 0

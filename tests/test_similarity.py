@@ -1,0 +1,86 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_snowflake_dbt_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    euclidean_distance,
+    norm,
+)
+from olist_snowflake_dbt_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    ivf_topk,
+)
+from olist_snowflake_dbt_spark.sources.readers import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_vector_functions_basics(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 0.0], [0.0, 1.0, 0.0]), ([1.0, 2.0, 2.0], [1.0, 2.0, 2.0])],
+        "a array<float>, b array<float>")
+    rows = df.select(
+        dot("a", "b").alias("d"),
+        norm("a").alias("na"),
+        cosine_similarity("a", "b").alias("cos"),
+        euclidean_distance("a", "b").alias("dist"),
+    ).collect()
+    assert rows[0].d == 0.0 and abs(rows[0].cos) < 1e-12
+    assert abs(rows[1].na - 3.0) < 1e-12
+    assert abs(rows[1].cos - 1.0) < 1e-12 and rows[1].dist == 0.0
+
+
+def test_cosine_zero_vector_is_null(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], "a array<float>, b array<float>")
+    assert df.select(cosine_similarity("a", "b").alias("c")).collect()[0].c is None
+
+
+def test_brute_force_topk_shape(spark, emb):
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=7).collect()
+    assert len(out) == 5 * 7
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        # ranks contiguous, scores non-increasing, no self-match
+        assert [r.rank for r in rows] == list(range(1, 8))
+        assert all(rows[i].cosine >= rows[i + 1].cosine for i in range(6))
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_ann_lsh_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ann_lsh_topk(emb, queries, dim=64, k=5,
+                                    planes=16, bands=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    # random-hyperplane LSH with generous banding on 64-dim random data
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_ivf_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
+def test_planted_duplicate_is_top1(spark, emb):
+    dup = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(999_999))
+    corpus = emb.unionByName(dup)
+    out = brute_force_topk(corpus, emb.filter(F.col("vec_id") == 0), k=1).collect()
+    assert out[0].neighbor_id == 999_999
+    assert abs(out[0].cosine - 1.0) < 1e-12
