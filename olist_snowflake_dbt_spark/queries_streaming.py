@@ -1,0 +1,126 @@
+"""Driver queries for the Structured Streaming surface.
+
+Each entry replays the bounded events source through a REAL streaming
+query (state store, watermarks, AvailableNow micro-batching, memory
+sink) and returns the final sink table; the oracles are plain batch SQL
+over the same rows — replay-to-completion of a bounded stream must
+equal the batch computation, which is exactly what the driver's DuckDB
+compare checks.
+
+``complete`` output mode is used for the aggregations so windows that
+the watermark has not closed by end-of-input are still emitted (append
+mode would hold them back and the stream-vs-batch equality would not
+hold on a bounded replay).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .streaming import (
+    dedup_within_watermark,
+    run_available_now,
+    session_stats,
+    stream_events,
+    user_running_totals,
+    windowed_event_counts,
+)
+
+
+@query(
+    "stream_window_counts",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts (watermarked, 15-min windows)
+    replayed to completion — must equal the batch GROUP BY."""
+    counts = windowed_event_counts(stream_events(spark, sf_dir), "15 minutes")
+    return run_available_now(counts, "complete")
+
+
+@query(
+    "stream_session_stats",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def q_stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) — session_window's
+    [first_event, last_event + gap) bounds equal the batch
+    gaps-and-islands construction."""
+    sessions = session_stats(stream_events(spark, sf_dir), gap="30 minutes")
+    return run_available_now(sessions, "complete")
+
+
+@query(
+    "stream_dedup",
+    """
+    SELECT DISTINCT user_id, ts, event_type,
+           CAST(value AS DECIMAL(18,2)) AS value
+    FROM (
+        SELECT user_id, ts, event_type, value FROM events
+        UNION ALL
+        SELECT user_id, ts, event_type, value FROM events WHERE event_id % 97 = 0
+    )
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with watermark-bounded state: events with a
+    planted duplicate (every 97th event re-sent) deduplicated on
+    (user_id, ts, event_type) within the watermark. The replay fits in
+    one watermark span, so the result equals batch DISTINCT. event_id
+    is excluded from the output so the survivor choice is
+    deterministic."""
+    ev = stream_events(spark, sf_dir)
+    dup = ev.filter(F.col("event_id") % 97 == 0)
+    both = ev.unionByName(dup).select("user_id", "ts", "event_type", "value")
+    deduped = dedup_within_watermark(
+        both.withColumn("value", F.col("value").cast("decimal(18,2)")),
+        ["user_id", "ts", "event_type"],
+        watermark="10 days",
+    )
+    return run_available_now(deduped, "append")
+
+
+@query(
+    "stream_stateful_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value * 100 AS DECIMAL(18,0))) AS BIGINT)
+               AS total_value_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals in exact integer cents. On a bounded replay the
+    final update per user equals the batch GROUP BY; the update-mode
+    memory sink keeps only the latest row per key per batch, and the
+    single-file source replays as one batch."""
+    totals = user_running_totals(stream_events(spark, sf_dir))
+    return run_available_now(totals, "update")

@@ -1,0 +1,190 @@
+"""Streaming operators over the events table.
+
+Each operator is the streaming twin of a batch query in queries.py
+(time_bucket_agg, sessionize_events, dedup_exact) — same grouping, same
+results when the stream is replayed to completion with AvailableNow.
+
+Reference parity note: the reference (dbt-on-Snowflake) has no streaming
+surface at all (`/root/reference/models` is pure batch SQL); these
+operators extend the engine the way Structured Streaming is meant to be
+used — declarative transformations on an unbounded DataFrame, watermarks
+for state eviction, `applyInPandasWithState` only where built-ins cannot
+express the semantics.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ts is declared LONG: events.parquet stores TIMESTAMP(NANOS), which the
+# Spark parquet reader rejects as a timestamp; we read the physical int64
+# under spark.sql.legacy.parquet.nanosAsLong and convert ns → µs exactly
+# (integer division), mirroring sources/readers.read_table
+_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_sink_counter = itertools.count()
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet. The file source is
+    the replayable-bounded harness; swapping in kafka changes only this
+    function. ``max_files_per_trigger`` splits the replay into multiple
+    micro-batches (used by tests to exercise cross-batch state)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(sf_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame, window: str = "15 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window counts + exact-decimal value totals per
+    event_type. Watermark bounds the state store: windows older than
+    max(event_time) - watermark are finalized and evicted. One shuffle
+    on (window, event_type) with partial aggregation map-side."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window)["start"].alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_value"),
+        )
+    )
+
+
+def session_stats(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user (session_window merges events
+    within ``gap``); emits per-session event counts and bounds. The
+    window end is last-event + gap, mirroring the batch gaps-and-islands
+    twin's MAX(ts) + gap. Sessions are keyed (user_id) — state lives on
+    the user's shuffle partition and is evicted once the watermark
+    passes session end."""
+    sw = F.session_window("ts", gap)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(sw, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window")["start"].alias("session_start"),
+            F.col("session_window")["end"].alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: keep the first row per key combination,
+    with state bounded by the watermark (a duplicate arriving more than
+    ``watermark`` after the first copy may re-emit — the documented
+    tradeoff that makes infinite-stream dedup finite-state)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+# -- custom stateful operator -----------------------------------------
+
+_TOTALS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value_cents", LongType()),
+    ]
+)
+_TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("cents", LongType())]
+)
+
+
+def _totals_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Running per-user totals. Value cents are accumulated as integers
+    so cross-batch accumulation is exact and order-independent."""
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(round(pdf["value"].mul(100).round().sum())) if len(pdf) else 0
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value_cents": [cents]}
+    )
+
+
+def user_running_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, exact-cents total), one output row per user per
+    micro-batch — the pattern for stateful logic Spark's built-in
+    aggregates can't express (per-key accumulators with arbitrary Python
+    update logic, Arrow-batched). State is two longs per user: at 10^9
+    users that is ~16 GB across the cluster — fine, and evictable via a
+    timeout if the key space churns."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _totals_fn,
+        outputStructType=_TOTALS_OUT,
+        stateStructType=_TOTALS_STATE,
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# -- bounded-replay runner --------------------------------------------
+
+
+def run_available_now(
+    result: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion with the AvailableNow
+    trigger into an in-memory sink and return the sink table. This is
+    the test/driver harness: it replays the bounded file source as a
+    real streaming query (state store, watermarks, micro-batches) and
+    terminates. Production uses the same plan with a durable sink."""
+    name = name or f"stream_sink_{os.getpid()}_{next(_sink_counter)}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)

@@ -1,0 +1,116 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_snowflake_dbt_spark.sources.readers import read_table
+from olist_snowflake_dbt_spark.streaming import (
+    dedup_within_watermark,
+    run_available_now,
+    session_stats,
+    stream_events,
+    user_running_totals,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return read_table(spark, sf_dir, "events").cache()
+
+
+def test_windowed_counts_equal_batch(spark, sf_dir, batch_events):
+    streamed = run_available_now(
+        windowed_event_counts(stream_events(spark, sf_dir), "15 minutes"),
+        "complete",
+    )
+    batch = batch_events.groupBy(
+        F.window("ts", "15 minutes")["start"].alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_session_stats_equal_batch_gaps_and_islands(spark, sf_dir, batch_events):
+    streamed = run_available_now(
+        session_stats(stream_events(spark, sf_dir), gap="30 minutes"), "complete"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    marked = batch_events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            <= 1800 * 1_000_000,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    numbered = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    batch = numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 minutes")).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("session_no")
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_dedup_within_watermark_drops_planted(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    dup = ev.filter(F.col("event_id") % 97 == 0)
+    both = ev.unionByName(dup).select("user_id", "ts", "event_type")
+    out = run_available_now(
+        dedup_within_watermark(both, ["user_id", "ts", "event_type"], "10 days"),
+        "append",
+    )
+    batch_distinct = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .distinct()
+    )
+    assert out.count() == batch_distinct.count()
+
+
+def test_stateful_totals_accumulate_across_batches(spark, sf_dir, batch_events, tmp_path):
+    # split the events into 3 files so AvailableNow runs 3 micro-batches
+    # with maxFilesPerTrigger=1 — state must carry across batches
+    src = str(tmp_path / "events_split")
+    batch_events.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = run_available_now(user_running_totals(stream), "update")
+    # update-mode memory sink appends every per-batch update row: the
+    # LAST row per user carries the final running totals
+    final = (
+        sink.withColumn(
+            "__rn",
+            F.row_number().over(
+                __import__("pyspark.sql", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    batch = batch_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_value_cents"),
+    )
+    assert final.exceptAll(batch).count() == 0
+    assert batch.exceptAll(final).count() == 0
