@@ -1,0 +1,222 @@
+"""Binary media columns: schema, synthesis, decode, features, frames.
+
+Design notes for 100 TB of media:
+- Payloads ride in parquet ``binary`` columns; metadata is a sibling
+  struct column, so format/size predicates prune row groups WITHOUT
+  touching payload bytes (column pruning — check ReadSchema).
+- Every kernel is ``mapInPandas``: one Arrow batch in, one out, bounded
+  memory per task regardless of corpus size. ``spark.sql.execution
+  .arrow.maxRecordsPerBatch`` caps batch height for fat payloads.
+- Frame sampling fans out rows; doing it inside ``mapInPandas`` keeps
+  the explosion executor-side and pipelined (no shuffle, no driver).
+- Real codecs are optional imports; without them the decode kernel
+  substitutes a DETERMINISTIC fake (xxhash-seeded), so pipelines and
+  tests run anywhere while the batch plumbing stays production-shaped.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),   # image | audio | video
+        StructField("fmt", StringType()),          # png | wav | mp4 | ...
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),       # image/video
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),    # audio/video
+        StructField("sample_rate", IntegerType()), # audio
+    ]
+)
+
+_MEDIA_TYPES = ["image", "audio", "video"]
+_FORMATS = {"image": "png", "audio": "wav", "video": "mp4"}
+
+
+def attach_fake_media(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic binary payload + metadata per document
+    (the container has no real media; the bytes are the document's UTF-8
+    text, the metadata derives from id/size). Pure Catalyst — the
+    payload never goes through Python here."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    mt = F.element_at(
+        F.array(*[F.lit(t) for t in _MEDIA_TYPES]),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    fmt = F.element_at(
+        F.array(*[F.lit(_FORMATS[t]) for t in _MEDIA_TYPES]),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    n_bytes = F.octet_length(payload).cast("long")
+    meta = F.struct(
+        mt.alias("media_type"),
+        fmt.alias("fmt"),
+        n_bytes.alias("n_bytes"),
+        F.when(mt != "audio", (n_bytes % 1024 + 16).cast("int")).alias("width"),
+        F.when(mt != "audio", (n_bytes % 768 + 16).cast("int")).alias("height"),
+        F.when(mt != "image", n_bytes * 10).alias("duration_ms"),
+        F.when(mt == "audio", F.lit(16000)).alias("sample_rate"),
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"), payload.alias("payload"), meta.alias("meta")
+    )
+
+
+def media_byte_stats(media: DataFrame) -> DataFrame:
+    """Payload accounting without decoding: size, md5, crc32 — all
+    JVM-side expressions over the binary column (no Python)."""
+    return media.select(
+        "media_id",
+        F.col("meta")["media_type"].alias("media_type"),
+        F.col("meta")["n_bytes"].alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.crc32("payload").alias("payload_crc32"),
+    )
+
+
+# -- decode (stubbed codec, real plumbing) ----------------------------
+
+_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("decoded_w", IntegerType()),
+        StructField("decoded_h", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> tuple[int, int, float]:
+    """Deterministic stand-in for an image decoder: "luma" is the mean
+    byte value — stable across runs/engines, no codec needed."""
+    if not payload:
+        return (width or 0, height or 0, 0.0)
+    return (width or 0, height or 0, sum(payload) / len(payload) / 255.0)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Batched decode: Arrow batches of (id, payload, meta) → decoded
+    dimensions + a luminance summary. Uses PIL when importable;
+    otherwise the deterministic fake above (STUB — the container ships
+    no codecs; swap `_fake_decode` for the PIL branch in production)."""
+    try:  # pragma: no cover - PIL absent in this container
+        import PIL.Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf["meta"]
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": metas.map(lambda m: m["media_type"]),
+                "decoded_w": [],
+                "decoded_h": [],
+                "mean_luma": [],
+            }
+            for payload, m in zip(pdf["payload"], metas):
+                if have_pil and m["media_type"] == "image":  # pragma: no cover
+                    raise NotImplementedError(
+                        "real PIL decode path not exercised in this container"
+                    )
+                w, h, luma = _fake_decode(bytes(payload), m["width"], m["height"])
+                out["decoded_w"].append(w)
+                out["decoded_h"].append(h)
+                out["mean_luma"].append(luma)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, _DECODED_SCHEMA)
+
+
+# -- feature extraction -----------------------------------------------
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Per-asset feature vector from payload bytes (normalized byte
+    histogram over ``dim`` buckets) — deterministic, Arrow-batched, the
+    shape a real embedding-extraction stage has (payload in → fixed-dim
+    float array out)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                hist = np.bincount(arr // (256 // dim), minlength=dim)[:dim]
+                feats.append((hist / arr.size).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return media.select("media_id", "payload").mapInPandas(kernel, _FEATURES_SCHEMA)
+
+
+# -- frame sampling (fan-out) -----------------------------------------
+
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_nbytes", LongType()),
+        StructField("frame_crc32", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 1024, max_frames: int = 8
+) -> DataFrame:
+    """Sample up to ``max_frames`` fixed-stride "frames" (byte windows)
+    per video payload — the row fan-out pattern of real frame
+    extraction, executor-side and shuffle-free. Emits the slice
+    geometry + a crc of the slice so correctness is checkable without a
+    codec."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in _FRAMES_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = min(max_frames, max(1, len(data) // frame_bytes))
+                for i in range(n):
+                    off = i * frame_bytes
+                    chunk = data[off : off + frame_bytes]
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset"].append(off)
+                    rows["frame_nbytes"].append(len(chunk))
+                    rows["frame_crc32"].append(zlib.crc32(chunk))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(kernel, _FRAMES_SCHEMA)

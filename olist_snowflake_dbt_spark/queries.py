@@ -772,3 +772,4 @@ def q_scd2_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extension queries (dedup / similarity / text, streaming) register on import
 from . import queries_ext  # noqa: E402,F401
 from . import queries_streaming  # noqa: E402,F401
+from . import queries_multimodal  # noqa: E402,F401

@@ -1,0 +1,86 @@
+"""Driver queries for the multimodal (binary media column) surface.
+
+The payloads are deterministic (UTF-8 bytes of the documents' text), so
+byte-level results are oracle-checkable in DuckDB: the byte-stats query
+matches md5/octet_length over the encoded text, and the frame-sample
+fan-out matches a generate_series reconstruction of the slice geometry.
+The decode/feature kernels return deterministic fakes (no codecs in the
+container) and are covered rows-only + by pytest equality tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .multimodal import (
+    attach_fake_media,
+    decode_media,
+    extract_features,
+    media_byte_stats,
+    sample_frames,
+)
+from .queries import _t, query
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attach_fake_media(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "mm_byte_stats",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def q_mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column accounting without decode: JVM-side octet_length /
+    md5 over the payload (multimodal/media.media_byte_stats). crc32 is
+    dropped from the oracle projection (DuckDB lacks crc32)."""
+    return media_byte_stats(_media(spark, sf_dir)).drop("payload_crc32")
+
+
+@query(
+    "mm_frame_sample",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    f AS (
+        SELECT media_id, n_bytes,
+               UNNEST(generate_series(0, CAST(least(8, greatest(1, n_bytes // 64)) AS INT) - 1))
+                   AS frame_idx
+        FROM m
+    )
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * 64 AS BIGINT) AS frame_offset,
+           CAST(least(64, n_bytes - frame_idx * 64) AS BIGINT) AS frame_nbytes
+    FROM f
+    """,
+)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (mapInPandas, executor-side row
+    explosion): slice geometry is integer-exact, so the oracle
+    reconstructs it with generate_series; the crc32 column is asserted
+    in pytest instead (DuckDB lacks crc32)."""
+    return sample_frames(_media(spark, sf_dir), frame_bytes=64).drop("frame_crc32")
+
+
+@query("mm_decode")  # rows-only: stubbed deterministic decoder, no SQL twin
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched media decode through the stubbed codec (mapInPandas —
+    Arrow in/out): dimensions from metadata + mean-byte luminance.
+    Deterministic; equality with a recompute asserted in pytest."""
+    return decode_media(_media(spark, sf_dir))
+
+
+@query("mm_features")  # rows-only: array<double> features, no SQL twin
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-dim feature extraction from payload bytes (normalized byte
+    histogram) — the embedding-stage batch shape, deterministic."""
+    return extract_features(_media(spark, sf_dir))
