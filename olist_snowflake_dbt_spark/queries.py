@@ -773,3 +773,4 @@ def q_scd2_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import queries_ext  # noqa: E402,F401
 from . import queries_streaming  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401
+from . import queries_sql_breadth  # noqa: E402,F401

@@ -1,0 +1,324 @@
+"""Breadth queries for the relational/SQL operator matrix beyond the
+reference surface (SURVEY.md §2.C lists what the reference LACKS; these
+prove the engine has it): percentiles, moment statistics, string
+functions, range joins, null-safe equality, array aggregation, unpivot,
+correlated scalar subqueries, window frames, sketches.
+
+Determinism: all money/moment math routes through DECIMAL accumulators
+with IDENTICAL formulas on both engines (see queries.py header); any
+residual double step (a division, an interpolation) is the same single
+expression on both sides, computed from exact inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .queries import _t, query
+
+
+@query(
+    "percentile_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (non-approximate) percentiles per group. Spark's
+    ``percentile`` sorts within the aggregate — at 100 TB prefer
+    ``approx_percentile`` (see hll_and_quantile_sketch) unless exactness
+    is contractual; both sides round the one interpolation step."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.9)"), 6).alias("p90_price"),
+    )
+
+
+@query(
+    "moment_stats",
+    """
+    WITH acc AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+               SUM(CAST(l_discount AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)
+                 / (n - 1), 6) AS var_qty,
+           ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+                 / (n - 1), 6) AS covar_qty_disc
+    FROM acc
+    """,
+)
+def q_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/covariance from exact DECIMAL moment sums (the
+    order-independent distributed formulation — Welford-style streaming
+    variance is NOT reproducible across partitionings; decimal moments
+    are). The final division is one identical double expression per
+    engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    acc = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dq).alias("sx"),
+        F.sum((dq * dq).cast("decimal(38,4)")).alias("sxx"),
+        F.sum(dd).alias("sy"),
+        F.sum((dq * dd).cast("decimal(38,4)")).alias("sxy"),
+    )
+    n = F.col("n")
+    return acc.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / n)
+            / (n - 1),
+            6,
+        ).alias("var_qty"),
+        F.round(
+            (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / n)
+            / (n - 1),
+            6,
+        ).alias("covar_qty_disc"),
+    )
+
+
+@query(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           length(p_name) - length(replace(p_name, ' ', '')) + 1 AS n_name_words,
+           levenshtein(p_brand, 'Brand#11') AS brand_distance,
+           split_part(p_type, ' ', 1) AS type_head
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function breadth (upper/substr/replace/lpad/
+    levenshtein/split) — all JVM codegen expressions."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        (F.length("p_name") - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit(""))) + 1).alias("n_name_words"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).alias("brand_distance"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )
+
+
+@query(
+    "range_join_bucketed",
+    """
+    SELECT o.o_orderkey,
+           COUNT(l.l_orderkey) AS n_shipments_30d
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    WHERE o.o_orderkey <= 3000
+    GROUP BY o.o_orderkey
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate join. Here the range rides on an equi-key
+    (orderkey), so Catalyst keeps a hash join and evaluates the range
+    as residual predicates — the plan to insist on at 100 TB. For a
+    PURE range join (no equi-key), the scale pattern is bucket
+    explosion: map each probe range to the date buckets it overlaps,
+    equi-join on bucket, re-filter exactly."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] >= o["o_orderdate"])
+        & (li["l_shipdate"] < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+    )
+    return (
+        o.join(li, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count(li["l_orderkey"]).alias("n_shipments_30d"))
+    )
+
+
+@query(
+    "null_safe_join",
+    """
+    WITH a AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS pri
+        FROM orders WHERE o_orderkey <= 2000
+    ),
+    b AS (
+        SELECT DISTINCT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                             ELSE o_orderpriority END AS pri
+        FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT a.o_orderkey, a.pri
+    FROM a JOIN b ON a.pri IS NOT DISTINCT FROM b.pri
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other, unlike ordinary equi-joins — and unlike ordinary
+    joins the NULL bucket all lands on one shuffle partition (salt it
+    if NULLs dominate at scale)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    a = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pri"),
+    ).alias("a")
+    b = a.select(F.col("pri").alias("pri_b")).distinct().alias("b")
+    return a.join(b, F.col("a.pri").eqNullSafe(F.col("b.pri_b"))).select(
+        F.col("a.o_orderkey"), F.col("a.pri")
+    )
+
+
+@query(
+    "array_agg_ops",
+    """
+    SELECT l_orderkey,
+           array_to_string(list_sort(array_agg(DISTINCT l_linenumber)), ',')
+               AS line_numbers,
+           array_to_string(list_sort(array_agg(DISTINCT l_returnflag)), ',')
+               AS flags
+    FROM lineitem WHERE l_orderkey <= 2000
+    GROUP BY l_orderkey
+    """,
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with deterministic ordering: collect_set →
+    sort_array → join to string (array columns hash differently across
+    engines; the canonical string form is engine-portable)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linenumber")), ",").alias("line_numbers"),
+        F.array_join(F.sort_array(F.collect_set("l_returnflag")), ",").alias("flags"),
+    )
+
+
+@query(
+    "unpivot_stack",
+    """
+    SELECT o_orderkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+        SELECT o_orderkey, o_totalprice, CAST(o_custkey AS DOUBLE) AS custkey_d
+        FROM orders WHERE o_orderkey <= 1000
+    )
+    UNPIVOT (val FOR metric IN (o_totalprice AS 'total_price',
+                                custkey_d AS 'cust_key'))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via ``stack`` — the inverse of the pivot
+    query; generator-based, no shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'total_price', CAST(o_totalprice AS DOUBLE),"
+            " 'cust_key', CAST(o_custkey AS DOUBLE)) AS (metric, val)"
+        ),
+    )
+
+
+@query(
+    "correlated_scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) = (
+        SELECT MAX(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each customer's max-price orders).
+    Catalyst decorrelates this into an aggregate + join — the rewrite
+    you'd hand-write at scale happens automatically; check the plan for
+    the single shuffle on o_custkey."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_csq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM __orders_csq o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) = (
+            SELECT MAX(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+            FROM __orders_csq o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@query(
+    "window_frames",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
+               AS rolling3_price,
+           ntile(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS quartile,
+           ROUND(percent_rank() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey), 6)
+               AS pct_rank
+    FROM orders WHERE o_custkey <= 100
+    """,
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame breadth: bounded ROWS frame rolling sum (exact
+    decimal), ntile, percent_rank — all over one shuffle on o_custkey
+    with a deterministic (date, key) intra-partition order."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(-2, 0))
+        .cast("decimal(38,2)")
+        .alias("rolling3_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@query("hll_and_quantile_sketch")  # rows-only: sketch estimates are
+# engine-specific (Spark DataSketches HLL vs DuckDB approx_count_distinct)
+def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB path for distincts/quantiles:
+    approx_count_distinct (HLL++) and approx_percentile, both
+    mergeable partial aggregates (no global sort, no exact-distinct
+    shuffle). Accuracy vs the exact twins is asserted in
+    tests/test_sql_breadth.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_percentile(F.col("l_quantity").cast("double"), 0.5, 1000).alias(
+            "approx_median_qty"
+        ),
+    )

@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_snowflake_dbt_spark.queries import QUERIES
+from olist_snowflake_dbt_spark.sources.readers import read_table
+
+
+def test_sketches_close_to_exact(spark, sf_dir):
+    approx = {
+        r.l_returnflag: r
+        for r in QUERIES["hll_and_quantile_sketch"](spark, sf_dir).collect()
+    }
+    li = read_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)").alias("median_qty"),
+        )
+        .collect()
+    }
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a.approx_orders - e.n_orders) / e.n_orders < 0.05
+        assert abs(a.approx_median_qty - e.median_qty) <= 1.0
+
+
+def test_moment_stats_match_builtin_variance(spark, sf_dir):
+    """The decimal-moment variance must agree with Spark's var_samp to
+    float precision (same statistic, different accumulation)."""
+    got = {r.l_returnflag: r.var_qty
+           for r in QUERIES["moment_stats"](spark, sf_dir).collect()}
+    ref = {
+        r.l_returnflag: r.v
+        for r in read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.var_samp(F.col("l_quantity").cast("double")).alias("v"))
+        .collect()
+    }
+    for flag, v in got.items():
+        # the query rounds to 6 decimals; allow that plus float noise
+        assert ref[flag] == pytest.approx(v, abs=1e-6)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    """Predicates and projection must reach the scan: PushedFilters
+    carries the key filter and ReadSchema is pruned to the two columns
+    used (not the full part schema)."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    plan = (
+        p.select("p_partkey", "p_brand")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(p_partkey), LessThanOrEqual(p_partkey,500)" in plan
+    assert "p_name" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_fct_orders_joins_are_broadcast(spark):
+    """At sf0.001 both fact-side joins must be broadcast (dim tables far
+    under the 10MB threshold) — no sort-merge shuffle for small dims."""
+    df = QUERIES["fct_orders"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_plan_has_no_cartesian(spark, sf_dir):
+    df = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
