@@ -107,6 +107,28 @@ class TestResult:
         return self.status == TestStatus.PASS
 
 
+def unit_test_diff(actual: DataFrame, expected: DataFrame) -> DataFrame:
+    """B6 unit-test fixture compare (dbt-core
+    materializations/tests/helpers.sql:19-46): symmetric multiset diff of
+    actual vs expected, tagged ``actual_or_expected`` — empty ⇔ the model
+    output equals the fixture exactly (duplicates counted). Spark twin of
+    the reference's UNION-ALL-of-two-EXCEPTs; ``exceptAll`` keeps
+    multiset semantics."""
+    cols = [F.col(c) for c in expected.columns]
+    only_actual = actual.select(*cols).exceptAll(expected.select(*cols))
+    only_expected = expected.select(*cols).exceptAll(actual.select(*cols))
+    return only_actual.withColumn(
+        "actual_or_expected", F.lit("actual")
+    ).unionByName(
+        only_expected.withColumn("actual_or_expected", F.lit("expected"))
+    )
+
+
+def evaluate_unit_test(name: str, actual: DataFrame, expected: DataFrame) -> "TestResult":
+    """Unit-test verdict: pass iff the symmetric diff is empty."""
+    return evaluate_test(name, unit_test_diff(actual, expected))
+
+
 def evaluate_test(
     name: str,
     failing_rows: DataFrame,

@@ -307,6 +307,75 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_delete_insert_sim",
+    """
+    WITH existing AS (
+        SELECT user_id, event_id, ts FROM events WHERE ts < TIMESTAMP '2024-06-01'
+    ),
+    batch AS (
+        SELECT user_id, event_id, ts FROM events WHERE ts >= TIMESTAMP '2024-06-01'
+    )
+    SELECT * FROM existing WHERE user_id NOT IN (SELECT user_id FROM batch)
+    UNION ALL
+    SELECT * FROM batch
+    """,
+)
+def q_incremental_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 delete+insert strategy: delete every existing row whose key
+    appears in the batch, insert the batch as-is (duplicate batch keys
+    allowed, unlike merge) — anti-join + union."""
+    from .operators.incremental import incremental_delete_insert
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    cutoff = F.lit("2024-06-01").cast("timestamp")
+    return incremental_delete_insert(
+        e.filter(F.col("ts") < cutoff), e.filter(F.col("ts") >= cutoff), ["user_id"]
+    )
+
+
+@query(
+    "incremental_insert_overwrite_sim",
+    """
+    WITH existing AS (
+        SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,2)) AS value
+        FROM events
+    ),
+    batch AS (
+        SELECT user_id, event_id, ts,
+               CAST(CAST(value AS DECIMAL(18,2)) + 100 AS DECIMAL(18,2)) AS value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-06-01' AND ts < TIMESTAMP '2024-07-01'
+    )
+    SELECT * FROM existing
+    WHERE CAST(ts AS DATE) NOT IN (SELECT DISTINCT CAST(ts AS DATE) FROM batch)
+    UNION ALL
+    SELECT * FROM batch
+    """,
+)
+def q_incremental_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 insert_overwrite / microbatch strategy: the batch (June's
+    events, revalued) replaces exactly the date partitions it contains;
+    all other partitions survive untouched. At 100 TB this is the
+    strategy of record — the rewrite is pruned to the batch's
+    partitions (dynamic partition overwrite), never a full-table scan."""
+    from .operators.incremental import incremental_insert_overwrite
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    lo, hi = F.lit("2024-06-01").cast("timestamp"), F.lit("2024-07-01").cast("timestamp")
+    batch = e.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).withColumn(
+        "value", (F.col("value") + 100).cast("decimal(18,2)")
+    )
+    out = incremental_insert_overwrite(
+        e.withColumn("__p", F.to_date("ts")),
+        batch.withColumn("__p", F.to_date("ts")),
+        ["__p"],
+    )
+    return out.drop("__p")
+
+
 @query("hll_and_quantile_sketch")  # rows-only: sketch estimates are
 # engine-specific (Spark DataSketches HLL vs DuckDB approx_count_distinct)
 def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,3 +63,21 @@ def test_store_failures(spark, tmp_path):
     res = evaluate_test("t", bad, store_failures_path=path)
     assert res.failures == 1
     assert spark.read.parquet(path).count() == 1
+
+
+def test_unit_test_diff_and_verdict(spark):
+    from olist_snowflake_dbt_spark.operators.dq import (
+        evaluate_unit_test,
+        unit_test_diff,
+    )
+
+    actual = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b")], "id long, v string")
+    same = spark.createDataFrame([(2, "b"), (1, "a"), (2, "b")], "id long, v string")
+    assert unit_test_diff(actual, same).count() == 0
+    assert evaluate_unit_test("t", actual, same).passed
+
+    diff = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    rows = unit_test_diff(actual, diff).collect()
+    # multiset semantics: the extra (2, b) shows up as actual-only
+    assert [(r.id, r.v, r.actual_or_expected) for r in rows] == [(2, "b", "actual")]
+    assert not evaluate_unit_test("t", actual, diff).passed
