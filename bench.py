@@ -29,11 +29,19 @@ def main() -> None:
     spark.range(1).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one broken query must not sink the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
+        # operators persist self-join intermediates for the duration of
+        # their query; drop them so 47+ queries' caches don't stack up
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -43,6 +51,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

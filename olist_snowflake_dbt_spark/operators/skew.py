@@ -1,0 +1,68 @@
+"""Skew mitigation operators.
+
+AQE's skew-join splitting (on by default in session.py) handles most
+skew at runtime, but two patterns are worth owning explicitly because
+they change the SHUFFLE KEY, which AQE cannot:
+
+- :func:`salted_join` — a hot probe-side key floods one reducer in a
+  shuffle hash join. Salt the probe side into ``num_salts`` sub-keys
+  and replicate the build side once per salt: the hot key's rows now
+  land on ``num_salts`` reducers. Join RESULT is identical to the
+  plain join — the salt only routes rows.
+- :func:`two_phase_distinct` — COUNT(DISTINCT x) for a hot group first
+  shuffles on (group, x) (splitting the hot group across reducers by
+  x), dedupes, then shuffles the already-tiny distinct set on group.
+  This is the rewrite Spark itself applies for single distinct aggs;
+  owning it makes the plan explicit and composes with other aggs.
+
+Salts are deterministic functions of row content (xxhash64-derived),
+so retried tasks route identically — a requirement for exactly-once
+sinks at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with probe-side salting: probe rows get a deterministic
+    salt in [0, num_salts); the build side is exploded once per salt so
+    every (key, salt) pair finds its match. Use when one probe key
+    dominates (power-law fact tables) and the build side is too big to
+    broadcast; cost = build side × num_salts, usually tiny next to the
+    skewed shuffle it replaces."""
+    probe_cols = [c for c in probe.columns]
+    build_cols = [c for c in build.columns if c != key]
+    salted_probe = probe.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in probe_cols]), F.lit(num_salts)).cast("int"),
+    )
+    salted_build = build.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    out = salted_probe.join(salted_build, [key, "__salt"], how)
+    return out.select(*probe_cols, *build_cols)
+
+
+def two_phase_distinct(
+    df: DataFrame, group_cols: Sequence[str], distinct_col: str
+) -> DataFrame:
+    """COUNT(DISTINCT distinct_col) per group, skew-proof: shuffle #1 on
+    (group, value) splits any hot group across reducers; shuffle #2
+    counts the deduped (and therefore bounded) set per group."""
+    dedup = df.select(*group_cols, distinct_col).dropDuplicates(
+        [*group_cols, distinct_col]
+    )
+    return dedup.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias(f"n_distinct_{distinct_col}")
+    )

@@ -376,6 +376,101 @@ def q_incremental_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
     return out.drop("__p")
 
 
+@query(
+    "seed_csv_inference",
+    """
+    SELECT customer_id,
+           customer_zip_code_prefix,
+           customer_city,
+           customer_state,
+           amount,
+           signup_date,
+           last_seen_ts,
+           is_active,
+           note
+    FROM read_csv('/root/repo/fixtures/seed_customers.csv', header=true,
+                  nullstr=['', 'null'],
+                  columns={'customer_id': 'VARCHAR',
+                           'customer_zip_code_prefix': 'BIGINT',
+                           'customer_city': 'VARCHAR',
+                           'customer_state': 'VARCHAR',
+                           'amount': 'DECIMAL(38,2)',
+                           'signup_date': 'DATE',
+                           'last_seen_ts': 'TIMESTAMP',
+                           'is_active': 'BOOLEAN',
+                           'note': 'VARCHAR'})
+    """,
+)
+def q_seed_csv_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 seed ingestion end-to-end on a repo-shipped fixture CSV (UTF-8
+    BOM, CRLF, quoted commas/escaped quotes, ""/"null" → NULL, leading
+    zeros): agate-precedence type inference (Integer → Number → Date →
+    DateTime → Boolean → Text) must produce the exact typed rows DuckDB
+    reads under the equivalent explicit column types."""
+    from .sources.seeds import read_seed_csv
+
+    return read_seed_csv(spark, "/root/repo/fixtures/seed_customers.csv")
+
+
+@query(
+    "salted_skew_join",
+    """
+    WITH fact AS (
+        SELECT l_orderkey,
+               CASE WHEN l_orderkey % 3 = 0 THEN 1
+                    ELSE l_suppkey END AS supp_key,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        FROM lineitem
+    )
+    SELECT f.l_orderkey, f.supp_key, f.price, s.s_name, s.s_nationkey
+    FROM fact f JOIN supplier s ON f.supp_key = s.s_suppkey
+    """,
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a deliberately skewed key (a third of the fact
+    rows share supp_key=1): probe rows are salted into 8 sub-keys and
+    the supplier side is replicated per salt, so the hot key spreads
+    over 8 reducers. Result is byte-identical to the plain join — the
+    oracle IS the plain join."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("supp_key"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp_key"), "s_name", "s_nationkey"
+    )
+    return salted_join(li, supp, "supp_key", num_salts=8)
+
+
+@query(
+    "two_phase_distinct_skew",
+    """
+    SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'hot' ELSE l_returnflag END
+               AS grp,
+           COUNT(DISTINCT l_partkey) AS n_distinct_l_partkey
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof distinct count: half the rows share one hot group;
+    phase 1 shuffles on (group, value) so the hot group splits across
+    reducers, phase 2 counts the bounded distinct sets."""
+    from .operators.skew import two_phase_distinct
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit("hot"))
+        .otherwise(F.col("l_returnflag"))
+        .alias("grp"),
+        "l_partkey",
+    )
+    return two_phase_distinct(li, ["grp"], "l_partkey")
+
+
 @query("hll_and_quantile_sketch")  # rows-only: sketch estimates are
 # engine-specific (Spark DataSketches HLL vs DuckDB approx_count_distinct)
 def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:

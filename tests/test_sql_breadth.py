@@ -74,3 +74,36 @@ def test_minhash_plan_has_no_cartesian(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from olist_snowflake_dbt_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_suppkey").alias("supp_key")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp_key"), "s_name"
+    )
+    salted = salted_join(li, supp, "supp_key", num_salts=4)
+    plain = li.join(supp, "supp_key").select(*salted.columns)
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_shuffles_on_salt(spark, sf_dir):
+    from olist_snowflake_dbt_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_suppkey").alias("supp_key")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp_key"), "s_name"
+    )
+    plan = (
+        salted_join(li, supp, "supp_key", num_salts=4)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "__salt" in plan  # the join key carries the salt
