@@ -86,3 +86,27 @@ def materialize_table(
     out = spark.read.parquet(final)
     out.createOrReplaceTempView(name)
     return MaterializedRelation(name, "table", final, out)
+
+
+def materialize_bucketed_table(
+    spark,
+    name: str,
+    df: DataFrame,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> MaterializedRelation:
+    """Bucketed catalog table: rows are hash-bucketed (and optionally
+    sorted) by ``bucket_cols`` at WRITE time, so joins and aggregations
+    on those columns later run with NO shuffle — the 100 TB pattern for
+    fact tables that are repeatedly joined on the same key. Requires the
+    session catalog (saveAsTable); co-bucketed tables with equal bucket
+    counts join exchange-free (verified in tests/test_bucketing.py)."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+    out = spark.table(name)
+    return MaterializedRelation(name, "bucketed_table", name, out)
