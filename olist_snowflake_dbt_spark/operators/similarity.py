@@ -127,20 +127,41 @@ def ann_lsh_topk(
         ])
 
     def with_bands(df: DataFrame, prefix: str) -> DataFrame:
+        from ..functions.vector import norm
+
+        # bind signature + norm as attributes BEFORE the generator: the
+        # 16 hyperplane projections run once per row, and explode_outer
+        # keeps InferFiltersFromGenerate from cloning them into an
+        # inferred filter (see operators/dedup.py)
         base = df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.col(vec_col).alias(f"__{prefix}v"),
-        )
-        sig = lsh_signature(F.col(f"__{prefix}v"), dim, planes, seed)
-        return base.withColumn("__band", F.explode(band_keys(sig)))
+        ).withColumn(
+            "__sig", lsh_signature(F.col(f"__{prefix}v"), dim, planes, seed)
+        ).withColumn(f"__{prefix}n", norm(F.col(f"__{prefix}v"), exact=False))
+        return base.select(
+            f"{prefix}_id",
+            f"__{prefix}v",
+            f"__{prefix}n",
+            F.explode_outer(band_keys(F.col("__sig"))).alias("__band"),
+        ).filter(F.col("__band").isNotNull())
 
     q = with_bands(queries, "query")
     c = with_bands(corpus, "neighbor")
+    # per-row norms ride the join so the re-rank pays one dot per pair,
+    # never three (cosine_similarity would recompute both norms per pair)
     cands = (
         q.join(c, "__band")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", cosine_similarity(F.col("__queryv"), F.col("__neighborv"), exact=False))
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("__queryn") > 0) & (F.col("__neighborn") > 0),
+                dot(F.col("__queryv"), F.col("__neighborv"), exact=False)
+                / (F.col("__queryn") * F.col("__neighborn")),
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
