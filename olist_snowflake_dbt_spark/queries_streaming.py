@@ -124,3 +124,33 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-file source replays as one batch."""
     totals = user_running_totals(stream_events(spark, sf_dir))
     return run_available_now(totals, "update")
+
+
+@query(
+    "stream_stream_join",
+    """
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    errors AS (
+        SELECT user_id, event_id AS error_id, ts AS error_ts
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT c.user_id, c.click_id, e.error_id, c.click_ts, e.error_ts
+    FROM clicks c JOIN errors e
+      ON c.user_id = e.user_id
+     AND e.error_ts >= c.click_ts
+     AND e.error_ts < c.click_ts + INTERVAL '10 minutes'
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds (clicks to the
+    same user's errors within 10 min): on a bounded replay inside one
+    watermark span it equals the batch range join."""
+    from .streaming import clicks_to_errors_join
+
+    joined = clicks_to_errors_join(
+        stream_events(spark, sf_dir), horizon="10 minutes", watermark="365 days"
+    )
+    return run_available_now(joined, "append")

@@ -21,6 +21,7 @@ Design for scale (1000 executors, unbounded input):
 """
 
 from .events import (
+    clicks_to_errors_join,
     dedup_within_watermark,
     run_available_now,
     session_stats,
@@ -30,6 +31,7 @@ from .events import (
 )
 
 __all__ = [
+    "clicks_to_errors_join",
     "dedup_within_watermark",
     "run_available_now",
     "session_stats",

@@ -121,6 +121,43 @@ def dedup_within_watermark(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def clicks_to_errors_join(
+    stream: DataFrame, horizon: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each click joins the SAME user's error
+    events within ``horizon`` after the click. Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    each side's join state is evicted once the other side's watermark
+    passes the horizon — bounded state on unbounded streams, the
+    canonical funnel/attribution shape."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return clicks.join(errors, cond, "inner").select(
+        F.col("c_user").alias("user_id"), "click_id", "error_id", "click_ts", "error_ts"
+    )
+
+
 # -- custom stateful operator -----------------------------------------
 
 _TOTALS_OUT = StructType(

@@ -114,3 +114,34 @@ def test_stateful_totals_accumulate_across_batches(spark, sf_dir, batch_events, 
     )
     assert final.exceptAll(batch).count() == 0
     assert batch.exceptAll(final).count() == 0
+
+
+def test_stream_stream_join_equals_batch_range_join(spark, sf_dir, batch_events):
+    from olist_snowflake_dbt_spark.streaming import clicks_to_errors_join
+
+    streamed = run_available_now(
+        clicks_to_errors_join(
+            stream_events(spark, sf_dir), "10 minutes", watermark="365 days"
+        ),
+        "append",
+    )
+    clicks = batch_events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = batch_events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") < F.col("click_ts") + F.expr("INTERVAL 10 minutes"))
+    )
+    batch = clicks.join(errors, cond).select(
+        F.col("c_user").alias("user_id"), "click_id", "error_id", "click_ts", "error_ts"
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
