@@ -289,12 +289,91 @@ def embedding_cosine_pairs(
     )
 
 
+# -- connected components ---------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Exact connected components over near-dup pair edges: (node,
+    component) where component = the smallest id reachable through any
+    chain of pairs. Iterative min-label propagation — each round every
+    node takes the min of its own label and its neighbors' labels;
+    converges in O(diameter) rounds (dedup clusters are shallow, so
+    ``max_iter`` is a safety rail, not a truncation in practice — a
+    warning is printed if hit).
+
+    Scale shape: per round one shuffle join on node id over the label
+    frame (|nodes| rows) + edge frame; ``localCheckpoint`` truncates
+    the growing lineage each round so plans stay constant-size. This is
+    the standard large-graph small-diameter pattern (cf. GraphFrames'
+    connected components) without any library dependency."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .dropDuplicates()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("__nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()  # truncate lineage: constant-size plan per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        print(f"connected_components: not converged after {max_iter} rounds")
+    edges.unpersist()
+    return labels
+
+
+def dedup_by_components(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Exact transitive dedup: keep only each connected component's
+    smallest id (the member equal to its component label); rows in no
+    pair survive untouched. Unlike :func:`drop_from_pairs` this is
+    correct for chains (A~B, B~C ⇒ only min(A,B,C) survives)."""
+    comp = connected_components(pairs)
+    drops = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("__drop")
+    )
+    return df.join(drops, df[id_col] == F.col("__drop"), "left_anti")
+
+
 # -- pairs → keep/drop ------------------------------------------------
 
 
 def drop_from_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
-    """Survivors of ``df`` after dropping, for every near-dup pair, all
-    members except each group's smallest id (star-representative
-    single-linkage: one groupBy of pair edges)."""
+    """Survivors of ``df`` after dropping every id that appears on the
+    right side of a pair — the one-pass star-linkage approximation
+    (cheap: a single anti-join, no iteration). For chains where the
+    connecting pair is absent (A~C, B~C but no A~B) it keeps BOTH A and
+    B; use :func:`dedup_by_components` when exact transitive semantics
+    are required."""
     drops = pairs.select(F.col("id_b").alias("__drop")).dropDuplicates()
     return df.join(drops, df[id_col] == F.col("__drop"), "left_anti")

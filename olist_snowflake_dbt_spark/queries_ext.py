@@ -157,6 +157,52 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_cosine_pairs(e2, "embedding", "vec_id", 0.95, block_col="label")
 
 
+@query(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE d2 AS ({_PLANTED_DOCS}),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 1)),
+                   i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        FROM (SELECT doc_id, {_WORDS} AS w FROM d2)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+               COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        WHERE n_common / (n_a + n_b - n_common) >= 0.6
+    ),
+    edges AS (
+        SELECT id_a AS node, id_b AS other FROM pairs
+        UNION
+        SELECT id_b AS node, id_a AS other FROM pairs
+    ),
+    reach AS (
+        SELECT node, other FROM edges
+        UNION
+        SELECT r.node, e.other FROM reach r JOIN edges e ON r.other = e.node
+    )
+    SELECT node, least(node, MIN(other)) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact transitive dedup clusters: iterative min-label propagation
+    (operators/dedup.connected_components) over n-gram-Jaccard ≥ 0.6
+    edges. The oracle computes the same fixpoint with a DuckDB recursive
+    CTE — Spark's loop-of-joins with localCheckpoint IS the scalable
+    twin of WITH RECURSIVE for small-diameter graphs."""
+    pairs = DD.ngram_jaccard_pairs(_planted_docs(spark, sf_dir), "text", "doc_id", 3, 0.6)
+    return DD.connected_components(pairs)
+
+
 # ---------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------

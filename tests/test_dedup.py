@@ -87,3 +87,45 @@ def test_drop_from_pairs(spark, planted):
     survivors = drop_from_pairs(planted, "doc_id", pairs)
     # all planted clones (id_b side of a 1.0-jaccard pair) are dropped
     assert survivors.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_connected_components_chains(spark):
+    from olist_snowflake_dbt_spark.operators.dedup import connected_components
+
+    # two components: {1,2,3,4} via a chain, {10,11}; star-linkage would
+    # miss that 2 and 3 belong with 1 when pairs skip (1,2)
+    pairs = spark.createDataFrame(
+        [(3, 4), (2, 3), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r.node, r.component) for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_dedup_by_components_transitive(spark):
+    from olist_snowflake_dbt_spark.operators.dedup import (
+        dedup_by_components,
+        drop_from_pairs,
+    )
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 9]],
+                               "doc_id long, text string")
+    # chain 1~3 via (1,3) and 2~3 via (2,3): component {1,2,3}, 9 alone
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
+    exact = {r.doc_id for r in dedup_by_components(df, "doc_id", pairs).collect()}
+    assert exact == {1, 9}
+    # star-linkage keeps 2 as well — documents the approximation
+    star = {r.doc_id for r in drop_from_pairs(df, "doc_id", pairs).collect()}
+    assert star == {1, 2, 9}
+
+
+def test_dedup_by_components_on_planted(spark, planted):
+    from olist_snowflake_dbt_spark.operators.dedup import (
+        dedup_by_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(planted, "text", "doc_id", 3, 0.99)
+    survivors = dedup_by_components(planted, "doc_id", pairs)
+    assert survivors.filter(F.col("doc_id") >= 1_000_000).count() == 0
