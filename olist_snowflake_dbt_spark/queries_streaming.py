@@ -43,7 +43,7 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-window counts (watermarked, 15-min windows)
     replayed to completion — must equal the batch GROUP BY."""
     counts = windowed_event_counts(stream_events(spark, sf_dir), "15 minutes")
-    return run_available_now(counts, "complete")
+    return run_available_now(counts, "complete", state_partitions=8)
 
 
 @query(
@@ -74,7 +74,7 @@ def q_stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     [first_event, last_event + gap) bounds equal the batch
     gaps-and-islands construction."""
     sessions = session_stats(stream_events(spark, sf_dir), gap="30 minutes")
-    return run_available_now(sessions, "complete")
+    return run_available_now(sessions, "complete", state_partitions=8)
 
 
 @query(
@@ -104,7 +104,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "ts", "event_type"],
         watermark="10 days",
     )
-    return run_available_now(deduped, "append")
+    return run_available_now(deduped, "append", state_partitions=8)
 
 
 @query(
@@ -123,7 +123,7 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink keeps only the latest row per key per batch, and the
     single-file source replays as one batch."""
     totals = user_running_totals(stream_events(spark, sf_dir))
-    return run_available_now(totals, "update")
+    return run_available_now(totals, "update", state_partitions=8)
 
 
 @query(
@@ -153,4 +153,4 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = clicks_to_errors_join(
         stream_events(spark, sf_dir), horizon="10 minutes", watermark="365 days"
     )
-    return run_available_now(joined, "append")
+    return run_available_now(joined, "append", state_partitions=8)
