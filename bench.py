@@ -24,9 +24,17 @@ def main() -> None:
     from olist_snowflake_dbt_spark.queries import QUERIES
 
     spark = get_spark("bench")
-    # warm the JVM + parquet footers once so per-query times measure the
-    # queries, not session startup
+    # warm the JVM, codegen paths, and parquet footers once so per-query
+    # times measure the queries, not session startup: one tiny scan per
+    # input table (footer + vectorized-reader init) plus a trivial job
     spark.range(1).count()
+    from olist_snowflake_dbt_spark.sources.readers import TESTDATA_TABLES, read_table
+
+    for t in TESTDATA_TABLES:
+        try:
+            read_table(spark, sf_dir, t).limit(1).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
