@@ -471,6 +471,96 @@ def q_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_phase_distinct(li, ["grp"], "l_partkey")
 
 
+@query(
+    "lateral_explode",
+    """
+    WITH base AS (
+        SELECT p_partkey, string_split(p_type, ' ') AS w
+        FROM part WHERE p_partkey <= 300
+    ),
+    ex AS (
+        SELECT p_partkey, w, UNNEST(generate_series(1, len(w))) AS pos
+        FROM base
+    )
+    SELECT p_partkey, w[pos] AS word, CAST(pos AS INT) AS pos FROM ex
+    """,
+)
+def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral array expansion with ordinality (posexplode) — the
+    generator runs inside the scan stage, no shuffle."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_type", " ")).alias("pos0", "word"),
+    ).select("p_partkey", "word", (F.col("pos0") + 1).cast("int").alias("pos"))
+
+
+@query(
+    "conditional_agg_filter",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderpriority = '1-URGENT') AS DECIMAL(38,2))
+               AS urgent_revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause / count-when): three
+    differently-filtered aggregates in ONE pass over the data — never
+    three scans."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("n_big"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                F.col("o_totalprice").cast("decimal(18,2)"),
+            )
+        ).cast("decimal(38,2)").alias("urgent_revenue"),
+    )
+
+
+@query(
+    "minmax_by_agg",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderkey,
+                   lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 20, '0')
+                   || lpad(CAST(o_orderkey AS VARCHAR), 20, '0')) AS best_order,
+           arg_min(o_orderkey,
+                   lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 20, '0')
+                   || lpad(CAST(o_orderkey AS VARCHAR), 20, '0')) AS worst_order
+    FROM orders WHERE o_custkey <= 200
+    GROUP BY o_custkey
+    """,
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregation (max_by/min_by): the orderkey of each
+    customer's priciest and cheapest order. The comparison key is a
+    zero-padded (price_cents, orderkey) string so ordering is total,
+    deterministic, and identical on both engines (this DuckDB build's
+    arg_max lacks struct comparators)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    keyed = F.concat(
+        F.lpad(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .cast("string"),
+            20,
+            "0",
+        ),
+        F.lpad(F.col("o_orderkey").cast("string"), 20, "0"),
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", keyed).alias("best_order"),
+        F.min_by("o_orderkey", keyed).alias("worst_order"),
+    )
+
+
 @query("hll_and_quantile_sketch")  # rows-only: sketch estimates are
 # engine-specific (Spark DataSketches HLL vs DuckDB approx_count_distinct)
 def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
