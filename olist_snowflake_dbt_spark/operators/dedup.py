@@ -328,6 +328,8 @@ def connected_components(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("component").alias("__nbr_min"))
         )
+        # the convergence flag rides the checkpointed frame, so checking
+        # it is a scan of materialized rows, not another join per round
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -335,16 +337,14 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("__nbr_min", F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce("__nbr_min", F.col("component")) < F.col("component")
+                ).alias("__changed"),
             )
             .localCheckpoint()  # truncate lineage: constant-size plan per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
     else:

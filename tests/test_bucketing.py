@@ -49,3 +49,20 @@ def test_bucketed_groupby_has_no_shuffle(spark, sf_dir):
         assert agg.count() == li.select("l_orderkey").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS b_li_agg")
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """Writing date-partitioned parquet and filtering on the partition
+    column must prune at the file-listing level (PartitionFilters), not
+    post-scan."""
+    from pyspark.sql import functions as F2
+
+    ev = read_table(spark, sf_dir, "events").withColumn("day", F2.to_date("ts"))
+    path = str(tmp_path / "events_by_day")
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    pruned = spark.read.parquet(path).filter(F2.col("day") == "2024-01-03")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+    # only the matching partition's rows are read
+    expected = ev.filter(F2.col("day") == "2024-01-03").count()
+    assert pruned.count() == expected
