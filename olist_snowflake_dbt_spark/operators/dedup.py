@@ -118,6 +118,37 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """All pairs with shingle containment |A∩B| / min(|A|,|B|) ≥
+    threshold — the asymmetric cousin of Jaccard that catches a short
+    document embedded in a longer one (quotes, boilerplate wrappers,
+    near-supersets), which symmetric Jaccard under-scores: a 50-shingle
+    doc fully contained in a 500-shingle doc has Jaccard 0.1 but
+    containment 1.0. Same inverted-index plan shape (and cost) as
+    :func:`ngram_jaccard_pairs`."""
+    sh = _shingled(df, text_col, id_col, n).withColumn("__n", F.size("__shingles"))
+    exploded = sh.select(
+        "__id", "__n", F.explode_outer("__shingles").alias("__s")
+    ).filter(F.col("__s").isNotNull())
+    exploded = exploded.persist()
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+                 F.col("a.__n").alias("n_a"), F.col("b.__n").alias("n_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.withColumn(
+            "containment", F.col("n_common") / F.least("n_a", "n_b")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # -- MinHash + LSH ----------------------------------------------------
 
 

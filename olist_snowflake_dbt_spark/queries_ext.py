@@ -113,6 +113,51 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(_planted_docs(spark, sf_dir), "text", "doc_id", 3, 0.5)
 
 
+@query(
+    "dedup_containment",
+    f"""
+    WITH d2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        -- plant truncated near-superset copies: the first half of every
+        -- 40th document under a shifted id
+        SELECT doc_id + 2000000 AS doc_id,
+               substr(text, 1, length(text) // 2) AS text
+        FROM documents WHERE doc_id % 40 = 0
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 1)),
+                   i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        FROM (SELECT doc_id, {_WORDS} AS w FROM d2)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+               COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, n_common / least(n_a, n_b) AS containment
+    FROM inter WHERE n_common / least(n_a, n_b) >= 0.8
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment |A∩B|/min(|A|,|B|) ≥ 0.8: catches planted
+    half-documents inside their full originals, which Jaccard ≈ 0.5
+    misses at high thresholds (operators/dedup.containment_pairs)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    halves = (
+        docs.filter(F.col("doc_id") % 40 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.substring("text", 1, F.floor(F.length("text") / 2).cast("int")).alias("text"),
+        )
+    )
+    return DD.containment_pairs(docs.unionByName(halves), "text", "doc_id", 3, 0.8)
+
+
 @query("dedup_minhash_lsh")  # rows-only: 64 salted xxhash64 minima not SQL-portable
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands): candidates where a band collides,

@@ -129,3 +129,29 @@ def test_dedup_by_components_on_planted(spark, planted):
     pairs = ngram_jaccard_pairs(planted, "text", "doc_id", 3, 0.99)
     survivors = dedup_by_components(planted, "doc_id", pairs)
     assert survivors.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_containment_catches_half_docs(spark, sf_dir):
+    from olist_snowflake_dbt_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    halves = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("substr(text, 1, CAST(length(text)/2 AS INT))").alias("text"),
+    )
+    both = docs.unionByName(halves)
+    cont = containment_pairs(both, "text", "doc_id", 3, 0.8)
+    planted = cont.filter(
+        F.col("id_b") == F.col("id_a") + 2_000_000
+    ).count()
+    n_halves = halves.count()
+    # nearly every half-doc is contained in its original (a few docs are
+    # so short that halving leaves < 3 words -> degenerate shingles)
+    assert planted >= n_halves * 0.8
+    # symmetric Jaccard at the same threshold misses these by design
+    jac = ngram_jaccard_pairs(both, "text", "doc_id", 3, 0.8)
+    jac_planted = jac.filter(F.col("id_b") == F.col("id_a") + 2_000_000).count()
+    assert jac_planted < planted
