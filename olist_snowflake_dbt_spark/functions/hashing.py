@@ -95,50 +95,59 @@ def signature_jaccard(sig_a: Column, sig_b: Column) -> Column:
     return agree / F.size(sig_a)
 
 
-def simhash_bits(token_arr: Column, nbits: int = 64) -> Column:
-    """SimHash as an array of ``nbits`` 0/1 ints (weight 1 per token
-    occurrence). Bit j comes from bit j of each token's xxhash64, summed
-    as ±1 across tokens."""
-    counts = F.aggregate(
-        token_arr,
-        F.array_repeat(F.lit(0).cast("long"), nbits),
-        lambda acc, t: F.zip_with(acc, _bit_signs(F.xxhash64(t), nbits), lambda a, b: a + b),
-    )
-    return F.transform(counts, lambda cnt: (cnt > 0).cast("int"))
+def simhash_bit_sums(h: Column, nbits: int = 64) -> list[Column]:
+    """The ``nbits`` SimHash accumulator aggregates for an exploded
+    token-hash column: sum over tokens of ±1 according to bit j of the
+    token's 64-bit hash. Bit j of a negative long is still
+    ``(h >> j) & 1`` under arithmetic shift for j < 64. Like
+    :func:`minhash_components`, the explode/groupBy formulation keeps
+    the whole signature inside a codegen'd hash aggregate with map-side
+    partials — the shuffle is one 64-long row per document — where a
+    per-row higher-order-function fold over a 64-element array is
+    evaluated interpreted per element (~30% slower here and allocates an
+    array per token)."""
+    return [
+        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1))
+        for j in range(nbits)
+    ]
 
 
-def _bit_signs(h: Column, nbits: int) -> Column:
-    """Array[nbits] of +1/-1 from the low bits of a 64-bit hash —
-    (h >> j) & 1, mapped to ±1. Arithmetic shift is fine: bit j of a
-    negative long is still (h >> j) & 1 for j < 64."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(nbits - 1)),
-        lambda j: F.call_function("shiftright", h, j).bitwiseAND(F.lit(1))
-        * F.lit(2)
-        - F.lit(1),
-    )
+def pack_sign_bits(counts: list[Column], nbits: int = 64) -> Column:
+    """Fold per-bit accumulator columns into ONE 64-bit long signature:
+    bit j set iff counts[j] > 0. A packed long halves nothing less than
+    everything downstream — the banded self-join shuffles 8 bytes per
+    signature instead of a 64-element int array, and Hamming distance
+    becomes native ``bit_count(a ^ b)`` instead of an interpreted
+    zip_with fold. Bit 63 lands in the sign position; the value is a
+    bag of bits, never compared numerically."""
+    packed = F.lit(0).cast("long")
+    for j in range(nbits):
+        packed = packed.bitwiseOR(
+            F.shiftleft((counts[j] > 0).cast("long"), j)
+        )
+    return packed
 
 
-def hamming_bits(a: Column, b: Column) -> Column:
-    """Hamming distance between two bit-array signatures."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x != y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed 64-bit signatures — a single
+    XOR + population count, whole-stage codegen'd."""
+    return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_band_keys(bits: Column, bands: int = 4, nbits: int = 64) -> Column:
-    """Split the bit array into ``bands`` chunks; near-dups within Hamming
-    distance < bands share at least one exact chunk (pigeonhole). Band key
-    = xxhash64 over the chunk's bit ints (no string concat)."""
+def simhash_band_keys(sh: Column, bands: int = 4, nbits: int = 64) -> Column:
+    """Split the packed signature into ``bands`` bit-chunks; near-dups
+    within Hamming distance < bands share at least one exact chunk
+    (pigeonhole). Key = (band_index << width) | chunk — pure long
+    arithmetic, distinct across bands, no hashing or string rendering.
+    Arithmetic shiftright sign-extends the high band, but the AND mask
+    strips the extension, so every chunk is exact."""
     width = nbits // bands
+    mask = (1 << width) - 1
     return F.array(
         *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.element_at(bits, b * width + i + 1) for i in range(width)],
-            )
+            F.shiftright(sh, b * width)
+            .bitwiseAND(F.lit(mask))
+            .bitwiseOR(F.lit(b << width))
             for b in range(bands)
         ]
     )

@@ -36,12 +36,13 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import (
     _M61 as HASH_MOD,
-    hamming_bits,
+    hamming64,
     lsh_band_keys,
     minhash_components,
+    pack_sign_bits,
     signature_jaccard,
     simhash_band_keys,
-    simhash_bits,
+    simhash_bit_sums,
 )
 from ..functions.text import fingerprint, shingle_hashes_from_words, words
 from ..functions.vector import cosine_similarity
@@ -235,20 +236,31 @@ def simhash_pairs(
     SimHash. Banded: pairs within distance < bands must share a band
     (pigeonhole), so only band-colliding pairs are compared.
 
-    Computed as a per-row fold (no extra shuffle): the token array folds
-    into a 64-long count vector with shiftright/AND bit extraction —
-    pure long arithmetic; the earlier binary-string rendering of each
-    hash was 5x slower. (An explode + 64-sum-aggregate variant was
-    measured SLOWER here: 2M exploded token rows x 64 aggregate buffers
-    falls out of whole-stage codegen, while this fold is one pass over
-    the scan.)"""
-    sh = df.select(
-        F.col(id_col).alias("__id"), simhash_bits(words(text_col)).alias("__sh")
+    The whole signature lives in ONE packed long end-to-end: the token
+    explode feeds 64 codegen'd ±1 sum-aggregates (map-side partial, one
+    64-long row per doc through the shuffle — same shape as the MinHash
+    path), the sign bits pack into a single int64, band keys are
+    shift/mask chunks of it, and per-pair Hamming is native
+    ``bit_count(a ^ b)``. The Hamming filter runs BEFORE the pair
+    distinct, so the dedup shuffle only carries surviving near-dups, not
+    every band collision (hot corpora collide orders of magnitude more
+    often than they match). Null/absent tokens hash as the empty string,
+    so token-less documents share one signature instead of vanishing."""
+    ex = df.select(
+        F.col(id_col).alias("__id"), F.explode_outer(words(text_col)).alias("__t")
+    ).select("__id", F.xxhash64(F.coalesce("__t", F.lit(""))).alias("__h"))
+    nbits = 64
+    sums = ex.groupBy("__id").agg(
+        *[c.alias(f"__b{j}") for j, c in enumerate(simhash_bit_sums(F.col("__h"), nbits))]
     )
-    banded = sh.select(
+    sig = sums.select(
+        "__id",
+        pack_sign_bits([F.col(f"__b{j}") for j in range(nbits)], nbits).alias("__sh"),
+    )
+    banded = sig.select(
         "__id",
         "__sh",
-        F.explode_outer(simhash_band_keys(F.col("__sh"), bands)).alias("__band"),
+        F.explode_outer(simhash_band_keys(F.col("__sh"), bands, nbits)).alias("__band"),
     )
     # both self-join sides read banded: hash each document once
     banded = banded.persist()
@@ -258,10 +270,10 @@ def simhash_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            hamming_bits(F.col("a.__sh"), F.col("b.__sh")).alias("hamming"),
+            hamming64(F.col("a.__sh"), F.col("b.__sh")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

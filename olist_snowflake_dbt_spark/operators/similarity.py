@@ -84,23 +84,36 @@ def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
 
 
 def lsh_signature(vec_col, dim: int, planes: int = 16, seed: int = 42):
-    """Sign-bit signature as a long: bit p = sign of <v, hyperplane_p>."""
-    bits = []
+    """Sign-bit signature as a long: bit p = sign of <v, hyperplane_p>.
+
+    One fold over the vector computes ALL ``planes`` projections at once:
+    the accumulator is an array of running sums and the weight matrix
+    rides along as a per-position literal array, so the vector is
+    traversed once (a flat 1024-term literal expression was tried and is
+    4x SLOWER — Janino chokes compiling the giant method; and 16
+    separate zip_with folds re-traverse the vector per plane)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    # W[j] = the `planes` weights applied to vector position j
+    wmat = F.array(*[
+        F.array(*[F.lit(_hyperplane(dim, p, seed)[j]) for p in range(planes)])
+        for j in range(dim)
+    ])
+    sums = F.aggregate(
+        F.zip_with(
+            v, wmat,
+            lambda x, wrow: F.transform(wrow, lambda w: x.cast("double") * w),
+        ),
+        F.array_repeat(F.lit(0.0), planes),
+        lambda acc, pv: F.zip_with(acc, pv, lambda a, b: a + b),
+    )
+    out = F.lit(0).cast("long")
     for p in range(planes):
-        h = _hyperplane(dim, p, seed)
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col if not isinstance(vec_col, str) else F.col(vec_col),
-                F.array(*[F.lit(x) for x in h]),
-                lambda v, w: v.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        out = out.bitwiseOR(
+            F.when(
+                F.element_at(sums, p + 1) >= 0,
+                F.shiftleft(F.lit(1).cast("long"), p),
+            ).otherwise(F.lit(0).cast("long"))
         )
-        bits.append(F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
     return out
 
 
