@@ -1,0 +1,150 @@
+"""Driver queries for interchange formats and sinks (sources/formats.py).
+
+Each round-trip query WRITES a testdata table to the format under test,
+READS it back schema-explicitly, and aggregates the re-read frame; the
+DuckDB oracle computes the identical aggregate directly on the source
+parquet. A hash match therefore proves the write+read cycle is lossless
+for every column type it touches (longs, doubles, strings, timestamps)
+— doubles survive because Spark serializes them shortest-round-trip,
+and timestamps are pinned to explicit-offset formats.
+
+The reference's only format surface is CSV seed ingest
+(`$REF/seeds/*.csv` via dbt's agate loader — sources/seeds.py is that
+twin); JSONL/ORC/partitioned sinks are engine extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query, _t
+from .sources import formats as FMT
+
+
+@query(
+    "fmt_jsonl_roundtrip",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS sum_chars,
+           MIN(md5(text)) AS min_md5,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def q_fmt_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSONL → schema'd FAILFAST read → per-lang aggregate.
+    min(md5(text)) pins exact string round-trip (same lowercase-hex md5
+    on both engines); the oracle never sees the JSONL."""
+    src = _t(spark, sf_dir, "documents")
+    path = FMT.scratch_dir("fmt_jsonl", "documents")
+    FMT.write_jsonl(src, path)
+    back = FMT.read_jsonl(spark, path, src.schema)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "fmt_orc_roundtrip",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS sum_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS sum_qty,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_fmt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC → read → pricing-summary-style aggregate. ORC keeps
+    columnar stats, so the re-read still prunes to the 5 columns the
+    aggregate needs (ReadSchema in the plan)."""
+    src = _t(spark, sf_dir, "lineitem")
+    path = FMT.scratch_dir("fmt_orc", "lineitem")
+    FMT.write_orc(src, path)
+    back = FMT.read_orc(spark, path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_price"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@query(
+    "fmt_csv_roundtrip",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS sum_total,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q_fmt_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → quoted CSV → typed FAILFAST read (explicit schema; the
+    inferred path is the seed ingester) → per-status aggregate covering
+    longs, doubles, strings, and timestamps through text serialization."""
+    src = _t(spark, sf_dir, "orders")
+    path = FMT.scratch_dir("fmt_csv", "orders")
+    FMT.write_csv(src, path)
+    back = FMT.read_csv_typed(spark, path, src.schema)
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_total"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@query(
+    "sink_partitioned_pruned",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-05'
+    GROUP BY event_type
+    """,
+)
+def q_sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → Hive-partitioned parquet on event_date → date-range read.
+    The range filter hits the partition column, so the scan lists 3
+    directories instead of reading every row — the plan shows
+    PartitionFilters and tests/test_formats.py asserts partitionFilters
+    is non-empty. THE layout decision that makes a 100 TB event table
+    queryable by day."""
+    src = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    path = FMT.scratch_dir("sink_part", "events")
+    FMT.write_partitioned_parquet(src, path, ["event_date"])
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            F.col("event_date").between(F.lit("2024-01-03"), F.lit("2024-01-05"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_value"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Interchange-format round-trips (sources/formats.py): dialect edge
+cases the oracle queries can't reach (embedded quotes/newlines, NULLs,
+FAILFAST semantics) plus the partition-pruning proof for the
+partitioned sink."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from olist_snowflake_dbt_spark.sources import formats as FMT
+
+
+def _tricky_df(spark):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("txt", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    rows = [
+        (1, 'quote " comma, done', 1.5, datetime.datetime(2024, 1, 2, 3, 4, 5)),
+        (2, None, None, None),
+        (3, "", 0.1 + 0.2, datetime.datetime(2024, 6, 30, 23, 59, 59)),
+        (4, "plain", -7.25, datetime.datetime(2024, 12, 31, 0, 0, 0)),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_csv_roundtrip_quotes_and_nulls(spark, tmp_path):
+    src = _tricky_df(spark)
+    path = str(tmp_path / "csv")
+    FMT.write_csv(src, path)
+    back = FMT.read_csv_typed(spark, path, src.schema)
+    got = {r["id"]: r for r in back.collect()}
+    want = {r["id"]: r for r in src.collect()}
+    assert set(got) == set(want)
+    # CSV cannot distinguish empty string from NULL (both serialize to
+    # nothing between the delimiters) — the documented lossy corner;
+    # everything else must round-trip exactly, doubles included
+    for i in want:
+        for f in ("val", "ts"):
+            assert got[i][f] == want[i][f], (i, f)
+    assert got[1]["txt"] == want[1]["txt"]
+    assert got[3]["txt"] is None  # "" collapsed to NULL
+
+
+def test_jsonl_roundtrip_exact_including_empty_string(spark, tmp_path):
+    src = _tricky_df(spark)
+    path = str(tmp_path / "jsonl")
+    FMT.write_jsonl(src, path)
+    back = FMT.read_jsonl(spark, path, src.schema)
+    assert sorted(back.collect()) == sorted(src.collect())  # "" survives
+
+
+def test_jsonl_failfast_on_corrupt_line(spark, tmp_path):
+    src = _tricky_df(spark)
+    path = str(tmp_path / "bad")
+    FMT.write_jsonl(src, path)
+    with open(os.path.join(path, "part-corrupt.json"), "w") as fh:
+        fh.write('{"id": 9, "txt": not-json\n')
+    back = FMT.read_jsonl(spark, path, src.schema)
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        back.count()
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    src = _tricky_df(spark)
+    path = str(tmp_path / "orc")
+    FMT.write_orc(src, path)
+    back = FMT.read_orc(spark, path)
+    assert sorted(back.collect()) == sorted(src.collect())
+    assert back.schema == src.schema
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    src = _tricky_df(spark).filter(F.col("ts").isNotNull()).withColumn(
+        "d", F.to_date("ts")
+    )
+    path = str(tmp_path / "part")
+    FMT.write_partitioned_parquet(src, path, ["d"])
+    back = spark.read.parquet(path).filter(F.col("d") == "2024-01-02")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the date predicate must appear inside PartitionFilters, not as a
+    # post-scan data filter
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "2024-01-02" in pf or "19725" in pf  # literal date or epoch-day
+    assert back.count() == 1
