@@ -1,0 +1,93 @@
+"""Deterministic sampling & dataset splitting for training-data curation.
+
+Random sampling (``df.sample``/``rand()``) is the wrong tool for corpus
+work: it changes between runs and partitionings, can't be reproduced by
+another engine, and leaks rows across train/test when the corpus is
+re-sharded. Everything here derives the decision from a **content hash
+of the row's key** instead:
+
+- :func:`hash_split`      — md5-bucketed train/val/test assignment; a
+                            row's split is a pure function of its id, so
+                            re-runs, engines, and re-shards all agree,
+                            and a grown corpus keeps prior assignments.
+- :func:`hash_sample`     — fraction-f subset by the same rule.
+- :func:`stratified_topn` — exactly n rows per stratum, chosen by hash
+                            rank — balanced class subsets with no
+                            collect, one window shuffle per call.
+
+The hex-prefix trick keeps every comparison portable: md5 is available
+and identical on every engine, its lowercase-hex output compares
+lexicographically == numerically, so a fraction f maps to the literal
+boundary string ``hex(floor(f * 16^k))`` — no int conversion anywhere.
+At 100 TB each operator is one narrow projection (md5 of the key) plus
+either a filter (sample/split: no shuffle at all) or one hash-partition
+by stratum (stratified: the one unavoidable shuffle).
+
+No reference counterpart (the dbt project has no sampling surface);
+built for the BASELINE.json north-star pipeline ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_K = 8  # compare on 8 hex chars = 32 bits of the hash: plenty of
+# resolution for fractions, short enough to stay obviously collision-free
+# from md5's uniformity
+
+
+def _hash_prefix(id_col: str | Column) -> Column:
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(c.cast("string").cast("binary")), 1, _HEX_K)
+
+
+def _boundary(fraction: float) -> str:
+    """Hex literal h such that P[md5_prefix < h] == fraction."""
+    edge = min(max(int(fraction * (16**_HEX_K)), 0), 16**_HEX_K)
+    return format(edge, f"0{_HEX_K}x")[:_HEX_K] if edge < 16**_HEX_K else "g" * _HEX_K
+    # "gggggggg" > every hex string → fraction 1.0 keeps all rows
+
+
+def hash_split(
+    df: DataFrame, id_col: str, fractions: dict[str, float], split_col: str = "split"
+) -> DataFrame:
+    """Assign each row to a named split with the given fractions (must
+    sum to ≤ 1; remainder rows get NULL). Assignment is stable under
+    re-runs, engine changes, repartitioning, and corpus growth."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    h = _hash_prefix(id_col)
+    expr: Column | None = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        cond = h < F.lit(_boundary(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    assert expr is not None
+    return df.withColumn(split_col, expr)
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Deterministic ~fraction-f subset: keep rows whose hash prefix
+    falls below the boundary. A pure filter — no shuffle, prunes at the
+    scan when id is a stored column."""
+    return df.filter(_hash_prefix(id_col) < F.lit(_boundary(fraction)))
+
+
+def stratified_topn(
+    df: DataFrame, stratum_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, selected by hash rank
+    (deterministic ties broken by id). One window shuffle on the
+    stratum key; skewed strata are bounded because only rank ≤ n rows
+    survive the partial sort."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        _hash_prefix(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )

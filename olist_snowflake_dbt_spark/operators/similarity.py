@@ -184,6 +184,86 @@ def ann_lsh_topk(
     )
 
 
+def group_vector_sums(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-group elementwise vector sums via ``applyInPandas`` — the
+    grouped-map Pandas-UDF surface as a first-class, oracle-checked
+    operator. Output is long format ``(group, dim_idx, dim_sum, n_vecs)``
+    with ``dim_sum`` an exact DECIMAL(38,15): each float32 enters the
+    sum as its SHORTEST DECIMAL REPRESENTATION (≤9 significant digits,
+    exact round-trip), which every engine's float→string renders
+    identically — so the sum is order-independent and bit-identical to
+    an oracle doing ``CAST(CAST(x AS VARCHAR) AS DECIMAL)``. (Casting
+    the float through double to decimal instead diverges in the last
+    digit: DuckDB's double→decimal cast is not correctly rounded.) The
+    Arrow decimal128 lane carries Python ``Decimal`` out natively.
+
+    Scale shape: one shuffle on the group key; each group's work is a
+    single Arrow batch through one Python worker pass. (A pure-Spark
+    posexplode+groupBy twin exists trivially; this operator exists to
+    keep the pandas grouped-map path exercised and verified.)"""
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    q15 = decimal.Decimal("1e-15")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        group = pdf[group_col].iloc[0]
+        n = len(pdf)
+        sums = [decimal.Decimal(0)] * dim
+        for vec in pdf[vec_col]:
+            for j in range(dim):
+                # numpy float32 repr == DuckDB float→VARCHAR: both emit
+                # the shortest decimal that round-trips the float32
+                sums[j] += decimal.Decimal(repr(np.float32(vec[j]))).quantize(
+                    q15, rounding=decimal.ROUND_HALF_UP
+                )
+        return pd.DataFrame(
+            {
+                group_col: [group] * dim,
+                "dim_idx": range(1, dim + 1),
+                "dim_sum": sums,
+                "n_vecs": [n] * dim,
+            }
+        )
+
+    gf = df.select(group_col, vec_col).groupBy(group_col)
+    schema = f"{group_col} int, dim_idx int, dim_sum decimal(38,15), n_vecs long"
+    return gf.applyInPandas(kernel, schema=schema)
+
+
+def group_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-group mean vector (the production companion of
+    :func:`group_vector_sums`): (group, centroid array<double>)."""
+    sums = group_vector_sums(df, vec_col, group_col, dim)
+    return (
+        sums.withColumn(
+            "__v", (F.col("dim_sum") / F.col("n_vecs")).cast("double")
+        )
+        .groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim_idx", "__v"))
+            ).alias("__pairs")
+        )
+        .select(
+            group_col,
+            F.transform(F.col("__pairs"), lambda p: p["__v"]).alias("centroid"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,113 @@
+"""Driver queries: deterministic sampling/splitting (operators/sampling)
+and the applyInPandas grouped-map surface (operators/similarity).
+
+The md5-prefix rule is fully portable, so every sampling query has an
+exact DuckDB twin — the oracle hardcodes the hex boundaries that
+``operators.sampling._boundary`` derives (0.8→cccccccc, 0.9→e6666666,
+0.1→19999999); a drift in the boundary math breaks the hash match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import sampling as SMP
+from .operators import similarity as SIM
+from .queries import _t, query
+
+_H = "substr(md5(CAST({c} AS VARCHAR)), 1, 8)"
+
+
+@query(
+    "sample_hash_split",
+    f"""
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    FROM (
+        SELECT CASE WHEN {_H.format(c='doc_id')} < 'cccccccc' THEN 'train'
+                    WHEN {_H.format(c='doc_id')} < 'e6666666' THEN 'val'
+                    ELSE 'test' END AS split,
+               n_chars
+        FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test by md5(doc_id) prefix: stable under
+    re-runs, re-shards, engines, and corpus growth — the reproducible
+    alternative to rand()-splits for training corpora."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SMP.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@query(
+    "sample_hash_fraction",
+    f"""
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS sum_total
+    FROM orders
+    WHERE {_H.format(c='o_orderkey')} < '19999999'
+    """,
+)
+def q_sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% subset of orders — a pure filter (no shuffle,
+    no rand()); the same ids are sampled on every engine."""
+    out = SMP.hash_sample(_t(spark, sf_dir, "orders"), "o_orderkey", 0.1)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_total"),
+    )
+
+
+@query(
+    "sample_stratified_topn",
+    f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_H.format(c='doc_id')}, doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 25
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 25 documents per language, hash-ranked — balanced class
+    subsets without a collect; one window shuffle on the stratum key."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return SMP.stratified_topn(docs, "lang", "doc_id", 25)
+
+
+@query(
+    "pandas_group_vector_sums",
+    """
+    SELECT label, idx AS dim_idx,
+           CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,15))) AS DECIMAL(38,15))
+               AS dim_sum,
+           COUNT(*) AS n_vecs
+    FROM (
+        SELECT label,
+               UNNEST(embedding) AS x,
+               UNNEST(generate_series(1, len(embedding))) AS idx
+        FROM embeddings
+    )
+    GROUP BY label, idx
+    """,
+)
+def q_pandas_group_vector_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (applyInPandas) computing per-label
+    elementwise embedding sums in exact decimal — proves the Arrow
+    decimal128 lane end-to-end against a pure-SQL oracle."""
+    return SIM.group_vector_sums(
+        _t(spark, sf_dir, "embeddings"), "embedding", "label", 64
+    )

@@ -1,0 +1,94 @@
+"""Deterministic sampling/splitting (operators/sampling.py) and the
+applyInPandas vector aggregation (operators/similarity.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_snowflake_dbt_spark.operators import sampling as SMP
+from olist_snowflake_dbt_spark.operators.similarity import (
+    group_centroids,
+    group_vector_sums,
+)
+from olist_snowflake_dbt_spark.sources.readers import read_table
+
+
+def test_hash_split_partitions_everything(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = SMP.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = docs.count()
+    assert sum(counts.values()) == total  # no row unassigned
+    assert counts["train"] > counts.get("val", 0)
+    # 80% ±10pp at sf0.001 (~500 docs): loose but catches a broken boundary
+    assert abs(counts["train"] / total - 0.8) < 0.1
+
+
+def test_hash_split_stable_under_growth(spark, sf_dir):
+    """A row's split must not change when the corpus grows — the
+    property rand() splits lack."""
+    docs = read_table(spark, sf_dir, "documents")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full_assign = SMP.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.2})
+    half_assign = SMP.hash_split(half, "doc_id", {"train": 0.8, "val": 0.2})
+    joined = half_assign.select("doc_id", F.col("split").alias("s1")).join(
+        full_assign.select("doc_id", F.col("split").alias("s2")), "doc_id"
+    )
+    assert joined.filter(F.col("s1") != F.col("s2")).count() == 0
+
+
+def test_hash_sample_is_subset_and_deterministic(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    s1 = SMP.hash_sample(orders, "o_orderkey", 0.2)
+    s2 = SMP.hash_sample(orders, "o_orderkey", 0.2)
+    assert s1.count() == s2.count()
+    bigger = SMP.hash_sample(orders, "o_orderkey", 0.5)
+    # nested property: the 20% sample is a subset of the 50% sample
+    assert s1.join(bigger, "o_orderkey", "left_anti").count() == 0
+
+
+def test_hash_sample_fraction_bounds():
+    assert SMP._boundary(0.0) == "00000000"
+    assert SMP._boundary(1.0) == "gggggggg"  # sorts after every hex digit
+    assert SMP._boundary(0.5) == "80000000"
+
+
+def test_hash_split_rejects_over_one(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        SMP.hash_split(docs, "doc_id", {"a": 0.8, "b": 0.4})
+
+
+def test_stratified_topn_exact_counts(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = SMP.stratified_topn(docs, "lang", "doc_id", 5)
+    per = out.groupBy("lang").count().collect()
+    avail = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for r in per:
+        assert r["count"] == min(5, avail[r["lang"]])
+
+
+def test_group_centroids_matches_plain_average(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = {r["label"]: r["centroid"] for r in
+             group_centroids(emb, "embedding", "label", 64).collect()}
+    # twin computed with plain Spark: posexplode + avg
+    plain = (
+        emb.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    for r in plain:
+        assert cents[r["label"]][r["i"]] == pytest.approx(r["m"], abs=1e-9)
+
+
+def test_group_vector_sums_schema(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = group_vector_sums(emb, "embedding", "label", 64)
+    assert [f.name for f in out.schema.fields] == [
+        "label", "dim_idx", "dim_sum", "n_vecs",
+    ]
+    assert str(out.schema["dim_sum"].dataType) == "DecimalType(38,15)"
