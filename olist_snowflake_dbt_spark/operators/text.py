@@ -38,11 +38,16 @@ def _padded(text_col: str) -> Column:
     )
 
 
-def stopword_hits(text_col: str, lang: str) -> Column:
+def stopword_hits(text_col: str, lang: str, padded: Column | None = None) -> Column:
     """Total stopword occurrences of ``lang`` in the text. Latin-script
     stopwords match as space-delimited words; CJK stopwords match as
-    characters (no word boundaries in the script)."""
-    c = _padded(text_col)
+    characters (no word boundaries in the script).
+
+    ``padded``: pass a pre-bound :func:`_padded` ATTRIBUTE when summing
+    hits for many languages — otherwise the padding expression (a
+    lowercase + regex pass over the whole text) is inlined into every
+    one of the ~2·|stopwords| references and re-evaluated each time."""
+    c = padded if padded is not None else _padded(text_col)
     total = F.lit(0).cast("long")
     for w in STOPWORDS[lang]:
         pat = w if lang == "zh" else f" {w} "
@@ -53,17 +58,25 @@ def stopword_hits(text_col: str, lang: str) -> Column:
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Predict language by stopword vote: argmax over languages of the
     stopword-occurrence count (ties → lexicographically first language,
-    fully deterministic). Adds ``predicted_lang``. One scan, ~50 string
-    scans per row, all codegen'd — no model download, no UDF."""
+    fully deterministic). Adds ``predicted_lang``. The padded text is
+    bound once as a projected column, so the plan pays ONE
+    lowercase+regex normalization per row and then ~100 codegen'd
+    substring scans of the bound attribute (CollapseProject keeps
+    non-cheap multi-referenced aliases at their own projection — without
+    the binding, the normalization itself ran ~100x per row and
+    dominated the query). No model download, no UDF."""
+    base = df.withColumn("__padded", _padded(text_col))
     ranked = [
         F.struct(
-            stopword_hits(text_col, lang).alias("hits"),
+            stopword_hits(text_col, lang, padded=F.col("__padded")).alias("hits"),
             F.lit(-i).alias("tie"),
             F.lit(lang).alias("lang"),
         )
         for i, lang in enumerate(sorted(STOPWORDS))
     ]
-    return df.withColumn("predicted_lang", F.array_max(F.array(*ranked))["lang"])
+    return base.withColumn(
+        "predicted_lang", F.array_max(F.array(*ranked))["lang"]
+    ).drop("__padded")
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
