@@ -1,0 +1,69 @@
+"""Driver queries for the Python UDF/UDAF/UDTF surface (functions/udfs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import udfs as U
+from .queries import _t, query
+
+
+@query(
+    "udtf_chunk_words",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id, idx AS chunk_idx,
+           array_to_string(ws[(idx-1)*8+1 : (idx-1)*8+8], ' ') AS chunk,
+           len(ws[(idx-1)*8+1 : (idx-1)*8+8]) AS n_words
+    FROM (
+        SELECT doc_id, ws,
+               UNNEST(generate_series(1, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS idx
+        FROM w
+    )
+    """,
+)
+def q_udtf_chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join: per-document 8-word chunk fan-out
+    (context-window packing shape) with 1-based positions; the oracle is
+    the pure-SQL list-slice twin, so the UDTF row-generation contract
+    itself is what hash-matches."""
+    U.register_udfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.chunk_idx, s.chunk, s.n_words
+        FROM __docs_udtf d, LATERAL chunk_words(d.text) s
+        """
+    )
+
+
+@query(
+    "udaf_decimal_sum",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_udaf_decimal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg Pandas UDF (AggregateInPandas): exact decimal sum per
+    priority, bit-identical to the SQL SUM oracle via shortest-repr
+    parsing on both sides."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        U.decimal_sum_agg(F.col("o_totalprice")).alias("total_price")
+    )
+
+
+@query("udf_compression_ratio")  # rows-only: zlib has no SQL twin
+def q_udf_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF: deflate-ratio quality signal per document
+    (entropy proxy — template spam compresses far below prose);
+    monotonicity properties in tests/test_udfs.py."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(U.compression_ratio(F.col("text")), 6).alias("compression_ratio"),
+    )
