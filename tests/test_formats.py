@@ -79,6 +79,51 @@ def test_orc_roundtrip(spark, tmp_path):
     assert back.schema == src.schema
 
 
+def test_compact_table_merges_small_files(spark, tmp_path):
+    from olist_snowflake_dbt_spark.plans.materialize import compact_table
+
+    path = str(tmp_path / "frag")
+    spark.range(10000).repartition(32).write.parquet(path)
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before == 32
+    n_after = compact_table(spark, path, target_file_bytes=1 << 30)
+    assert n_after <= 2
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("id")).first()[0] == 10000 * 9999 // 2
+
+
+def test_clustered_table_files_own_disjoint_ranges(spark, tmp_path, sf_dir):
+    import pyarrow.parquet as pq
+
+    from olist_snowflake_dbt_spark.plans.materialize import (
+        materialize_clustered_table,
+    )
+    from olist_snowflake_dbt_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    rel = materialize_clustered_table(
+        spark, "orders_clustered", orders, str(tmp_path), ["o_orderkey"], 6
+    )
+    assert rel.df.count() == orders.count()
+    ranges = []
+    for f in os.listdir(rel.path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(rel.path, f))
+        idx = md.schema.names.index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: a key-range filter skips whole files
+
+
 def test_partitioned_sink_prunes(spark, tmp_path):
     src = _tricky_df(spark).filter(F.col("ts").isNotNull()).withColumn(
         "d", F.to_date("ts")
