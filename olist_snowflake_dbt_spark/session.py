@@ -31,6 +31,9 @@ _DEFAULTS: dict[str, str] = {
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python UDTFs otherwise exchange rows via pickle one at a time;
+    # Arrow batches them like every other pandas-UDF lane in this engine
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     "spark.sql.parquet.compression.codec": "snappy",
     # money columns are DecimalType; keep Spark's exact decimal semantics
     "spark.sql.ansi.enabled": "false",
