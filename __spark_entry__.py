@@ -18,13 +18,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from olist_snowflake_dbt_spark.queries import QUERIES, ORACLE_SQL
-from olist_snowflake_dbt_spark.models.tpch import build_registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    registry = build_registry(spark, "/root/testdata/sf0.001")
-    return registry.build("fct_orders")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    Routed through the registered query so entry() and the oracle-checked
+    fct_orders share one code path (incl. the DOUBLE presentation casts)."""
+    return QUERIES["fct_orders"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -336,15 +336,18 @@ def embedding_cosine_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 20, strict: bool = True
 ) -> DataFrame:
     """Exact connected components over near-dup pair edges: (node,
     component) where component = the smallest id reachable through any
     chain of pairs. Iterative min-label propagation — each round every
     node takes the min of its own label and its neighbors' labels;
     converges in O(diameter) rounds (dedup clusters are shallow, so
-    ``max_iter`` is a safety rail, not a truncation in practice — a
-    warning is printed if hit).
+    ``max_iter`` is a safety rail, not a truncation in practice).
+    If the rail IS hit, labels are not yet fixed-point and any consumer
+    (``dedup_by_components``) would silently under-dedup — so
+    ``strict=True`` (default) raises; pass ``strict=False`` to accept
+    the partial labeling explicitly.
 
     Scale shape: per round one shuffle join on node id over the label
     frame (|nodes| rows) + edge frame; ``localCheckpoint`` truncates
@@ -391,7 +394,21 @@ def connected_components(
         if changed == 0:
             break
     else:
-        print(f"connected_components: not converged after {max_iter} rounds")
+        edges.unpersist()
+        if strict:
+            raise RuntimeError(
+                f"connected_components: not converged after {max_iter} rounds "
+                f"({changed} labels still changing); raise max_iter or pass "
+                "strict=False to accept the partial labeling"
+            )
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after {max_iter} rounds; "
+            "labels are a partial fixed point (strict=False)",
+            stacklevel=2,
+        )
+        return labels
     edges.unpersist()
     return labels
 

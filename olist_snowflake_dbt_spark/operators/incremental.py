@@ -47,6 +47,8 @@ def incremental_merge(
     batch is first reduced to the latest row per key (descending on that
     column) — Snowflake's MERGE would error on duplicate source keys, so
     dedupe is the caller's explicit choice, not silent behavior."""
+    if not unique_key:
+        raise ValueError("incremental_merge requires a non-empty unique_key")
     if dedupe_order is not None:
         from pyspark.sql import Window
 
@@ -67,6 +69,8 @@ def incremental_delete_insert(
     """``delete+insert`` (strategies.sql:30): delete ALL existing rows whose
     key appears in the batch, then insert the batch as-is (duplicate batch
     keys allowed — unlike merge)."""
+    if not unique_key:
+        raise ValueError("incremental_delete_insert requires a non-empty unique_key")
     keys = batch.select(*unique_key).dropDuplicates()
     survivors = existing.join(keys, list(unique_key), "left_anti")
     return survivors.unionByName(batch)
@@ -76,6 +80,14 @@ def incremental_insert_overwrite(
     existing: DataFrame, batch: DataFrame, partition_cols: Sequence[str]
 ) -> DataFrame:
     """``insert_overwrite``: replace whole partitions present in the batch."""
+    if not partition_cols:
+        # without this, the zero-column select below degenerates into an
+        # obscure AnalysisException deep inside the anti-join
+        raise ValueError(
+            "insert_overwrite requires partition_cols (an unpartitioned "
+            "overwrite would silently replace the whole table — use "
+            "strategy='append' or a full rewrite explicitly)"
+        )
     parts = batch.select(*partition_cols).dropDuplicates()
     survivors = existing.join(parts, list(partition_cols), "left_anti")
     return survivors.unionByName(batch)

@@ -277,12 +277,21 @@ def ivf_topk(
     assign to nearest centroid; queries probe the ``nprobe`` nearest
     cells. One broadcast join for assignment, one for probing — the
     corpus is never replicated."""
+    # cell ids come from row CONTENT (row_number over the hash order),
+    # never monotonically_increasing_id: this subplan is re-evaluated
+    # independently by the assign and probe joins below, and mono-ids
+    # depend on partition layout — the two evaluations could disagree
+    # and silently mis-probe. The window is global but runs on ≤n_cells
+    # rows (post-limit), so the single-partition sort is trivial.
     cents = (
         corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
         .withColumn("__h", F.xxhash64(F.col("__cid")))
         .orderBy("__h")
         .limit(n_cells)
-        .select(F.monotonically_increasing_id().alias("cell"), "__cv")
+        .withColumn(
+            "cell", F.row_number().over(Window.orderBy("__h", "__cid")) - 1
+        )
+        .select("cell", "__cv")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
     assign_w = Window.partitionBy("neighbor_id").orderBy(

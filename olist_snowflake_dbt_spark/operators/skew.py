@@ -63,6 +63,9 @@ def two_phase_distinct(
     dedup = df.select(*group_cols, distinct_col).dropDuplicates(
         [*group_cols, distinct_col]
     )
+    # count(col), not count(*): COUNT(DISTINCT x) never counts NULL, but
+    # dropDuplicates keeps one NULL row per group. count(col) skips it
+    # while still emitting all-NULL groups (with 0), matching SQL.
     return dedup.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias(f"n_distinct_{distinct_col}")
+        F.count(F.col(distinct_col)).alias(f"n_distinct_{distinct_col}")
     )

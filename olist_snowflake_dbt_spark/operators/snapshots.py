@@ -91,7 +91,14 @@ def snapshot_apply(
     in_src = F.col(f"src.{key[0]}").isNotNull()
     in_cur = F.col(f"cur.{key[0]}").isNotNull()
     if strategy == "timestamp":
-        row_changed = F.col(f"src.{updated_at}") > F.col(f"cur.{updated_at}")
+        # coalesce to False: a NULL timestamp on either side would make
+        # the comparison NULL, and a NULL row_changed drops the key from
+        # BOTH the surviving and inserts branches below — silent data
+        # loss. NULL-timestamped rows are treated as "not changed",
+        # matching dbt's conservative behavior.
+        row_changed = F.coalesce(
+            F.col(f"src.{updated_at}") > F.col(f"cur.{updated_at}"), F.lit(False)
+        )
     else:
         row_changed = ~F.expr(
             " AND ".join(f"src.{c} <=> cur.{c}" for c in check_cols)

@@ -74,9 +74,10 @@ order_items AS (
 )
 SELECT o.order_id, o.customer_id, o.order_status, o.purchased_at,
        c.city, c.state,
-       i.total_item_revenue, i.total_shipping_revenue,
-       CAST(i.total_item_revenue + i.total_shipping_revenue AS DECIMAL(38,4))
-           AS total_order_value
+       CAST(i.total_item_revenue AS DOUBLE) AS total_item_revenue,
+       CAST(i.total_shipping_revenue AS DOUBLE) AS total_shipping_revenue,
+       CAST(CAST(i.total_item_revenue + i.total_shipping_revenue AS DECIMAL(38,4))
+            AS DOUBLE) AS total_order_value
 FROM stg_orders o
 LEFT JOIN stg_customers c ON o.customer_id = c.customer_id
 LEFT JOIN order_items i ON o.order_id = i.order_id
@@ -86,10 +87,23 @@ LEFT JOIN order_items i ON o.order_id = i.order_id
 @query("fct_orders", _FCT_ORDERS_ORACLE)
 def q_fct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the full reference pipeline (CTEs, projection/rename,
-    pre-agg GROUP BY+SUM, 2x LEFT JOIN, NULL arithmetic — A2-A9)."""
+    pre-agg GROUP BY+SUM, 2x LEFT JOIN, NULL arithmetic — A2-A9).
+
+    Money math stays DECIMAL inside the model (exact, order-independent);
+    the presentation layer casts to DOUBLE so both engines render the
+    same float64 through pandas (DuckDB collapses DECIMAL trailing zeros
+    there, Spark keeps Decimal — value-equal yet repr-divergent)."""
     from .models.tpch import build_registry
 
-    return build_registry(spark, sf_dir).build("fct_orders")
+    fct = build_registry(spark, sf_dir).build("fct_orders")
+    return fct.select(
+        *[
+            F.col(c).cast("double").alias(c)
+            if c in ("total_item_revenue", "total_shipping_revenue", "total_order_value")
+            else c
+            for c in fct.columns
+        ]
+    )
 
 
 @query(
@@ -114,7 +128,7 @@ def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_predicate",
     """
     SELECT o_orderkey AS order_id,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
     FROM orders WHERE o_totalprice < 10000
     """,
 )
@@ -123,7 +137,7 @@ def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.filter(F.col("o_totalprice") < 10000).select(
         F.col("o_orderkey").alias("order_id"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total_price"),
     )
 
 
@@ -131,20 +145,28 @@ def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupby_sum_ordinal",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_price,
            COUNT(*) AS n_rows
     FROM lineitem GROUP BY 1, 2
     """,
 )
 def q_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/A7: hash aggregate with SUMs (Spark: partial map-side agg, then
-    one shuffle on the group keys — scales linearly at 100 TB)."""
+    one shuffle on the group keys — scales linearly at 100 TB).
+    Sums accumulate in DECIMAL (exact under any reduce order), final
+    presentation cast to DOUBLE for driver repr parity."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("sum_qty"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .cast("decimal(38,2)")
+        .cast("double")
         .alias("sum_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
@@ -182,13 +204,15 @@ def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY 1
     )
     SELECT o.o_orderkey AS order_id,
-           CAST(i.rev + CAST(o.o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2))
-               AS combined_value
+           CAST(CAST(i.rev + CAST(o.o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2))
+                AS DOUBLE) AS combined_value
     FROM orders o LEFT JOIN items i ON o.o_orderkey = i.l_orderkey
     """,
 )
 def q_null_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9: + propagates NULL (the 257 lineitem-less orders at sf0.01)."""
+    """A9: + propagates NULL (the 257 lineitem-less orders at sf0.01).
+    Final DOUBLE cast: NULL → NaN identically through pandas on both
+    engines (Spark Decimal None vs DuckDB float NaN would diverge)."""
     o = _t(spark, sf_dir, "orders")
     items = (
         _t(spark, sf_dir, "lineitem")
@@ -199,6 +223,7 @@ def q_null_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("order_id"),
         (F.col("rev") + F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(38,2)")
+        .cast("double")
         .alias("combined_value"),
     )
 
@@ -300,7 +325,8 @@ def q_dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DECIMAL(38,4)) AS total_order_value
         FROM lineitem GROUP BY 1
     )
-    SELECT order_id, total_order_value FROM fct WHERE total_order_value < 0
+    SELECT order_id, CAST(total_order_value AS DOUBLE) AS total_order_value
+    FROM fct WHERE total_order_value < 0
     """,
 )
 def q_dq_singular(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,7 +344,9 @@ def q_dq_singular(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,4)")
         .alias("total_order_value")
     )
-    return fct.filter(F.col("total_order_value") < 0)
+    return fct.filter(F.col("total_order_value") < 0).withColumn(
+        "total_order_value", F.col("total_order_value").cast("double")
+    )
 
 
 @query(
@@ -355,11 +383,11 @@ def q_dq_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey AS order_id, l_linenumber AS line_no,
            ROW_NUMBER() OVER w AS rn,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER
                 (PARTITION BY l_orderkey
                  ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,2)) AS running_price,
+                AS DECIMAL(38,2)) AS DOUBLE) AS running_price,
            LAG(l_linenumber) OVER w AS prev_line
     FROM lineitem
     WINDOW w AS (PARTITION BY l_orderkey
@@ -382,6 +410,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .cast("decimal(38,2)")
+        .cast("double")
         .alias("running_price"),
         F.lag("l_linenumber").over(w).alias("prev_line"),
     )
@@ -393,7 +422,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM (
         SELECT l_returnflag,
                l_orderkey AS order_id, l_linenumber AS line_no,
-               CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
                ROW_NUMBER() OVER (
                    PARTITION BY l_returnflag
                    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
@@ -415,7 +444,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             F.col("l_orderkey").alias("order_id"),
             F.col("l_linenumber").alias("line_no"),
-            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price"),
             F.row_number().over(w).alias("rnk"),
         )
         .filter(F.col("rnk") <= 5)
@@ -497,8 +526,8 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            c_name LIKE '%5' AS ends_in_5,
            CASE WHEN c_acctbal < 0 THEN 'debt'
                 WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_bucket,
-           CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)) / 100, 1) AS DECIMAL(18,1))
-               AS bal_hundreds
+           CAST(CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)) / 100, 1) AS DECIMAL(18,1))
+                AS DOUBLE) AS bal_hundreds
     FROM customer
     """,
 )
@@ -517,6 +546,7 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal_bucket"),
         F.round(F.col("c_acctbal").cast("decimal(18,2)") / 100, 1)
         .cast("decimal(18,1)")
+        .cast("double")
         .alias("bal_hundreds"),
     )
 
@@ -527,7 +557,8 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
            CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS revenue
     FROM orders
     GROUP BY 1, 2
     """,
@@ -542,6 +573,7 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(38,2)")
+        .cast("double")
         .alias("revenue"),
     )
 
@@ -569,7 +601,8 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -582,7 +615,10 @@ def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("total_value"),
     )
 
 
@@ -592,7 +628,8 @@ def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -604,7 +641,10 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
         F.grouping("l_linestatus").cast("bigint").alias("g_status"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("sum_qty"),
     ).select(
         "l_returnflag", "l_linestatus", "g_flag", "g_status", "n_rows", "sum_qty"
     )
@@ -649,8 +689,9 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
         SELECT user_id, ts, event_id,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_no
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_no
         FROM marked
     )
     SELECT user_id, session_no, COUNT(*) AS n_events,

@@ -27,7 +27,7 @@ from .sources import formats as FMT
     """
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            MIN(md5(text)) AS min_md5,
            COUNT(DISTINCT source) AS n_sources
     FROM documents GROUP BY lang
@@ -54,10 +54,10 @@ def q_fmt_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-               AS sum_price,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
-               AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_qty,
            MIN(l_shipdate) AS min_ship,
            MAX(l_shipdate) AS max_ship
     FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -75,9 +75,11 @@ def q_fmt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .cast("decimal(38,2)")
+        .cast("double")
         .alias("sum_price"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)"))
         .cast("decimal(38,2)")
+        .cast("double")
         .alias("sum_qty"),
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
@@ -89,8 +91,8 @@ def q_fmt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-               AS sum_total,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_total,
            MIN(o_orderdate) AS first_order,
            MAX(o_orderdate) AS last_order
     FROM orders GROUP BY o_orderstatus, o_orderpriority
@@ -108,6 +110,7 @@ def q_fmt_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(38,2)")
+        .cast("double")
         .alias("sum_total"),
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
@@ -119,7 +122,8 @@ def q_fmt_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS total_value
     FROM events
     WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-05'
     GROUP BY event_type
@@ -145,6 +149,7 @@ def q_sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("decimal(38,2)")
+            .cast("double")
             .alias("total_value"),
         )
     )

@@ -11,6 +11,7 @@ container) and are covered rows-only + by pytest equality tests.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .multimodal import (
     attach_fake_media,
@@ -79,8 +80,41 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(_media(spark, sf_dir))
 
 
-@query("mm_features")  # rows-only: array<double> features, no SQL twin
+@query(
+    "mm_features",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    b AS (  -- bucket = byte // 32 = (high hex digit) // 2, so only the
+            -- first hex char of each byte is needed
+        SELECT media_id, n,
+               (strpos('0123456789ABCDEF',
+                       substr(hx, CAST(2 * i + 1 AS BIGINT), 1)) - 1) // 2 AS bucket
+        FROM (SELECT media_id, n, hx, UNNEST(generate_series(0, n - 1)) AS i FROM m)
+    ),
+    counts AS (
+        SELECT media_id, bucket, COUNT(*) AS cnt FROM b GROUP BY media_id, bucket
+    )
+    SELECT m.media_id,
+           CAST(d.dim_idx AS INT) AS dim_idx,
+           CASE WHEN m.n = 0 THEN 0.0
+                ELSE COALESCE(c.cnt, 0) / m.n END AS feature_value
+    FROM m CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS dim_idx) d
+    LEFT JOIN counts c ON c.media_id = m.media_id AND c.bucket = d.dim_idx
+    """,
+)
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-dim feature extraction from payload bytes (normalized byte
-    histogram) — the embedding-stage batch shape, deterministic."""
-    return extract_features(_media(spark, sf_dir))
+    histogram) — the embedding-stage batch shape, deterministic.
+    The array<double> vector is posexploded to long format
+    (media_id, dim_idx, feature_value): raw array cells are unhashable
+    in the driver's pandas canonicalizer (they abort the whole run),
+    and the long form is exactly what a DuckDB twin can recompute."""
+    feats = extract_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id", F.posexplode("features").alias("dim_idx", "feature_value")
+    )

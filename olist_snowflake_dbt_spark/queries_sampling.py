@@ -22,7 +22,7 @@ _H = "substr(md5(CAST({c} AS VARCHAR)), 1, 8)"
 @query(
     "sample_hash_split",
     f"""
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM (
         SELECT CASE WHEN {_H.format(c='doc_id')} < 'cccccccc' THEN 'train'
                     WHEN {_H.format(c='doc_id')} < 'e6666666' THEN 'val'
@@ -50,8 +50,8 @@ def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_hash_fraction",
     f"""
     SELECT COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-               AS sum_total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_total
     FROM orders
     WHERE {_H.format(c='o_orderkey')} < '19999999'
     """,
@@ -64,6 +64,7 @@ def q_sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(38,2)")
+        .cast("double")
         .alias("sum_total"),
     )
 
@@ -92,8 +93,8 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas_group_vector_sums",
     """
     SELECT label, idx AS dim_idx,
-           CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,15))) AS DECIMAL(38,15))
-               AS dim_sum,
+           CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,15))) AS DECIMAL(38,15))
+                AS VARCHAR) AS dim_sum,
            COUNT(*) AS n_vecs
     FROM (
         SELECT label,
@@ -107,7 +108,11 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pandas_group_vector_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map Pandas UDF (applyInPandas) computing per-label
     elementwise embedding sums in exact decimal — proves the Arrow
-    decimal128 lane end-to-end against a pure-SQL oracle."""
-    return SIM.group_vector_sums(
+    decimal128 lane end-to-end against a pure-SQL oracle. The final
+    DECIMAL(38,15) is rendered as VARCHAR on both sides: a DOUBLE cast
+    would drop sub-ulp digits, and DuckDB's pandas path would otherwise
+    collapse it to float64 while Spark keeps Decimal (driver repr)."""
+    sums = SIM.group_vector_sums(
         _t(spark, sf_dir, "embeddings"), "embedding", "label", 64
     )
+    return sums.withColumn("dim_sum", F.col("dim_sum").cast("string"))

@@ -277,10 +277,10 @@ def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_frames",
     """
     SELECT o_orderkey, o_custkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
-               AS rolling3_price,
+                AS DOUBLE) AS rolling3_price,
            ntile(4) OVER (PARTITION BY o_custkey
                           ORDER BY o_orderdate, o_orderkey) AS quartile,
            ROUND(percent_rank() OVER (PARTITION BY o_custkey
@@ -301,6 +301,7 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .over(w.rowsBetween(-2, 0))
         .cast("decimal(38,2)")
+        .cast("double")
         .alias("rolling3_price"),
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
@@ -346,11 +347,14 @@ def q_incremental_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(value AS DECIMAL(18,2)) + 100 AS DECIMAL(18,2)) AS value
         FROM events
         WHERE ts >= TIMESTAMP '2024-06-01' AND ts < TIMESTAMP '2024-07-01'
+    ),
+    unioned AS (
+        SELECT * FROM existing
+        WHERE CAST(ts AS DATE) NOT IN (SELECT DISTINCT CAST(ts AS DATE) FROM batch)
+        UNION ALL
+        SELECT * FROM batch
     )
-    SELECT * FROM existing
-    WHERE CAST(ts AS DATE) NOT IN (SELECT DISTINCT CAST(ts AS DATE) FROM batch)
-    UNION ALL
-    SELECT * FROM batch
+    SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value FROM unioned
     """,
 )
 def q_incremental_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,7 +377,7 @@ def q_incremental_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
         batch.withColumn("__p", F.to_date("ts")),
         ["__p"],
     )
-    return out.drop("__p")
+    return out.drop("__p").withColumn("value", F.col("value").cast("double"))
 
 
 @query(
@@ -383,10 +387,10 @@ def q_incremental_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
            customer_zip_code_prefix,
            customer_city,
            customer_state,
-           amount,
-           signup_date,
+           CAST(amount AS DOUBLE) AS amount,
+           CAST(signup_date AS TIMESTAMP) AS signup_date,
            last_seen_ts,
-           is_active,
+           CAST(is_active AS VARCHAR) AS is_active,
            note
     FROM read_csv('/root/repo/fixtures/seed_customers.csv', header=true,
                   nullstr=['', 'null'],
@@ -406,10 +410,20 @@ def q_seed_csv_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOM, CRLF, quoted commas/escaped quotes, ""/"null" → NULL, leading
     zeros): agate-precedence type inference (Integer → Number → Date →
     DateTime → Boolean → Text) must produce the exact typed rows DuckDB
-    reads under the equivalent explicit column types."""
+    reads under the equivalent explicit column types. The inferred
+    DECIMAL amount is presentation-cast to DOUBLE (driver repr parity);
+    the seed itself stays DECIMAL-typed (tests/test_seeds.py)."""
     from .sources.seeds import read_seed_csv
 
-    return read_seed_csv(spark, "/root/repo/fixtures/seed_customers.csv")
+    seed = read_seed_csv(spark, "/root/repo/fixtures/seed_customers.csv")
+    return (
+        seed.withColumn("amount", F.col("amount").cast("double"))
+        # DATE → TIMESTAMP and BOOLEAN → STRING: pandas renders Spark
+        # dates as date objects but DuckDB dates as datetime64, and a
+        # nullable bool as None vs NaN — same values, divergent reprs
+        .withColumn("signup_date", F.col("signup_date").cast("timestamp"))
+        .withColumn("is_active", F.col("is_active").cast("string"))
+    )
 
 
 @query(
@@ -419,7 +433,7 @@ def q_seed_csv_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey,
                CASE WHEN l_orderkey % 3 = 0 THEN 1
                     ELSE l_suppkey END AS supp_key,
-               CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         FROM lineitem
     )
     SELECT f.l_orderkey, f.supp_key, f.price, s.s_name, s.s_nationkey
@@ -439,7 +453,7 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_orderkey") % 3 == 0, F.lit(1))
         .otherwise(F.col("l_suppkey"))
         .alias("supp_key"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price"),
     )
     supp = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("supp_key"), "s_name", "s_nationkey"
@@ -501,9 +515,9 @@ def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
            COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                FILTER (WHERE o_orderpriority = '1-URGENT') AS DECIMAL(38,2))
-               AS urgent_revenue
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (WHERE o_orderpriority = '1-URGENT') AS DECIMAL(38,2))
+                AS DOUBLE) AS urgent_revenue
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -520,7 +534,7 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderpriority") == "1-URGENT",
                 F.col("o_totalprice").cast("decimal(18,2)"),
             )
-        ).cast("decimal(38,2)").alias("urgent_revenue"),
+        ).cast("decimal(38,2)").cast("double").alias("urgent_revenue"),
     )
 
 

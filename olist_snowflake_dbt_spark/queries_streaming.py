@@ -35,15 +35,19 @@ from .streaming import (
     SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-window counts (watermarked, 15-min windows)
-    replayed to completion — must equal the batch GROUP BY."""
+    replayed to completion — must equal the batch GROUP BY. State
+    accumulates exact DECIMAL; presentation cast to DOUBLE for driver
+    repr parity (DuckDB renders DECIMAL as float64 through pandas)."""
     counts = windowed_event_counts(stream_events(spark, sf_dir), "15 minutes")
-    return run_available_now(counts, "complete", state_partitions=8)
+    sink = run_available_now(counts, "complete", state_partitions=8)
+    return sink.withColumn("total_value", F.col("total_value").cast("double"))
 
 
 @query(
@@ -81,7 +85,7 @@ def q_stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup",
     """
     SELECT DISTINCT user_id, ts, event_type,
-           CAST(value AS DECIMAL(18,2)) AS value
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
     FROM (
         SELECT user_id, ts, event_type, value FROM events
         UNION ALL
@@ -104,7 +108,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "ts", "event_type"],
         watermark="10 days",
     )
-    return run_available_now(deduped, "append", state_partitions=8)
+    sink = run_available_now(deduped, "append", state_partitions=8)
+    return sink.withColumn("value", F.col("value").cast("double"))
 
 
 @query(

@@ -42,18 +42,19 @@ def q_udtf_chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_decimal_sum",
     """
     SELECT o_orderpriority,
-           CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)))
-                AS DECIMAL(38,2)) AS total_price
+           CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) AS DOUBLE) AS total_price
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def q_udaf_decimal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-agg Pandas UDF (AggregateInPandas): exact decimal sum per
     priority, bit-identical to the SQL SUM oracle via shortest-repr
-    parsing on both sides."""
+    parsing on both sides; final presentation cast to DOUBLE (driver
+    repr parity — see queries.py header)."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        U.decimal_sum_agg(F.col("o_totalprice")).alias("total_price")
+        U.decimal_sum_agg(F.col("o_totalprice")).cast("double").alias("total_price")
     )
 
 

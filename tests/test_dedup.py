@@ -155,3 +155,27 @@ def test_containment_catches_half_docs(spark, sf_dir):
     jac = ngram_jaccard_pairs(both, "text", "doc_id", 3, 0.8)
     jac_planted = jac.filter(F.col("id_b") == F.col("id_a") + 2_000_000).count()
     assert jac_planted < planted
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from olist_snowflake_dbt_spark.operators.dedup import connected_components
+
+    # a 6-node path needs ~5 rounds; max_iter=1 cannot reach fixed point
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(pairs, max_iter=1)
+    # strict=False returns the partial labeling with a warning instead
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        partial = connected_components(pairs, max_iter=1, strict=False)
+        assert any("not converged" in str(x.message) for x in w)
+    assert partial.count() == 6
+    # and with enough rounds the same edges converge exactly
+    full = connected_components(pairs, max_iter=10)
+    assert {r.component for r in full.collect()} == {1}

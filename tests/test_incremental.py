@@ -140,3 +140,34 @@ def test_scd2_multiple_rounds(spark):
     assert [r.dbt_valid_to is None for r in hist] == [False, False, True]
     # contiguous validity windows
     assert hist[0].dbt_valid_to == hist[1].dbt_valid_from
+
+
+def test_scd2_null_timestamp_row_survives(spark):
+    # VERDICT r2: a NULL updated_at on either side made row_changed NULL,
+    # which dropped the key from BOTH surviving and inserts — data loss.
+    snap = snapshot_init(
+        _df(spark, [(1, "a", dt.datetime(2020, 1, 1)), (2, "b", None)]),
+        ["id"], "ts")
+    src = _df(spark, [
+        (1, "a1", None),                       # NULL src ts → treated unchanged
+        (2, "b1", dt.datetime(2020, 1, 5)),    # NULL cur ts → treated unchanged
+    ])
+    out = snapshot_apply(snap, src, ["id"], "timestamp", updated_at="ts")
+    open_now = {r.id: r.v for r in out.collect() if r.dbt_valid_to is None}
+    # both keys still present, original versions kept open (not changed)
+    assert open_now == {1: "a", 2: "b"}
+    assert out.count() == 2
+
+
+def test_insert_overwrite_requires_partition_cols(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="partition_cols"):
+        incremental_insert_overwrite(_existing(spark), _batch(spark), [])
+
+
+def test_merge_requires_unique_key(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unique_key"):
+        incremental_merge(_existing(spark), _batch(spark), [])

