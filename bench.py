@@ -56,12 +56,42 @@ def main() -> None:
         "metric": "total_wall_sec_all_queries",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # full-precision per-query detail survives in the repo regardless of
+    # how much stdout the caller keeps
+    try:
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json")
+        with open(detail_path, "w") as fh:
+            json.dump({**out, "queries": timings}, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    # the driver records only the last ~2000 chars of stdout and parses
+    # the JSON from it — a line longer than the window truncates at the
+    # FRONT and parses as nothing (r01/r02 lost their first ~9 timings
+    # this way). Shrink by dropping the FASTEST queries from the inline
+    # map until the line fits, recording how many were omitted.
+    _BUDGET = 1800
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > _BUDGET:
+        by_time = sorted(timings, key=timings.get)
+        omitted = 0
+        while len(line) > _BUDGET and omitted < len(by_time):
+            omitted += 1
+            kept = {
+                k: round(v, 2)
+                for k, v in timings.items()
+                if k not in by_time[:omitted]
+            }
+            out["queries"] = kept
+            out["queries_omitted"] = omitted
+            out["detail"] = "BENCH_DETAIL.json"
+            line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,50 @@ from pyspark.sql import functions as F
 _M61 = (1 << 31) - 1
 
 
+def md5_part60(md5_hex: Column, part: int = 0) -> Column:
+    """Parse 15 hex chars of an md5 digest (chars ``1+15*part`` …
+    ``15+15*part``) into an unsigned 60-bit long. Engine-portable: the
+    DuckDB twin is ``CAST('0x' || substr(md5(x), 1+15*part, 15) AS
+    BIGINT)`` — verified bit-identical to Spark's
+    ``conv(substr(md5(x), …), 16, 10)``. Two independent 60-bit values
+    per digest (parts 0 and 1) from ONE md5 evaluation; bind the digest
+    column first when both parts are needed."""
+    return F.conv(F.substring(md5_hex, 1 + 15 * part, 15), 16, 10).cast("bigint")
+
+
+def portable_hash60(col: Column, part: int = 0) -> Column:
+    """60-bit engine-portable hash of a string column (md5-derived — see
+    :func:`md5_part60`). Drop-in for ``xxhash64`` wherever a driver
+    query needs a DuckDB-replicable hash; ~same cost class (one digest
+    per value) and uniform. xxhash64 stays the choice for join-key-only
+    hashing where no oracle ever recomputes the value."""
+    return md5_part60(F.md5(col.cast("binary")), part)
+
+
+def lsh_band_keys_portable(
+    signature: Column, bands: int, rows_per_band: int
+) -> Column:
+    """Portable variant of :func:`lsh_band_keys`: the bucket key is the
+    '|'-joined string of (band index, band's signature slice) instead of
+    an xxhash64 — byte-identical in any engine that renders integers in
+    decimal. The key is ~5x wider than a hashed long (≈45 B vs 8 B),
+    which only the band-bucket shuffle pays; candidate generation and
+    verify are unchanged."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(b),
+                *[
+                    F.element_at(signature, b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_signature(shingles: Column, k: int = 64) -> Column:
     """Array of k minhash values over a (non-empty) shingle array.
     Empty arrays yield an array of NULLs (no shingles → no signature)."""

@@ -72,6 +72,23 @@ def shingle_hashes_from_words(ws: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_strings_from_words(ws: Column, n: int = 3) -> Column:
+    """Distinct n-word shingle STRINGS over an ALREADY-BOUND word-array
+    column (same binding rule as :func:`shingle_hashes_from_words`).
+    The string form exists for engine-portable hashing (md5 of the
+    joined shingle — a DuckDB oracle can recompute it exactly), where
+    the slot-hash form's xxhash64 cannot be replicated in SQL. Short
+    documents (< n words) collapse to one all-words shingle; empty word
+    arrays yield an empty array."""
+    k = F.size(ws)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+        )
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(normalize(text))

@@ -37,14 +37,21 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     _M61 as HASH_MOD,
     hamming64,
-    lsh_band_keys,
+    lsh_band_keys_portable,
+    md5_part60,
     minhash_components,
     pack_sign_bits,
+    portable_hash60,
     signature_jaccard,
     simhash_band_keys,
     simhash_bit_sums,
 )
-from ..functions.text import fingerprint, shingle_hashes_from_words, words
+from ..functions.text import (
+    fingerprint,
+    shingle_hashes_from_words,
+    shingle_strings_from_words,
+    words,
+)
 from ..functions.vector import cosine_similarity
 
 
@@ -173,14 +180,26 @@ def minhash_lsh_pairs(
     buckets (boilerplate). The per-row ``minhash_signature`` fold exists
     for single-pass uses, but Spark evaluates higher-order array
     functions interpreted per element, so the explode/agg formulation
-    here is ~20x faster at corpus scale."""
+    here is ~20x faster at corpus scale.
+
+    Hashing is ENGINE-PORTABLE: each shingle string is md5'd once and
+    the digest's two 60-bit halves (mod p) seed the Kirsch-Mitzenmacher
+    family — a DuckDB oracle recomputes the exact same signatures,
+    bands, and pairs (see queries_ext dedup_minhash_lsh). Costs one md5
+    per shingle in the scan stage instead of two xxhash64; every
+    shuffle (the only scale-relevant cost) is unchanged."""
     rows = bands and num_hashes // bands
-    ex = _shingled(df, text_col, id_col, n).select(
+    sh = df.select(
+        F.col(id_col).alias("__id"), words(text_col).alias("__ws")
+    ).select("__id", shingle_strings_from_words(F.col("__ws"), n).alias("__shingles"))
+    ex = sh.select(
         "__id", F.explode_outer("__shingles").alias("__s")
-    ).filter(F.col("__s").isNotNull()).select(
+    ).filter(F.col("__s").isNotNull()).withColumn(
+        "__md", F.md5(F.col("__s").cast("binary"))
+    ).select(
         "__id",
-        F.pmod(F.col("__s"), F.lit(HASH_MOD)).alias("__a"),
-        F.pmod(F.xxhash64("__s"), F.lit(HASH_MOD)).alias("__b"),
+        F.pmod(md5_part60(F.col("__md"), 0), F.lit(HASH_MOD)).alias("__a"),
+        F.pmod(md5_part60(F.col("__md"), 1), F.lit(HASH_MOD)).alias("__b"),
     )
     comps = minhash_components(F.col("__a"), F.col("__b"), num_hashes)
     sigs = (
@@ -194,7 +213,9 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "__id",
         "__sig",
-        F.explode_outer(lsh_band_keys(F.col("__sig"), bands, rows)).alias("__band"),
+        F.explode_outer(
+            lsh_band_keys_portable(F.col("__sig"), bands, rows)
+        ).alias("__band"),
     )
     # banded feeds the bucket-size scan AND both self-join sides: persist
     # so the signature fold runs once per document, not three times
@@ -232,24 +253,30 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs within Hamming distance ≤ max_hamming of the 64-bit
+    """Near-dup pairs within Hamming distance ≤ max_hamming of the 60-bit
     SimHash. Banded: pairs within distance < bands must share a band
     (pigeonhole), so only band-colliding pairs are compared.
 
     The whole signature lives in ONE packed long end-to-end: the token
-    explode feeds 64 codegen'd ±1 sum-aggregates (map-side partial, one
-    64-long row per doc through the shuffle — same shape as the MinHash
+    explode feeds 60 codegen'd ±1 sum-aggregates (map-side partial, one
+    60-long row per doc through the shuffle — same shape as the MinHash
     path), the sign bits pack into a single int64, band keys are
     shift/mask chunks of it, and per-pair Hamming is native
     ``bit_count(a ^ b)``. The Hamming filter runs BEFORE the pair
     distinct, so the dedup shuffle only carries surviving near-dups, not
     every band collision (hot corpora collide orders of magnitude more
     often than they match). Null/absent tokens hash as the empty string,
-    so token-less documents share one signature instead of vanishing."""
+    so token-less documents share one signature instead of vanishing.
+
+    Token hashes are ENGINE-PORTABLE (md5-derived 60-bit —
+    functions/hashing.portable_hash60; hence 60 bits, 4 bands × 15-bit
+    chunks): a DuckDB oracle recomputes identical signatures and pairs.
+    One md5 per token in the scan stage replaces one xxhash64; shuffle
+    shape and volume are unchanged."""
     ex = df.select(
         F.col(id_col).alias("__id"), F.explode_outer(words(text_col)).alias("__t")
-    ).select("__id", F.xxhash64(F.coalesce("__t", F.lit(""))).alias("__h"))
-    nbits = 64
+    ).select("__id", portable_hash60(F.coalesce("__t", F.lit(""))).alias("__h"))
+    nbits = 60
     sums = ex.groupBy("__id").agg(
         *[c.alias(f"__b{j}") for j, c in enumerate(simhash_bit_sums(F.col("__h"), nbits))]
     )

@@ -129,13 +129,22 @@ def ann_lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 signature band with the
-    query; exact cosine re-rank on candidates only."""
+    query; cosine re-rank on candidates only.
+
+    Engine-portable end to end: the signature's per-plane projections
+    are LEFT-FOLD double sums in vector order (both Spark's
+    ``aggregate`` and DuckDB's ``list_reduce`` fold sequentially, so
+    the sign bits — and the re-rank cosines — are bit-identical), and
+    band keys are arithmetic bit-chunks of the signature (chunk |
+    band<<width), not hashes."""
     width = planes // bands
     mask = (1 << width) - 1
 
     def band_keys(sig):
         return F.array(*[
-            F.xxhash64(F.lit(b), F.shiftrightunsigned(sig, b * width).bitwiseAND(F.lit(mask)))
+            F.shiftrightunsigned(sig, b * width)
+            .bitwiseAND(F.lit(mask))
+            .bitwiseOR(F.lit(b << width))
             for b in range(bands)
         ])
 
@@ -283,9 +292,12 @@ def ivf_topk(
     # depend on partition layout — the two evaluations could disagree
     # and silently mis-probe. The window is global but runs on ≤n_cells
     # rows (post-limit), so the single-partition sort is trivial.
+    # The sampling hash is the md5 hex prefix (engine-portable — the
+    # same trick as operators/sampling), so a SQL oracle recomputes the
+    # identical centroid set.
     cents = (
         corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
-        .withColumn("__h", F.xxhash64(F.col("__cid")))
+        .withColumn("__h", F.substring(F.md5(F.col("__cid").cast("string")), 1, 16))
         .orderBy("__h")
         .limit(n_cells)
         .withColumn(

@@ -158,19 +158,123 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.containment_pairs(docs.unionByName(halves), "text", "doc_id", 3, 0.8)
 
 
-@query("dedup_minhash_lsh")  # rows-only: 64 salted xxhash64 minima not SQL-portable
+# MinHash twin: the operator's hashing is md5-derived (engine-portable,
+# functions/hashing.md5_part60), so DuckDB recomputes the EXACT pipeline:
+# shingles → (a,b) = two 60-bit md5 halves mod p → 64 Kirsch-Mitzenmacher
+# min-aggregates → 16 string band keys → bucket-capped candidates →
+# agreement-fraction estimate. The 64 MIN terms are generated here.
+_MH_P = 2147483647
+_MH_K, _MH_BANDS, _MH_ROWS = 64, 16, 4
+_MH_MINS = ",\n               ".join(
+    f"MIN((a + {i} * b) % {_MH_P}) AS h{i}" for i in range(1, _MH_K + 1)
+)
+_MH_SIG = "[" + ", ".join(f"h{i}" for i in range(1, _MH_K + 1)) + "]"
+_MINHASH_ORACLE = f"""
+    WITH d2 AS ({_PLANTED_DOCS}),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 1)),
+                   i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        FROM (SELECT doc_id, {_WORDS} AS w FROM d2)
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {_MH_P} AS a,
+               CAST('0x' || substr(md5(s), 16, 15) AS BIGINT) % {_MH_P} AS b
+        FROM (SELECT doc_id, UNNEST(shingles) AS s FROM sh)
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {_MH_MINS}
+        FROM hashed GROUP BY doc_id
+    ),
+    siglist AS (SELECT doc_id, {_MH_SIG} AS sig FROM sigs),
+    banded AS (
+        SELECT doc_id, sig,
+               bnd || '|' || sig[4*bnd+1] || '|' || sig[4*bnd+2] || '|'
+                   || sig[4*bnd+3] || '|' || sig[4*bnd+4] AS band
+        FROM siglist,
+             (SELECT UNNEST(generate_series(0, {_MH_BANDS - 1})) AS bnd)
+    ),
+    capped AS (
+        SELECT band FROM banded GROUP BY band HAVING COUNT(*) <= 1000
+    ),
+    kept AS (SELECT b.* FROM banded b JOIN capped USING (band)),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM kept a JOIN kept b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           list_sum(list_transform(generate_series(1, {_MH_K}),
+                    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+               / {_MH_K} AS est_jaccard
+    FROM cands
+    WHERE list_sum(list_transform(generate_series(1, {_MH_K}),
+                   i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+          / {_MH_K} >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", _MINHASH_ORACLE)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands): candidates where a band collides,
-    est. Jaccard ≥ 0.5 (operators/dedup.minhash_lsh_pairs). Verified in
-    tests/test_dedup.py against exact Jaccard (recall on planted dups)."""
+    est. Jaccard ≥ 0.5 (operators/dedup.minhash_lsh_pairs). Recall vs
+    exact Jaccard asserted in tests/test_dedup.py; signatures/pairs are
+    bit-identical to the DuckDB twin via md5-derived portable hashing."""
     return DD.minhash_lsh_pairs(_planted_docs(spark, sf_dir), "text", "doc_id",
                                 n=3, num_hashes=64, bands=16, threshold=0.5)
 
 
-@query("dedup_simhash")  # rows-only: bit-level simhash not SQL-portable
+# SimHash twin: 60-bit portable token hashes; 60 ±1 bit-sum aggregates,
+# sign-bit packing, 4×15-bit pigeonhole bands, bit_count Hamming.
+_SH_NBITS, _SH_BANDS = 60, 4
+_SH_WIDTH = _SH_NBITS // _SH_BANDS
+_SH_SUMS = ",\n               ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(_SH_NBITS)
+)
+_SH_PACK = " + ".join(
+    f"CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+    for j in range(_SH_NBITS)
+)
+_SIMHASH_ORACLE = f"""
+    WITH d2 AS ({_PLANTED_DOCS}),
+    tok AS (
+        SELECT doc_id, CASE WHEN len(w) = 0 THEN [''] ELSE w END AS w
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+              FROM d2)
+    ),
+    ex AS (
+        SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, UNNEST(w) AS t FROM tok)
+    ),
+    sums AS (
+        SELECT doc_id,
+               {_SH_SUMS}
+        FROM ex GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {_SH_PACK} AS sh FROM sums),
+    banded AS (
+        SELECT doc_id, sh,
+               ((sh >> (bnd * {_SH_WIDTH})) & {(1 << _SH_WIDTH) - 1})
+                   | (bnd << {_SH_WIDTH}) AS band
+        FROM sig, (SELECT UNNEST(generate_series(0, {_SH_BANDS - 1})) AS bnd)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+@query("dedup_simhash", _SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs (Hamming ≤ 3, banded pigeonhole
-    join) — operators/dedup.simhash_pairs."""
+    """60-bit SimHash near-dup pairs (Hamming ≤ 3, banded pigeonhole
+    join) — operators/dedup.simhash_pairs. Portable md5-derived token
+    hashes make the DuckDB twin exact."""
     return DD.simhash_pairs(_planted_docs(spark, sf_dir), "text", "doc_id",
                             max_hamming=3, bands=4)
 
@@ -285,17 +389,145 @@ def q_similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 9))
 
 
-@query("similarity_ann_lsh")  # rows-only: hyperplane projections not SQL-portable
+# ANN twins: every double sum below is a LEFT FOLD in vector order on
+# both engines (Spark `aggregate(…, 0.0, acc+x)` ≡ DuckDB `list_reduce`),
+# so projections, norms, and cosines are bit-identical — no rounding
+# slack needed. The hyperplane matrix is embedded as literals via
+# shortest-repr floats (exact round-trip on both parsers).
+
+
+def _fold_dot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"j -> CAST({a}[j] AS DOUBLE) * CAST({b}[j] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _fold_norm(a: str, dim: int = 64) -> str:
+    return f"sqrt({_fold_dot(a, a, dim)})"
+
+
+_LSH_DIM, _LSH_PLANES, _LSH_BANDS, _LSH_SEED = 64, 16, 4, 42
+_LSH_WIDTH = _LSH_PLANES // _LSH_BANDS
+_W_SQL = "[" + ", ".join(
+    "["
+    + ", ".join(
+        repr(SIM._hyperplane(_LSH_DIM, p, _LSH_SEED)[j]) for p in range(_LSH_PLANES)
+    )
+    + "]"
+    for j in range(_LSH_DIM)
+) + "]"
+
+
+def _lsh_proj(p: int) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {_LSH_DIM}), "
+        f"j -> CAST(embedding[j] AS DOUBLE) * W[j][{p + 1}]), (x, y) -> x + y)"
+    )
+
+
+_LSH_PACK = " + ".join(
+    f"CASE WHEN {_lsh_proj(p)} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END"
+    for p in range(_LSH_PLANES)
+)
+_ANN_LSH_ORACLE = f"""
+    WITH w AS (SELECT {_W_SQL} AS W),
+    base AS (
+        SELECT vec_id, embedding,
+               {_LSH_PACK} AS sg,
+               {_fold_norm('embedding')} AS nrm
+        FROM embeddings, w
+    ),
+    banded AS (
+        SELECT vec_id, embedding, nrm,
+               ((sg >> (bnd * {_LSH_WIDTH})) & {(1 << _LSH_WIDTH) - 1})
+                   | (bnd << {_LSH_WIDTH}) AS band
+        FROM base, (SELECT UNNEST(generate_series(0, {_LSH_BANDS - 1})) AS bnd)
+    ),
+    cands AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               q.embedding AS qe, c.embedding AS ce, q.nrm AS qn, c.nrm AS cn
+        FROM banded q JOIN banded c
+          ON q.band = c.band AND q.vec_id != c.vec_id
+        WHERE q.vec_id < 10
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CASE WHEN qn > 0 AND cn > 0
+                    THEN {_fold_dot('qe', 'ce')} / (qn * cn) END AS cosine
+        FROM cands
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 10
+"""
+
+
+@query("similarity_ann_lsh", _ANN_LSH_ORACLE)
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH banding; recall vs
-    brute force asserted in tests/test_similarity.py."""
+    brute force asserted in tests/test_similarity.py. Arithmetic band
+    keys + order-preserving double folds make the DuckDB twin exact."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=10)
 
 
-@query("similarity_ivf")  # rows-only: centroid assignment not SQL-portable
+_IVF_CELLS, _IVF_PROBE = 16, 4
+_IVF_ORACLE = f"""
+    WITH cents AS (
+        SELECT ROW_NUMBER() OVER (
+                   ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 16), vec_id
+               ) - 1 AS cell,
+               embedding AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 16)
+              LIMIT {_IVF_CELLS})
+    ),
+    assigned AS (
+        SELECT neighbor_id, nv, cell FROM (
+            SELECT e.vec_id AS neighbor_id, e.embedding AS nv, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_fold_dot('e.embedding', 'c.cv')} DESC, c.cell
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_fold_dot('q.embedding', 'c.cv')} DESC, c.cell
+                   ) AS rn
+            FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+            CROSS JOIN cents c
+        ) WHERE rn <= {_IVF_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               CASE WHEN {_fold_norm('p.qv')} > 0 AND {_fold_norm('a.nv')} > 0
+                    THEN {_fold_dot('p.qv', 'a.nv')}
+                         / ({_fold_norm('p.qv')} * {_fold_norm('a.nv')}) END
+                   AS cosine
+        FROM probes p JOIN assigned a USING (cell)
+        WHERE p.query_id != a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 10
+"""
+
+
+@query("similarity_ivf", _IVF_ORACLE)
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: hash-sampled centroids, nprobe cell probing."""
+    """IVF-style ANN: md5-hex-sampled centroids (portable — same trick
+    as operators/sampling), nprobe cell probing, fold-ordered double
+    cosines; the DuckDB twin replays the exact assignment and ranking."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=10,
                         n_cells=16, nprobe=4)

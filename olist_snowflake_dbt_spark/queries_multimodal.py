@@ -72,11 +72,43 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_media(spark, sf_dir), frame_bytes=64).drop("frame_crc32")
 
 
-@query("mm_decode")  # rows-only: stubbed deterministic decoder, no SQL twin
+@query(
+    "mm_decode",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS media_type,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    chars AS (  -- byte i = 16*hex[2i+1] + hex[2i+2] (1-based hex string)
+        SELECT media_id,
+               strpos('0123456789ABCDEF', substr(hx, CAST(i AS BIGINT), 1)) - 1
+                   AS v,
+               CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END AS w
+        FROM (SELECT media_id, hx, UNNEST(generate_series(1, 2 * n)) AS i FROM m)
+    ),
+    sums AS (SELECT media_id, SUM(v * w) AS s FROM chars GROUP BY media_id)
+    SELECT m.media_id, m.media_type,
+           CAST(CASE WHEN m.media_type = 'audio' THEN 0
+                     ELSE m.n % 1024 + 16 END AS INT) AS decoded_w,
+           CAST(CASE WHEN m.media_type = 'audio' THEN 0
+                     ELSE m.n % 768 + 16 END AS INT) AS decoded_h,
+           CASE WHEN m.n = 0 THEN 0.0
+                ELSE CAST(s.s AS DOUBLE) / m.n / 255.0 END AS mean_luma
+    FROM m LEFT JOIN sums s USING (media_id)
+    """,
+)
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched media decode through the stubbed codec (mapInPandas —
     Arrow in/out): dimensions from metadata + mean-byte luminance.
-    Deterministic; equality with a recompute asserted in pytest."""
+    Deterministic, so the DuckDB twin reconstructs it byte-exactly from
+    hex(payload): mean_luma = sum(bytes)/n/255 with the same int-exact
+    sums and identically-rounded double divisions; decoded_w/h replay
+    attach_fake_media's metadata arithmetic (audio has no dimensions →
+    the kernel's `width or 0` fallback)."""
     return decode_media(_media(spark, sf_dir))
 
 
