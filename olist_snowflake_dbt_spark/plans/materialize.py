@@ -35,7 +35,9 @@ from typing import Literal
 
 from pyspark.sql import DataFrame, SparkSession
 
-Materialization = Literal["view", "table", "ephemeral", "incremental"]
+Materialization = Literal[
+    "view", "table", "ephemeral", "incremental", "dynamic_table"
+]
 
 
 @dataclass
@@ -155,6 +157,70 @@ def materialize_clustered_table(
     out = spark.read.parquet(final)
     out.createOrReplaceTempView(name)
     return MaterializedRelation(name, "clustered_table", final, out)
+
+
+class DynamicTable:
+    """B3: dynamic / materialized tables (dbt-snowflake
+    ``macros/relations/dynamic_table/create.sql`` — a declarative SELECT
+    Snowflake keeps fresh to a TARGET_LAG), re-expressed Spark-first: the
+    SELECT is a Structured Streaming aggregation and freshness comes from
+    ``foreachBatch`` refreshes that MERGE each micro-batch's updated rows
+    into a parquet target by group key.
+
+    Two refresh modes, mirroring Snowflake's incremental vs full refresh:
+
+    - **incremental** (production): keep ONE durable ``checkpoint`` across
+      calls — the stream's state store carries the running aggregates, the
+      source is consumed incrementally, and each trigger merges only the
+      keys that changed. TARGET_LAG ≈ the trigger interval; a continuous
+      trigger makes it a live materialized view.
+    - **full** (deterministic rebuild / this repo's driver harness): pass a
+      fresh checkpoint so the bounded source replays entirely and merge
+      overwrites every key with recomputed values.
+
+    Scale shape: state is one row per group key; the merge touches only
+    changed keys (anti-join + union inside
+    ``operators.incremental.incremental_merge``, pruned to touched
+    partitions when ``partition_by`` is set). Nothing is collected."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        partition_by: tuple[str, ...] = (),
+    ):
+        from ..operators.incremental import IncrementalTable
+
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self._table = IncrementalTable(spark, path, partition_by)
+
+    def refresh(self, result_stream: DataFrame, checkpoint: str | None = None) -> None:
+        """Run the streaming SELECT to its current end (AvailableNow) and
+        merge every emitted update into the table. ``checkpoint=None``
+        forces a FULL refresh (fresh checkpoint → full source replay)."""
+        table = self._table
+        key_cols = self.key_cols
+
+        def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            table.apply(batch_df, strategy="merge", unique_key=key_cols)
+
+        ckpt = checkpoint or f"{self.path}.ckpt-{uuid.uuid4().hex[:8]}"
+        q = (
+            result_stream.writeStream.outputMode("update")
+            .foreachBatch(_merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if checkpoint is None:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
 
 
 def materialize_bucketed_table(

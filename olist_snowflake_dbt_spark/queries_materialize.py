@@ -1,0 +1,69 @@
+"""Driver queries for the materialization layer (plans/materialize.py):
+the A17/A18 table path and the B3 dynamic table, each verified end to
+end — the oracle checks the rows a consumer READS BACK from the
+materialized relation, so the write/publish/read cycle itself is inside
+the correctness gate, not just the SELECT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.materialize import DynamicTable, materialize_table
+from .queries import _FCT_ORDERS_ORACLE, QUERIES, query
+from .sources import formats as FMT
+
+
+@query("materialize_table_roundtrip", _FCT_ORDERS_ORACLE)
+def q_materialize_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17/A18: the flagship model materialized as a TABLE (parquet CTAS
+    with atomic rename-swap publish, plans/materialize.materialize_table)
+    and read back from the published files — hash-matching the fct_orders
+    oracle proves the full write→swap→read cycle is lossless for every
+    column type the model emits (longs, strings, timestamps, doubles)."""
+    fct = QUERIES["fct_orders"](spark, sf_dir)
+    warehouse = FMT.scratch_dir("materialize", "warehouse")
+    rel = materialize_table(spark, "fct_orders_tbl", fct, warehouse)
+    return rel.df
+
+
+@query(
+    "dynamic_table_refresh",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_dynamic_table_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 dynamic table: an hourly windowed aggregation over the events
+    stream kept fresh by foreachBatch MERGE refreshes. Two full
+    refreshes run — first over the pre-Jan-5 prefix, then over the whole
+    source — so the second genuinely UPSERTS every stale key (same
+    window re-aggregated over more data) rather than only inserting; the
+    final read-back must equal the batch GROUP BY over all events, which
+    is exactly what the oracle computes."""
+    import shutil
+
+    from .streaming import stream_events, windowed_event_counts
+
+    path = FMT.scratch_dir("dynamic_table", "hourly_counts")
+    # merge keeps keys absent from the refresh batch, so a stale table
+    # from an earlier run (different sf) would leak rows — start clean
+    shutil.rmtree(path, ignore_errors=True)
+    dt = DynamicTable(spark, path, ["window_start", "event_type"])
+
+    def agg(stream: DataFrame) -> DataFrame:
+        counts = windowed_event_counts(stream, "1 hour", watermark="30 minutes")
+        return counts.withColumn(
+            "total_value", F.col("total_value").cast("double")
+        )
+
+    ev = stream_events(spark, sf_dir)
+    dt.refresh(agg(ev.filter(F.col("ts") < F.lit("2024-01-05").cast("timestamp"))))
+    dt.refresh(agg(ev))
+    return dt.read()

@@ -145,3 +145,43 @@ def test_stream_stream_join_equals_batch_range_join(spark, sf_dir, batch_events)
     )
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_dynamic_table_refresh_upserts(spark, sf_dir, tmp_path):
+    # B3: two full refreshes — the second must UPDATE every stale key
+    # (re-aggregated over more data), not duplicate it, and the final
+    # table must equal the batch aggregation over the whole source.
+    from pyspark.sql import functions as F
+
+    from olist_snowflake_dbt_spark.plans.materialize import DynamicTable
+    from olist_snowflake_dbt_spark.sources.readers import read_table
+    from olist_snowflake_dbt_spark.streaming import (
+        stream_events,
+        windowed_event_counts,
+    )
+
+    dt = DynamicTable(spark, str(tmp_path / "dyn"), ["window_start", "event_type"])
+    cutoff = F.lit("2024-01-05").cast("timestamp")
+    ev = stream_events(spark, sf_dir)
+    dt.refresh(windowed_event_counts(
+        ev.filter(F.col("ts") < cutoff), "1 hour", watermark="30 minutes"))
+    first = dt.read().count()
+    dt.refresh(windowed_event_counts(ev, "1 hour", watermark="30 minutes"))
+    got = {
+        (r.window_start, r.event_type): (r.n_events, str(r.total_value))
+        for r in dt.read().collect()
+    }
+    batch = read_table(spark, sf_dir, "events").groupBy(
+        F.window("ts", "1 hour")["start"].alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n_events, str(r.total_value))
+        for r in batch.collect()
+    }
+    assert got == want
+    assert first < len(got)  # second refresh really added the post-cutoff keys
