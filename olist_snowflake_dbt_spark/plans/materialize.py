@@ -159,6 +159,34 @@ def materialize_clustered_table(
     return MaterializedRelation(name, "clustered_table", final, out)
 
 
+def clone_table(src: str, dst: str) -> int:
+    """B4: zero-copy clone (dbt ``clone.sql`` / Snowflake ``CREATE TABLE
+    … CLONE``) at parquet-file granularity: every data file of ``src``
+    is HARDLINKED into ``dst`` — no bytes copied, metadata-only, exactly
+    Snowflake's pointer semantics. Safe because every writer in this
+    repo publishes immutable files via write-to-tmp + atomic rename
+    (:func:`_atomic_swap`, ``IncrementalTable._write_full``): a later
+    overwrite of either table swaps in NEW files and never mutates a
+    linked one, so clones diverge copy-on-write like Snowflake's. Falls
+    back to a real copy across filesystems (EXDEV). Returns the file
+    count; raises if ``dst`` exists (clone is create, not overwrite)."""
+    if os.path.exists(dst):
+        raise FileExistsError(f"clone target already exists: {dst}")
+    n = 0
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        target_root = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(target_root, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(root, f), os.path.join(target_root, f)
+            try:
+                os.link(s, d)
+            except OSError:  # cross-device / FS without hardlinks
+                shutil.copy2(s, d)
+            n += 1
+    return n
+
+
 class DynamicTable:
     """B3: dynamic / materialized tables (dbt-snowflake
     ``macros/relations/dynamic_table/create.sql`` — a declarative SELECT

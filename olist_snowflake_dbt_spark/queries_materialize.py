@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .plans.materialize import DynamicTable, materialize_table
+from .plans.materialize import DynamicTable, clone_table, materialize_table
 from .queries import _FCT_ORDERS_ORACLE, QUERIES, query
 from .sources import formats as FMT
 
@@ -26,6 +26,24 @@ def q_materialize_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     warehouse = FMT.scratch_dir("materialize", "warehouse")
     rel = materialize_table(spark, "fct_orders_tbl", fct, warehouse)
     return rel.df
+
+
+@query("clone_zero_copy", _FCT_ORDERS_ORACLE)
+def q_clone_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: zero-copy clone of the materialized flagship table (hardlinked
+    parquet files, plans/materialize.clone_table) read back and verified
+    against the SOURCE's oracle — the clone serves identical rows while
+    sharing every data byte with the original (inode identity asserted
+    in tests/test_runner.py)."""
+    import shutil
+
+    fct = QUERIES["fct_orders"](spark, sf_dir)
+    warehouse = FMT.scratch_dir("materialize", "warehouse")
+    rel = materialize_table(spark, "fct_orders_clone_src", fct, warehouse)
+    dst = FMT.scratch_dir("materialize", "warehouse", "fct_orders_cloned")
+    shutil.rmtree(dst, ignore_errors=True)
+    clone_table(rel.path, dst)
+    return spark.read.parquet(dst)
 
 
 @query(

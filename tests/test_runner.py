@@ -98,3 +98,40 @@ def test_table_rerun_overwrites_atomically(spark, tmp_path):
     first = spark.table("fct_orders").count()
     eng.pipeline(select="+fct_orders")
     assert spark.table("fct_orders").count() == first
+
+
+def test_clone_zero_copy_shares_inodes_then_diverges(spark, sf_dir, tmp_path):
+    import os
+
+    from olist_snowflake_dbt_spark.plans.materialize import (
+        clone_table,
+        materialize_table,
+    )
+    from olist_snowflake_dbt_spark.sources.readers import read_table
+
+    src_df = read_table(spark, sf_dir, "nation")
+    rel = materialize_table(spark, "clone_src", src_df, str(tmp_path))
+    dst = str(tmp_path / "clone_dst")
+    n = clone_table(rel.path, dst)
+    assert n > 0
+    # identical rows...
+    assert sorted(map(tuple, spark.read.parquet(dst).collect())) == sorted(
+        map(tuple, spark.read.parquet(rel.path).collect())
+    )
+    # ...with ZERO copied bytes: every data file shares its inode
+    src_inodes = {
+        f: os.stat(os.path.join(rel.path, f)).st_ino
+        for f in os.listdir(rel.path) if f.endswith(".parquet")
+    }
+    for f, ino in src_inodes.items():
+        assert os.stat(os.path.join(dst, f)).st_ino == ino
+    # clone is create-only
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        clone_table(rel.path, dst)
+    # overwriting the ORIGINAL swaps in new files; the clone keeps serving
+    # the old rows (copy-on-write divergence, like Snowflake clones)
+    materialize_table(spark, "clone_src", src_df.limit(3), str(tmp_path))
+    assert spark.read.parquet(dst).count() == src_df.count()
+    assert spark.read.parquet(rel.path).count() == 3
