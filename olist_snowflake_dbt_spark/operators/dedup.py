@@ -304,6 +304,74 @@ def simhash_pairs(
     )
 
 
+# -- winnowing (rolling-hash fingerprints) ----------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash the POSITIONAL n-word shingle sequence, then keep
+    only each ``window``-length window's minimum hash — a ~2/(window+1)
+    density subset with the guarantee that any shared run of ≥ window
+    consecutive shingles contributes at least one shared fingerprint.
+    Returns distinct ``(__id, __fp)`` rows.
+
+    Plan shape: scan → posexplode shingles → ONE window shuffle on the
+    doc id (min over a bounded ROWS frame) → distinct. The downstream
+    inverted index is ~(window+1)/2 times smaller than full-shingle
+    indexing — winnowing is how fingerprint dedup stays tractable when
+    the corpus is too hot for :func:`ngram_jaccard_pairs`.
+
+    Hashes are md5-derived 60-bit (engine-portable): the DuckDB twin
+    replays shingling, windows, and minima exactly."""
+    sh = df.select(F.col(id_col).alias("__id"), words(text_col).alias("__ws"))
+    k = F.size(F.col("__ws"))
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    arr = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(F.col("__ws"), i + 1, n), " "))
+    )
+    ex = (
+        sh.select("__id", F.posexplode_outer(arr).alias("__pos", "__s"))
+        .filter(F.col("__s").isNotNull())
+        .withColumn("__h", md5_part60(F.md5(F.col("__s").cast("binary"))))
+    )
+    win = (
+        Window.partitionBy("__id")
+        .orderBy("__pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    return (
+        ex.withColumn("__m", F.min("__h").over(win))
+        .filter(F.col("__h") == F.col("__m"))
+        .select("__id", F.col("__h").alias("__fp"))
+        .dropDuplicates()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs sharing ≥ ``min_shared`` winnowed
+    fingerprints — the inverted-index join of
+    :func:`winnow_fingerprints` output (same plan shape as
+    :func:`ngram_jaccard_pairs` but over the winnowed subset, so the
+    self-join buckets are ~(window+1)/2 times smaller)."""
+    fp = winnow_fingerprints(df, text_col, id_col, n, window).persist()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.__fp") == F.col("b.__fp")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # -- embedding cosine -------------------------------------------------
 
 

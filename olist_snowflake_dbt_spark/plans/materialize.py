@@ -225,10 +225,21 @@ class DynamicTable:
         self.key_cols = list(key_cols)
         self._table = IncrementalTable(spark, path, partition_by)
 
-    def refresh(self, result_stream: DataFrame, checkpoint: str | None = None) -> None:
+    def refresh(
+        self,
+        result_stream: DataFrame,
+        checkpoint: str | None = None,
+        state_partitions: int | None = 8,
+    ) -> None:
         """Run the streaming SELECT to its current end (AvailableNow) and
         merge every emitted update into the table. ``checkpoint=None``
-        forces a FULL refresh (fresh checkpoint → full source replay)."""
+        forces a FULL refresh (fresh checkpoint → full source replay).
+
+        ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` for
+        the stream's lifetime — the count is baked into the checkpoint
+        at first start and each partition pays a state-store instance,
+        so size it to state volume (#group keys), not the batch default
+        (same rule as streaming/events.run_available_now)."""
         table = self._table
         key_cols = self.key_cols
 
@@ -236,14 +247,22 @@ class DynamicTable:
             table.apply(batch_df, strategy="merge", unique_key=key_cols)
 
         ckpt = checkpoint or f"{self.path}.ckpt-{uuid.uuid4().hex[:8]}"
-        q = (
-            result_stream.writeStream.outputMode("update")
-            .foreachBatch(_merge_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            if state_partitions is not None:
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(state_partitions)
+                )
+            q = (
+                result_stream.writeStream.outputMode("update")
+                .foreachBatch(_merge_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", old)
         if checkpoint is None:
             shutil.rmtree(ckpt, ignore_errors=True)
 

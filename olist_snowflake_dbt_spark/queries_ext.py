@@ -227,6 +227,49 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 n=3, num_hashes=64, bands=16, threshold=0.5)
 
 
+# Winnowing twin: positional shingles → 60-bit portable hashes → min per
+# 4-window (ROWS frame) → distinct fingerprints → inverted-index pairs.
+_WINNOW_ORACLE = f"""
+    WITH d2 AS ({_PLANTED_DOCS}),
+    sh AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(w) - 2, 1)),
+                   i -> array_to_string(w[i:i+2], ' ')) AS shingles
+        FROM (SELECT doc_id, {_WORDS} AS w FROM d2)
+    ),
+    ex AS (
+        SELECT doc_id, pos,
+               CAST('0x' || substr(md5(shingles[pos]), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, shingles,
+                     UNNEST(generate_series(1, len(shingles))) AS pos
+              FROM sh)
+    ),
+    kept AS (
+        SELECT doc_id, h,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+        FROM ex
+    ),
+    fp AS (SELECT DISTINCT doc_id, h FROM kept WHERE h = m)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+@query("dedup_winnowing", _WINNOW_ORACLE)
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting via winnowing (MOSS): each
+    4-window of positional 3-gram hashes contributes its minimum; pairs
+    sharing ≥ 2 winnowed fingerprints are near-dup candidates
+    (operators/dedup.winnow_pairs). The winnowed inverted index is
+    ~2.5x smaller than full-shingle indexing — the fingerprint path for
+    corpora too hot for exact Jaccard."""
+    return DD.winnow_pairs(_planted_docs(spark, sf_dir), "text", "doc_id",
+                           n=3, window=4, min_shared=2)
+
+
 # SimHash twin: 60-bit portable token hashes; 60 ±1 bit-sum aggregates,
 # sign-bit packing, 4×15-bit pigeonhole bands, bit_count Hamming.
 _SH_NBITS, _SH_BANDS = 60, 4

@@ -179,3 +179,33 @@ def test_connected_components_nonconvergence_raises(spark):
     # and with enough rounds the same edges converge exactly
     full = connected_components(pairs, max_iter=10)
     assert {r.component for r in full.collect()} == {1}
+
+
+def test_winnow_pairs_find_planted(spark, planted):
+    from olist_snowflake_dbt_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    # identical planted copies share EVERY winnowed fingerprint
+    pairs = winnow_pairs(planted, "text", "doc_id", n=3, window=4, min_shared=2)
+    found = {
+        (r.id_a, r.id_b) for r in pairs.collect() if r.id_b >= 1_000_000
+    }
+    want = {
+        (r.doc_id, r.doc_id + 1_000_000)
+        for r in planted.filter("doc_id % 50 = 0 and doc_id < 1000000").collect()
+    }
+    assert want <= found
+    # winnowing density: the fingerprint set is a strict subset of the
+    # shingle set, roughly 2/(w+1) of it
+    fp = winnow_fingerprints(planted, "text", "doc_id", 3, 4)
+    n_docs = planted.count()
+    avg_fp = fp.count() / n_docs
+    from olist_snowflake_dbt_spark.functions.text import words
+    from pyspark.sql import functions as F
+
+    avg_shingles = (
+        planted.select(F.size(words("text")).alias("k")).agg(F.avg("k")).collect()[0][0]
+    )
+    assert avg_fp < 0.7 * avg_shingles  # far sparser than full shingling
