@@ -45,6 +45,28 @@ def cosine_similarity(a: Column | str, b: Column | str, exact: bool = True) -> C
     return F.when((na > 0) & (nb > 0), d / (na * nb))
 
 
+def quantize8(a: Column | str) -> tuple[Column, Column]:
+    """Symmetric int8 quantization of a float vector: returns
+    ``(scale, codes)`` with ``scale = max|x| / 127`` (double) and
+    ``codes[j] = floor(x[j]/scale + 0.5)`` in [-127, 127] — 4x smaller
+    storage/shuffle than float32 for ANN candidate stages at corpus
+    scale. ``floor(x + 0.5)`` is used instead of ``round``
+    DELIBERATELY: floor is bit-identical across engines while round's
+    tie behavior is engine-specific, so quantized results stay
+    oracle-checkable. Zero vectors quantize to scale 0 / all-zero codes.
+    Dequantization is ``codes[j] * scale``."""
+    a = F.col(a) if isinstance(a, str) else a
+    mx = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    scale = (mx / F.lit(127.0)).cast("double")
+    codes = F.transform(
+        a,
+        lambda x: F.when(scale > 0, F.floor(x.cast("double") / scale + 0.5))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return scale, codes
+
+
 def euclidean_distance(a: Column | str, b: Column | str) -> Column:
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     diffs = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))

@@ -193,6 +193,72 @@ def ann_lsh_topk(
     )
 
 
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by cosine over int8-QUANTIZED vectors (queries stay full
+    precision): the memory-bound ANN pattern — the corpus shuffles and
+    scans 4x fewer vector bytes, at ~1e-2 cosine error, and the
+    scores are integer-exact up to one final double division, so the
+    whole pipeline stays oracle-checkable. Production shape: quantize
+    ONCE at ingest, store ``(scale, codes)`` columns, re-rank the top
+    candidates against the float originals if exactness matters.
+
+    Score algebra: cos(q, c') with c'[j] = codes[j]*scale factors as
+    (Σ q[j]·codes[j]) · scale / (|q| · scale·sqrt(Σ codes²)) — the
+    scales cancel, so the computation is an INTEGER dot and integer
+    norm against the float query: fewer flops and no accumulation-order
+    sensitivity in the corpus-side norm."""
+    from ..functions.vector import quantize8
+
+    scale, codes = quantize8(F.col(vec_col))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), scale.alias("__cs"), codes.alias("__cq")
+    ).withColumn(
+        "__cn2",
+        F.aggregate(F.col("__cq"), F.lit(0).cast("long"),
+                    lambda acc, x: acc + x.cast("long") * x.cast("long")),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn(
+        "__qn",
+        F.sqrt(F.aggregate(
+            F.transform(F.col("__qv"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)),
+    )
+    # integer-weighted dot: Σ q[j] * codes[j] — double fold in vector order
+    idot = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cq"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_q8",
+            F.when(
+                (F.col("__qn") > 0) & (F.col("__cn2") > 0) & (F.col("__cs") > 0),
+                idot / (F.col("__qn") * F.sqrt(F.col("__cn2").cast("double"))),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q8").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_q8", "rank")
+    )
+
+
 def group_vector_sums(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -517,6 +517,61 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=10)
 
 
+_QUANT_ORACLE = f"""
+    WITH scaled AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+        FROM embeddings
+    ),
+    quant AS (
+        SELECT vec_id, sc,
+               list_transform(embedding,
+                   x -> CASE WHEN sc > 0
+                             THEN CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS INT)
+                             ELSE 0 END) AS cq
+        FROM scaled
+    ),
+    corpus AS (
+        SELECT vec_id AS neighbor_id, sc, cq,
+               CAST(list_sum(list_transform(cq,
+                   x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS cn2
+        FROM quant
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               {_fold_norm('embedding')} AS qn
+        FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               CASE WHEN q.qn > 0 AND c.cn2 > 0 AND c.sc > 0
+                    THEN list_reduce(list_transform(generate_series(1, 64),
+                             j -> CAST(q.qv[j] AS DOUBLE) * CAST(c.cq[j] AS DOUBLE)),
+                             (x, y) -> x + y)
+                         / (q.qn * sqrt(CAST(c.cn2 AS DOUBLE))) END AS cosine_q8
+        FROM q CROSS JOIN corpus c
+        WHERE q.query_id != c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_q8, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_q8 DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 10
+"""
+
+
+@query("similarity_quantized_topk", _QUANT_ORACLE)
+def q_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized top-10 (operators/similarity.quantized_topk): the
+    corpus side carries 4x fewer vector bytes; scores factor so the
+    per-vector scale cancels and the corpus norm is integer-exact.
+    floor-based quantization keeps the DuckDB twin bit-identical.
+    Accuracy vs exact cosine asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+
+
 _IVF_CELLS, _IVF_PROBE = 16, 4
 _IVF_ORACLE = f"""
     WITH cents AS (

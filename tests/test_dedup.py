@@ -209,3 +209,68 @@ def test_winnow_pairs_find_planted(spark, planted):
         planted.select(F.size(words("text")).alias("k")).agg(F.avg("k")).collect()[0][0]
     )
     assert avg_fp < 0.7 * avg_shingles  # far sparser than full shingling
+
+
+def test_dedup_family_edge_docs(spark):
+    # empty text, punctuation-only (words == []), single word (< n), and
+    # a normal doc: no operator may crash, and degenerate docs must not
+    # fabricate pairs with normal ones
+    from olist_snowflake_dbt_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+        winnow_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "?!... --- !!!"),
+            (3, "solitary"),
+            (4, "a perfectly ordinary document about nothing much at all"),
+            (5, "a perfectly ordinary document about nothing much at all"),
+        ],
+        "doc_id long, text string",
+    )
+    mh = minhash_lsh_pairs(df, "text", "doc_id", n=3, num_hashes=64, bands=16,
+                           threshold=0.5)
+    assert {(r.id_a, r.id_b) for r in mh.collect()} == {(4, 5)}
+    sh = {(r.id_a, r.id_b) for r in simhash_pairs(df, "text", "doc_id").collect()}
+    # the two identical docs always collide; token-less docs (1, 2) share
+    # the empty-token signature by design (documented in simhash_pairs)
+    assert (4, 5) in sh
+    assert all(a in (1, 2) and b in (1, 2) for a, b in sh - {(4, 5)})
+    wn = winnow_pairs(df, "text", "doc_id", min_shared=1)
+    assert {(r.id_a, r.id_b) for r in wn.collect()} == {(4, 5)}
+
+
+def test_portable_hash60_cross_engine_property(spark):
+    # the whole portable-oracle edifice rests on this identity: Spark
+    # conv(substr(md5(x),1,15),16,10)::bigint == DuckDB
+    # CAST('0x'||substr(md5(x),1,15) AS BIGINT), for ANY utf-8 string
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from olist_snowflake_dbt_spark.functions.hashing import md5_part60
+
+    samples = [
+        "", " ", "hello", "héllo wörld", "中文文本", "emoji 🎉🚀", "a" * 5000,
+        "tab\tnewline\nquote'\"backslash\\", "ß É ǅ", "İstanbul",
+    ] + [f"doc-{i}-{'x' * (i % 97)}" for i in range(200)]
+    sdf = spark.createDataFrame([(s,) for s in samples], "s string")
+    md = F.md5(F.col("s").cast("binary"))
+    got = {
+        r.s: (r.h0, r.h1)
+        for r in sdf.select(
+            "s",
+            md5_part60(md, 0).alias("h0"),
+            md5_part60(md, 1).alias("h1"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        d0, d1 = con.execute(
+            "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT),"
+            "       CAST('0x' || substr(md5(?), 16, 15) AS BIGINT)",
+            [s, s],
+        ).fetchone()
+        assert got[s] == (d0, d1), s

@@ -105,3 +105,34 @@ def test_ivf_stable_under_repartition(spark, emb):
         ).collect()
     }
     assert base == shuffled and len(base) > 0
+
+
+def test_quantized_topk_tracks_exact(spark, emb):
+    from olist_snowflake_dbt_spark.operators.similarity import quantized_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in brute_force_topk(emb, queries, k=10, exact=False).collect()
+    }
+    q8 = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_q8)
+        for r in quantized_topk(emb, queries, k=10).collect()
+    }
+    assert set(q8) == set(exact)
+    # int8 quantization error is ~1e-2 on cosine; the top-10 SETS per
+    # query overlap heavily even if exact ranks jitter
+    overlap = 0
+    for qid in {k[0] for k in exact}:
+        e = {v[0] for k, v in exact.items() if k[0] == qid}
+        g = {v[0] for k, v in q8.items() if k[0] == qid}
+        overlap += len(e & g) / len(e)
+    assert overlap / 10 >= 0.6
+    # and every reported q8 cosine is close to the exact cosine of the
+    # same pair
+    exact_pairs = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in brute_force_topk(emb, queries, k=len(emb.collect()), exact=False).collect()
+    }
+    for (qid, _rk), (nid, c8) in q8.items():
+        assert abs(c8 - exact_pairs[(qid, nid)]) < 0.05
