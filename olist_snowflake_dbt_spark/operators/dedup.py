@@ -22,7 +22,7 @@ smallest id of each connected component's star — single-linkage via the
 smaller-id representative, one extra groupBy).
 
 At 100 TB: exact dedup is one shuffle of (hash, id); MinHash-LSH shuffles
-(band_key, id) — band keys are uniform xxhash64 values so no skew; the
+(band_key, id) — band keys are uniform md5-derived values so no skew; the
 pair-verify join only touches colliding buckets. A hot bucket (e.g.
 boilerplate-heavy shingle sets) is capped with ``max_bucket`` to bound
 worst-case blow-up, trading recall for a hard cost ceiling — the standard

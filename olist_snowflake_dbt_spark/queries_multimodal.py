@@ -5,7 +5,8 @@ byte-level results are oracle-checkable in DuckDB: the byte-stats query
 matches md5/octet_length over the encoded text, and the frame-sample
 fan-out matches a generate_series reconstruction of the slice geometry.
 The decode/feature kernels return deterministic fakes (no codecs in the
-container) and are covered rows-only + by pytest equality tests.
+container); their byte-exact determinism is what makes even decode and
+feature extraction oracle-checkable (hex-reconstruction twins below).
 """
 
 from __future__ import annotations
