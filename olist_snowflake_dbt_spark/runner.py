@@ -31,7 +31,12 @@ from .operators.dq import (
     relationship_failures,
     unique_failures,
 )
-from .plans.materialize import MaterializedRelation, materialize_table, materialize_view
+from .plans.materialize import (
+    DynamicTable,
+    MaterializedRelation,
+    materialize_table,
+    materialize_view,
+)
 from .plans.registry import ModelRegistry
 from .sources.seeds import seed_to_parquet
 
@@ -99,6 +104,46 @@ class Engine:
                 # downstream consumers read the *written* table, like a
                 # warehouse CTAS (and so does the memoized registry entry)
                 self.registry._built[name] = rel.df
+            elif model.materialized == "incremental":
+                # dbt `materialized='incremental'`: the model body yields
+                # THIS run's batch; the engine merges it into the standing
+                # table per the configured strategy (B1)
+                from .operators.incremental import IncrementalTable
+
+                import os
+
+                t = IncrementalTable(
+                    self.spark,
+                    os.path.join(self.warehouse_dir, name),
+                    tuple(model.config.get("partition_by", ())),
+                )
+                out_df = t.apply(
+                    df,
+                    strategy=model.config.get("strategy", "merge"),
+                    unique_key=tuple(model.config.get("unique_key", ())),
+                    dedupe_order=model.config.get("dedupe_order"),
+                    event_time=model.config.get("event_time"),
+                )
+                out_df.createOrReplaceTempView(name)
+                rel = MaterializedRelation(name, "incremental", t.path, out_df)
+                self.registry._built[name] = out_df
+            elif model.materialized == "dynamic_table":
+                # B3: the model body yields a STREAMING DataFrame; each run
+                # refreshes the standing table (durable `checkpoint` config
+                # = incremental TARGET_LAG refresh; absent = full refresh)
+                import os
+
+                dt = DynamicTable(
+                    self.spark,
+                    os.path.join(self.warehouse_dir, name),
+                    list(model.config.get("unique_key", ())),
+                    tuple(model.config.get("partition_by", ())),
+                )
+                dt.refresh(df, checkpoint=model.config.get("checkpoint"))
+                out_df = dt.read()
+                out_df.createOrReplaceTempView(name)
+                rel = MaterializedRelation(name, "dynamic_table", dt.path, out_df)
+                self.registry._built[name] = out_df
             elif model.materialized == "ephemeral":
                 rel = MaterializedRelation(name, "ephemeral", None, df)
             else:

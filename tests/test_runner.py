@@ -135,3 +135,57 @@ def test_clone_zero_copy_shares_inodes_then_diverges(spark, sf_dir, tmp_path):
     materialize_table(spark, "clone_src", src_df.limit(3), str(tmp_path))
     assert spark.read.parquet(dst).count() == src_df.count()
     assert spark.read.parquet(rel.path).count() == 3
+
+
+def test_engine_incremental_materialization_merges_across_runs(spark, tmp_path):
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    batches = {"n": 0}
+
+    @eng.registry.model(name="latest_state", materialized="incremental",
+                        unique_key=["id"], strategy="merge")
+    def latest_state(ctx):
+        if batches["n"] == 0:
+            return ctx.spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        return ctx.spark.createDataFrame([(2, "b2"), (3, "c")], "id long, v string")
+
+    eng.run()
+    assert {r.id: r.v for r in eng.relations["latest_state"].df.collect()} == {
+        1: "a", 2: "b"}
+    batches["n"] = 1
+    eng.run()
+    assert {r.id: r.v for r in eng.relations["latest_state"].df.collect()} == {
+        1: "a", 2: "b2", 3: "c"}
+
+
+def test_engine_dynamic_table_materialization(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from olist_snowflake_dbt_spark.runner import Engine
+    from olist_snowflake_dbt_spark.sources.readers import read_table
+    from olist_snowflake_dbt_spark.streaming import (
+        stream_events,
+        windowed_event_counts,
+    )
+
+    eng = Engine(spark, str(tmp_path))
+
+    @eng.registry.model(name="hourly_counts", materialized="dynamic_table",
+                        unique_key=["window_start", "event_type"])
+    def hourly_counts(ctx):
+        return windowed_event_counts(
+            stream_events(ctx.spark, sf_dir), "1 hour", watermark="30 minutes")
+
+    eng.run()
+    got = eng.relations["hourly_counts"].df.count()
+    want = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour")["start"], "event_type")
+        .count()
+        .count()
+    )
+    assert got == want
+    # tests can run against the dynamic table like any other model
+    eng.test_not_null("hourly_counts", "event_type")
+    assert all(t.status.name == "PASS" for t in eng.test())
