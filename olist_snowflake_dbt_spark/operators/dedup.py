@@ -52,7 +52,6 @@ from ..functions.text import (
     shingle_strings_from_words,
     words,
 )
-from ..functions.vector import cosine_similarity
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:

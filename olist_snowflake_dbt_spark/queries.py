@@ -15,7 +15,6 @@ Determinism rules (see SURVEY.md §7 risk register):
 from __future__ import annotations
 
 from collections.abc import Callable
-from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

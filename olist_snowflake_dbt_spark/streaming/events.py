@@ -29,7 +29,6 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
 # ts is declared LONG: events.parquet stores TIMESTAMP(NANOS), which the
