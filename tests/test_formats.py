@@ -138,3 +138,80 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "2024-01-02" in pf or "19725" in pf  # literal date or epoch-day
     assert back.count() == 1
+
+
+def test_zorder_table_skips_files_on_both_dims(spark, tmp_path, sf_dir):
+    import pyarrow.parquet as pq
+
+    from olist_snowflake_dbt_spark.plans.materialize import (
+        materialize_zorder_table,
+    )
+    from olist_snowflake_dbt_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    rel = materialize_zorder_table(
+        spark, "orders_z", orders, str(tmp_path),
+        ["o_orderkey", "o_totalprice"], num_files=8,
+    )
+    assert rel.df.count() == orders.count()
+
+    def file_boxes(col):
+        boxes = []
+        for f in os.listdir(rel.path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(rel.path, f))
+            idx = md.schema.names.index(col)
+            stats = [md.row_group(rg).column(idx).statistics
+                     for rg in range(md.num_row_groups)]
+            boxes.append((min(s.min for s in stats), max(s.max for s in stats)))
+        return boxes
+
+    for col in ("o_orderkey", "o_totalprice"):
+        boxes = file_boxes(col)
+        assert len(boxes) >= 4
+        glob_lo = min(b[0] for b in boxes)
+        glob_hi = max(b[1] for b in boxes)
+        # every file covers a strict subset of EACH dimension's range —
+        # single-key range clustering can't do this for the second key
+        avg_span = sum(b[1] - b[0] for b in boxes) / len(boxes)
+        assert avg_span < 0.8 * (glob_hi - glob_lo), col
+        # a point predicate on this dim alone skips at least one file
+        probe = glob_lo + (glob_hi - glob_lo) * 0.1
+        containing = sum(1 for b in boxes if b[0] <= probe <= b[1])
+        assert containing < len(boxes), col
+
+
+def test_dynamic_partition_pruning_in_join(spark, tmp_path, sf_dir):
+    # fact partitioned on event_date; the dim side's selective filter is
+    # only resolvable at runtime, so Catalyst inserts a dynamic pruning
+    # subquery into the fact scan's partition filters — at 100 TB this is
+    # what keeps a dim-filtered join from scanning every date partition
+    import datetime as dt
+
+    from olist_snowflake_dbt_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts"))
+    path = str(tmp_path / "events_by_date")
+    ev.write.partitionBy("event_date").parquet(path)
+    fact = spark.read.parquet(path)
+    dates = [r.event_date for r in fact.select("event_date").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(d, "keep" if i < 2 else "drop") for i, d in enumerate(sorted(dates))],
+        "event_date date, tag string",
+    )
+    joined = (
+        fact.join(dim.filter(F.col("tag") == "keep"), "event_date")
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = joined._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan.lower()
+    got = {r.event_type: r.n for r in joined.collect()}
+    keep_dates = set(sorted(dates)[:2])
+    want = {
+        r.event_type: r.n
+        for r in ev.filter(F.col("event_date").isin(keep_dates))
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
