@@ -327,11 +327,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH e2 AS ({_PLANTED_EMB})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           CAST({_DOT_DEC} AS DOUBLE)
+           ROUND(CAST({_DOT_DEC} AS DOUBLE)
            / (SQRT(CAST((SELECT SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,15)))
                          FROM (SELECT UNNEST(a.embedding) AS x)) AS DOUBLE))
               * SQRT(CAST((SELECT SUM(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,15)))
-                           FROM (SELECT UNNEST(b.embedding) AS y)) AS DOUBLE)))
+                           FROM (SELECT UNNEST(b.embedding) AS y)) AS DOUBLE))), 9)
                AS cosine
     FROM e2 a JOIN e2 b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE CAST({_DOT_DEC} AS DOUBLE)
@@ -344,9 +344,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: cosine ≥ 0.95 among label-blocked pairs
     (blocking keeps the verify path sub-quadratic; planted exact dups
-    score 1.0). Decimal dot → bit-identical across engines."""
+    score 1.0). Decimal dot is bit-identical across engines; the OUTPUT
+    score is rounded to 9 decimals like brute_topk because DuckDB's
+    DECIMAL→DOUBLE cast is not correctly rounded (at sf0.1 it rendered
+    an exact-dup cosine as 1.0000000000000002 vs Spark's 1.0)."""
     e2 = _planted_emb(spark, sf_dir)
-    return DD.embedding_cosine_pairs(e2, "embedding", "vec_id", 0.95, block_col="label")
+    pairs = DD.embedding_cosine_pairs(e2, "embedding", "vec_id", 0.95, block_col="label")
+    return pairs.withColumn("cosine", F.round("cosine", 9))
 
 
 @query(
