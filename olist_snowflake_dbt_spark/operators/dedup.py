@@ -1,6 +1,6 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Five strategies, all shuffle-frugal and UDF-free:
+Six strategies, all shuffle-frugal and UDF-free:
 
 - :func:`exact_dedup`            — hash-groupBy on a normalized fingerprint;
                                    one shuffle on the 128-bit hash.
@@ -12,7 +12,9 @@ Five strategies, all shuffle-frugal and UDF-free:
                                    then signature-level verify. The scale
                                    path: cost ∝ documents + collisions,
                                    never O(n²).
-- :func:`simhash_pairs`          — 64-bit SimHash + banded Hamming join.
+- :func:`simhash_pairs`          — 60-bit SimHash + banded Hamming join.
+- :func:`winnow_pairs`           — winnowed rolling-hash fingerprints
+                                   (MOSS); the sparse fingerprint path.
 - :func:`embedding_cosine_pairs` — near-dup by embedding cosine ≥ τ
                                    (LSH-bucketed variant in similarity.py).
 

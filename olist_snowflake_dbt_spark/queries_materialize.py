@@ -47,6 +47,50 @@ def q_clone_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zorder_roundtrip",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_total
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 5000 AND o_totalprice < 150000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered materialization read back through a TWO-column
+    predicate (the workload the Morton layout exists for): the
+    aggregate over the re-read files must equal the oracle computed on
+    the source — proving the interleaved-bucket rewrite is lossless.
+    File-level skipping on both dimensions is asserted from parquet
+    footers in tests/test_formats.py."""
+    from .plans.materialize import materialize_zorder_table
+    from .queries import _t
+
+    orders = _t(spark, sf_dir, "orders")
+    warehouse = FMT.scratch_dir("materialize", "warehouse")
+    rel = materialize_zorder_table(
+        spark, "orders_zorder", orders, warehouse,
+        ["o_orderkey", "o_totalprice"], num_files=8,
+    )
+    return (
+        rel.df.filter(
+            F.col("o_orderkey").between(1000, 5000)
+            & (F.col("o_totalprice") < 150000)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("sum_total"),
+        )
+    )
+
+
+@query(
     "dynamic_table_refresh",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

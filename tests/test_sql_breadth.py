@@ -125,3 +125,37 @@ def test_two_phase_distinct_ignores_nulls(spark):
             F.countDistinct("x").alias("n")).collect()
     }
     assert got == oracle
+
+
+def test_decimal_double_cast_parity_boundary(spark):
+    # pins the engine contract every presentation cast relies on: the
+    # DECIMAL->DOUBLE cast is bit-identical between Spark and DuckDB
+    # while the unscaled value stays below 2^53 (probed to 1e15 at
+    # scale 2). Beyond that boundary (see README) outputs go VARCHAR.
+    import random
+
+    import duckdb
+
+    random.seed(7)
+    vals = [random.randrange(1, 10**d) for d in range(1, 16) for _ in range(300)]
+    sdf = spark.createDataFrame([(v,) for v in vals], "cents long")
+    srows = [
+        r.d
+        for r in sdf.select(
+            (F.col("cents").cast("decimal(38,2)") / 100)
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("d")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(cents BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    drows = [
+        d
+        for (d,) in con.sql(
+            "SELECT CAST(CAST(CAST(cents AS DECIMAL(38,2)) / 100"
+            " AS DECIMAL(38,2)) AS DOUBLE) FROM t"
+        ).fetchall()
+    ]
+    assert [repr(s) for s in srows] == [repr(d) for d in drows]
