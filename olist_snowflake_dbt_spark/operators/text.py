@@ -8,10 +8,10 @@ is deterministic (oracle-checkable).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, token_count, tokens
+from ..functions.text import fingerprint, token_count, tokens, words
 
 # Tiny per-language stopword sets — the heuristic's knowledge base. An
 # n-gram language model would be loaded the same way (broadcast lookup).
@@ -138,3 +138,121 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("doc_fingerprint", fingerprint(text_col))
+
+
+def tfidf_topk(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    Returns ``(id, term, tf, doc_freq, score, rank)`` with
+    ``score = tf * (n_docs / doc_freq)`` — a RATIONAL idf (no log):
+    IEEE multiply/divide are exactly specified, so the score is
+    bit-identical on any engine, while ``ln`` is not correctly-rounded
+    and may differ in the last ulp between libm implementations. The
+    rational form is strictly monotone in ``ln(n/df)`` at fixed tf, so
+    rare-term ordering is preserved; the tf/idf TRADE-OFF differs from
+    the classic formula, which is fine for a deterministic
+    keyword-extraction operator and essential for oracle parity.
+
+    Shape at 100 TB: explode is map-side; tf aggregates on
+    ``(id, term)`` (one shuffle), doc_freq re-aggregates the much
+    smaller tf frame on ``term`` (second shuffle, partial-agg
+    combined), the corpus size joins in as a broadcast scalar, and the
+    final top-k is a bounded window per document. No driver collect."""
+    w = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doc_freq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.col("n_docs").cast("double") / F.col("doc_freq")),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "score", "rank")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    n-word shingle with an evaluation/benchmark document (the standard
+    pre-training hygiene pass that keeps eval data out of the corpus).
+
+    Returns one row per CONTAMINATED training doc:
+    ``(id, n_shared_shingles, n_benchmark_docs)``.
+
+    Both sides shingle once (distinct n-gram strings per doc), hash each
+    shingle to an engine-portable 60-bit key (functions/hashing.py), and
+    meet in an inverted-index equi-join on the 8-byte key — cost is
+    proportional to documents + true overlaps, never pairwise. Benchmark
+    suites are tiny relative to a 100 TB corpus, so the benchmark side
+    is explicitly broadcast: the corpus never shuffles at all — the scan
+    streams past a hashed eval-set and emits only hits."""
+    from ..functions.hashing import portable_hash60
+    from ..functions.text import shingle_strings_from_words, words as _words
+
+    def exploded(df: DataFrame, prefix: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(f"{prefix}_id"), F.col(text_col).alias("__t")
+        ).withColumn("__w", _words(F.col("__t")))
+        return base.select(
+            f"{prefix}_id",
+            F.explode(shingle_strings_from_words(F.col("__w"), n)).alias("__s"),
+        ).select(f"{prefix}_id", portable_hash60(F.col("__s")).alias("__h"))
+
+    t = exploded(train, "train")
+    b = exploded(benchmark, "bench")
+    return (
+        t.join(F.broadcast(b), "__h")
+        .groupBy("train_id")
+        .agg(
+            F.countDistinct("__h").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+        .withColumnRenamed("train_id", id_col)
+    )
+
+
+def pseudonymize(
+    df: DataFrame,
+    surrogate_cols: list[str],
+    mask_cols: list[str],
+    keep_last: int = 4,
+) -> DataFrame:
+    """PII pseudonymization for training-data prep: each
+    ``surrogate_cols`` column is replaced by its md5 digest (a stable
+    join-safe pseudonym — the same raw value maps to the same surrogate
+    across tables and runs, so referential structure survives), and each
+    ``mask_cols`` column has every digit except the last ``keep_last``
+    replaced by ``*`` (values with ≤ keep_last trailing chars pass
+    through). Pure Catalyst string expressions — one codegen'd scan, no
+    shuffle, no UDF; the same columns a 100 TB run would rewrite
+    in-place during ingest."""
+    out = df
+    for c in surrogate_cols:
+        out = out.withColumn(c, F.md5(F.col(c).cast("binary")))
+    for c in mask_cols:
+        ln = F.length(F.col(c))
+        masked = F.concat(
+            F.regexp_replace(
+                F.col(c).substr(F.lit(1), ln - keep_last), "[0-9]", "*"
+            ),
+            F.col(c).substr(ln - keep_last + 1, F.lit(keep_last)),
+        )
+        out = out.withColumn(c, F.when(ln > keep_last, masked).otherwise(F.col(c)))
+    return out

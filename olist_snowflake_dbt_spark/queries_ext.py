@@ -730,3 +730,129 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return TX.quality_score(docs).select(
         "doc_id", "n_tokens", "punct_ratio", "digit_ratio")
+
+
+@query(
+    "text_tfidf_topk",
+    f"""
+    WITH w AS (
+        SELECT doc_id, UNNEST({_WORDS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM w
+        WHERE term <> '' GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+               tf.tf * (CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term ASC) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, doc_freq, score, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by rational tf-idf
+    (operators/text.tfidf_topk): log-free idf keeps the score
+    bit-identical across engines."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.tfidf_topk(docs, "text", "doc_id", 3)
+
+
+@query(
+    "text_decontaminate",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 3, 1)),
+                   i -> array_to_string(w[i:i+3], ' '))) AS shingles
+        FROM w
+    ),
+    s AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    ex AS (
+        SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+        FROM s
+    ),
+    bench AS (SELECT * FROM ex WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM ex WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.h) AS n_shared_shingles,
+           COUNT(DISTINCT b.doc_id) AS n_benchmark_docs
+    FROM train t JOIN bench b ON t.h = b.h
+    GROUP BY 1
+    """,
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/text.decontaminate): flag
+    training docs sharing any 4-word shingle with the held-out
+    benchmark slice (doc_id % 97 == 0); the benchmark side broadcasts,
+    so the corpus scan never shuffles."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return TX.decontaminate(train, bench, "text", "doc_id", 4)
+
+
+_SYNTH_PHONE = (
+    "substr(lpad(CAST(c_custkey * 7919 + 12345 AS VARCHAR), 10, '0'), 1, 3)"
+    " || '-' || substr(lpad(CAST(c_custkey * 7919 + 12345 AS VARCHAR), 10, '0'), 4, 3)"
+    " || '-' || substr(lpad(CAST(c_custkey * 7919 + 12345 AS VARCHAR), 10, '0'), 7, 4)"
+)
+
+
+@query(
+    "text_pii_pseudonymize",
+    f"""
+    WITH c AS (SELECT c_custkey, c_name, {_SYNTH_PHONE} AS c_phone FROM customer)
+    SELECT c_custkey,
+           md5(c_name) AS c_name,
+           regexp_replace(substr(c_phone, 1, length(c_phone) - 4),
+                          '[0-9]', '*', 'g')
+             || substr(c_phone, length(c_phone) - 3, 4) AS c_phone,
+           length(c_phone)
+             - length(regexp_replace(c_phone, '[0-9]', '', 'g'))
+             AS n_phone_digits
+    FROM c
+    """,
+)
+def q_text_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pseudonymization (operators/text.pseudonymize): stable md5
+    surrogate for the name, digit-masked phone keeping the last 4 —
+    one codegen'd scan, no shuffle. The testdata carries no PII-shaped
+    column, so a deterministic synthetic phone is derived from
+    c_custkey identically on both engines; the operator under test is
+    the masking/surrogate rewrite, not the synthesis."""
+    digits = F.lpad((F.col("c_custkey") * 7919 + 12345).cast("string"), 10, "0")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .withColumn(
+            "c_phone",
+            F.concat_ws(
+                "-",
+                F.substring(digits, 1, 3),
+                F.substring(digits, 4, 3),
+                F.substring(digits, 7, 4),
+            ),
+        )
+        # digit audit on the RAW value, before masking rewrites it
+        .withColumn(
+            "n_phone_digits",
+            (
+                F.length("c_phone")
+                - F.length(F.regexp_replace(F.col("c_phone"), "[0-9]", ""))
+            ).cast("long"),
+        )
+    )
+    return TX.pseudonymize(cust, ["c_name"], ["c_phone"], keep_last=4).select(
+        "c_custkey", "c_name", "c_phone", "n_phone_digits"
+    )

@@ -10,8 +10,11 @@ from olist_snowflake_dbt_spark.functions.text import (
     words,
 )
 from olist_snowflake_dbt_spark.operators.text import (
+    decontaminate,
     language_id,
+    pseudonymize,
     quality_score,
+    tfidf_topk,
     token_stats,
 )
 
@@ -79,3 +82,61 @@ def test_token_stats_bpe_regex(spark):
     # hello , world 4 2 !  → 6 subword tokens (digits split singly)
     assert r.n_subword_tokens == 6
     assert r.n_chars_measured == 16
+
+
+def test_tfidf_topk_ranks_rare_terms_first(spark):
+    # "zebra" appears once in doc 1 only (df=1); "common" is in all docs
+    # (df=3) — at equal tf the rarer term must outrank the common one.
+    df = spark.createDataFrame(
+        [
+            (1, "common zebra common"),
+            (2, "common apple apple"),
+            (3, "common banana"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.rank): r
+        for r in tfidf_topk(df, "text", "doc_id", 2).collect()
+    }
+    assert out[(1, 1)].term == "zebra"  # tf=1 * 3/1 = 3.0 beats tf=2 * 3/3 = 2.0
+    assert out[(1, 1)].score == 3.0
+    assert out[(1, 2)].term == "common" and out[(1, 2)].score == 2.0
+    assert out[(2, 1)].term == "apple" and out[(2, 1)].tf == 2
+    # every doc gets at most k rows, ranks are 1..k with no gaps
+    assert sorted(k[1] for k in out if k[0] == 3) == [1, 2]
+
+
+def test_decontaminate_flags_shared_ngrams_only(spark):
+    # train doc 10 shares the benchmark's 4-gram verbatim; doc 11 shares
+    # only single words (no 4-gram) and must NOT be flagged.
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "intro text then the quick brown fox appears here"),
+            (11, "quick dog lazy fox but never four in a row"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in decontaminate(train, bench, "text", "doc_id", 4).collect()}
+    assert set(rows) == {10}
+    assert rows[10].n_shared_shingles == 1  # "the quick brown fox"
+    assert rows[10].n_benchmark_docs == 1
+
+
+def test_pseudonymize_masks_and_surrogates(spark):
+    df = spark.createDataFrame(
+        [(1, "Alice Smith", "415-555-0199"), (2, "Bob", "99")],
+        "id long, name string, phone string",
+    )
+    rows = {r.id: r for r in pseudonymize(df, ["name"], ["phone"]).collect()}
+    assert rows[1].phone == "***-***-0199"
+    assert rows[2].phone == "99"  # shorter than keep_last: untouched
+    # surrogate is a stable md5, not the raw value
+    import hashlib
+
+    assert rows[1].name == hashlib.md5(b"Alice Smith").hexdigest()
+    assert rows[2].name == hashlib.md5(b"Bob").hexdigest()
