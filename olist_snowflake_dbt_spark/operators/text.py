@@ -140,6 +140,45 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("doc_fingerprint", fingerprint(text_col))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals — the standard
+    pre-training quality filters that catch boilerplate and degenerate
+    generations:
+
+    - ``n_words``
+    - ``dup_word_frac``  — 1 - distinct words / words
+    - ``dup_2gram_frac`` — 1 - distinct 2-grams / 2-grams
+
+    Pure per-row array expressions over one bound word array: zero
+    shuffle, zero UDF — at 100 TB this is a map-only pass fused into
+    the scan. Empty documents score 0.0 (nothing repeats)."""
+    base = df.withColumn("__w", words(text_col))
+    nw = F.size(F.col("__w"))
+    n2 = F.greatest(nw - 1, F.lit(0))
+    # 2-grams as strings over the bound array; distinct via array_distinct
+    grams = F.when(nw >= 2, F.transform(
+        F.slice(F.col("__w"), 1, n2),
+        lambda w, i: F.concat_ws(" ", w, F.element_at(F.col("__w"), i + 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    out = (
+        base.withColumn("n_words", nw.cast("long"))
+        .withColumn(
+            "dup_word_frac",
+            F.when(nw > 0, 1.0 - F.size(F.array_distinct(F.col("__w"))) / nw)
+            .otherwise(0.0),
+        )
+        .withColumn("__g", grams)
+        .withColumn(
+            "dup_2gram_frac",
+            F.when(
+                F.size(F.col("__g")) > 0,
+                1.0 - F.size(F.array_distinct(F.col("__g"))) / F.size(F.col("__g")),
+            ).otherwise(0.0),
+        )
+    )
+    return out.drop("__w", "__g")
+
+
 def tfidf_topk(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

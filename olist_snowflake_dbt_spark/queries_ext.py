@@ -802,6 +802,40 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.decontaminate(train, bench, "text", "doc_id", 4)
 
 
+@query(
+    "text_repetition_stats",
+    f"""
+    WITH w AS (
+        SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id, w,
+               CASE WHEN len(w) >= 2
+                    THEN list_transform(generate_series(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i+1])
+                    ELSE [] END AS g2
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CASE WHEN len(w) > 0
+                THEN 1.0 - len(list_distinct(w)) / len(w)
+                ELSE 0.0 END AS dup_word_frac,
+           CASE WHEN len(g2) > 0
+                THEN 1.0 - len(list_distinct(g2)) / len(g2)
+                ELSE 0.0 END AS dup_2gram_frac
+    FROM g
+    """,
+)
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators/text.repetition_stats):
+    duplicate-word and duplicate-2-gram fractions, map-only."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.repetition_stats(docs).select(
+        "doc_id", "n_words", "dup_word_frac", "dup_2gram_frac"
+    )
+
+
 _SYNTH_PHONE = (
     "substr(lpad(CAST(c_custkey * 7919 + 12345 AS VARCHAR), 10, '0'), 1, 3)"
     " || '-' || substr(lpad(CAST(c_custkey * 7919 + 12345 AS VARCHAR), 10, '0'), 4, 3)"

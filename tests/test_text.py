@@ -140,3 +140,24 @@ def test_pseudonymize_masks_and_surrogates(spark):
 
     assert rows[1].name == hashlib.md5(b"Alice Smith").hexdigest()
     assert rows[2].name == hashlib.md5(b"Bob").hexdigest()
+
+
+def test_repetition_stats_flags_degenerate_docs(spark):
+    from olist_snowflake_dbt_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one word repeated
+            (2, "all words here are different"),  # no repetition
+            (3, "a b a b a b"),                  # repeated 2-grams
+            (4, ""),                             # empty: scores 0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].dup_word_frac == 0.75 and rows[1].dup_2gram_frac == 1.0 - 1 / 3
+    assert rows[2].dup_word_frac == 0.0 and rows[2].dup_2gram_frac == 0.0
+    assert rows[3].dup_word_frac == 1.0 - 2 / 6  # a,b distinct of 6
+    # 5 bigrams: "a b" x3 + "b a" x2 -> 2 distinct -> 0.6 duplicated
+    assert rows[3].dup_2gram_frac == 1.0 - 2 / 5  # noqa: keep 1-x form
+    assert rows[4].n_words == 0 and rows[4].dup_word_frac == 0.0
