@@ -195,16 +195,20 @@ def tfidf_topk(
     keyword-extraction operator and essential for oracle parity.
 
     Shape at 100 TB: explode is map-side; tf aggregates on
-    ``(id, term)`` (one shuffle), doc_freq re-aggregates the much
-    smaller tf frame on ``term`` (second shuffle, partial-agg
-    combined), the corpus size joins in as a broadcast scalar, and the
-    final top-k is a bounded window per document. No driver collect."""
+    ``(id, term)`` (one shuffle); doc_freq is a COUNT window over the
+    term partition of that same tf frame — one more shuffle but NO
+    second scan (a groupBy("term") formulation reads identically but
+    Catalyst re-derives the whole tf branch for it, doubling the
+    corpus scan); the corpus size joins in as a broadcast scalar, and
+    the final top-k is a bounded window per document. No driver
+    collect."""
     w = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
     tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(doc_freq, "term")
+        tf.withColumn(
+            "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .join(F.broadcast(n_docs))
         .withColumn(
             "score",
