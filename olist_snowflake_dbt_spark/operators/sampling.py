@@ -76,6 +76,71 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     return df.filter(_hash_prefix(id_col) < F.lit(_boundary(fraction)))
 
 
+def mix_sources(
+    df: DataFrame, source_col: str, id_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Corpus mixing: deterministically downsample each source to its
+    configured rate (the pre-training recipe step — e.g. keep 100% of
+    curated sources, 30% of web crawl). A row of source ``s`` survives
+    iff its md5 prefix falls below ``_boundary(weights[s])``; sources
+    absent from ``weights`` are dropped entirely.
+
+    Pure per-row filter — zero shuffle at any corpus size, stable under
+    re-runs, engine changes, and corpus growth (adding documents never
+    flips existing keep/drop decisions)."""
+    for s, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for source {s!r} must be in [0,1], got {w}")
+    h = _hash_prefix(id_col)
+    keep: Column = F.lit(False)
+    for s, w in weights.items():
+        keep = keep | ((F.col(source_col) == s) & (h < F.lit(_boundary(w))))
+    return df.filter(keep)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    length_col: str | Column,
+    budget: int,
+    group_col: str | None = None,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget training
+    sequences by running offset — doc d belongs to the pack where its
+    first token lands in the concatenated (group, shard) stream; the
+    tokenizer stage later splits stragglers at pack boundaries.
+
+    Adds ``shard`` (= id % n_shards), ``seq_start`` (running token
+    offset within the shard), and ``pack_id`` (= seq_start div budget,
+    unique within (group, shard)).
+
+    Scale shape: packing is a running SUM window, which would serialize
+    into ONE reducer per group — a giant source would bottleneck. The
+    shard key bounds every window partition to ~1/n_shards of its
+    group, the standard sharded-packing layout (each shard's packs are
+    independent training sequences). One window shuffle total; all
+    arithmetic integer-exact."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    ln = F.col(length_col) if isinstance(length_col, str) else length_col
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    parts = ([group_col] if group_col else []) + ["shard"]
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.withColumn("shard", shard)
+        .withColumn("seq_start", (F.sum(ln).over(w) - ln).cast("long"))
+        .withColumn(
+            "pack_id", F.expr(f"seq_start div {int(budget)}").cast("long")
+        )
+    )
+    return out
+
+
 def stratified_topn(
     df: DataFrame, stratum_col: str, id_col: str, n: int
 ) -> DataFrame:

@@ -116,3 +116,51 @@ def q_pandas_group_vector_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), "embedding", "label", 64
     )
     return sums.withColumn("dim_sum", F.col("dim_sum").cast("string"))
+
+
+@query(
+    "sample_mix_sources",
+    f"""
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE (source = 'src0' AND {_H.format(c='doc_id')} < 'gggggggg')
+       OR (source = 'src1' AND {_H.format(c='doc_id')} < '80000000')
+       OR (source = 'src2' AND {_H.format(c='doc_id')} < '40000000')
+       OR (source = 'src3' AND {_H.format(c='doc_id')} < '19999999')
+    GROUP BY source
+    """,
+)
+def q_sample_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing (operators/sampling.mix_sources): per-source keep
+    rates 1.0/0.5/0.25/0.1, all other sources dropped — a pure filter,
+    zero shuffle before the audit aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SMP.mix_sources(
+        docs, "source", "doc_id",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@query(
+    "sample_pack_sequences",
+    """
+    SELECT doc_id, source,
+           CAST(doc_id % 8 AS INTEGER) AS shard,
+           CAST(SUM(n_chars) OVER w - n_chars AS BIGINT) AS seq_start,
+           CAST((SUM(n_chars) OVER w - n_chars) // 4096 AS BIGINT) AS pack_id
+    FROM documents
+    WINDOW w AS (PARTITION BY source, doc_id % 8 ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q_sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/sampling.pack_sequences): running
+    char-offset within (source, shard), pack = offset div 4096; the
+    shard key bounds every window partition so no source serializes
+    into one reducer."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = SMP.pack_sequences(docs, "doc_id", "n_chars", 4096, "source", 8)
+    return out.select("doc_id", "source", "shard", "seq_start", "pack_id")

@@ -92,3 +92,47 @@ def test_group_vector_sums_schema(spark, sf_dir):
         "label", "dim_idx", "dim_sum", "n_vecs",
     ]
     assert str(out.schema["dim_sum"].dataType) == "DecimalType(38,15)"
+
+
+def test_mix_sources_rates_and_drops(spark):
+    from olist_snowflake_dbt_spark.operators.sampling import mix_sources
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("source"),
+    )
+    out = mix_sources(df, "source", "doc_id", {"s0": 1.0, "s1": 0.3})
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["s0"] == 2000  # weight 1.0 keeps everything
+    assert 450 <= counts["s1"] <= 750  # ~30% of 2000, md5-uniform
+    # absent source -> dropped entirely
+    out2 = mix_sources(df, "source", "doc_id", {"s0": 0.5})
+    assert out2.filter(F.col("source") == "s1").count() == 0
+    # determinism: same rows survive on re-run
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in mix_sources(df, "source", "doc_id", {"s0": 1.0, "s1": 0.3}).collect()}
+    assert a == b
+
+
+def test_pack_sequences_offsets_and_budget(spark):
+    from olist_snowflake_dbt_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 1000) for i in range(10)], "doc_id long, n_toks long"
+    )
+    # single shard so the running offset is one stream: starts 0,1000,...
+    out = {r.doc_id: r for r in
+           pack_sequences(df, "doc_id", "n_toks", 2500, n_shards=1).collect()}
+    assert [out[i].seq_start for i in range(10)] == [i * 1000 for i in range(10)]
+    # pack boundaries at floor(start/2500): 0,0,0,1,1,2,2,2,3,3
+    assert [out[i].pack_id for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    # sharding bounds partitions: every shard's offsets restart at 0
+    sharded = pack_sequences(df, "doc_id", "n_toks", 2500, n_shards=5)
+    firsts = (
+        sharded.groupBy("shard").agg(F.min("seq_start").alias("m")).collect()
+    )
+    assert all(r.m == 0 for r in firsts)
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_toks", 0)
