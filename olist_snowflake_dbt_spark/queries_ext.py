@@ -836,6 +836,113 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_prep_pipeline",
+    f"""
+    WITH w AS (
+        SELECT doc_id, source, n_chars,
+               list_filter({_WORDS}, x -> x <> '') AS w
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source, n_chars, w FROM w
+        WHERE len(w) >= 20
+          AND 1.0 - len(list_distinct(w)) / len(w) < 0.65
+          AND doc_id % 97 <> 0
+    ),
+    qsh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 3, 1)),
+                   i -> array_to_string(w[i:i+3], ' '))) AS shingles
+        FROM q
+    ),
+    qex AS (
+        SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, UNNEST(shingles) AS s FROM qsh)
+    ),
+    bsh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 3, 1)),
+                   i -> array_to_string(w[i:i+3], ' '))) AS shingles
+        FROM w WHERE doc_id % 97 = 0
+    ),
+    bex AS (
+        SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, UNNEST(shingles) AS s FROM bsh)
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id FROM qex t JOIN bex b ON t.h = b.h
+    ),
+    kept AS (
+        SELECT doc_id, source, n_chars FROM q
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+          AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+    ),
+    packed AS (
+        SELECT source, CAST(doc_id % 8 AS INTEGER) AS shard, n_chars,
+               CAST((SUM(n_chars) OVER w2 - n_chars) // 4096 AS BIGINT)
+                   AS pack_id
+        FROM kept
+        WINDOW w2 AS (PARTITION BY source, doc_id % 8 ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT shard * 1000000 + pack_id) AS BIGINT) AS n_packs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM packed GROUP BY source
+    """,
+)
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation — the operators composed
+    the way a real 100 TB pre-training run chains them:
+
+    1. quality gate   (repetition_stats: n_words ≥ 20, dup_word_frac < 0.65)
+    2. decontaminate  (drop docs sharing a 4-gram with the benchmark
+                       slice doc_id %% 97 == 0; benchmark broadcast)
+    3. split          (hash_split, keep the 80%% train partition)
+    4. pack           (running-offset packing, 4096-char budget,
+                       8 shards per source)
+    5. audit          (per-source doc/pack/char accounting)
+
+    Every stage is the first-class operator, not a re-implementation;
+    the whole chain is one declarative plan Catalyst optimizes end to
+    end (the quality filter pushes into the scan feeding BOTH the
+    shingle branch and the packing branch)."""
+    from .operators import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    rep = TX.repetition_stats(docs)
+    q = rep.filter(
+        (F.col("n_words") >= 20)
+        & (F.col("dup_word_frac") < 0.65)
+        & (F.col("doc_id") % 97 != 0)
+    ).select("doc_id", "source", "n_chars", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    contaminated = TX.decontaminate(q, bench, "text", "doc_id", 4).select("doc_id")
+    kept = (
+        q.join(contaminated, "doc_id", "left_anti")
+        .transform(
+            lambda d: SMP.hash_split(
+                d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+            )
+        )
+        .filter(F.col("split") == "train")
+        .select("doc_id", "source", "n_chars")
+    )
+    packed = SMP.pack_sequences(kept, "doc_id", "n_chars", 4096, "source", 8)
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(
+            F.col("shard").cast("long") * 1000000 + F.col("pack_id")
+        ).alias("n_packs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 _SYNTH_PHONE = (
     "substr(lpad(CAST(c_custkey * 7919 + 12345 AS VARCHAR), 10, '0'), 1, 3)"
     " || '-' || substr(lpad(CAST(c_custkey * 7919 + 12345 AS VARCHAR), 10, '0'), 4, 3)"
