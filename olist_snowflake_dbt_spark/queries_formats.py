@@ -153,3 +153,45 @@ def q_sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "fmt_schema_evolution",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_with_priority,
+           COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1
+                               THEN o_orderpriority END) AS n_priorities,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_fmt_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: epoch-1 files lack o_orderpriority (even keys),
+    epoch-2 files carry it (odd keys); a mergeSchema read reconciles by
+    name, so epoch-1 rows surface NULL priority. The aggregate proves
+    NULL-fill placement and value fidelity against an oracle that
+    synthesizes the same NULLs from the source table."""
+    src = _t(spark, sf_dir, "orders")
+    v1 = src.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = src.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    p1 = FMT.scratch_dir("fmt_evolution", "epoch1")
+    p2 = FMT.scratch_dir("fmt_evolution", "epoch2")
+    v1.write.mode("overwrite").parquet(p1)
+    v2.write.mode("overwrite").parquet(p2)
+    back = FMT.read_parquet_merged(spark, p1, p2)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("sum_total"),
+    )

@@ -106,6 +106,18 @@ def write_partitioned_parquet(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def read_parquet_merged(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union parquet file sets written at
+    different schema epochs (columns added over time), reconciling by
+    COLUMN NAME — rows from files that predate a column read as NULL.
+    ``mergeSchema`` pays one footer pass over each file set at planning
+    time; at 100 TB keep epochs coarse (per-ingest-generation
+    directories) so the footer merge stays metadata-sized. Filters and
+    pruning still push to every file: columns missing from a file are
+    only materialized as NULL above the scan."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def scratch_dir(*parts: str) -> str:
     """Repo-local scratch root for sink round-trips (gitignored)."""
     base = os.path.join(

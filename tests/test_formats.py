@@ -215,3 +215,18 @@ def test_dynamic_partition_pruning_in_join(spark, tmp_path, sf_dir):
         .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_schema_evolution_merge_nulls(spark, tmp_path):
+    from olist_snowflake_dbt_spark.sources.formats import read_parquet_merged
+
+    v1 = spark.createDataFrame([(1, "a")], "id long, x string")
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "id long, x string, score double")
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    v1.write.parquet(p1)
+    v2.write.parquet(p2)
+    back = read_parquet_merged(spark, p1, p2)
+    assert set(back.columns) == {"id", "x", "score"}
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].score is None  # epoch-1 file predates the column
+    assert rows[2].score == 9.5
