@@ -195,20 +195,24 @@ def tfidf_topk(
     keyword-extraction operator and essential for oracle parity.
 
     Shape at 100 TB: explode is map-side; tf aggregates on
-    ``(id, term)`` (one shuffle); doc_freq is a COUNT window over the
-    term partition of that same tf frame — one more shuffle but NO
-    second scan (a groupBy("term") formulation reads identically but
-    Catalyst re-derives the whole tf branch for it, doubling the
-    corpus scan); the corpus size joins in as a broadcast scalar, and
-    the final top-k is a bounded window per document. No driver
-    collect."""
+    ``(id, term)`` (one shuffle); doc_freq aggregates tf on ``term``
+    with map-side partial combine, and the tf⋈doc_freq join's hot keys
+    (stop-words) are AQE-skew-splittable. A term-partition COUNT window
+    would compute doc_freq from ONE tf pass, but a stop-word appearing
+    in every document serializes n_docs rows through a single reducer —
+    window partitions, unlike join partitions, cannot be skew-split, so
+    the window form dies at corpus scale. The cost of the join form is
+    that Catalyst re-derives the tf branch for doc_freq (second corpus
+    scan); a production run materializes tf once (localCheckpoint or a
+    table) and feeds both aggregates from the materialization. The
+    corpus size joins in as a broadcast scalar; the final top-k is a
+    rank-pushdown window per document. No driver collect."""
     w = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
     tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.withColumn(
-            "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
-        )
+        tf.join(doc_freq, "term")
         .join(F.broadcast(n_docs))
         .withColumn(
             "score",
