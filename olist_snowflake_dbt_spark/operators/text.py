@@ -235,6 +235,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 4,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents that share any
     n-word shingle with an evaluation/benchmark document (the standard
@@ -247,9 +248,13 @@ def decontaminate(
     shingle to an engine-portable 60-bit key (functions/hashing.py), and
     meet in an inverted-index equi-join on the 8-byte key — cost is
     proportional to documents + true overlaps, never pairwise. Benchmark
-    suites are tiny relative to a 100 TB corpus, so the benchmark side
-    is explicitly broadcast: the corpus never shuffles at all — the scan
-    streams past a hashed eval-set and emits only hits."""
+    suites are tiny relative to a 100 TB corpus, so by default the
+    benchmark side is explicitly broadcast and the corpus never shuffles
+    at all — the scan streams past a hashed eval-set and emits only
+    hits. For an unusually large benchmark side (it must fit in executor
+    memory to broadcast), pass ``broadcast_benchmark=False`` to fall
+    back to a shuffled hash join, where AQE splits any hot-shingle
+    skew."""
     from ..functions.hashing import portable_hash60
     from ..functions.text import shingle_strings_from_words, words as _words
 
@@ -264,8 +269,10 @@ def decontaminate(
 
     t = exploded(train, "train")
     b = exploded(benchmark, "bench")
+    if broadcast_benchmark:
+        b = F.broadcast(b)
     return (
-        t.join(F.broadcast(b), "__h")
+        t.join(b, "__h")
         .groupBy("train_id")
         .agg(
             F.countDistinct("__h").alias("n_shared_shingles"),
