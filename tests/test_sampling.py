@@ -136,3 +136,30 @@ def test_pack_sequences_offsets_and_budget(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "n_toks", 0)
+
+
+def test_pack_sequences_partition_property(spark):
+    from olist_snowflake_dbt_spark.operators.sampling import pack_sequences
+
+    # every doc lands in exactly one pack; offsets are the prefix sums
+    # of lengths in id order within each (shard); pack = offset div b
+    import random
+
+    random.seed(23)
+    rows = [(i, random.randrange(1, 500)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_toks long")
+    out = pack_sequences(df, "doc_id", "n_toks", 512, n_shards=7)
+    got = sorted(
+        (r.shard, r.doc_id, r.seq_start, r.pack_id) for r in out.collect()
+    )
+    assert len(got) == 300  # one row per doc, none lost or duplicated
+    by_shard = {}
+    for i, n in rows:
+        by_shard.setdefault(i % 7, []).append((i, n))
+    expect = []
+    for sh, docs in by_shard.items():
+        off = 0
+        for i, n in sorted(docs):
+            expect.append((sh, i, off, off // 512))
+            off += n
+    assert got == sorted(expect)

@@ -161,3 +161,22 @@ def test_repetition_stats_flags_degenerate_docs(spark):
     # 5 bigrams: "a b" x3 + "b a" x2 -> 2 distinct -> 0.6 duplicated
     assert rows[3].dup_2gram_frac == 1.0 - 2 / 5  # noqa: keep 1-x form
     assert rows[4].n_words == 0 and rows[4].dup_word_frac == 0.0
+
+
+def test_decontaminate_join_strategy_invariance(spark):
+    # broadcast and shuffled paths must produce identical verdicts
+    import random
+
+    random.seed(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(random.choice(vocab) for _ in range(25)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = df.filter(F.col("doc_id") % 10 == 0)
+    train = df.filter(F.col("doc_id") % 10 != 0)
+    a = sorted(map(tuple, decontaminate(train, bench, n=3).collect()))
+    b = sorted(map(tuple, decontaminate(
+        train, bench, n=3, broadcast_benchmark=False).collect()))
+    assert a == b and len(a) > 0
