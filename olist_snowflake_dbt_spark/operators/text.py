@@ -229,6 +229,43 @@ def tfidf_topk(
     )
 
 
+def ngram_counts(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 50
+) -> DataFrame:
+    """Corpus-level n-gram frequency table, top-``k`` by count — the
+    language-model-adjacent census pass (vocabulary building, boilerplate
+    discovery, contamination screening all start from it).
+
+    Returns ``(ngram, n_occurrences)`` for the ``k`` most frequent
+    word n-grams under a total order (count DESC, ngram ASC) so the
+    boundary of the top-k is deterministic.
+
+    Shape at 100 TB: n-grams are built per-row inside codegen (bound
+    word array, ``transform`` over an index sequence — no UDF), exploded
+    map-side, and counted with partial aggregation, so the shuffle
+    carries one pre-combined row per (partition, distinct n-gram), not
+    one per occurrence. The global top-k is ``ORDER BY ... LIMIT k``,
+    which Spark executes as TakeOrderedAndProject: each partition keeps
+    its own k-heap and only k rows per partition reach the driver-side
+    merge — no global sort materializes."""
+    base = df.select(words(text_col).alias("__w"))
+    nw = F.size("__w")
+    grams = F.when(
+        nw >= n,
+        F.transform(
+            F.sequence(F.lit(1), nw - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("__w"), i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        base.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

@@ -997,3 +997,63 @@ def q_text_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.pseudonymize(cust, ["c_name"], ["c_phone"], keep_last=4).select(
         "c_custkey", "c_name", "c_phone", "n_phone_digits"
     )
+
+
+@query(
+    "text_ngram_counts",
+    f"""
+    WITH w AS (SELECT {_WORDS} AS ws FROM documents),
+    g AS (
+        SELECT ws[i] || ' ' || ws[i + 1] AS ngram
+        FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    )
+    SELECT ngram, COUNT(*) AS n_occurrences FROM g GROUP BY 1
+    ORDER BY n_occurrences DESC, ngram ASC LIMIT 50
+    """,
+)
+def q_text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram census (operators/text.ngram_counts): top-50 word
+    2-grams under a total order. N-grams are built in codegen from the
+    bound word array and pre-combined map-side; the global top-k runs
+    as TakeOrderedAndProject (per-partition k-heaps, k rows to the
+    driver merge) — no global sort, no UDF."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return TX.ngram_counts(docs, "text", n=2, k=50)
+
+
+@query(
+    "fuzzy_join_levenshtein",
+    """
+    WITH probes AS (
+        SELECT p_partkey AS probe_id,
+               substr(p_name, 1, length(p_name) - 1) || 'q' AS probe_text
+        FROM part WHERE p_partkey % 100 = 0
+    )
+    SELECT p.probe_id, p.probe_text, t.p_partkey, t.p_name,
+           levenshtein(p.probe_text, t.p_name) AS edit_distance
+    FROM probes p
+    JOIN part t
+      ON split_part(p.probe_text, ' ', 1) = split_part(t.p_name, ' ', 1)
+     AND abs(length(p.probe_text) - length(t.p_name)) <= 2
+    WHERE levenshtein(p.probe_text, t.p_name) <= 2
+    """,
+)
+def q_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance ≤ 2) join (operators/dedup.
+    fuzzy_pairs): probes are part names with the last character
+    deterministically typo'd, matched back to the corpus via
+    (first-word, length-band) blocking and a threshold Levenshtein —
+    banded O(len·k) DP only on same-block candidates, never a
+    cartesian comparison."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    probes = part.filter(F.col("p_partkey") % 100 == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.concat(
+            F.expr("substr(p_name, 1, length(p_name) - 1)"), F.lit("q")
+        ).alias("p_name"),
+    )
+    return DD.fuzzy_pairs(
+        part, probes, text_col="p_name", id_col="p_partkey",
+        probe_id_col="probe_id", max_dist=2,
+    )

@@ -159,3 +159,33 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events(spark, sf_dir), horizon="10 minutes", watermark="365 days"
     )
     return run_available_now(joined, "append", state_partitions=8)
+
+
+@query(
+    "stream_static_enrich",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment,
+           CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (streaming/events.enrich_with_dim):
+    each micro-batch of the events stream broadcast-joins the static
+    customer dimension — stateless (no watermark, no join state), the
+    unbounded side never shuffles. A bounded replay equals the batch
+    inner join."""
+    from .queries import _t
+    from .streaming import enrich_with_dim
+
+    ev = stream_events(spark, sf_dir).withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = enrich_with_dim(
+        ev, dim, stream_key="user_id", dim_key="c_custkey",
+        dim_cols=["c_mktsegment"],
+    ).select("event_id", "user_id", "event_type", "c_mktsegment", "value")
+    sink = run_available_now(enriched, "append", state_partitions=8)
+    return sink.withColumn("value", F.col("value").cast("double"))

@@ -23,6 +23,7 @@ Design for scale (1000 executors, unbounded input):
 from .events import (
     clicks_to_errors_join,
     dedup_within_watermark,
+    enrich_with_dim,
     run_available_now,
     session_stats,
     stream_events,
@@ -33,6 +34,7 @@ from .events import (
 __all__ = [
     "clicks_to_errors_join",
     "dedup_within_watermark",
+    "enrich_with_dim",
     "run_available_now",
     "session_stats",
     "stream_events",

@@ -157,6 +157,27 @@ def clicks_to_errors_join(
     )
 
 
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    dim_cols: list[str],
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream
+    inner-joins a STATIC dimension on ``stream_key = dim_key``,
+    appending ``dim_cols``. The static side is explicitly broadcast —
+    dimensions are small relative to an event stream, so the join is
+    stateless (no watermark, no join state store) and each micro-batch
+    pays only a map-side hash lookup; the unbounded side never
+    shuffles. This is the canonical streaming-enrichment shape; a
+    slowly-changing dimension would swap ``dim`` for a Delta/parquet
+    re-read per batch via ``foreachBatch`` without touching the plan
+    here."""
+    d = dim.select(F.col(dim_key).alias(stream_key), *dim_cols)
+    return stream.join(F.broadcast(d), stream_key, "inner")
+
+
 # -- custom stateful operator -----------------------------------------
 
 _TOTALS_OUT = StructType(

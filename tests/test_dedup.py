@@ -274,3 +274,33 @@ def test_portable_hash60_cross_engine_property(spark):
             [s, s],
         ).fetchone()
         assert got[s] == (d0, d1), s
+
+
+def test_fuzzy_pairs_recovers_planted_typos(spark):
+    from olist_snowflake_dbt_spark.operators.dedup import fuzzy_pairs
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "green widget"),
+            (2, "green bolt"),
+            (3, "red widget"),
+            (4, "green widgets deluxe"),
+        ],
+        ["pid", "name"],
+    )
+    probes = spark.createDataFrame(
+        [(101, "green widgex"), (102, "purple thing")], ["probe_id", "name"]
+    )
+    rows = fuzzy_pairs(
+        corpus, probes, text_col="name", id_col="pid", max_dist=2
+    ).collect()
+    got = {(r["probe_id"], r["pid"]): r["edit_distance"] for r in rows}
+    # typo'd probe matches its source within 1 edit
+    assert got[(101, 1)] == 1
+    # "green bolt" shares the block but is >2 edits away; "red widget"
+    # is close in distance but blocked out by first word — both absent
+    assert (101, 2) not in got and (101, 3) not in got
+    # length band (±2) excludes "green widgets deluxe" before any DP
+    assert (101, 4) not in got
+    # probe with no block partner matches nothing
+    assert not any(p == 102 for p, _ in got)

@@ -185,3 +185,31 @@ def test_dynamic_table_refresh_upserts(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert first < len(got)  # second refresh really added the post-cutoff keys
+
+
+def test_enrich_with_dim_equals_batch_join(spark, sf_dir):
+    from olist_snowflake_dbt_spark.sources.readers import read_table
+    from olist_snowflake_dbt_spark.streaming import (
+        enrich_with_dim,
+        run_available_now,
+        stream_events,
+    )
+
+    dim = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = enrich_with_dim(
+        stream_events(spark, sf_dir),
+        dim,
+        stream_key="user_id",
+        dim_key="c_custkey",
+        dim_cols=["c_mktsegment"],
+    ).select("event_id", "user_id", "c_mktsegment")
+    sink = run_available_now(enriched, "append", state_partitions=4)
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    expected = ev.join(
+        dim.withColumnRenamed("c_custkey", "user_id"), "user_id"
+    ).select("event_id", "user_id", "c_mktsegment")
+    assert sink.exceptAll(expected).count() == 0
+    assert expected.exceptAll(sink).count() == 0

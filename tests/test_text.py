@@ -180,3 +180,31 @@ def test_decontaminate_join_strategy_invariance(spark):
     b = sorted(map(tuple, decontaminate(
         train, bench, n=3, broadcast_benchmark=False).collect()))
     assert a == b and len(a) > 0
+
+
+def test_ngram_counts_exact_and_tiebreak(spark):
+    from olist_snowflake_dbt_spark.operators.text import ngram_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat"),
+            (2, "the cat ran"),
+            (3, "solo"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["ngram"]: r["n_occurrences"]
+        for r in ngram_counts(docs, "text", n=2, k=100).collect()
+    }
+    # doc1 bigrams: the cat / cat sat / sat on / on the / the cat
+    # doc2 bigrams: the cat / cat ran; docs 3-4 contribute none
+    assert out["the cat"] == 3
+    assert out["cat sat"] == 1
+    assert out["cat ran"] == 1
+    assert "solo" not in out  # single-word doc yields no bigram
+
+    # top-k boundary is deterministic: ties broken by ngram ASC
+    top = ngram_counts(docs, "text", n=2, k=2).collect()
+    assert [r["ngram"] for r in top] == ["the cat", "cat ran"]
