@@ -1057,3 +1057,84 @@ def q_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         part, probes, text_col="p_name", id_col="p_partkey",
         probe_id_col="probe_id", max_dist=2,
     )
+
+
+# ---------------------------------------------------------------------
+# clustering (operators/clustering.py)
+# ---------------------------------------------------------------------
+
+_KM_K, _KM_DIM = 8, 64
+
+
+def _d2(a: str, c: str, dim: int = _KM_DIM) -> str:
+    """Sequential-fold squared L2 — the DuckDB twin of clustering._sq_l2
+    (left fold in component order ⇒ bit-identical doubles)."""
+    diff = f"(CAST({a}[j] AS DOUBLE) - {c}[j])"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"j -> {diff} * {diff}), (x, y) -> x + y)"
+    )
+
+
+_KMEANS_ORACLE = f"""
+    WITH pts AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                   AS xq
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell,
+               list_transform(xq, v -> CAST(v AS DOUBLE) / 1000000.0) AS c
+        FROM (SELECT vec_id, xq,
+                     substr(md5(CAST(vec_id AS VARCHAR)), 1, 16) AS h
+              FROM pts ORDER BY h LIMIT {_KM_K})
+    ),
+    a0 AS (
+        SELECT vec_id, xq, cell FROM (
+            SELECT p.vec_id, p.xq, s.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY {_d2('p.embedding', 's.c')} ASC, s.cell ASC
+                   ) AS rn
+            FROM pts p CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    s1 AS (
+        SELECT cell, j, SUM(xq[j]) AS s
+        FROM a0, UNNEST(generate_series(1, {_KM_DIM})) AS t(j)
+        GROUP BY cell, j
+    ),
+    n1 AS (SELECT cell, COUNT(*) AS n FROM a0 GROUP BY cell),
+    c1 AS (
+        SELECT s1.cell,
+               list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY j) AS c
+        FROM s1 JOIN n1 USING (cell) GROUP BY s1.cell, n
+    ),
+    a1 AS (
+        SELECT vec_id, cell FROM (
+            SELECT p.vec_id, u.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY {_d2('p.embedding', 'u.c')} ASC, u.cell ASC
+                   ) AS rn
+            FROM pts p CROSS JOIN c1 u
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, cell AS cluster,
+           COUNT(*) OVER (PARTITION BY cell) AS cluster_size
+    FROM a1
+"""
+
+
+@query("kmeans_clusters", _KMEANS_ORACLE)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (operators/clustering.kmeans_lloyd):
+    md5-seeded, 2 iterations, integer micro-unit centroid sums (order-
+    independent, engine-exact) and sequential-fold distances — the
+    DuckDB twin replays both iterations bit-identically."""
+    from .operators.clustering import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, "embedding", "vec_id", k=_KM_K, iters=2)
