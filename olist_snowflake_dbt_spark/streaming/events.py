@@ -31,20 +31,23 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# ts is declared LONG: events.parquet stores TIMESTAMP(NANOS), which the
-# Spark parquet reader rejects as a timestamp; we read the physical int64
-# under spark.sql.legacy.parquet.nanosAsLong and convert ns → µs exactly
-# (integer division), mirroring sources/readers.read_table
-_EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Probe the batch reader's resolved schema for events.parquet.
+
+    The driver has shipped the ts column as parquet TIMESTAMP(NANOS)
+    (which Spark only reads as int64 under nanosAsLong) in some rounds
+    and plain TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ under Spark 4's
+    inferTimestampNTZ default) in others — a footer probe adapts to
+    whichever layout is on disk instead of hard-coding one."""
+    from ..sources.readers import read_table
+
+    # read_table already normalizes ts (ns→µs for the int64 layout), but
+    # its output type is the BATCH type; for the stream we need the
+    # on-disk type, so probe the raw file.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return raw.schema
+
 
 _sink_counter = itertools.count()
 
@@ -55,17 +58,27 @@ def stream_events(
     """File-source stream over the events parquet. The file source is
     the replayable-bounded harness; swapping in kafka changes only this
     function. ``max_files_per_trigger`` splits the replay into multiple
-    micro-batches (used by tests to exercise cross-batch state)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    micro-batches (used by tests to exercise cross-batch state).
+
+    ``ts`` is normalized to TIMESTAMP (LTZ) whatever the on-disk layout:
+    int64 nanos → ``timestamp_micros(ns div 1000)`` (exact integer
+    division); TIMESTAMP_NTZ → cast (value-preserving under the engine's
+    pinned UTC session timezone)."""
+    schema = _events_schema(spark, sf_dir)
     reader = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(sf_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    stream = reader.parquet(sf_dir)
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # integer div — float division rounds above 2^53 (off-by-1 µs)
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def windowed_event_counts(

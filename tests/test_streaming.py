@@ -16,7 +16,13 @@ from olist_snowflake_dbt_spark.streaming import (
 
 @pytest.fixture(scope="module")
 def batch_events(spark, sf_dir):
-    return read_table(spark, sf_dir, "events").cache()
+    # mirror stream_events' normalization: ts as TIMESTAMP (LTZ) whatever
+    # the on-disk layout, so stream-vs-batch compares are type-identical
+    return (
+        read_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .cache()
+    )
 
 
 def test_windowed_counts_equal_batch(spark, sf_dir, batch_events):
@@ -47,8 +53,7 @@ def test_session_stats_equal_batch_gaps_and_islands(spark, sf_dir, batch_events)
         "user_id",
         "ts",
         F.when(
-            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-            <= 1800 * 1_000_000,
+            F.col("ts") - F.lag("ts").over(w) <= F.expr("INTERVAL 30 MINUTES"),
             0,
         )
         .otherwise(1)
