@@ -87,7 +87,7 @@ _CHECK_FIRST = [
     "clone_zero_copy",
     "zorder_roundtrip",
     "dynamic_table_refresh",
-    "scd2_window_rebuild",
+    "asof_click_attribution",
 ]
 
 

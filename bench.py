@@ -50,6 +50,16 @@ def main() -> None:
         # operators persist self-join intermediates for the duration of
         # their query; drop them so 47+ queries' caches don't stack up
         spark.catalog.clearCache()
+        # broadcast blocks and shuffle state are only reclaimed by the
+        # ContextCleaner after a JVM GC; without this, queries ~30+ in
+        # the run measure 10-20x slower than their true cost (measured:
+        # dedup_simhash 54s polluted vs 3s clean). Session-level
+        # periodicGC (session.py) covers production; the explicit call
+        # makes per-query timings deterministic here.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -818,3 +818,4 @@ from . import queries_formats  # noqa: E402,F401
 from . import queries_sampling  # noqa: E402,F401
 from . import queries_udfs  # noqa: E402,F401
 from . import queries_materialize  # noqa: E402,F401
+from . import queries_tpch  # noqa: E402,F401

@@ -590,3 +590,86 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_median_qty"
         ),
     )
+
+
+@query(
+    "grouping_sets_mix",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint marginals + grand total) — the
+    general form of grouping_rollup's ROLLUP. One Expand node feeds a
+    single hash aggregate: the input is scanned once, each row emitted
+    once per set, partial-aggregated map-side — same single-shuffle
+    cost model as a plain GROUP BY at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status",
+            "n_rows", "sum_qty",
+        )
+    )
+
+
+@query(
+    "window_range_interval",
+    """
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_prev_hour,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2))
+                AS DOUBLE) AS value_prev_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame (INTERVAL '1 hour' PRECEDING): per
+    event, how many events / how much value the same user produced in
+    the trailing hour — the rolling-feature primitive of a training
+    pipeline. RANGE frames bound by VALUE, not row count, so ties and
+    gaps are handled by event time; the frame is only expressible in
+    SQL (the DataFrame rangeBetween API takes numeric offsets), and the
+    plan is one shuffle on user_id + an ordered running frame scan.
+
+    The events view registered here normalizes ts to TIMESTAMP for
+    interval arithmetic under either parquet layout (see
+    sources/readers.read_table)."""
+    from .queries import _t as _read
+
+    _read(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).createOrReplaceTempView("__events_range_w")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n_prev_hour,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w
+                         AS DECIMAL(38,2)) AS DOUBLE) AS value_prev_hour
+        FROM __events_range_w
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        """
+    )

@@ -189,3 +189,31 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type", "c_mktsegment", "value")
     sink = run_available_now(enriched, "append", state_partitions=8)
     return sink.withColumn("value", F.col("value").cast("double"))
+
+
+@query(
+    "stream_sliding_window",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', ts)
+               - INTERVAL '10 minutes' * off AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS total_value
+    FROM events, (SELECT UNNEST(generate_series(0, 2)) AS off)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 30-minute windows every 10 minutes —
+    each event contributes to exactly 3 windows. The batch oracle
+    replays that membership arithmetically (each event's 3 window
+    starts are its 10-min bucket shifted back 0/1/2 hops). State and
+    shuffle scale by window/slide = 3x a tumbling window, bounded the
+    same way by the watermark."""
+    counts = windowed_event_counts(
+        stream_events(spark, sf_dir), "30 minutes", watermark="30 minutes",
+        slide="10 minutes",
+    )
+    sink = run_available_now(counts, "complete", state_partitions=8)
+    return sink.withColumn("total_value", F.col("total_value").cast("double"))

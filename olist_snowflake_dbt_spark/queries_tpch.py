@@ -1,0 +1,208 @@
+"""TPC-H-style multi-way join analytics over the driver's testdata.
+
+The reference project's single fact build (fct_orders,
+/root/reference/models/marts/fct_orders.sql) is a 2-join star query;
+these entries prove the engine's join *planning* surface at the shapes
+TPC-H made canonical: selective-dimension star joins (Q3) and a 6-table
+snowflake chain (Q5). Both are pure declarative DataFrame plans —
+Catalyst broadcast-joins every dimension side (region/nation/customer
+fit in memory at any scale factor; verify with .explain →
+BroadcastHashJoin) and AQE re-plans the probe side at runtime, which is
+exactly the strategy you want against 100 TB of lineitem: no shuffle of
+the fact table for dimension joins, one shuffle for the aggregate.
+
+Revenue math routes through DECIMAL on both engines (sum of
+l_extendedprice*(1-l_discount) in double drifts in the last ulp between
+engines); the presentation cast to DOUBLE is the engine's standard
+driver-parity pattern (see queries.py header).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .queries import _t, query
+
+# revenue term shared by both engines: exact decimal per-row product,
+# decimal sum, double presentation
+_REV_SQL = (
+    "CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)))"
+    " AS DECIMAL(38,4)) AS DOUBLE)"
+)
+
+
+def _rev_col():
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        F.sum((price * (F.lit(1) - disc)).cast("decimal(38,4)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+    )
+
+
+@query(
+    "tpch_q3_priority_revenue",
+    f"""
+    SELECT l_orderkey, revenue, o_orderdate, o_orderpriority
+    FROM (
+        SELECT l.l_orderkey,
+               {_REV_SQL} AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    )
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority revenue): selective dimension
+    filter → star join → per-order revenue → global top-10. The
+    customer side is filtered to ~1/5 before the join and broadcast;
+    the top-10 is a sort-limit Catalyst executes as TakeOrderedAndProject
+    (no full sort shuffle — each partition keeps 10 rows, the driver
+    merges). o_orderpriority stands in for the spec's o_shippriority
+    (not present in the driver's schema)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_rev_col().alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_region_volume",
+    f"""
+    SELECT n.n_name, {_REV_SQL} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): a 6-table snowflake join with a
+    non-key equi-condition (customer and supplier must share a nation).
+    region→nation collapses to a broadcast filter before it ever
+    touches the fact table; supplier and customer broadcast; lineitem
+    — the 100 TB side — is never shuffled for any join, only for the
+    final 25-group aggregate (map-side partial first)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(_rev_col().alias("revenue"))
+    )
+
+
+@query(
+    "asof_click_attribution",
+    """
+    WITH purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    )
+    SELECT p.purchase_id, p.user_id, p.ts, c.click_id, c.click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def q_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True two-table AS-OF join (last-touch attribution): every
+    purchase event matched to the same user's most recent click at or
+    before it. Spark lacks a native as-of operator; the composition is
+    the union-then-window plan — tag both sides, one window per user
+    ordered by (ts, side) carrying the last non-null click forward —
+    which costs ONE shuffle on user_id, versus the naive range-join
+    (purchases × all earlier clicks, then argmax) that explodes
+    quadratically on hot users. Clicks are pre-reduced to one row per
+    (user, ts) (max event_id) so same-timestamp ties are deterministic;
+    ordering clicks before purchases at equal ts matches ASOF's >=.
+    The oracle is DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            F.col("click_ts").alias("ts"),
+            F.lit(0).alias("__side"),
+            F.lit(None).cast("long").alias("purchase_id"),
+            "click_id",
+            F.col("click_ts"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("__side"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("click_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = clicks.unionByName(purchases)
+    return (
+        tagged.withColumn("click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .select("purchase_id", "user_id", "ts", "click_id", "click_ts")
+    )

@@ -35,6 +35,14 @@ _DEFAULTS: dict[str, str] = {
     # Arrow batches them like every other pandas-UDF lane in this engine
     "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     "spark.sql.parquet.compression.codec": "snappy",
+    # ContextCleaner reclaims broadcast blocks and shuffle files only via
+    # weak references, i.e. only after a JVM GC — and a large driver heap
+    # (48g here, bigger on a real cluster) can go tens of minutes without
+    # one. Measured on this box: after ~30 queries the accumulated
+    # broadcast/shuffle state degrades identical plans 10-20x (simhash
+    # 54s vs 3s). The default interval is 30min; 2min keeps long-running
+    # multi-query sessions (exactly the 100TB-pipeline shape) healthy.
+    "spark.cleaner.periodicGC.interval": "2min",
     # money columns are DecimalType; keep Spark's exact decimal semantics
     "spark.sql.ansi.enabled": "false",
     "spark.ui.enabled": "false",

@@ -82,15 +82,22 @@ def stream_events(
 
 
 def windowed_event_counts(
-    stream: DataFrame, window: str = "15 minutes", watermark: str = "30 minutes"
+    stream: DataFrame,
+    window: str = "15 minutes",
+    watermark: str = "30 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts + exact-decimal value totals per
-    event_type. Watermark bounds the state store: windows older than
-    max(event_time) - watermark are finalized and evicted. One shuffle
-    on (window, event_type) with partial aggregation map-side."""
+    """Tumbling (or, with ``slide``, sliding/hopping) window counts +
+    exact-decimal value totals per event_type. Watermark bounds the
+    state store: windows older than max(event_time) - watermark are
+    finalized and evicted. One shuffle on (window, event_type) with
+    partial aggregation map-side; a sliding window multiplies state and
+    shuffle rows by window/slide (each event belongs to that many
+    windows), not input scans."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window)["start"].alias("window_start"), "event_type")
+        .groupBy(win["start"].alias("window_start"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
