@@ -1138,3 +1138,116 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, "embedding", "vec_id", k=_KM_K, iters=2)
+
+
+@query(
+    "doc_length_histogram",
+    """
+    SELECT CAST(FLOOR(LOG2(GREATEST(n_chars, 1))) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram — the first look any
+    corpus audit takes (truncation spikes, empty-doc mass, heavy tail).
+    Map-side partial aggregation over power-of-two buckets: the shuffle
+    carries ~64 rows per partition whatever the corpus size. floor(log2)
+    is exact at the bucket boundaries (powers of two are exact in IEEE
+    double) so both engines bucket identically."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1))))
+            .cast("bigint")
+            .alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+_FREQ_SCORE_ORACLE = f"""
+    WITH ref AS (
+        SELECT UNNEST(list_filter({_WORDS}, x -> x <> '')) AS w
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM ref GROUP BY w),
+    total AS (SELECT SUM(cnt) AS tot FROM vocab),
+    doc_words AS (
+        SELECT doc_id, UNNEST(list_filter({_WORDS}, x -> x <> '')) AS w
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    matched AS (
+        SELECT d.doc_id,
+               COUNT(*) AS n_words,
+               COUNT(v.w) AS n_in_vocab,
+               COALESCE(SUM(v.cnt), 0) AS matched_cnt
+        FROM doc_words d LEFT JOIN vocab v ON d.w = v.w
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_words,
+           CAST(n_words - n_in_vocab AS BIGINT) AS n_oov,
+           CAST(matched_cnt AS BIGINT) AS matched_cnt,
+           ROUND(CAST(matched_cnt AS DOUBLE)
+                 / (n_words * (SELECT tot FROM total)), 12) AS mean_ref_freq
+    FROM matched
+"""
+
+
+@query("text_corpus_freq_score", _FREQ_SCORE_ORACLE)
+def q_text_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality scoring (the engine-exact core of an
+    LM-perplexity filter a la CCNet): a reference half of the corpus
+    (even doc_ids) defines a unigram frequency table; each held-out doc
+    (odd doc_ids) is scored by its words' mean relative frequency in
+    the reference, with out-of-vocabulary words counted separately.
+    Gibberish scores low, natural text high — and unlike log-prob sums,
+    integer count sums + ONE final double division are bit-identical
+    across engines (double log summation is order-dependent).
+
+    Plan: explode ref words -> one vocab aggregate; explode held-out
+    words -> broadcast-joined against vocab (a unigram vocab fits in
+    memory at any corpus scale; Zipf caps its growth) -> one per-doc
+    aggregate. Two shuffles total, both on pre-aggregated keys."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wcol = F.filter(TX.words("text"), lambda x: x != "")
+    ref = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(wcol).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = ref.agg(F.sum("cnt").alias("tot"))
+    doc_words = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.explode(wcol).alias("w"))
+    )
+    matched = (
+        doc_words.join(F.broadcast(ref), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.count("cnt").alias("n_in_vocab"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("matched_cnt"),
+        )
+    )
+    return matched.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_words",
+        (F.col("n_words") - F.col("n_in_vocab")).cast("bigint").alias("n_oov"),
+        F.col("matched_cnt").cast("bigint").alias("matched_cnt"),
+        F.round(
+            F.col("matched_cnt").cast("double")
+            / (F.col("n_words") * F.col("tot")),
+            12,
+        ).alias("mean_ref_freq"),
+    )

@@ -206,3 +206,60 @@ def q_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__side") == 1)
         .select("purchase_id", "user_id", "ts", "click_id", "click_ts")
     )
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)))
+                AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))
+                * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(38,6)))
+                AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 9) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 9) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 9) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary): the canonical scan-heavy aggregate —
+    one pass over the fact table, 8 aggregates over 4 tiny groups, all
+    partial-aggregated map-side so the shuffle carries ~groups×partitions
+    rows regardless of scale. All money math in DECIMAL (double
+    summation is order-dependent and drifts between engines); averages
+    are exact decimal sums divided once, rounded identically on both
+    sides."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    disc_price = (price * (F.lit(1) - disc)).cast("decimal(38,4)")
+    charge = (disc_price * (F.lit(1) + tax)).cast("decimal(38,6)")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("decimal(38,2)").cast("double").alias("sum_qty"),
+        F.sum(price).cast("decimal(38,2)").cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("decimal(38,6)").cast("double").alias("sum_charge"),
+        F.round(F.sum(qty).cast("double") / n, 9).alias("avg_qty"),
+        F.round(F.sum(price).cast("double") / n, 9).alias("avg_price"),
+        F.round(F.sum(disc).cast("double") / n, 9).alias("avg_disc"),
+        n.alias("count_order"),
+    )
