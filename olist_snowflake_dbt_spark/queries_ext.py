@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from .operators import dedup as DD
 from .operators import similarity as SIM
@@ -1250,4 +1251,44 @@ def q_text_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_words") * F.col("tot")),
             12,
         ).alias("mean_ref_freq"),
+    )
+
+
+_NTILE_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(list_filter({_WORDS}, x -> x <> '')) AS n_words
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words
+    FROM (
+        SELECT *, NTILE(4) OVER (PARTITION BY source
+                                 ORDER BY n_words DESC, doc_id) AS q
+        FROM scored
+    )
+    WHERE q = 1
+"""
+
+
+@query("quality_quantile_filter", _NTILE_ORACLE)
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-quantile gate: keep each source's top quartile
+    by a quality signal (word count here; any score column slots in) —
+    the relative-threshold filter real corpus pipelines use when
+    absolute thresholds would starve low-resource sources. NTILE over
+    (source) is one shuffle; the (score, doc_id) order makes quartile
+    boundaries deterministic on both engines. At 100 TB, swap NTILE for
+    approx_percentile per source (computed in one pass, broadcast back)
+    to avoid sorting each source's full partition."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(TX.words("text"), lambda x: x != "")).alias("n_words"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("n_words").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("__q", F.ntile(4).over(w))
+        .filter(F.col("__q") == 1)
+        .select("doc_id", "source", F.col("n_words").cast("bigint").alias("n_words"))
     )

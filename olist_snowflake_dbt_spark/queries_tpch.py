@@ -263,3 +263,46 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(disc).cast("double") / n, 9).alias("avg_disc"),
         n.alias("count_order"),
     )
+
+
+@query(
+    "tpch_q18_large_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): an aggregate-HAVING
+    subquery feeding a semi-join filter on the fact table. The inner
+    aggregate and the outer aggregate shuffle on the SAME key
+    (l_orderkey/o_orderkey), so Catalyst reuses the partitioning —
+    and the semi-join side carries only keys, not payload."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("__sq"))
+        .filter(F.col("__sq") > 150)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate")
+        .agg(
+            F.sum(qty).cast("decimal(38,2)").cast("double").alias("total_qty")
+        )
+    )
