@@ -673,3 +673,112 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@query(
+    "full_outer_reconcile",
+    """
+    WITH epoch_a AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    epoch_b AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2))
+                   + CASE WHEN o_orderkey % 5 = 0
+                          THEN CAST(10.01 AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END AS price
+        FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.price <> b.price THEN 'changed'
+                ELSE 'unchanged' END AS change_kind,
+           CAST(a.price AS DOUBLE) AS price_a,
+           CAST(b.price AS DOUBLE) AS price_b
+    FROM epoch_a a FULL OUTER JOIN epoch_b b USING (o_orderkey)
+    """,
+)
+def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation — the snapshot-diff every data
+    platform runs between table epochs: rows only in B are 'added',
+    only in A 'removed', both-but-different 'changed'. One shuffle on
+    the join key; at 100 TB both epochs hash-partition on o_orderkey
+    and the diff streams per partition (this is also the inner shape of
+    operators/snapshots.py's SCD-2 change detection, exposed as a
+    first-class query)."""
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    a = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", price.alias("price")
+    )
+    b = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (price
+         + F.when(F.col("o_orderkey") % 5 == 0, F.lit("10.01"))
+         .otherwise(F.lit("0")).cast("decimal(18,2)")
+         ).cast("decimal(18,2)").alias("price"),
+    )
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(F.col("a.price") != F.col("b.price"), "changed")
+        .otherwise("unchanged")
+        .alias("change_kind"),
+        F.col("a.price").cast("double").alias("price_a"),
+        F.col("b.price").cast("double").alias("price_b"),
+    )
+
+
+@query(
+    "array_hof_stats",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0))
+                AS BIGINT) AS n_positive,
+           ROUND(list_reduce(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (acc, x) -> acc + x), 9) AS sum_squares,
+           ROUND(list_reduce(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE))), (acc, x) -> greatest(acc, x)),
+                 9) AS max_abs
+    FROM embeddings
+    """,
+)
+def q_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate) as
+    per-row vector statistics — map-only, no shuffle, no UDF: the whole
+    computation is Catalyst expressions over the array column. Folds run
+    in element order on both engines, so the double accumulations are
+    bit-identical (max/greatest is order-insensitive anyway)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(F.col("embedding"), lambda x: xd(x) > 0))
+        .cast("bigint")
+        .alias("n_positive"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: xd(x) * xd(x)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        ).alias("sum_squares"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: F.abs(xd(x))),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ),
+            9,
+        ).alias("max_abs"),
+    )
