@@ -195,3 +195,45 @@ def q_fmt_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_total"),
     )
+
+
+@query(
+    "pyds_synthetic_corpus",
+    """
+    WITH gen AS (
+        SELECT i AS doc_id, 'src_' || (i % 4) AS source,
+               md5(CAST(i AS VARCHAR)) AS text
+        FROM (SELECT UNNEST(generate_series(0, 999)) AS i)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           CAST(SUM(CAST('0x' || substr(text, 1, 8) AS BIGINT)) AS BIGINT)
+               AS hash_prefix_sum
+    FROM gen GROUP BY source
+    """,
+)
+def q_pyds_synthetic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource read (sources/pyds.py): 8 planned input
+    partitions generate a 1000-doc deterministic corpus in executor
+    Python workers; the aggregate (including an md5-prefix checksum over
+    every generated byte of text) must equal the DuckDB twin that
+    recomputes the same pure function of doc_id — proving split
+    planning, fan-out, generation, and Arrow transfer are lossless."""
+    from .sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("synthetic_corpus")
+        .option("numDocs", 1000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+        F.sum(F.conv(F.substring("text", 1, 8), 16, 10).cast("bigint"))
+        .cast("bigint")
+        .alias("hash_prefix_sum"),
+    )

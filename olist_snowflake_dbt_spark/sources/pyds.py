@@ -1,0 +1,77 @@
+"""Custom Python DataSource (PySpark 4 `pyspark.sql.datasource` API).
+
+The engine's extension point for sources Spark has no built-in reader
+for (internal services, bespoke formats, synthetic load). The API
+contract demonstrated here is the one any such connector implements:
+
+- ``DataSource.schema()``   — fixed output schema
+- ``DataSourceReader.partitions()`` — split planning: N independent
+  ``InputPartition``s the scheduler fans out across executors, so a
+  read scales horizontally exactly like a parquet scan's file splits
+- ``DataSourceReader.read(partition)`` — per-partition row generator
+  running IN the executor's Python worker (Arrow-batched back to the
+  JVM)
+
+This instance generates a deterministic synthetic corpus — content is a
+pure function of ``doc_id`` via md5, so an independent engine (the
+DuckDB oracle) reproduces every row bit-for-bit, which turns the whole
+source path (planning, fan-out, generation, Arrow transfer) into an
+oracle-checkable operator. No reference-repo counterpart: the
+reference's only source is seed CSVs (/root/reference/seeds/).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class SyntheticCorpusDataSource(DataSource):
+    """``spark.read.format("synthetic_corpus")`` after registration.
+
+    Options: ``numDocs`` (total rows, default 1000), ``numPartitions``
+    (read parallelism, default 8)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_corpus"
+
+    def schema(self) -> str:
+        return "doc_id bigint, source string, text string"
+
+    def reader(self, schema) -> "SyntheticCorpusReader":
+        return SyntheticCorpusReader(
+            int(self.options.get("numDocs", 1000)),
+            int(self.options.get("numPartitions", 8)),
+        )
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticCorpusReader(DataSourceReader):
+    def __init__(self, num_docs: int, num_partitions: int):
+        self.num_docs = num_docs
+        self.num_partitions = max(1, min(num_partitions, num_docs))
+
+    def partitions(self):
+        # contiguous doc_id ranges — the split planning a real connector
+        # would do over files/offsets/shards
+        step = -(-self.num_docs // self.num_partitions)
+        return [
+            _Range(lo, min(lo + step, self.num_docs))
+            for lo in range(0, self.num_docs, step)
+        ]
+
+    def read(self, partition: _Range):
+        for doc_id in range(partition.start, partition.end):
+            h = hashlib.md5(str(doc_id).encode()).hexdigest()
+            yield (doc_id, f"src_{doc_id % 4}", h)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the engine's Python data sources."""
+    spark.dataSource.register(SyntheticCorpusDataSource)

@@ -230,3 +230,30 @@ def test_schema_evolution_merge_nulls(spark, tmp_path):
     rows = {r.id: r for r in back.collect()}
     assert rows[1].score is None  # epoch-1 file predates the column
     assert rows[2].score == 9.5
+
+
+def test_pyds_partition_invariance(spark):
+    """The custom Python DataSource yields identical rows whatever the
+    partition count, and honors the planned parallelism."""
+    from olist_snowflake_dbt_spark.sources import pyds
+
+    pyds.register(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("synthetic_corpus")
+            .option("numDocs", 100)
+            .option("numPartitions", parts)
+            .load()
+        )
+
+    a, b = load(1), load(7)
+    assert b.rdd.getNumPartitions() == 7
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == 100
+    row = a.filter("doc_id = 42").first()
+    import hashlib
+
+    assert row["text"] == hashlib.md5(b"42").hexdigest()
+    assert row["source"] == "src_2"
