@@ -782,3 +782,40 @@ def q_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("max_abs"),
     )
+
+
+@query(
+    "variant_shred_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(COUNT(json_extract_string(props, '$.missing') )
+                AS BIGINT) AS n_missing_key
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once into a
+    VARIANT column, then typed variant_get extraction — the
+    shredded-JSON pattern that replaces per-access string re-parsing
+    (each get_json_object re-tokenizes the string; a VARIANT parses
+    once into a binary form and every extraction is a cheap path walk —
+    the difference between O(accesses x len) and O(len + accesses) per
+    row at 100 TB). Missing paths yield NULL (counted here), matching
+    SQL JSON semantics on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (
+        ev.select(
+            "event_type",
+            F.try_variant_get(v, "$.k", "bigint").alias("__k"),
+            F.try_variant_get(v, "$.missing", "string").alias("__m"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("__k").cast("bigint").alias("sum_k"),
+            F.count("__m").cast("bigint").alias("n_missing_key"),
+        )
+    )
