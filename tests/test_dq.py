@@ -81,3 +81,22 @@ def test_unit_test_diff_and_verdict(spark):
     # multiset semantics: the extra (2, b) shows up as actual-only
     assert [(r.id, r.v, r.actual_or_expected) for r in rows] == [(2, "b", "actual")]
     assert not evaluate_unit_test("t", actual, diff).passed
+
+
+def test_observe_quality_counts_in_single_pass(spark):
+    from olist_snowflake_dbt_spark.operators.dq import observe_quality
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id long, v string"
+    )
+    observed, obs = observe_quality(
+        df, "audit", not_null_cols=["v"],
+        extra={"max_id": F.max("id")},
+    )
+    # the action that produces the data also produces the audit
+    assert observed.count() == 4
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["null_v"] == 2
+    assert got["max_id"] == 4
