@@ -819,3 +819,37 @@ def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("__m").cast("bigint").alias("n_missing_key"),
         )
     )
+
+
+@query(
+    "incremental_microbatch_sim",
+    """
+    SELECT CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN event_id + 1000000
+                ELSE event_id END AS event_id,
+           user_id, ts, event_type
+    FROM events
+    """,
+)
+def q_incremental_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 microbatch strategy as a batch query: the existing table holds
+    events before Jan 20; a re-delivered batch covers Jan 15 onward with
+    changed rows (event_id shifted) — insert_overwrite on day-aligned
+    event-time buckets must replace every overlapping bucket wholesale
+    (idempotent re-delivery) and insert the new ones, so the result is
+    exactly 'original before the batch window, batch content inside it'.
+    Only buckets present in the batch rewrite; untouched days never
+    leave disk at scale (partition-pruned via the bucket key)."""
+    from .operators.incremental import incremental_microbatch
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    cut_exist = F.lit("2024-01-20").cast("timestamp")
+    cut_batch = F.lit("2024-01-15").cast("timestamp")
+    existing = ev.filter(F.col("ts") < cut_exist)
+    batch = ev.filter(F.col("ts") >= cut_batch).withColumn(
+        "event_id", F.col("event_id") + 1000000
+    )
+    return incremental_microbatch(existing, batch, "ts", "1 day")
