@@ -306,3 +306,50 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(qty).cast("decimal(38,2)").cast("double").alias("total_qty")
         )
     )
+
+
+@query(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, n_name, revenue
+    FROM (
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               {_REV_SQL} AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): which customers returned the
+    most revenue in a quarter — 4-table join where the returnflag filter
+    pushes into the lineitem scan and the date filter into orders, both
+    BEFORE any join; nation broadcasts onto the customer side; top-20 is
+    TakeOrderedAndProject. The per-customer aggregate is the only
+    full-width shuffle."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_rev_col().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
