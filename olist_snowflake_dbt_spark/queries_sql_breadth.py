@@ -853,3 +853,56 @@ def q_incremental_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("event_id") + 1000000
     )
     return incremental_microbatch(existing, batch, "ts", "1 day")
+
+
+@query(
+    "date_spine_gaps",
+    """
+    WITH spine AS (
+        SELECT CAST(UNNEST(generate_series(TIMESTAMP '1995-01-01',
+                                           TIMESTAMP '2001-08-01',
+                                           INTERVAL '1 day')) AS TIMESTAMP) AS d
+    ),
+    daily AS (
+        SELECT o_orderdate AS d, COUNT(*) AS n
+        FROM orders GROUP BY o_orderdate
+    )
+    SELECT CAST(EXTRACT(year FROM s.d) AS BIGINT) AS order_year,
+           COUNT(*) AS n_days,
+           CAST(COUNT(*) FILTER (WHERE daily.n IS NULL) AS BIGINT)
+               AS n_zero_order_days,
+           CAST(COALESCE(SUM(daily.n), 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN daily ON s.d = daily.d
+    GROUP BY 1
+    """,
+)
+def q_date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date spine (dbt-utils' date_spine pattern): a generated, gapless
+    calendar dimension left-joined to the fact's daily counts exposes
+    zero-activity days — the completeness audit a plain GROUP BY can
+    never produce (absent days don't group). The spine comes from
+    ``F.sequence`` — generated, not stored, and broadcastable: a 100-
+    year spine is 37k rows against any fact size."""
+    o = _t(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-08-01").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        spine.join(daily, "d", "left")
+        .groupBy(F.year("d").cast("bigint").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.count(F.when(F.col("n").isNull(), 1)).cast("bigint")
+            .alias("n_zero_order_days"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+    )

@@ -218,3 +218,32 @@ def test_enrich_with_dim_equals_batch_join(spark, sf_dir):
     ).select("event_id", "user_id", "c_mktsegment")
     assert sink.exceptAll(expected).count() == 0
     assert expected.exceptAll(sink).count() == 0
+
+
+def test_stateful_totals_on_rocksdb_state_store(spark, sf_dir, batch_events):
+    """The applyInPandasWithState operator must run unchanged on the
+    RocksDB state store provider — the production backend whose state
+    size is bounded by disk, not executor heap (the HDFS-backed default
+    keeps every key in memory)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        streamed = run_available_now(
+            user_running_totals(stream_events(spark, sf_dir)), "update"
+        )
+        batch = batch_events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") * 100).cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("total_value_cents"),
+        )
+        assert streamed.exceptAll(batch).count() == 0
+        assert batch.exceptAll(streamed).count() == 0
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
