@@ -156,3 +156,24 @@ def stratified_topn(
         .filter(F.col("__rk") <= n)
         .drop("__rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, num_col: str | Column, denom: int
+) -> DataFrame:
+    """Deterministic importance-weighted sampling: keep each row with
+    probability ``min(1, num/denom)`` — upsampling high-quality rows is
+    THE corpus-mixing lever once a quality signal exists. The row's
+    md5-prefix (a uniform 32-bit integer, same construction as
+    :func:`hash_split`) is compared against the weight in EXACT integer
+    arithmetic: keep iff ``u32 * denom < num * 2^32`` — no float
+    division anywhere, so any engine with md5 replays the identical
+    sample. Pure narrow filter: no shuffle, scales like a scan, and the
+    kept set is stable under corpus growth (a row's fate depends only on
+    its own key and weight)."""
+    num = F.col(num_col) if isinstance(num_col, str) else num_col
+    u32 = F.conv(_hash_prefix(id_col), 16, 10).cast("bigint")
+    return df.filter(
+        u32 * F.lit(denom).cast("bigint")
+        < num.cast("bigint") * F.lit(16**_HEX_K).cast("bigint")
+    )

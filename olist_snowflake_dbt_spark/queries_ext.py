@@ -1292,3 +1292,39 @@ def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__q") == 1)
         .select("doc_id", "source", F.col("n_words").cast("bigint").alias("n_words"))
     )
+
+
+@query(
+    "sample_importance_weighted",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(list_filter({_WORDS}, x -> x <> '')) AS n_words
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_words) AS BIGINT) AS kept_words
+    FROM scored
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          * 500 < CAST(n_words AS BIGINT) * 4294967296
+    GROUP BY source
+    """,
+)
+def q_sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus sampling (operators/sampling.
+    weighted_sample): each doc kept with probability min(1, n_words/500)
+    — longer (higher-quality) docs upsampled, short ones thinned. The
+    md5-uniform vs weight comparison is exact integer arithmetic, so
+    the DuckDB twin replays the identical kept set."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    from .operators.sampling import weighted_sample
+
+    scored = docs.select(
+        "doc_id", "source",
+        F.size(F.filter(TX.words("text"), lambda x: x != "")).alias("n_words"),
+    )
+    kept = weighted_sample(scored, "doc_id", "n_words", 500)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_words").cast("bigint").alias("kept_words"),
+    )
