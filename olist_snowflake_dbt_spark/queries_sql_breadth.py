@@ -906,3 +906,109 @@ def q_date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_orders"),
         )
     )
+
+
+@query(
+    "cube_aggregate",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — every subset of the grouping keys in one pass
+    (completing the rollup / grouping-sets family): one Expand node
+    emits each row 2^k times into a single partial-aggregated hash
+    aggregate, so the cost model stays one-shuffle however many
+    marginals the cube covers."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status",
+            "n_rows", "sum_qty",
+        )
+    )
+
+
+@query(
+    "try_safe_arithmetic",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                / NULLIF(o_orderkey % 3, 0) AS DOUBLE) AS guarded_div,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS priority_digit
+    FROM orders
+    """,
+)
+def q_try_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: try_cast on unparseable strings
+    and NULLIF-guarded division both yield NULL instead of failing the
+    job — the semantics a 100 TB pipeline needs, where one malformed row
+    among trillions must not kill the stage. (The engine pins
+    spark.sql.ansi.enabled=false for the same reason; try_* keeps the
+    NULL behavior even under ANSI.)"""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_to_number("o_orderpriority", F.lit("999")).cast("bigint")
+        .alias("bad_cast"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            / F.nullif((F.col("o_orderkey") % 3).cast("int"), F.lit(0))
+        ).cast("double").alias("guarded_div"),
+        F.expr("TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)")
+        .alias("priority_digit"),
+    )
+
+
+@query(
+    "tpch_q4_late_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL '90 days'
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS
+    against the fact table — did any line item ship more than 90 days
+    after the order? Planned as a LEFT SEMI join on the order key with
+    the date comparison as the join residual; the quarter filter prunes
+    orders before the join. (The spec's commit/receipt dates aren't in
+    the driver's schema; ship-lag stands in.)"""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
