@@ -1012,3 +1012,109 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query(
+    "corr_regression_agg",
+    """
+    WITH acc AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+               SUM(CAST(l_discount AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(CAST(l_discount AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 9) AS pearson_r,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 9) AS ols_slope
+    FROM acc
+    """,
+)
+def q_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS slope from exact DECIMAL moment sums —
+    the distributed-exact formulation (Spark's corr/regr_slope stream
+    doubles and are partition-order-dependent in the last ulps; decimal
+    moments are order-independent, then ONE identical double expression
+    per engine). Same single-shuffle cost as any grouped aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    acc = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dq).alias("sx"),
+        F.sum((dq * dq).cast("decimal(38,4)")).alias("sxx"),
+        F.sum(dd).alias("sy"),
+        F.sum((dd * dd).cast("decimal(38,4)")).alias("syy"),
+        F.sum((dq * dd).cast("decimal(38,4)")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return acc.select(
+        "l_returnflag", "n",
+        F.round(cov_n / F.sqrt(var_x * var_y), 9).alias("pearson_r"),
+        F.round(cov_n / var_x, 9).alias("ols_slope"),
+    )
+
+
+@query(
+    "batch_session_window",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def q_batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window in BATCH mode — the same gap-based session
+    operator the streaming surface uses (stream_session_stats), run as
+    a plain aggregation: one API, both execution modes, identical
+    results (the oracle is the gaps-and-islands construction). Spark
+    plans it as a single shuffle on user_id with session merging inside
+    the aggregate — no window-function pass needed."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("__w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("__w")["start"].alias("session_start"),
+            F.col("__w")["end"].alias("session_end"),
+            "n_events",
+        )
+    )
