@@ -353,3 +353,94 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+               AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): THE predicate-pushdown
+    showcase — three selective predicates reach the parquet scan as
+    PushedFilters (row-group stats skip whole chunks), the projection
+    prunes to 4 columns, and a single global aggregate returns one row.
+    At 100 TB this query's cost is IO on the surviving row groups and
+    nothing else."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(18,2)")
+                ).cast("decimal(38,4)")
+            )
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_share",
+    """
+    SELECT ROUND(
+               100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))
+                   ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+               / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)))
+                 AS DOUBLE), 9) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional share-of-total in one
+    aggregate — the part dimension broadcasts, the month filter pushes
+    into the fact scan, and both the promo and total revenue sums come
+    out of a single pass (no second scan for the denominator). Exact
+    decimal sums; one identical double division + round per engine."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(38,4)")
+    zero = F.lit("0").cast("decimal(38,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                .cast("double")
+                / F.sum(rev).cast("double"),
+                9,
+            ).alias("promo_revenue_pct")
+        )
+    )
