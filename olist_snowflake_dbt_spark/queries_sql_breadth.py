@@ -790,8 +790,8 @@ def q_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS BIGINT) AS sum_k,
-           CAST(COUNT(json_extract_string(props, '$.missing') )
-                AS BIGINT) AS n_missing_key
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_key
     FROM events
     GROUP BY event_type
     """,
@@ -803,8 +803,9 @@ def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each get_json_object re-tokenizes the string; a VARIANT parses
     once into a binary form and every extraction is a cheap path walk —
     the difference between O(accesses x len) and O(len + accesses) per
-    row at 100 TB). Missing paths yield NULL (counted here), matching
-    SQL JSON semantics on both engines."""
+    row at 100 TB). Missing paths yield NULL; n_missing_key counts those
+    NULLs explicitly (SUM of IS NULL) so the metric actually measures
+    missing keys on both engines."""
     ev = _t(spark, sf_dir, "events")
     v = F.parse_json(F.col("props"))
     return (
@@ -816,7 +817,9 @@ def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("__k").cast("bigint").alias("sum_k"),
-            F.count("__m").cast("bigint").alias("n_missing_key"),
+            F.sum(F.when(F.col("__m").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing_key"),
         )
     )
 
@@ -966,8 +969,7 @@ def q_try_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.try_to_number("o_orderpriority", F.lit("999")).cast("bigint")
-        .alias("bad_cast"),
+        F.expr("TRY_CAST(o_orderpriority AS BIGINT)").alias("bad_cast"),
         (
             F.col("o_totalprice").cast("decimal(18,2)")
             / F.nullif((F.col("o_orderkey") % 3).cast("int"), F.lit(0))

@@ -159,3 +159,32 @@ def test_decimal_double_cast_parity_boundary(spark):
         ).fetchall()
     ]
     assert [repr(s) for s in srows] == [repr(d) for d in drows]
+
+
+def test_session_window_exact_gap_boundary(spark):
+    # pins the boundary semantics batch_session_window's oracle relies
+    # on: an event arriving EXACTLY gap after the previous one merges
+    # into the same session (Spark merges when next_start <= current
+    # session end), so the gaps-and-islands oracle must use
+    # `<= INTERVAL '30 minutes'` — not `<`. Verified empirically and
+    # asserted here so a Spark behavior change breaks the build, not
+    # the driver compare.
+    df = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:00:00"),
+            ("u1", "2024-01-01 00:30:00"),  # exactly 30-min gap: merges
+            ("u1", "2024-01-01 01:30:00"),  # 60-min gap: new session
+        ],
+        "user_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = sorted(
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w")["start"].alias("s"), "n")
+        .collect(),
+        key=lambda r: r.s,
+    )
+    assert [(str(r.s), r.n) for r in rows] == [
+        ("2024-01-01 00:00:00", 2),
+        ("2024-01-01 01:30:00", 1),
+    ]
