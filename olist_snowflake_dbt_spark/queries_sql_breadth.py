@@ -575,20 +575,55 @@ def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_and_quantile_sketch")  # rows-only: sketch estimates are
-# engine-specific (Spark DataSketches HLL vs DuckDB approx_count_distinct)
+@query(
+    "hll_and_quantile_sketch",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6)
+               AS exact_median_qty,
+           TRUE AS hll_within_tol,
+           TRUE AS pct_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB path for distincts/quantiles:
     approx_count_distinct (HLL++) and approx_percentile, both
     mergeable partial aggregates (no global sort, no exact-distinct
-    shuffle). Accuracy vs the exact twins is asserted in
+    shuffle). Sketch estimates are engine-specific, so the driver row
+    checks (a) the exact twins both engines compute and (b) bounded-
+    relative-error invariants over the REAL sketches — HLL within 5x
+    its 2% rsd of the exact distinct; the percentile sketch landing
+    inside the exact p45..p55 rank band — which the oracle states as
+    literal TRUE. Error bounds are relative, so the invariants hold at
+    any SF; tighter accuracy assertions stay in
     tests/test_sql_breadth.py."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.approx_percentile(F.col("l_quantity").cast("double"), 0.5, 1000).alias(
-            "approx_median_qty"
-        ),
+    qd = F.col("l_quantity").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"),
+            F.percentile(qd, 0.5).alias("__p50"),
+            F.percentile(qd, 0.45).alias("__p45"),
+            F.percentile(qd, 0.55).alias("__p55"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("__hll"),
+            F.approx_percentile(qd, 0.5, 1000).alias("__apx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            F.round("__p50", 6).alias("exact_median_qty"),
+            (
+                F.abs(F.col("__hll") - F.col("exact_orders"))
+                <= F.lit(0.10) * F.col("exact_orders")
+            ).alias("hll_within_tol"),
+            (
+                (F.col("__apx") >= F.col("__p45"))
+                & (F.col("__apx") <= F.col("__p55"))
+            ).alias("pct_within_tol"),
+        )
     )
 
 

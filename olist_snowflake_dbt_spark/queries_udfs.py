@@ -58,13 +58,33 @@ def q_udaf_decimal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("udf_compression_ratio")  # rows-only: zlib has no SQL twin
+@query(
+    "udf_compression_ratio",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           CAST(len(list_distinct(string_split(text, ''))) AS BIGINT)
+               AS n_distinct_chars,
+           TRUE AS ratio_in_bounds
+    FROM documents
+    """,
+)
 def q_udf_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar Pandas UDF: deflate-ratio quality signal per document
-    (entropy proxy — template spam compresses far below prose);
-    monotonicity properties in tests/test_udfs.py."""
+    (entropy proxy — template spam compresses far below prose). zlib
+    has no SQL twin, so the driver-checked output is (a) exact
+    byte-length/distinct-char stats both engines compute and (b) a
+    bounds invariant over the REAL zlib ratio (0 < r < 2 — deflate's
+    worst-case expansion on these >=48-byte docs is far under 2x),
+    which the oracle states as literal TRUE; the ratio's monotonicity /
+    exact values stay pytest-asserted (tests/test_udfs.py)."""
     d = _t(spark, sf_dir, "documents")
+    r = U.compression_ratio(F.col("text"))
     return d.select(
         "doc_id",
-        F.round(U.compression_ratio(F.col("text")), 6).alias("compression_ratio"),
+        F.octet_length("text").cast("bigint").alias("byte_len"),
+        F.size(F.array_distinct(F.split(F.col("text"), "")))
+        .cast("bigint")
+        .alias("n_distinct_chars"),
+        ((r > F.lit(0.0)) & (r < F.lit(2.0))).alias("ratio_in_bounds"),
     )
