@@ -1,0 +1,185 @@
+"""Driver query for the orchestration layer (SURVEY.md §2 A17/A19/A20,
+B5/B6/B7): one end-to-end ``Engine.pipeline`` run — seed → staging views
+→ Python model → mart table → generic + singular tests → pass/fail gate —
+returning the gated mart plus the verdict counters, with a pure-SQL DuckDB
+twin (the seed inlined as VALUES).
+
+Reference semantics: ``automate_pipeline.py:10-26`` (build, then test,
+then gate on both), ``dbt seed`` re-run overwrite (seeds/seed.sql:23-30),
+view/table materializations (dbt_project.yml:35-36).
+
+What each verdict column proves in-driver:
+- ``seed_rows=3``       A1 CSV inference + A19 re-run overwrite (the seed
+                        loads TWICE; append semantics would read 6)
+- ``tests_passed=6``    A10-A15 generic/singular tests over the built DAG
+- ``n_readback_diff=0`` A18 table readback equals the model output — the
+                        B6 ``unit_test_diff`` multiset compare, used as a
+                        materialization round-trip audit
+- ``n_stored_failures`` B7 store_failures write path (0 failing rows)
+- ``gate_ok``           A20 gating: the query RAISES if the gate fails,
+                        so a red pipeline can never hash-match
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _t, query
+
+_SEED_CSV = """order_status,status_name,is_open
+O,open,true
+F,finished,false
+P,pending,true
+"""
+
+_ORACLE = """
+WITH seed(order_status, status_name, is_open) AS (
+    VALUES ('O', 'open', TRUE), ('F', 'finished', FALSE),
+           ('P', 'pending', TRUE)
+),
+stg_orders AS (
+    SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+           o_orderstatus AS order_status, o_totalprice AS total_price
+    FROM orders
+),
+stg_customers AS (
+    SELECT c_custkey AS customer_id, c_mktsegment AS segment FROM customer
+),
+enriched AS (
+    SELECT e.*, s.status_name, s.is_open
+    FROM stg_orders e LEFT JOIN seed s USING (order_status)
+),
+fct AS (
+    SELECT c.segment, e.status_name, e.is_open,
+           concat(c.segment, ':', e.status_name) AS grain_key,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(e.total_price AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+    FROM enriched e LEFT JOIN stg_customers c ON e.customer_id = c.customer_id
+    GROUP BY 1, 2, 3
+)
+SELECT segment, status_name, is_open, grain_key, n_orders, revenue,
+       CAST(3 AS BIGINT) AS seed_rows,
+       CAST(6 AS BIGINT) AS tests_passed,
+       CAST(0 AS BIGINT) AS tests_failed,
+       CAST(0 AS BIGINT) AS n_stored_failures,
+       CAST(0 AS BIGINT) AS n_readback_diff,
+       TRUE AS gate_ok
+FROM fct
+"""
+
+
+@query("runner_pipeline_gate", _ORACLE)
+def q_runner_pipeline_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dq import unit_test_diff
+    from .runner import Engine
+
+    wh = tempfile.mkdtemp(prefix="olist_pipeline_gate_")
+    eng = Engine(spark, wh)
+
+    # A1 + A19: seed a 3-row CSV TWICE — re-run must overwrite, and agate
+    # precedence must type is_open as boolean (the oracle VALUES agree).
+    csv_path = os.path.join(wh, "seed_order_status.csv")
+    with open(csv_path, "w", encoding="utf-8") as fh:
+        fh.write(_SEED_CSV)
+    eng.seed({"seed_order_status": csv_path})
+    eng.seed({"seed_order_status": csv_path})
+
+    eng.registry.register_source("raw_orders", _t(spark, sf_dir, "orders"))
+    eng.registry.register_source("raw_customers", _t(spark, sf_dir, "customer"))
+
+    eng.registry.register(
+        "stg_orders",
+        """
+        select o_orderkey as order_id, o_custkey as customer_id,
+               o_orderstatus as order_status, o_totalprice as total_price
+        from {{ ref('raw_orders') }}
+        """,
+    )
+    eng.registry.register(
+        "stg_customers",
+        """
+        select c_custkey as customer_id, c_mktsegment as segment
+        from {{ ref('raw_customers') }}
+        """,
+    )
+
+    # B5: a native-Python model in the same DAG as the SQL models.
+    @eng.registry.model(name="enriched_orders")
+    def enriched_orders(ctx) -> DataFrame:  # noqa: ANN001
+        return ctx.ref("stg_orders").join(
+            F.broadcast(ctx.ref("seed_order_status")), "order_status", "left"
+        )
+
+    eng.registry.register(
+        "fct_status_revenue",
+        """
+        select c.segment, e.status_name, e.is_open,
+               concat(c.segment, ':', e.status_name) as grain_key,
+               cast(count(*) as bigint) as n_orders,
+               cast(cast(sum(cast(e.total_price as decimal(18,2)))
+                         as decimal(38,2)) as double) as revenue
+        from {{ ref('enriched_orders') }} e
+        left join {{ ref('stg_customers') }} c
+               on e.customer_id = c.customer_id
+        group by 1, 2, 3
+        """,
+        materialized="table",
+    )
+
+    # the reference's generic-test suite shape (schema.yml:7-19) + the
+    # singular revenue test (tests/assert_revenue_is_positive.sql:3-7),
+    # the latter with store_failures=True to drive the B7 write path.
+    eng.test_unique("fct_status_revenue", "grain_key")
+    eng.test_not_null("fct_status_revenue", "segment")
+    eng.test_not_null("enriched_orders", "status_name")
+    eng.test_relationships(
+        "enriched_orders", "customer_id", "stg_customers", "customer_id"
+    )
+    eng.test_accepted_values(
+        "fct_status_revenue", "status_name", ["open", "finished", "pending"]
+    )
+    eng.test_singular(
+        "assert_revenue_is_positive",
+        "fct_status_revenue",
+        lambda df: df.select("grain_key", "revenue").filter(F.col("revenue") <= 0),
+        store_failures=True,
+    )
+
+    result = eng.pipeline(select="+fct_status_revenue")
+    if not result.ok:  # A20 gate: a red pipeline never publishes
+        raise RuntimeError(
+            f"pipeline gate failed: {[t.name for t in result.tests if not t.passed]}"
+        )
+
+    # A18/B6: the written table read back must equal the model output —
+    # unit_test_diff as a materialization round-trip audit.
+    mart = spark.table("fct_status_revenue")
+    n_diff = unit_test_diff(mart, eng.registry.build("fct_status_revenue")).count()
+    by_name = {t.name: t for t in result.tests}
+    n_stored = by_name["assert_revenue_is_positive"].failures
+
+    return mart.select(
+        "segment",
+        "status_name",
+        "is_open",
+        "grain_key",
+        "n_orders",
+        "revenue",
+        F.lit(spark.table("seed_order_status").count()).cast("bigint").alias(
+            "seed_rows"
+        ),
+        F.lit(sum(1 for t in result.tests if t.passed)).cast("bigint").alias(
+            "tests_passed"
+        ),
+        F.lit(sum(1 for t in result.tests if not t.passed)).cast("bigint").alias(
+            "tests_failed"
+        ),
+        F.lit(n_stored).cast("bigint").alias("n_stored_failures"),
+        F.lit(n_diff).cast("bigint").alias("n_readback_diff"),
+        F.lit(result.ok).alias("gate_ok"),
+    )
