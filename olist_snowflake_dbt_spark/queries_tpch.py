@@ -444,3 +444,276 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority NOT LIKE '1-%'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    with a predicate *in the join condition* (orders excluded by the
+    filter still leave their customer behind with count 0 — the
+    semantics WHERE would destroy), double aggregation. Both the join
+    and the first groupBy key on c_custkey, so Catalyst reuses one
+    hash partitioning for both — one shuffle of each table, and the
+    second aggregate runs on ~tens of distinct counts (map-side
+    partials shrink it to nothing). The spec's o_comment NOT LIKE
+    exclusion maps to o_orderpriority (comment not in the driver's
+    schema)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (~o.o_orderpriority.like("1-%")),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (part/supplier relationship): NOT IN exclusion +
+    COUNT(DISTINCT) per part-attribute group. The excluded-supplier set
+    (spec: '%Customer%Complaints%' comments; here: negative acctbal —
+    comment not in schema) is a LEFT ANTI broadcast join — the NOT IN
+    rewrite that stays correct because s_suppkey is non-null, and never
+    shuffles lineitem. Part is filtered then broadcast; the only
+    shuffle is the distinct-aggregate, which Spark plans as two-phase
+    (partial distinct on (group, suppkey) map-side first)."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_s), li.l_suppkey == bad_s.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    """
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2' AND p.p_type = 'ECONOMY'
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar
+    subquery computing a per-part average over the SAME fact table,
+    decorrelated into a groupBy-then-join — the plan every engine
+    rewrites to, expressed directly. The per-part averages are computed
+    only for the ~selected parts (semi-filter BEFORE the aggregate, so
+    the 100 TB scan aggregates a sliver, not the whole table); the
+    threshold join is broadcast (one row per selected part). Quantities
+    are integral doubles, so AVG is exact and the 0.2x threshold is
+    bit-identical across engines. p_container isn't in the driver's
+    schema — p_type stands in."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#2") & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    selected = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).drop("p_partkey")
+    thresholds = (
+        selected.groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("__qty_thresh"))
+    )
+    return (
+        selected.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__qty_thresh"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q20_excess_shippers",
+    """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'red%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 50
+    )
+    ORDER BY s.s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess-volume shippers): IN over a grouped-HAVING
+    subquery — suppliers who moved >50 units of any red part in 1996.
+    Planned as filtered-part broadcast join → partial-agg shuffle on
+    (suppkey, partkey) → HAVING filter → LEFT SEMI join back to
+    supplier (the IN rewrite; duplicates in the subquery never
+    duplicate suppliers). The spec gates on partsupp.ps_availqty,
+    which isn't in the driver's schema — the shipped-quantity HAVING
+    keeps the nested group-filter shape. Quantity sums route through
+    DECIMAL so the >50 cut is exact on both engines."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty"))
+        .filter(F.col("__qty") > 50)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "tpch_q22_dormant_accounts",
+    """
+    WITH potential AS (
+        SELECT right(c_name, 2) AS cntrycode, c_custkey, c_acctbal
+        FROM customer
+        WHERE right(c_name, 2) IN ('01','13','25','31','42','57','69','88')
+    ),
+    thresh AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+        FROM potential WHERE c_acctbal > 0
+    )
+    SELECT cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) AS DOUBLE) AS totacctbal
+    FROM potential pc, thresh
+    WHERE pc.c_acctbal > thresh.avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = pc.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (dormant high-balance accounts): substring bucketing +
+    uncorrelated scalar-average subquery + NOT EXISTS anti-join. The
+    global average broadcasts as a 1-row frame (never a collect); the
+    anti-join probes only the date-filtered order keys. The threshold
+    is an exact decimal sum divided by an exact count in double, so the
+    > comparison is bit-identical across engines. Spec adaptations for
+    the driver schema: phone-prefix country codes → the customer
+    name's trailing digits; 'no orders at all' → 'no orders since
+    1999' (every sf0.01 customer has some order, which would make the
+    canonical form vacuous)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.expr("right(c_name, 2)").alias("cntrycode"), "c_custkey", "c_acctbal"
+    )
+    potential = c.filter(
+        F.col("cntrycode").isin("01", "13", "25", "31", "42", "57", "69", "88")
+    )
+    thresh = potential.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        potential.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(F.broadcast(recent), F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -111,3 +111,53 @@ def test_asof_user_without_clicks_gets_null(spark):
 @pytest.mark.parametrize("name", ["grouping_sets_mix", "window_range_interval"])
 def test_new_breadth_queries_run(spark, sf_dir, name):
     assert QUERIES[name](spark, sf_dir).count() > 0
+
+
+def test_q13_left_join_keeps_zero_count_customers(spark, sf_dir):
+    """The exclusion predicate lives in the JOIN condition, so customers
+    whose every order is excluded must appear with c_count=0 — and the
+    distribution must cover every customer exactly once."""
+    df = QUERIES["tpch_q13_customer_distribution"](spark, sf_dir)
+    rows = df.collect()
+    from olist_snowflake_dbt_spark.queries import _t
+
+    n_cust = _t(spark, sf_dir, "customer").count()
+    assert sum(r.custdist for r in rows) == n_cust
+    assert any(r.c_count == 0 for r in rows) or n_cust == sum(
+        r.custdist for r in rows if r.c_count > 0
+    )
+
+
+def test_q16_excludes_suppliers_without_lineitem_shuffle_join(spark, sf_dir):
+    plan = _plan(QUERIES["tpch_q16_supplier_part_counts"](spark, sf_dir))
+    # NOT IN rewrite: anti join on the broadcast bad-supplier set; part
+    # dimension broadcast — the fact table is only shuffled for the agg
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_threshold_join_is_broadcast(spark, sf_dir):
+    df = QUERIES["tpch_q17_small_quantity_revenue"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    [row] = df.collect()
+    assert row.avg_yearly is None or row.avg_yearly >= 0
+
+
+def test_q20_semi_join_no_supplier_duplicates(spark, sf_dir):
+    df = QUERIES["tpch_q20_excess_shippers"](spark, sf_dir)
+    names = [r.s_name for r in df.collect()]
+    # LEFT SEMI: a supplier shipping many heavy parts appears once
+    assert len(names) == len(set(names))
+    assert names == sorted(names)
+
+
+def test_q22_threshold_broadcast_not_collect(spark, sf_dir):
+    df = QUERIES["tpch_q22_dormant_accounts"](spark, sf_dir)
+    plan = _plan(df)
+    # the 1-row average joins via BroadcastNestedLoopJoin (cross of a
+    # single row), never a driver-side collect into a literal
+    assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert all(r.numcust > 0 for r in rows)
