@@ -28,66 +28,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries in
-# dict order (CORRECTNESS_r01..r03 each contain exactly the first 50 keys).
-# Rounds 1-3 therefore never produced a correctness row for anything
-# registered after the 50th entry. This priority list rotates the 47
-# never-checked entries into the checked window for round 4 — together
-# with CORRECTNESS_r03 (which verified the first 50, all green except the
-# since-fixed sessionize_events) the union covers every registered query.
-# fct_orders (flagship) and sessionize_events (failed r03, fixed: interval
-# comparison instead of unix_micros, which rejects TIMESTAMP_NTZ) are kept
-# in-window to re-verify.
+# dict order. This priority list rotates the round-5 window onto: the 25
+# queries registered in round 4 AFTER the r04 window froze (no driver row
+# yet; all pass tools/check_oracle.py locally), the 6 queries new in round
+# 5 (runner_pipeline_gate + TPC-H Q13/Q16/Q17/Q20/Q22), the 2 entries that
+# were rows-only through r04 and now carry exact-twin oracles
+# (hll_and_quantile_sketch, udf_compression_ratio), the flagship
+# fct_orders, and 16 safety-critical re-verifies. Driver coverage by
+# round: r03 checked the first 50 registered, r04 the 50-name rotation in
+# its window, r05 this list — the three unions cover every query
+# registered through round 5; anything registered later needs a future
+# rotation before claiming a driver row.
 _CHECK_FIRST = [
+    # flagship
     "fct_orders",
-    "sessionize_events",
-    "kmeans_clusters",
-    "stream_window_counts",
-    "stream_session_stats",
-    "stream_dedup",
-    "stream_stateful_totals",
-    "stream_stream_join",
-    "stream_static_enrich",
-    "mm_byte_stats",
-    "mm_frame_sample",
-    "mm_decode",
-    "mm_features",
-    "percentile_agg",
-    "moment_stats",
-    "string_funcs",
-    "range_join_bucketed",
-    "null_safe_join",
-    "array_agg_ops",
-    "unpivot_stack",
-    "correlated_scalar_subquery",
-    "window_frames",
-    "incremental_delete_insert_sim",
-    "incremental_insert_overwrite_sim",
-    "seed_csv_inference",
-    "salted_skew_join",
-    "two_phase_distinct_skew",
-    "lateral_explode",
-    "conditional_agg_filter",
-    "minmax_by_agg",
+    # round-4 registrations with no driver row yet (rotation targets)
+    "array_hof_stats",
+    "batch_session_window",
+    "corr_regression_agg",
+    "cube_aggregate",
+    "date_spine_gaps",
+    "doc_length_histogram",
+    "full_outer_reconcile",
+    "grouping_sets_mix",
+    "incremental_microbatch_sim",
+    "pyds_synthetic_corpus",
+    "quality_quantile_filter",
+    "sample_importance_weighted",
+    "stream_sliding_window",
+    "text_corpus_freq_score",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_priority_revenue",
+    "tpch_q4_late_orders",
+    "tpch_q5_region_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "try_safe_arithmetic",
+    "variant_shred_agg",
+    "window_range_interval",
+    # new in round 5
+    "runner_pipeline_gate",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_shippers",
+    "tpch_q22_dormant_accounts",
+    # rows-only through r04, now with exact-twin oracles
     "hll_and_quantile_sketch",
-    "fmt_jsonl_roundtrip",
-    "fmt_orc_roundtrip",
-    "fmt_csv_roundtrip",
-    "sink_partitioned_pruned",
-    "fmt_schema_evolution",
-    "sample_hash_split",
-    "sample_hash_fraction",
-    "sample_stratified_topn",
-    "pandas_group_vector_sums",
-    "sample_mix_sources",
-    "sample_pack_sequences",
-    "udtf_chunk_words",
-    "udaf_decimal_sum",
     "udf_compression_ratio",
-    "materialize_table_roundtrip",
-    "clone_zero_copy",
-    "zorder_roundtrip",
+    # safety-critical re-verifies (green in r03/r04; kept in-window)
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "similarity_ann_lsh",
+    "similarity_ivf",
+    "similarity_quantized_topk",
+    "kmeans_clusters",
+    "stream_stateful_totals",
+    "scd2_window_rebuild",
+    "incremental_merge_sim",
+    "seed_csv_inference",
     "dynamic_table_refresh",
     "asof_click_attribution",
+    "mm_features",
 ]
 
 
