@@ -36,30 +36,42 @@ def main() -> None:
         except Exception:
             pass
 
+    # min-of-N per query (default 2): a single run sits on a ~2.5x noise
+    # floor from JVM GC pauses and codegen compilation landing inside one
+    # measurement (r04: cube_aggregate 13.9 s in-sequence vs 1.8 s
+    # isolated); the min of two runs is a stable estimator of the true
+    # plan cost. Override with SPARK_GRAFT_BENCH_RUNS=1 for a fast pass.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # one broken query must not sink the run
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
-        # operators persist self-join intermediates for the duration of
-        # their query; drop them so 47+ queries' caches don't stack up
-        spark.catalog.clearCache()
-        # broadcast blocks and shuffle state are only reclaimed by the
-        # ContextCleaner after a JVM GC; without this, queries ~30+ in
-        # the run measure 10-20x slower than their true cost (measured:
-        # dedup_simhash 54s polluted vs 3s clean). Session-level
-        # periodicGC (session.py) covers production; the explicit call
-        # makes per-query timings deterministic here.
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
+        best: float | None = None
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            except Exception as exc:  # a broken query must not sink the run
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
+                break
+            # operators persist self-join intermediates for the duration
+            # of their query; drop them so 129 queries' caches don't stack
+            spark.catalog.clearCache()
+            # broadcast blocks and shuffle state are only reclaimed by the
+            # ContextCleaner after a JVM GC; without this, queries ~30+ in
+            # the run measure 10-20x slower than their true cost
+            # (measured: dedup_simhash 54s polluted vs 3s clean).
+            # Session-level periodicGC (session.py) covers production; the
+            # explicit call makes per-query timings deterministic here.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+        if best is not None:
+            timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -59,6 +59,13 @@ def get_spark(app_name: str = "olist_snowflake_dbt_spark", **overrides: str) -> 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
     conf = dict(_DEFAULTS)
+    # cluster knob: on a real deployment set SPARK_GRAFT_SHUFFLE_PARTITIONS
+    # to ~2-3x total executor cores (e.g. 8000-12000 for 1000 executors x
+    # 4 cores); AQE then coalesces the small ones at runtime, so erring
+    # high is cheap while erring low caps parallelism and spills.
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if shuffle_parts:
+        conf["spark.sql.shuffle.partitions"] = shuffle_parts
     conf.update({str(k): str(v) for k, v in overrides.items()})
     active = SparkSession.getActiveSession()
     if active is not None:
