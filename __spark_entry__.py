@@ -30,8 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate verifies the FIRST 50 queries() entries in
 # dict order. This priority list rotates the round-5 window onto: the 25
 # queries registered in round 4 AFTER the r04 window froze (no driver row
-# yet; all pass tools/check_oracle.py locally), the 6 queries new in round
-# 5 (runner_pipeline_gate + TPC-H Q13/Q16/Q17/Q20/Q22), the 2 entries that
+# yet; all pass tools/check_oracle.py locally), the 12 queries new in round
+# 5 (runner_pipeline_gate + TPC-H Q7/8/9/13/15/16/17/19/20/21/22), the 2 that
 # were rows-only through r04 and now carry exact-twin oracles
 # (hll_and_quantile_sketch, udf_compression_ratio), the flagship
 # fct_orders, and 16 safety-critical re-verifies. Driver coverage by
@@ -70,10 +70,16 @@ _CHECK_FIRST = [
     "window_range_interval",
     # new in round 5
     "runner_pipeline_gate",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
     "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
     "tpch_q16_supplier_part_counts",
     "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
     "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_accounts",
     # rows-only through r04, now with exact-twin oracles
     "hll_and_quantile_sketch",
@@ -86,15 +92,9 @@ _CHECK_FIRST = [
     "dedup_embedding_cosine",
     "similarity_ann_lsh",
     "similarity_ivf",
-    "similarity_quantized_topk",
     "kmeans_clusters",
     "stream_stateful_totals",
     "scd2_window_rebuild",
-    "incremental_merge_sim",
-    "seed_csv_inference",
-    "dynamic_table_refresh",
-    "asof_click_attribution",
-    "mm_features",
 ]
 
 

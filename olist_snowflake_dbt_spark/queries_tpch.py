@@ -717,3 +717,401 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+           {_REV_SQL} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (bilateral trade volume): a disjunctive cross-dimension
+    predicate — (supplier nation, customer nation) must be one of two
+    ordered pairs — over a 5-table join, grouped by ship year. Both
+    nation dimensions broadcast pre-filtered to the two nations, so the
+    pair predicate degenerates to a residual on two broadcast joins;
+    lineitem is shuffled once, for the final aggregate. Year extraction
+    happens after the date-range filter prunes the scan."""
+    two = ["NATION_1", "NATION_2"]
+    n1 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(two)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(two)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s.join(F.broadcast(n1), s.s_nationkey == n1.n1_key)),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(c.join(F.broadcast(n2), c.c_nationkey == n2.n2_key)),
+              o.o_custkey == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_rev_col().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    """
+    WITH vols AS (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(38,4)) AS volume,
+               n2.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                              ELSE CAST(0 AS DECIMAL(38,4)) END)
+                     AS DECIMAL(38,4)) AS DOUBLE)
+           / CAST(CAST(SUM(volume) AS DECIMAL(38,4)) AS DOUBLE)
+               AS mkt_share
+    FROM vols GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): an 8-table snowflake with a
+    conditional-aggregate ratio — NATION_5's share of ECONOMY-part
+    volume sold into ASIA, by order year. Every dimension (part
+    filtered ~1/6, both nation roles, region, supplier, customer)
+    broadcasts; lineitem shuffles only for the per-year aggregate. The
+    share is exact-decimal numerator and denominator, divided in
+    DOUBLE as the single final float step on both engines."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("n1_key"))
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    vols = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.join(F.broadcast(n1), c.c_nationkey == n1.n1_key)),
+              o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(s.join(F.broadcast(n2), s.s_nationkey == n2.n2_key)),
+              li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(38,4)")
+    return (
+        vols.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", F.col("volume"))
+                    .otherwise(zero)
+                )
+                .cast("decimal(38,4)")
+                .cast("double")
+                / F.sum("volume").cast("decimal(38,4)").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(SUM(
+               CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(38,4))
+               - CAST(CAST(p.p_retailprice AS DECIMAL(18,2))
+                      * CAST(l.l_quantity AS DECIMAL(18,2))
+                      AS DECIMAL(38,4))
+           ) AS DECIMAL(38,4)) AS DOUBLE) AS sum_profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit = discounted revenue minus
+    cost, per supplier nation per order year, for parts matching a name
+    substring. The spec costs via partsupp.ps_supplycost (not in the
+    driver's schema) — p_retailprice x quantity stands in, keeping the
+    revenue-minus-cost expression shape. The %substring% predicate
+    can't prune the part scan (no prefix), but part is a dimension:
+    filter, broadcast, and the fact table still only shuffles for the
+    aggregate. All money math is exact decimal; one final DOUBLE
+    cast."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    ).cast("decimal(38,4)")
+    profit = (price * (F.lit(1) - disc)).cast("decimal(38,4)") - cost
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s.join(F.broadcast(n),
+                                 s.s_nationkey == n.n_nationkey)),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("nation", F.year("o_orderdate").cast("bigint").alias("o_year"),
+                profit.alias("__profit"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum("__profit").cast("decimal(38,4)").cast("double")
+             .alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {_REV_SQL} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): a derived revenue view consumed twice —
+    once as the join input, once inside a scalar MAX subquery.
+    Expressed as aggregate → 1-row max → broadcast equality filter, so
+    the revenue aggregate is computed once and reused (Spark plans the
+    reused frame as an exchange-reuse or recompute of a tiny 100-row
+    agg — either is cheap; the 100 TB input is scanned once per use of
+    the quarter-filtered slice, pruned at the parquet level). Revenue
+    equality is safe: both sides are the same exact-decimal sum cast to
+    DOUBLE once."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_rev_col().alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(revenue), s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    f"""
+    SELECT {_REV_SQL} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    OR'd brand/size/quantity conjunctions spanning BOTH join sides.
+    Catalyst extracts the join-key conjunct and pushes the common
+    single-side simplifications (the p_brand IN superset, the quantity
+    range hull) below the join; the cross-side residual evaluates on
+    the joined rows. Part pre-filters to the union of the three brand
+    branches and broadcasts — the shape the spec designed to punish
+    engines that can't split disjunctions. (l_shipmode/l_shipinstruct
+    conjuncts dropped: not in the driver's schema.)"""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+        & (F.col("p_size") >= 1)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    q = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(_rev_col().alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_3'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): the hardest spec
+    shape — EXISTS and NOT EXISTS, both correlated to the SAME fact
+    table, on the same key with inequality residuals. Planned as a
+    LEFT SEMI then LEFT ANTI join of lineitem against itself, both
+    keyed on l_orderkey (equi-shuffle with the supplier/date terms as
+    residuals — never a cartesian). The nation filter broadcasts
+    through supplier before touching the fact side. Spec adaptation:
+    'received after commit date' → 'shipped >60 days after order'
+    (receipt/commit dates not in the driver's schema); multi-supplier
+    orders and the was-the-last-to-ship anti-condition are kept
+    verbatim."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l1 = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    waited = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("l2_orderkey"))
+        & (F.col("l_suppkey") != F.col("l2_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("l3_orderkey"))
+        & (F.col("l_suppkey") != F.col("l3_suppkey"))
+        & (F.col("l3_shipdate") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )

@@ -161,3 +161,28 @@ def test_q22_threshold_broadcast_not_collect(spark, sf_dir):
     assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan
     rows = df.collect()
     assert all(r.numcust > 0 for r in rows)
+
+
+def test_q8_share_bounded_and_broadcast(spark, sf_dir):
+    df = QUERIES["tpch_q8_market_share"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows and all(0.0 <= r.mkt_share <= 1.0 for r in rows)
+
+
+def test_q15_max_filter_single_winner_revenue(spark, sf_dir):
+    rows = QUERIES["tpch_q15_top_supplier"](spark, sf_dir).collect()
+    assert rows
+    # every returned supplier ties on the exact max revenue
+    assert len({r.total_revenue for r in rows}) == 1
+
+
+def test_q21_semi_anti_self_joins_not_cartesian(spark, sf_dir):
+    df = QUERIES["tpch_q21_waiting_suppliers"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # semi+anti must stay equi-keyed on l_orderkey (hash or sort-merge),
+    # with the supplier/date terms as residual conditions
+    assert "LeftSemi" in plan and "LeftAnti" in plan
