@@ -21,6 +21,7 @@ from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators.dq import (
     TestResult,
@@ -82,16 +83,33 @@ class Engine:
             df = seed_to_parquet(self.spark, csv_path, self.warehouse_dir, name, schema)
             self.registry.register_source(name, df)
 
+    # -- hooks (dbt pre/post-hook + on-run-start/end; reference:
+    # $DBT/dbt/include/global_project/macros/materializations/hooks.sql) --
+    def _run_hooks(self, hooks: object) -> None:
+        """Execute model/run hooks: SQL strings via ``spark.sql`` (the
+        dbt shape), callables with ``(spark, engine)``. A single hook or
+        a list both work, mirroring dbt's config normalization."""
+        if hooks is None:
+            return
+        items = hooks if isinstance(hooks, (list, tuple)) else [hooks]
+        for h in items:
+            if callable(h):
+                h(self.spark, self)
+            else:
+                self.spark.sql(str(h))
+
     # -- models (dbt run) ---------------------------------------------
     def run(self, select: str | None = None) -> dict[str, MaterializedRelation]:
         selected = self.registry.select(select)
         self.registry.invalidate()
         order = self.registry.topological_order(selected if select else None)
+        self._run_hooks(getattr(self, "on_run_start", None))
         out: dict[str, MaterializedRelation] = {}
         for name in order:
             if name not in selected:
                 continue
             model = self.registry.models()[name]
+            self._run_hooks(model.config.get("pre_hook"))
             df = self.registry.build(name)
             if model.materialized == "table":
                 rel = materialize_table(
@@ -148,8 +166,10 @@ class Engine:
                 rel = MaterializedRelation(name, "ephemeral", None, df)
             else:
                 rel = materialize_view(name, df)
+            self._run_hooks(model.config.get("post_hook"))
             out[name] = rel
             self.relations[name] = rel
+        self._run_hooks(getattr(self, "on_run_end", None))
         return out
 
     # -- tests (dbt test) ---------------------------------------------
@@ -208,3 +228,104 @@ class Engine:
         tests = self.test(select)
         tests_ok = all(t.status != TestStatus.ERROR for t in tests)
         return PipelineResult(relations, tests, built_ok=True, tests_ok=tests_ok)
+
+    # -- source freshness (dbt source freshness; dbt-core
+    # dbt/task/freshness.py semantics: max(loaded_at) age vs
+    # warn_after/error_after) --------------------------------------------
+    def source_freshness(
+        self,
+        source: str,
+        loaded_at_field: str,
+        warn_after_seconds: float,
+        error_after_seconds: float,
+        as_of: "object" = None,
+    ) -> "FreshnessResult":
+        """Distributed freshness probe: one MAX aggregate over the
+        source's loaded-at column (parquet scans answer it from footer
+        stats — no full read), age measured against ``as_of``.
+
+        ``as_of`` is explicit rather than wall-clock so the check is
+        deterministic and testable; pass ``datetime.now(tz=UTC)`` in
+        production."""
+        import datetime as _dt
+
+        df = self.registry.source(source)
+        row = df.agg(F.max(F.col(loaded_at_field)).alias("max_loaded_at")).first()
+        max_loaded = row["max_loaded_at"]
+        if as_of is None:
+            raise ValueError("source_freshness requires an explicit as_of")
+        if max_loaded is None:
+            return FreshnessResult(source, None, None, TestStatus.ERROR)
+        if isinstance(max_loaded, _dt.datetime) and max_loaded.tzinfo is None:
+            anchor = as_of.replace(tzinfo=None) if getattr(as_of, "tzinfo", None) else as_of
+        else:
+            anchor = as_of
+        age = (anchor - max_loaded).total_seconds()
+        if age > error_after_seconds:
+            status = TestStatus.ERROR
+        elif age > warn_after_seconds:
+            status = TestStatus.WARN
+        else:
+            status = TestStatus.PASS
+        return FreshnessResult(source, max_loaded, age, status)
+
+    # -- docs generation (dbt docs generate; dbt/task/docs/generate.py
+    # manifest shape: nodes, columns, depends_on, tests) -----------------
+    def generate_docs(self, write: bool = True) -> dict:
+        """Manifest-style documentation: every model with its
+        materialization, config, ref DAG edges, column names/dtypes
+        (from the analyzed plan — no execution), plus declared tests
+        and sources. Optionally written to ``<warehouse>/docs.json``."""
+        import json
+        import os
+
+        models_doc: dict[str, dict] = {}
+        for name, model in self.registry.models().items():
+            try:
+                schema = [
+                    {"name": f.name, "dtype": f.dataType.simpleString()}
+                    for f in self.registry.build(name).schema.fields
+                ]
+            except Exception as exc:  # unresolvable model still documents
+                schema = [{"error": str(exc)[:120]}]
+            models_doc[name] = {
+                "materialized": model.materialized,
+                "depends_on": sorted(self.registry.graph().get(name, ())),
+                "tags": list(model.tags),
+                "config": {
+                    k: v
+                    for k, v in model.config.items()
+                    if isinstance(v, (str, int, float, bool, list, tuple))
+                },
+                "columns": schema,
+            }
+        manifest = {
+            "models": models_doc,
+            "sources": sorted(self.registry._sources),
+            "tests": [
+                {"name": t.name, "model": t.model,
+                 "severity": {"warn_if": t.warn_if, "error_if": t.error_if},
+                 "store_failures": t.store_failures}
+                for t in self.tests
+            ],
+        }
+        if write:
+            path = os.path.join(self.warehouse_dir, "docs.json")
+            os.makedirs(self.warehouse_dir, exist_ok=True)
+            with open(path, "w", encoding="utf-8") as fh:
+                json.dump(manifest, fh, indent=1, sort_keys=True)
+        return manifest
+
+
+@dataclass
+class FreshnessResult:
+    """``dbt source freshness`` verdict for one source."""
+
+    source: str
+    max_loaded_at: "object"
+    age_seconds: float | None
+    status: TestStatus
+
+    @property
+    def fresh(self) -> bool:
+        return self.status == TestStatus.PASS

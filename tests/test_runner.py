@@ -189,3 +189,64 @@ def test_engine_dynamic_table_materialization(spark, sf_dir, tmp_path):
     # tests can run against the dynamic table like any other model
     eng.test_not_null("hourly_counts", "event_type")
     assert all(t.status.name == "PASS" for t in eng.test())
+
+
+def test_hooks_fire_in_order(spark, tmp_path):
+    """pre_hook → build → post_hook per model; on_run_start/on_run_end
+    bracket the invocation (dbt hooks.sql semantics)."""
+    eng = _engine(spark, tmp_path)
+    calls = []
+    eng.on_run_start = lambda s, e: calls.append("run_start")
+    eng.on_run_end = lambda s, e: calls.append("run_end")
+    eng.registry.register(
+        "audit_model",
+        lambda ctx: ctx.ref("stg_items"),
+        pre_hook=[lambda s, e: calls.append("pre")],
+        post_hook=lambda s, e: calls.append("post"),
+    )
+    eng.run(select="+audit_model")
+    assert calls[0] == "run_start" and calls[-1] == "run_end"
+    assert calls.index("pre") < calls.index("post")
+
+
+def test_sql_hook_executes_statement(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    eng.registry.register(
+        "hooked",
+        lambda ctx: ctx.ref("stg_items"),
+        pre_hook="CREATE OR REPLACE TEMP VIEW __hook_probe AS SELECT 42 AS x",
+    )
+    eng.run(select="+hooked")
+    assert spark.table("__hook_probe").first().x == 42
+
+
+def test_source_freshness_thresholds(spark, tmp_path):
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 12, 0, 0))],
+        "id string, loaded_at timestamp",
+    )
+    eng.registry.register_source("feed", src)
+    as_of = dt.datetime(2024, 1, 1, 13, 0, 0)
+    fresh = eng.source_freshness("feed", "loaded_at", 7200, 86400, as_of=as_of)
+    warn = eng.source_freshness("feed", "loaded_at", 1800, 86400, as_of=as_of)
+    err = eng.source_freshness("feed", "loaded_at", 600, 1800, as_of=as_of)
+    assert fresh.fresh and fresh.age_seconds == 3600
+    assert warn.status == TestStatus.WARN
+    assert err.status == TestStatus.ERROR
+
+
+def test_generate_docs_manifest(spark, tmp_path):
+    import json
+
+    eng = _engine(spark, tmp_path)
+    manifest = eng.generate_docs()
+    assert manifest["models"]["fct_orders"]["materialized"] == "table"
+    assert "stg_olist_orders" in manifest["models"]["fct_orders"]["depends_on"]
+    cols = {c["name"] for c in manifest["models"]["fct_orders"]["columns"]}
+    assert {"order_id", "customer_id"} <= cols
+    assert any(t["name"] == "unique_fct_orders_order_id" for t in manifest["tests"])
+    on_disk = json.load(open(tmp_path / "wh" / "docs.json"))
+    assert on_disk["models"].keys() == manifest["models"].keys()
