@@ -81,6 +81,7 @@ _CHECK_FIRST = [
     "tpch_q20_excess_shippers",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_accounts",
+    "dedup_subdoc_chunks",
     # rows-only through r04, now with exact-twin oracles
     "hll_and_quantile_sketch",
     "udf_compression_ratio",
@@ -92,7 +93,6 @@ _CHECK_FIRST = [
     "dedup_embedding_cosine",
     "similarity_ann_lsh",
     "similarity_ivf",
-    "kmeans_clusters",
     "stream_stateful_totals",
     "scd2_window_rebuild",
 ]

@@ -1328,3 +1328,81 @@ def q_sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_words").cast("bigint").alias("kept_words"),
     )
+
+
+@query(
+    "dedup_subdoc_chunks",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, idx,
+               array_to_string(ws[(idx-1)*8+1 : (idx-1)*8+8], ' ') AS chunk
+        FROM (
+            SELECT doc_id, ws,
+                   UNNEST(generate_series(1,
+                       CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS idx
+            FROM w
+        )
+    ),
+    firsts AS (
+        SELECT chunk, MIN(doc_id * 100000 + idx) AS first_key
+        FROM chunks GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN c.doc_id * 100000 + c.idx = f.first_key
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM chunks c JOIN firsts f USING (chunk)
+    GROUP BY c.doc_id
+    """,
+)
+def q_dedup_subdoc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (C4/line-level) dedup: documents split into 8-word
+    chunks; each distinct chunk survives only at its FIRST corpus
+    occurrence (min (doc_id, position)), and the query reports per-doc
+    kept-vs-total chunk counts — the granularity web-corpus pipelines
+    dedup at, below the whole-document fingerprint ops.
+
+    Scale: the explode emits one row per chunk (~n_words/8), but the
+    winner aggregate and the kept-count join both key on the chunk's
+    xxhash64 — an 8-byte shuffle payload regardless of chunk text
+    length, the same inverted-index discipline as the shingle ops.
+    Keep-first is min over the single integer doc_id*100000+idx (idx
+    bounded by 100k-word docs), which is order-insensitive and
+    engine-portable where a struct-min would not be. Two shuffles
+    total (winner per chunk-hash; per-doc recount) at any corpus
+    size."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(8.0)).cast("bigint")
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(F.sequence(F.lit(1), n_chunks)).alias("idx"),
+            ws.alias("__ws"),
+        )
+        .select(
+            "doc_id",
+            "idx",
+            F.array_join(
+                F.slice(F.col("__ws"), (F.col("idx") - 1) * 8 + 1, 8), " "
+            ).alias("chunk"),
+        )
+        .withColumn("__ck", F.xxhash64("chunk"))
+        .withColumn("__pos", F.col("doc_id") * 100000 + F.col("idx"))
+    )
+    firsts = chunks.groupBy("__ck").agg(F.min("__pos").alias("__first"))
+    return (
+        chunks.join(firsts, "__ck")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("__pos") == F.col("__first"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
