@@ -598,19 +598,53 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the exact p45..p55 rank band — which the oracle states as
     literal TRUE. Error bounds are relative, so the invariants hold at
     any SF; tighter accuracy assertions stay in
-    tests/test_sql_breadth.py."""
+    tests/test_sql_breadth.py.
+
+    The exact percentiles are NOT Spark's `percentile` UDAF (which
+    buffers every value per group — measured 39 s on sf0.1 and
+    unbounded memory at 100 TB): quantities live on a small integer
+    domain, so the query aggregates a (flag, value) count distribution
+    — one map-side-combined shuffle to ~50 rows/group — and evaluates
+    the same lower+(pos-floor(pos))*(upper-lower) interpolation the
+    engines' exact quantile functions define, via conditional MINs over
+    cumulative counts."""
     li = _t(spark, sf_dir, "lineitem")
     qd = F.col("l_quantity").cast("double")
+    # COUNT(DISTINCT) must not share an aggregate with the percentile
+    # sketch: the distinct rewrite (Expand) demotes the ObjectHashAggregate
+    # to a SortAggregate over every shuffled row — measured 62 s vs ~5 s
+    # split at sf0.1. Three independent partial-aggregating passes joined
+    # on the 3-row group key beat one fused pass by 8-12x.
+    exact_cd = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders")
+    )
+    sketches = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("__hll"),
+        F.approx_percentile(qd, 0.5, 1000).alias("__apx"),
+    )
+    base = exact_cd.join(F.broadcast(sketches), "l_returnflag")
+    counts = li.groupBy("l_returnflag", qd.alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    flagw = W.partitionBy("l_returnflag")
+    cum = counts.withColumn(
+        "__cum_end",
+        F.sum("__c").over(flagw.orderBy("__v").rowsBetween(W.unboundedPreceding, 0)),
+    ).withColumn("__n", F.sum("__c").over(flagw))
+
+    def pct(p: float) -> F.Column:
+        pos = F.lit(p) * (F.col("__n") - 1).cast("double")
+        lower = F.min(F.when(F.col("__cum_end") > F.floor(pos), F.col("__v")))
+        upper = F.min(F.when(F.col("__cum_end") > F.ceil(pos), F.col("__v")))
+        frac = pos - F.floor(pos).cast("double")
+        # pos/frac are constant within the group; carry them through MIN
+        return F.min(frac) * (upper - lower) + lower
+
+    pcts = cum.groupBy("l_returnflag").agg(
+        pct(0.5).alias("__p50"), pct(0.45).alias("__p45"), pct(0.55).alias("__p55")
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"),
-            F.percentile(qd, 0.5).alias("__p50"),
-            F.percentile(qd, 0.45).alias("__p45"),
-            F.percentile(qd, 0.55).alias("__p55"),
-            F.approx_count_distinct("l_orderkey", 0.02).alias("__hll"),
-            F.approx_percentile(qd, 0.5, 1000).alias("__apx"),
-        )
+        base.join(F.broadcast(pcts), "l_returnflag")
         .select(
             "l_returnflag",
             "exact_orders",
