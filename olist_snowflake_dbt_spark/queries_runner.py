@@ -183,3 +183,57 @@ def q_runner_pipeline_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_diff).cast("bigint").alias("n_readback_diff"),
         F.lit(result.ok).alias("gate_ok"),
     )
+
+
+@query(
+    "runner_source_freshness",
+    """
+    SELECT 'events' AS source,
+           MAX(ts) AS max_loaded_at,
+           ROUND(CAST(EXTRACT(EPOCH FROM (TIMESTAMP '2024-07-01 00:00:00'
+                                          - MAX(ts))) AS DOUBLE), 3)
+               AS age_seconds,
+           CASE WHEN EXTRACT(EPOCH FROM (TIMESTAMP '2024-07-01 00:00:00'
+                                         - MAX(ts))) > 31536000.0
+                     THEN 'error'
+                WHEN EXTRACT(EPOCH FROM (TIMESTAMP '2024-07-01 00:00:00'
+                                         - MAX(ts))) > 604800.0
+                     THEN 'warn'
+                ELSE 'pass' END AS status
+    FROM events
+    """,
+)
+def q_runner_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dbt source freshness`` as a driver row: Engine.source_freshness
+    probes MAX(loaded_at) of a registered source (a one-aggregate
+    distributed plan parquet answers from footer stats) and grades the
+    age against warn/error thresholds. The anchor is a FIXED as_of
+    (2024-07-01) so the verdict is deterministic — the events feed is
+    months stale relative to it, so both engines must independently
+    agree on status='warn' (7-day warn, 365-day error). The age is the
+    same microsecond-exact timestamp difference on both engines,
+    rounded to ms."""
+    import datetime as _dt
+
+    from .runner import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="olist_freshness_"))
+    eng.registry.register_source("events", _t(spark, sf_dir, "events"))
+    res = eng.source_freshness(
+        "events",
+        "ts",
+        warn_after_seconds=604800.0,  # 7 days
+        error_after_seconds=31536000.0,  # 365 days
+        as_of=_dt.datetime(2024, 7, 1, 0, 0, 0),
+    )
+    return spark.createDataFrame(
+        [
+            (
+                "events",
+                res.max_loaded_at,
+                round(res.age_seconds, 3),
+                res.status.value,
+            )
+        ],
+        "source string, max_loaded_at timestamp, age_seconds double, status string",
+    )
