@@ -304,3 +304,32 @@ def test_fuzzy_pairs_recovers_planted_typos(spark):
     assert (101, 4) not in got
     # probe with no block partner matches nothing
     assert not any(p == 102 for p, _ in got)
+
+
+def test_subdoc_chunks_plan_and_conservation(spark, sf_dir):
+    """Plan: hash-keyed winner aggregate + join, never a cartesian.
+    Semantics: every chunk is kept somewhere exactly once per distinct
+    chunk — total kept == number of distinct chunks in the corpus."""
+    from olist_snowflake_dbt_spark.queries import QUERIES, _t
+    from pyspark.sql import functions as F
+
+    df = QUERIES["dedup_subdoc_chunks"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    rows = df.collect()
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    n_chunks_col = F.ceil(F.size(ws) / F.lit(8.0)).cast("bigint")
+    distinct_chunks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), n_chunks_col)).alias("idx"),
+            ws.alias("w"),
+        )
+        .select(F.array_join(F.slice("w", (F.col("idx") - 1) * 8 + 1, 8), " ").alias("c"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_kept for r in rows) == distinct_chunks
+    assert all(0 <= r.n_kept <= r.n_chunks for r in rows)
