@@ -65,6 +65,22 @@ FLAGSHIPS = [
     ("text_corpus_freq_score", "Unigram vocab aggregates once, then "
      "broadcasts into the held-out explode — the corpus side never "
      "shuffles on the word key (Zipf caps vocab size, not corpus size)."),
+    ("tpch_q8_market_share", "8-table snowflake: every dimension "
+     "(part/supplier/customer/nation x2/region) broadcasts pre-filtered; "
+     "lineitem exchanges once, for the per-year conditional-aggregate "
+     "ratio (exact-decimal numerator/denominator)."),
+    ("tpch_q21_waiting_suppliers", "EXISTS + NOT EXISTS against the same "
+     "fact: LEFT SEMI then LEFT ANTI self-joins, both equi-keyed on "
+     "l_orderkey with the supplier/date terms as residuals — never a "
+     "cartesian; the nation filter broadcasts through supplier first."),
+    ("dedup_subdoc_chunks", "Sub-document dedup: chunk explode feeds an "
+     "xxhash64-keyed winner aggregate (8-byte shuffle payload, map-side "
+     "partials), keep-first via integer min — then one per-doc recount."),
+    ("hll_and_quantile_sketch", "Sketches and COUNT(DISTINCT) in "
+     "SEPARATE aggregation passes joined on the 3-row key: fusing them "
+     "demotes the ObjectHashAggregate to a per-row SortAggregate under "
+     "the distinct Expand (measured 62s vs 5s). Exact percentiles come "
+     "from a value-counts distribution, not a value-buffering UDAF."),
 ]
 
 
