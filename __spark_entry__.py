@@ -30,11 +30,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate verifies the FIRST 50 queries() entries in
 # dict order. This priority list rotates the round-5 window onto: the 25
 # queries registered in round 4 AFTER the r04 window froze (no driver row
-# yet; all pass tools/check_oracle.py locally), the 14 queries new in round
+# yet; all pass tools/check_oracle.py locally), the 15 queries new in round
 # 5 (runner_pipeline_gate, runner_source_freshness, dedup_subdoc_chunks,
+# map_type_roundtrip,
 # TPC-H Q7/8/9/13/15/16/17/19/20/21/22), the 2 that were rows-only through
 # r04 and now carry exact-twin oracles (hll_and_quantile_sketch,
-# udf_compression_ratio), the flagship fct_orders, and 8 safety-critical
+# udf_compression_ratio), the flagship fct_orders, and 7 safety-critical
 # re-verifies. Driver coverage by
 # round: r03 checked the first 50 registered, r04 the 50-name rotation in
 # its window, r05 this list — the three unions cover every query
@@ -84,6 +85,7 @@ _CHECK_FIRST = [
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_accounts",
     "dedup_subdoc_chunks",
+    "map_type_roundtrip",
     # rows-only through r04, now with exact-twin oracles
     "hll_and_quantile_sketch",
     "udf_compression_ratio",
@@ -95,7 +97,6 @@ _CHECK_FIRST = [
     "dedup_embedding_cosine",
     "similarity_ann_lsh",
     "similarity_ivf",
-    "stream_stateful_totals",
 ]
 
 

@@ -1189,3 +1189,44 @@ def q_batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "map_type_roundtrip",
+    """
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, event_type HAVING COUNT(*) >= 3
+    """,
+)
+def q_map_type_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user event-type histograms built AS MAPS
+    (map_from_entries over a sorted entry list — sort_array makes the
+    construction order deterministic), filtered with the map_filter
+    higher-order function, then shredded back to rows via
+    explode(map_entries(...)). Maps never reach the driver compare —
+    map iteration order is engine-specific, so the contract is the
+    relational shred, which a plain GROUP BY/HAVING oracle pins
+    exactly. Plan: one (user, type) count shuffle, one per-user
+    collect; the map ops are map-side expressions."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return (
+        maps.select(
+            "user_id",
+            F.explode(
+                F.map_entries(F.map_filter(F.col("m"), lambda k, v: v >= 3))
+            ).alias("e"),
+        )
+        .select(
+            "user_id",
+            F.col("e")["key"].alias("event_type"),
+            F.col("e")["value"].alias("n"),
+        )
+    )

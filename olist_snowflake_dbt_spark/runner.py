@@ -108,69 +108,76 @@ class Engine:
         for name in order:
             if name not in selected:
                 continue
-            model = self.registry.models()[name]
-            self._run_hooks(model.config.get("pre_hook"))
-            df = self.registry.build(name)
-            if model.materialized == "table":
-                rel = materialize_table(
-                    self.spark,
-                    name,
-                    df,
-                    self.warehouse_dir,
-                    partition_by=tuple(model.config.get("partition_by", ())),
-                )
-                # downstream consumers read the *written* table, like a
-                # warehouse CTAS (and so does the memoized registry entry)
-                self.registry._built[name] = rel.df
-            elif model.materialized == "incremental":
-                # dbt `materialized='incremental'`: the model body yields
-                # THIS run's batch; the engine merges it into the standing
-                # table per the configured strategy (B1)
-                from .operators.incremental import IncrementalTable
-
-                import os
-
-                t = IncrementalTable(
-                    self.spark,
-                    os.path.join(self.warehouse_dir, name),
-                    tuple(model.config.get("partition_by", ())),
-                )
-                out_df = t.apply(
-                    df,
-                    strategy=model.config.get("strategy", "merge"),
-                    unique_key=tuple(model.config.get("unique_key", ())),
-                    dedupe_order=model.config.get("dedupe_order"),
-                    event_time=model.config.get("event_time"),
-                )
-                out_df.createOrReplaceTempView(name)
-                rel = MaterializedRelation(name, "incremental", t.path, out_df)
-                self.registry._built[name] = out_df
-            elif model.materialized == "dynamic_table":
-                # B3: the model body yields a STREAMING DataFrame; each run
-                # refreshes the standing table (durable `checkpoint` config
-                # = incremental TARGET_LAG refresh; absent = full refresh)
-                import os
-
-                dt = DynamicTable(
-                    self.spark,
-                    os.path.join(self.warehouse_dir, name),
-                    list(model.config.get("unique_key", ())),
-                    tuple(model.config.get("partition_by", ())),
-                )
-                dt.refresh(df, checkpoint=model.config.get("checkpoint"))
-                out_df = dt.read()
-                out_df.createOrReplaceTempView(name)
-                rel = MaterializedRelation(name, "dynamic_table", dt.path, out_df)
-                self.registry._built[name] = out_df
-            elif model.materialized == "ephemeral":
-                rel = MaterializedRelation(name, "ephemeral", None, df)
-            else:
-                rel = materialize_view(name, df)
-            self._run_hooks(model.config.get("post_hook"))
+            rel = self._materialize_node(name)
             out[name] = rel
             self.relations[name] = rel
         self._run_hooks(getattr(self, "on_run_end", None))
         return out
+
+    def _materialize_node(self, name: str) -> MaterializedRelation:
+        """Build + materialize ONE model (pre-hook → build → write →
+        post-hook), memoizing the built frame so children consume the
+        WRITTEN relation for table-like materializations."""
+        model = self.registry.models()[name]
+        self._run_hooks(model.config.get("pre_hook"))
+        df = self.registry.build(name)
+        if model.materialized == "table":
+            rel = materialize_table(
+                self.spark,
+                name,
+                df,
+                self.warehouse_dir,
+                partition_by=tuple(model.config.get("partition_by", ())),
+            )
+            # downstream consumers read the *written* table, like a
+            # warehouse CTAS (and so does the memoized registry entry)
+            self.registry._built[name] = rel.df
+        elif model.materialized == "incremental":
+            # dbt `materialized='incremental'`: the model body yields
+            # THIS run's batch; the engine merges it into the standing
+            # table per the configured strategy (B1)
+            from .operators.incremental import IncrementalTable
+
+            import os
+
+            t = IncrementalTable(
+                self.spark,
+                os.path.join(self.warehouse_dir, name),
+                tuple(model.config.get("partition_by", ())),
+            )
+            out_df = t.apply(
+                df,
+                strategy=model.config.get("strategy", "merge"),
+                unique_key=tuple(model.config.get("unique_key", ())),
+                dedupe_order=model.config.get("dedupe_order"),
+                event_time=model.config.get("event_time"),
+            )
+            out_df.createOrReplaceTempView(name)
+            rel = MaterializedRelation(name, "incremental", t.path, out_df)
+            self.registry._built[name] = out_df
+        elif model.materialized == "dynamic_table":
+            # B3: the model body yields a STREAMING DataFrame; each run
+            # refreshes the standing table (durable `checkpoint` config
+            # = incremental TARGET_LAG refresh; absent = full refresh)
+            import os
+
+            dt = DynamicTable(
+                self.spark,
+                os.path.join(self.warehouse_dir, name),
+                list(model.config.get("unique_key", ())),
+                tuple(model.config.get("partition_by", ())),
+            )
+            dt.refresh(df, checkpoint=model.config.get("checkpoint"))
+            out_df = dt.read()
+            out_df.createOrReplaceTempView(name)
+            rel = MaterializedRelation(name, "dynamic_table", dt.path, out_df)
+            self.registry._built[name] = out_df
+        elif model.materialized == "ephemeral":
+            rel = MaterializedRelation(name, "ephemeral", None, df)
+        else:
+            rel = materialize_view(name, df)
+        self._run_hooks(model.config.get("post_hook"))
+        return rel
 
     # -- tests (dbt test) ---------------------------------------------
     def add_test(self, spec: TestSpec) -> None:
@@ -215,6 +222,39 @@ class Engine:
             results.append(
                 evaluate_test(spec.name, failing, spec.warn_if, spec.error_if, store)
             )
+        return results
+
+    # -- keep-going run (dbt's default node scheduling: a failed node
+    # marks its DESCENDANTS skipped but unrelated subtrees still build;
+    # $DBT/dbt/task/runnable.py:437-440 + graph/queue.py semantics) ----
+    def run_keep_going(self, select: str | None = None) -> dict[str, "NodeResult"]:
+        """Like :meth:`run` but a node failure doesn't abort the
+        invocation: the failed node records its error, every transitive
+        descendant is marked ``skipped``, and independent branches keep
+        building. Returns per-node status — the dbt run-results shape."""
+        selected = self.registry.select(select)
+        self.registry.invalidate()
+        order = self.registry.topological_order(selected if select else None)
+        graph = self.registry.graph()
+        results: dict[str, NodeResult] = {}
+        dead: set[str] = set()
+        for name in order:
+            if name not in selected:
+                continue
+            parents = [p for p in graph.get(name, ()) if p in selected]
+            if any(p in dead for p in parents):
+                results[name] = NodeResult(name, "skipped", None)
+                dead.add(name)
+                continue
+            try:
+                rel = self._materialize_node(name)
+                self.relations[name] = rel
+                results[name] = NodeResult(name, "success", None)
+            except Exception as exc:
+                results[name] = NodeResult(
+                    name, "error", f"{type(exc).__name__}: {exc}"[:200]
+                )
+                dead.add(name)
         return results
 
     # -- full pipeline with gating (automate_pipeline.py:10-26) -------
@@ -315,6 +355,15 @@ class Engine:
             with open(path, "w", encoding="utf-8") as fh:
                 json.dump(manifest, fh, indent=1, sort_keys=True)
         return manifest
+
+
+@dataclass
+class NodeResult:
+    """Per-node outcome of :meth:`Engine.run_keep_going`."""
+
+    node: str
+    status: str  # success | error | skipped
+    error: str | None
 
 
 @dataclass

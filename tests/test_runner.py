@@ -250,3 +250,33 @@ def test_generate_docs_manifest(spark, tmp_path):
     assert any(t["name"] == "unique_fct_orders_order_id" for t in manifest["tests"])
     on_disk = json.load(open(tmp_path / "wh" / "docs.json"))
     assert on_disk["models"].keys() == manifest["models"].keys()
+
+
+def test_run_keep_going_skips_descendants_builds_siblings(spark, tmp_path):
+    """dbt's default scheduling: a failed node fails, its descendants
+    skip, independent branches still build."""
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = spark.createDataFrame([(1, "a")], "id long, v string")
+    eng.registry.register_source("src", src)
+    eng.registry.register("good_stg", "select id, v from {{ ref('src') }}")
+    eng.registry.register(
+        "bad_stg", "select no_such_column from {{ ref('src') }}"
+    )
+    eng.registry.register(
+        "bad_child",
+        "select * from {{ ref('bad_stg') }}",
+        materialized="table",
+    )
+    eng.registry.register(
+        "good_mart",
+        "select count(*) as n from {{ ref('good_stg') }}",
+        materialized="table",
+    )
+    results = eng.run_keep_going()
+    assert results["good_stg"].status == "success"
+    assert results["bad_stg"].status == "error" and results["bad_stg"].error
+    assert results["bad_child"].status == "skipped"
+    assert results["good_mart"].status == "success"
+    assert spark.table("good_mart").first().n == 1
