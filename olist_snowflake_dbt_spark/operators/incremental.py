@@ -157,8 +157,12 @@ class IncrementalTable:
         dedupe_order: str | None = None,
         event_time: str | None = None,
         bucket: str = "1 day",
+        full_refresh: bool = False,
     ) -> DataFrame:
-        if not self.exists():
+        # dbt --full-refresh: discard the standing table and rebuild from
+        # this batch alone, whatever the configured strategy
+        # ($DBT/dbt/context/providers.py should_full_refresh semantics)
+        if full_refresh or not self.exists():
             self._write_full(batch)
             return self.read()
         existing = self.read()

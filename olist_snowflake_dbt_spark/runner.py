@@ -151,6 +151,7 @@ class Engine:
                 unique_key=tuple(model.config.get("unique_key", ())),
                 dedupe_order=model.config.get("dedupe_order"),
                 event_time=model.config.get("event_time"),
+                full_refresh=bool(getattr(self, "full_refresh", False)),
             )
             out_df.createOrReplaceTempView(name)
             rel = MaterializedRelation(name, "incremental", t.path, out_df)

@@ -171,3 +171,18 @@ def test_merge_requires_unique_key(spark):
 
     with pytest.raises(ValueError, match="unique_key"):
         incremental_merge(_existing(spark), _batch(spark), [])
+
+
+def test_full_refresh_discards_standing_table(spark, tmp_path):
+    """dbt --full-refresh: the standing table is rebuilt from the batch
+    alone, regardless of strategy."""
+    from olist_snowflake_dbt_spark.operators.incremental import IncrementalTable
+
+    t = IncrementalTable(spark, str(tmp_path / "tbl"))
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t.apply(first, strategy="merge", unique_key=("id",))
+    assert t.read().count() == 2
+    batch = spark.createDataFrame([(3, "c")], "id long, v string")
+    # merge would keep ids 1,2 and add 3; full refresh keeps only 3
+    out = t.apply(batch, strategy="merge", unique_key=("id",), full_refresh=True)
+    assert [r.id for r in out.collect()] == [3]
