@@ -167,7 +167,8 @@ class ModelRegistry:
 
     def select(self, selector: str | None) -> set[str]:
         """dbt-style graph selection: ``model``, ``+model`` (ancestors),
-        ``model+`` (descendants), ``+model+``; comma = union."""
+        ``model+`` (descendants), ``+model+``, ``tag:x`` (all models
+        carrying the tag, composable with +); comma = union."""
         if selector is None:
             return set(self._models)
         edges = self.graph()
@@ -181,24 +182,38 @@ class ModelRegistry:
             up = term.startswith("+")
             down = term.endswith("+")
             core = term.strip("+")
-            if core not in self._models:
+            if core.startswith("tag:"):
+                tag = core[4:]
+                cores = [n for n, m in self._models.items() if tag in m.tags]
+                if not cores:
+                    raise RefNotFoundError(
+                        f"selector {term!r}: no model carries tag {tag!r}"
+                    )
+            elif core not in self._models:
                 raise RefNotFoundError(f"selector {term!r}: no model named {core!r}")
-            out.add(core)
-            if up:
-                stack = [core]
-                while stack:
-                    for p in edges.get(stack.pop(), ()):
-                        if p not in out:
-                            out.add(p)
-                            stack.append(p)
-            if down:
-                stack = [core]
-                while stack:
-                    for c in children.get(stack.pop(), ()):
-                        if c not in out:
-                            out.add(c)
-                            stack.append(c)
+            else:
+                cores = [core]
+            for core in cores:
+                out.add(core)
+                self._walk_selection(core, up, down, edges, children, out)
         return out
+
+    def _walk_selection(self, core, up, down, edges, children, out) -> None:
+        """Expand one selection core along ancestor/descendant edges."""
+        if up:
+            stack = [core]
+            while stack:
+                for p in edges.get(stack.pop(), ()):
+                    if p not in out:
+                        out.add(p)
+                        stack.append(p)
+        if down:
+            stack = [core]
+            while stack:
+                for c in children.get(stack.pop(), ()):
+                    if c not in out:
+                        out.add(c)
+                        stack.append(c)
 
     # -- compile/build ------------------------------------------------
     def source(self, name: str) -> DataFrame:

@@ -70,3 +70,24 @@ def test_duplicate_model_rejected(spark):
 def test_build_memoized(spark):
     r = _mini_registry(spark)
     assert r.build("b") is r.build("b")
+
+
+def test_tag_selector(spark):
+    from olist_snowflake_dbt_spark.plans.registry import (
+        ModelRegistry,
+        RefNotFoundError,
+    )
+    import pytest as _pytest
+
+    reg = ModelRegistry(spark)
+    src = spark.createDataFrame([(1,)], "id long")
+    reg.register_source("src", src)
+    reg.register("a", "select * from {{ ref('src') }}", tags=("nightly",))
+    reg.register("b", "select * from {{ ref('a') }}", tags=("nightly", "gold"))
+    reg.register("c", "select * from {{ ref('b') }}")
+    assert reg.select("tag:nightly") == {"a", "b"}
+    assert reg.select("tag:gold+") == {"b", "c"}
+    assert reg.select("+tag:gold") == {"a", "b"}
+    assert reg.select("tag:nightly,c") == {"a", "b", "c"}
+    with _pytest.raises(RefNotFoundError):
+        reg.select("tag:nope")
