@@ -135,6 +135,63 @@ class IncrementalTable:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
+    def _reconcile_schema(
+        self, existing: DataFrame, batch: DataFrame, on_schema_change: str
+    ) -> tuple[DataFrame, DataFrame]:
+        """dbt ``on_schema_change`` semantics (dbt-core
+        incremental_strategy schema-change macros):
+
+        - ``ignore`` (dbt default): batch is projected onto the standing
+          table's columns; brand-new columns are DROPPED silently and a
+          batch missing standing columns fails — the warehouse behavior.
+        - ``fail``: any column-set difference raises.
+        - ``append_new_columns``: new batch columns are added to the
+          standing side as NULLs; columns the batch stopped producing
+          remain (NULL in new rows).
+        - ``sync_all_columns``: standing table follows the batch — new
+          columns added, removed columns dropped.
+        """
+        old_cols = list(existing.columns)
+        new_cols = list(batch.columns)
+        added = [c for c in new_cols if c not in old_cols]
+        removed = [c for c in old_cols if c not in new_cols]
+        if not added and not removed:
+            return existing, batch
+        if on_schema_change == "fail":
+            raise ValueError(
+                f"schema changed: added={added} removed={removed} "
+                f"(on_schema_change='fail')"
+            )
+        if on_schema_change == "ignore":
+            missing = [c for c in old_cols if c not in new_cols]
+            if missing:
+                raise ValueError(
+                    f"batch lacks standing columns {missing} "
+                    f"(on_schema_change='ignore' drops only NEW columns)"
+                )
+            return existing, batch.select(*old_cols)
+        if on_schema_change == "append_new_columns":
+            from pyspark.sql import functions as F
+
+            for c in added:
+                existing = existing.withColumn(
+                    c, F.lit(None).cast(batch.schema[c].dataType)
+                )
+            batch = batch.unionByName(
+                existing.limit(0), allowMissingColumns=True
+            ).select(*existing.columns)
+            return existing, batch
+        if on_schema_change == "sync_all_columns":
+            from pyspark.sql import functions as F
+
+            for c in added:
+                existing = existing.withColumn(
+                    c, F.lit(None).cast(batch.schema[c].dataType)
+                )
+            keep = [c for c in existing.columns if c not in removed]
+            return existing.select(*keep), batch.select(*keep)
+        raise ValueError(f"unknown on_schema_change: {on_schema_change!r}")
+
     def _write_full(self, df: DataFrame) -> None:
         import os
         import shutil
@@ -158,6 +215,7 @@ class IncrementalTable:
         event_time: str | None = None,
         bucket: str = "1 day",
         full_refresh: bool = False,
+        on_schema_change: str = "ignore",
     ) -> DataFrame:
         # dbt --full-refresh: discard the standing table and rebuild from
         # this batch alone, whatever the configured strategy
@@ -166,6 +224,7 @@ class IncrementalTable:
             self._write_full(batch)
             return self.read()
         existing = self.read()
+        existing, batch = self._reconcile_schema(existing, batch, on_schema_change)
         if strategy == "append":
             # no rewrite of history: append-mode write only adds files
             w = batch.write.mode("append")

@@ -152,6 +152,7 @@ class Engine:
                 dedupe_order=model.config.get("dedupe_order"),
                 event_time=model.config.get("event_time"),
                 full_refresh=bool(getattr(self, "full_refresh", False)),
+                on_schema_change=model.config.get("on_schema_change", "ignore"),
             )
             out_df.createOrReplaceTempView(name)
             rel = MaterializedRelation(name, "incremental", t.path, out_df)

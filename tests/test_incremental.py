@@ -186,3 +186,47 @@ def test_full_refresh_discards_standing_table(spark, tmp_path):
     # merge would keep ids 1,2 and add 3; full refresh keeps only 3
     out = t.apply(batch, strategy="merge", unique_key=("id",), full_refresh=True)
     assert [r.id for r in out.collect()] == [3]
+
+
+def test_on_schema_change_modes(spark, tmp_path):
+    """dbt on_schema_change: ignore drops new cols, fail raises,
+    append_new_columns backfills NULL, sync_all_columns follows batch."""
+    import pytest as _pytest
+
+    from olist_snowflake_dbt_spark.operators.incremental import IncrementalTable
+
+    def fresh(name):
+        t = IncrementalTable(spark, str(tmp_path / name))
+        t.apply(
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            strategy="merge", unique_key=("id",),
+        )
+        return t
+
+    widened = spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double")
+
+    out = fresh("t_ignore").apply(
+        widened, strategy="merge", unique_key=("id",), on_schema_change="ignore"
+    )
+    assert set(out.columns) == {"id", "v"}
+
+    with _pytest.raises(ValueError, match="schema changed"):
+        fresh("t_fail").apply(
+            widened, strategy="merge", unique_key=("id",), on_schema_change="fail"
+        )
+
+    out = fresh("t_append").apply(
+        widened, strategy="merge", unique_key=("id",),
+        on_schema_change="append_new_columns",
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+    narrowed = spark.createDataFrame([(3, 1.5)], "id long, score double")
+    t = fresh("t_sync")
+    t.apply(widened, strategy="merge", unique_key=("id",),
+            on_schema_change="sync_all_columns")
+    out = t.apply(narrowed, strategy="merge", unique_key=("id",),
+                  on_schema_change="sync_all_columns")
+    assert set(out.columns) == {"id", "score"}
+    assert {r.id for r in out.collect()} == {1, 2, 3}
