@@ -49,6 +49,10 @@ class CycleError(CompilationError):
 
 
 _REF_RE = re.compile(r"\{\{\s*ref\(\s*['\"]([A-Za-z0-9_.]+)['\"]\s*\)\s*\}\}")
+_VAR_RE = re.compile(
+    r"\{\{\s*var\(\s*['\"]([A-Za-z0-9_]+)['\"]"
+    r"(?:\s*,\s*([^)]+?))?\s*\)\s*\}\}"
+)
 
 
 @dataclass
@@ -101,8 +105,11 @@ class ModelRegistry:
     inlines it into every consumer's physical plan).
     """
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, variables: dict | None = None):
         self.spark = spark
+        # dbt --vars: {{ var('name') }} / {{ var('name', default) }} in
+        # SQL model bodies renders to a SQL literal at compile time
+        self.variables: dict = dict(variables or {})
         self._models: dict[str, Model] = {}
         self._sources: dict[str, Callable[[SparkSession], DataFrame] | DataFrame] = {}
         self._built: dict[str, DataFrame] = {}
@@ -261,11 +268,30 @@ class ModelRegistry:
                     return view
 
                 sql = _REF_RE.sub(_sub, sql)
+                sql = _VAR_RE.sub(self._sub_var, sql)
                 df = self.spark.sql(sql)
         finally:
             self._building.pop()
         self._built[name] = df
         return df
+
+    def _sub_var(self, m: "re.Match[str]") -> str:
+        """Render {{ var('k'[, default]) }} to a SQL literal. Strings
+        quote (with '' escaping); numbers/booleans render bare; an
+        unknown var without a default is a compile-time error, as in
+        dbt (dbt-core context var() semantics)."""
+        key, default = m.group(1), m.group(2)
+        if key in self.variables:
+            val = self.variables[key]
+        elif default is not None:
+            return default.strip()
+        else:
+            raise CompilationError(f"undefined var {key!r} and no default given")
+        if isinstance(val, bool):
+            return "TRUE" if val else "FALSE"
+        if isinstance(val, (int, float)):
+            return repr(val)
+        return "'" + str(val).replace("'", "''") + "'"
 
     def invalidate(self, name: str | None = None) -> None:
         if name is None:

@@ -91,3 +91,31 @@ def test_tag_selector(spark):
     assert reg.select("tag:nightly,c") == {"a", "b", "c"}
     with _pytest.raises(RefNotFoundError):
         reg.select("tag:nope")
+
+
+def test_var_substitution(spark):
+    from olist_snowflake_dbt_spark.plans.registry import (
+        CompilationError,
+        ModelRegistry,
+    )
+    import pytest as _pytest
+
+    reg = ModelRegistry(spark, variables={"cutoff": 2, "label": "a'b"})
+    src = spark.createDataFrame([(1, "x"), (3, "y")], "id long, v string")
+    reg.register_source("src", src)
+    reg.register(
+        "filtered",
+        "select id, {{ var('label') }} as tag from {{ ref('src') }} "
+        "where id >= {{ var('cutoff') }}",
+    )
+    reg.register(
+        "defaulted",
+        "select count(*) as n from {{ ref('src') }} "
+        "where id >= {{ var('missing', 0) }}",
+    )
+    rows = reg.build("filtered").collect()
+    assert [(r.id, r.tag) for r in rows] == [(3, "a'b")]
+    assert reg.build("defaulted").first().n == 2
+    reg.register("boom", "select {{ var('nope') }} as x from {{ ref('src') }}")
+    with _pytest.raises(CompilationError, match="undefined var"):
+        reg.build("boom")
