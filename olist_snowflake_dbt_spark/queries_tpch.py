@@ -1115,3 +1115,110 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+@query(
+    "tpch_q11_important_shares",
+    """
+    WITH pr AS (
+        SELECT l_partkey,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(38,4))) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(rev) AS total FROM pr)
+    SELECT pr.l_partkey AS p_partkey,
+           CAST(CAST(pr.rev AS DECIMAL(38,4)) AS DOUBLE) AS part_revenue
+    FROM pr, tot
+    WHERE CAST(pr.rev AS DOUBLE) > 0.0005 * CAST(tot.total AS DOUBLE)
+    ORDER BY part_revenue DESC, p_partkey
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-group value filtered
+    against a FRACTION OF THE GLOBAL TOTAL — the grouped-HAVING-vs-
+    scalar-subquery pattern. The global total re-aggregates the per-part
+    aggregate (tiny) and broadcasts as one row; the fact table shuffles
+    once, for the per-part aggregate both sides reuse. The spec's
+    partsupp value (ps_supplycost x ps_availqty) isn't in the driver's
+    schema — lineitem revenue per part stands in; the 0.0001/SF HAVING
+    fraction becomes a fixed 0.05%. Exact-decimal sums; the fraction
+    compare is one identical double step per engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev_exact = F.sum((price * (F.lit(1) - disc)).cast("decimal(38,4)"))
+    pr = li.groupBy("l_partkey").agg(rev_exact.alias("__rev"))
+    tot = pr.agg(F.sum("__rev").alias("__total"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("__rev").cast("double")
+            > F.lit(0.0005) * F.col("__total").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("__rev").cast("decimal(38,4)").cast("double")
+            .alias("part_revenue"),
+        )
+        .orderBy(F.col("part_revenue").desc(), "p_partkey")
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    costed AS (
+        SELECT p.p_partkey, s.s_suppkey, s.s_name, s.s_acctbal
+        FROM part p
+        JOIN ps ON ps.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+    )
+    SELECT c.p_partkey, c.s_suppkey, c.s_name, c.s_acctbal
+    FROM costed c
+    WHERE c.s_acctbal = (
+        SELECT MIN(c2.s_acctbal) FROM costed c2
+        WHERE c2.p_partkey = c.p_partkey
+    )
+    ORDER BY c.p_partkey, c.s_suppkey
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): a correlated MIN subquery
+    over the SAME derived relation, decorrelated into aggregate + self
+    equi-join — per part, every supplier tying on the minimum. The
+    part-supplier bridge is the distinct (partkey, suppkey) projection
+    of lineitem (the driver schema has no partsupp); part is filtered
+    ~1/300 then broadcast, so the bridge dedup is the only fact-side
+    shuffle. s_acctbal stands in for ps_supplycost; equality on it is
+    safe — both sides compare the same untransformed double column."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    bridge = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("p_partkey", "l_suppkey")
+        .dropDuplicates()
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    costed = bridge.join(F.broadcast(s), bridge.l_suppkey == s.s_suppkey).select(
+        "p_partkey", "s_suppkey", "s_name", "s_acctbal"
+    )
+    mins = costed.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("s_acctbal").alias("__min_bal")
+    )
+    return (
+        costed.join(
+            F.broadcast(mins),
+            (F.col("p_partkey") == F.col("__pk"))
+            & (F.col("s_acctbal") == F.col("__min_bal")),
+        )
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("p_partkey", "s_suppkey")
+    )

