@@ -238,6 +238,7 @@ class Engine:
         self.registry.invalidate()
         order = self.registry.topological_order(selected if select else None)
         graph = self.registry.graph()
+        self._run_hooks(getattr(self, "on_run_start", None))
         results: dict[str, NodeResult] = {}
         dead: set[str] = set()
         for name in order:
@@ -257,6 +258,7 @@ class Engine:
                     name, "error", f"{type(exc).__name__}: {exc}"[:200]
                 )
                 dead.add(name)
+        self._run_hooks(getattr(self, "on_run_end", None))
         return results
 
     # -- full pipeline with gating (automate_pipeline.py:10-26) -------
