@@ -247,3 +247,74 @@ def test_stateful_totals_on_rocksdb_state_store(spark, sf_dir, batch_events):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+def test_watermark_drops_late_rows_for_finalized_windows(spark, tmp_path):
+    """The watermark guarantee append-mode aggregation actually makes:
+    once a window has been finalized (watermark passed it, result
+    emitted), a late row for that window in a LATER micro-batch is
+    DROPPED — the emitted count never changes and the row shows up in
+    the numRowsDroppedByWatermark metric. (A late row arriving before
+    its window was ever finalized MAY still be included — watermark is
+    an eviction bound, not an input filter; that best-effort case is
+    deliberately not pinned.) File mtimes pin the batch order."""
+    import os
+    import time
+
+    schema = "ts timestamp, event_type string, value double"
+    d = tmp_path / "late_stream"
+
+    def write(sub, rows):
+        spark.createDataFrame(
+            rows, "ts string, event_type string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+            str(d / sub)
+        )
+
+    # b1: the 09:00 window gets its on-time row; max ts 10:10 → watermark 09:40
+    write("a=1", [("2024-01-01 09:00:00", "click", 1.0),
+                  ("2024-01-01 10:10:00", "click", 1.0)])
+    # b2: advances the stream; at its start the 09:00 window (end 09:15
+    # <= watermark 09:40) is finalized and emitted with n=1
+    write("a=2", [("2024-01-01 10:20:00", "click", 1.0)])
+    # b3: a LATE row for the already-finalized 09:00 window — must drop
+    write("a=3", [("2024-01-01 09:05:00", "click", 1.0)])
+    now = time.time()
+    for sub, mt in (("a=1", now - 600), ("a=2", now - 300), ("a=3", now)):
+        for root, _dirs, files in os.walk(str(d / sub)):
+            for f in files:
+                os.utime(os.path.join(root, f), (mt, mt))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "a=*"))
+    )
+    out = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w")["start"].alias("w"), "n")
+    )
+    name = "late_drop_sink"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    emitted = {str(r.w): r.n for r in spark.table(name).collect()}
+    # the finalized window emitted ONCE with its on-time count only
+    assert emitted.get("2024-01-01 09:00:00") == 1, emitted
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
