@@ -24,7 +24,13 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class SyntheticCorpusDataSource(DataSource):
@@ -75,3 +81,85 @@ class SyntheticCorpusReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent registration of the engine's Python data sources."""
     spark.dataSource.register(SyntheticCorpusDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", ...)`` — the WRITE
+    half of the Python DataSource API, demonstrating the two-phase
+    commit protocol every distributed sink needs at scale:
+
+    - ``DataSourceWriter.write(iterator)`` runs IN each executor task
+      and stages that partition's rows to a task-unique file (no
+      cross-task coordination, no rename races);
+    - ``commit(messages)`` runs ONCE on the driver after every task
+      succeeded, atomically publishing the staged files (rename into
+      the final dir + manifest). A task that ran but whose stage
+      message never reaches commit is invisible — same contract as
+      Hadoop/Spark file committers;
+    - ``abort(messages)`` removes staged files so failed writes leave
+      nothing visible.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlSinkWriter(self.options["path"], [f.name for f in schema], overwrite)
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, file: str, rows: int):
+        self.file = file
+        self.rows = rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, path: str, cols: list, overwrite: bool):
+        self.path = path
+        self.cols = cols
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        """Executor-side: stage this partition to a task-unique file."""
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = f"stage-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(staging, fname), "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.cols, row))) + "\n")
+                n += 1
+        return _StagedFile(fname, n)
+
+    def commit(self, messages):
+        """Driver-side: publish exactly the staged files the successful
+        tasks reported — rename + manifest, atomic per file."""
+        import json
+        import os
+        import shutil
+
+        staging = os.path.join(self.path, "_staging")
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl") and not f.startswith("stage-"):
+                    os.remove(os.path.join(self.path, f))
+        published = []
+        for m in messages:
+            final = m.file.replace("stage-", "part-")
+            os.rename(os.path.join(staging, m.file), os.path.join(self.path, final))
+            published.append({"file": final, "rows": m.rows})
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(published, fh)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)

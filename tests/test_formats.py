@@ -257,3 +257,32 @@ def test_pyds_partition_invariance(spark):
 
     assert row["text"] == hashlib.md5(b"42").hexdigest()
     assert row["source"] == "src_2"
+
+
+def test_jsonl_sink_datasource_two_phase_commit(spark, tmp_path):
+    """Python DataSource WRITE path: executor-staged part files are
+    published atomically by the driver commit (manifest + rename), and
+    the published data round-trips."""
+    import json
+    import os
+
+    from olist_snowflake_dbt_spark.sources.pyds import register
+
+    register(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out, exist_ok=True)
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("bucket")
+    )
+    df.repartition(4).write.format("jsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert sum(m["rows"] for m in manifest) == 100
+    assert len(manifest) == 4  # one published file per task
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    assert back.count() == 100
+    assert {r.bucket for r in back.select("bucket").distinct().collect()} == {
+        "0", "1", "2"
+    }
