@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -50,6 +51,12 @@ class SyntheticCorpusDataSource(DataSource):
         return SyntheticCorpusReader(
             int(self.options.get("numDocs", 1000)),
             int(self.options.get("numPartitions", 8)),
+        )
+
+    def simpleStreamReader(self, schema) -> "_CorpusStreamReader":
+        return _CorpusStreamReader(
+            int(self.options.get("numDocs", 1000)),
+            int(self.options.get("batchSize", 100)),
         )
 
 
@@ -163,3 +170,39 @@ class JsonlSinkWriter(DataSourceWriter):
         import shutil
 
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class _CorpusStreamReader(SimpleDataSourceStreamReader):
+    """Streaming read path for the synthetic corpus: the offset is a
+    plain ``{"doc_id": N}`` cursor; each micro-batch reads a bounded
+    slice (``batchSize`` docs) so the unbounded source drains in
+    deterministic increments. ``readBetweenOffsets`` makes replay after
+    failure exact (same offsets → same rows — content is a pure
+    function of doc_id), which is the whole exactly-once contract a
+    production connector (kafka offsets, log sequence numbers) must
+    honor."""
+
+    def __init__(self, num_docs: int, batch_size: int):
+        self.num_docs = num_docs
+        self.batch_size = batch_size
+
+    def initialOffset(self) -> dict:
+        return {"doc_id": 0}
+
+    def _rows(self, start: int, end: int):
+        for doc_id in range(start, end):
+            h = hashlib.md5(str(doc_id).encode()).hexdigest()
+            yield (doc_id, f"src_{doc_id % 4}", h)
+
+    def read(self, start: dict):
+        lo = start["doc_id"]
+        hi = min(lo + self.batch_size, self.num_docs)
+        # a LIST, not a generator: the prefetching cache copy.copy()s
+        # the returned iterator when planning partitions
+        return iter(list(self._rows(lo, hi))), {"doc_id": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["doc_id"], end["doc_id"])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up — the source is stateless

@@ -286,3 +286,41 @@ def test_jsonl_sink_datasource_two_phase_commit(spark, tmp_path):
     assert {r.bucket for r in back.select("bucket").distinct().collect()} == {
         "0", "1", "2"
     }
+
+
+def test_synthetic_corpus_stream_reader_drains_deterministically(spark, tmp_path):
+    """Python DataSource STREAM path: the offset-cursor reader drains
+    the bounded corpus in batchSize increments under availableNow, and
+    the streamed rows equal the batch read exactly (same pure-function
+    content, exactly-once offsets)."""
+    from olist_snowflake_dbt_spark.sources.pyds import register
+
+    register(spark)
+    out_dir = str(tmp_path / "out")
+    counts = []
+    # three availableNow runs against ONE checkpoint: each drains the
+    # next offset increment, and the cursor survives restart — the
+    # recovery semantics a real connector needs (memory sink can't
+    # recover a checkpoint; the file sink is the durable path)
+    for _ in range(3):
+        q = (
+            spark.readStream.format("synthetic_corpus")
+            .option("numDocs", "250")
+            .option("batchSize", "100")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        counts.append(spark.read.parquet(out_dir).count())
+    streamed = spark.read.parquet(out_dir)
+    batch = (
+        spark.read.format("synthetic_corpus").option("numDocs", "250").load()
+    )
+    assert counts == [100, 200, 250], counts
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
