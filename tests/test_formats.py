@@ -324,3 +324,32 @@ def test_synthetic_corpus_stream_reader_drains_deterministically(spark, tmp_path
     assert counts == [100, 200, 250], counts
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_jsonl_sink_abort_leaves_nothing_published(spark, tmp_path):
+    """Two-phase commit abort path: a task failure mid-write publishes
+    NOTHING — no part files, no manifest (staged files are cleaned or
+    orphaned in _staging, never visible)."""
+    import os
+
+    import pytest as _pytest
+
+    from olist_snowflake_dbt_spark.sources.pyds import register
+
+    register(spark)
+    out = str(tmp_path / "sink_abort")
+    os.makedirs(out, exist_ok=True)
+
+    @F.udf("long")
+    def boom(v):
+        if v == 7:
+            raise ValueError("injected failure")
+        return v
+
+    df = spark.range(0, 10).select(boom(F.col("id")).alias("id"))
+    with _pytest.raises(Exception):
+        df.repartition(4).write.format("jsonl_sink").option("path", out).mode(
+            "append"
+        ).save()
+    assert not any(f.startswith("part-") for f in os.listdir(out))
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
