@@ -1230,3 +1230,36 @@ def q_map_type_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e")["value"].alias("n"),
         )
     )
+
+
+_RECURSIVE_CHAIN = """
+WITH RECURSIVE chain(custkey, anc, depth) AS (
+    SELECT c_custkey, c_custkey, 0 FROM {customer} WHERE c_custkey < 256
+    UNION ALL
+    SELECT custkey, CAST((anc - (anc % 2)) / 2 AS BIGINT), depth + 1
+    FROM chain WHERE anc > 0
+)
+SELECT custkey,
+       CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+       CAST(COUNT(*) AS BIGINT) AS n_ancestors
+FROM chain GROUP BY custkey
+"""
+
+
+@query(
+    "recursive_cte_hierarchy",
+    _RECURSIVE_CHAIN.format(customer="customer"),
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4): iterative hierarchy traversal IN SQL —
+    each customer walks an arithmetic parent chain (anc -> floor(anc/2),
+    a binary-tree hierarchy derived from the key, no extra data needed)
+    to the root, reporting depth and ancestor count. The SQL text is
+    IDENTICAL on both engines modulo the table reference — including the
+    portable floor-halving (anc - anc%2)/2, since bare integer `/` is
+    float division in DuckDB but integer division in Spark. Execution is
+    Spark's recursive-CTE loop: O(depth) joined iterations, each a
+    distributed step — the same per-round cost model as the
+    connected-components operator, expressed declaratively."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__rec_customer")
+    return spark.sql(_RECURSIVE_CHAIN.format(customer="__rec_customer"))
