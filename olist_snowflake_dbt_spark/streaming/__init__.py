@@ -28,6 +28,7 @@ from .events import (
     session_stats,
     stream_events,
     user_running_totals,
+    user_totals_tws,
     windowed_event_counts,
 )
 
@@ -39,5 +40,6 @@ __all__ = [
     "session_stats",
     "stream_events",
     "user_running_totals",
+    "user_totals_tws",
     "windowed_event_counts",
 ]

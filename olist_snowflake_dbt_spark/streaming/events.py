@@ -283,3 +283,62 @@ def run_available_now(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
+
+
+# -- transformWithStateInPandas (Spark 4 stateful API) -----------------
+
+
+def user_totals_tws(stream: DataFrame) -> DataFrame:
+    """The modern stateful surface: ``transformWithStateInPandas`` with
+    a typed ValueState — same per-user running (count, exact-cents
+    total) semantics as :func:`user_running_totals`, on the API that
+    supersedes applyInPandasWithState (named state variables, timers,
+    TTL, initial-state bootstrap; RocksDB-backed in production). Kept
+    alongside the legacy operator so both stateful lanes stay covered.
+    State remains two longs per user; output is one row per user per
+    micro-batch, Update mode.
+
+    Environment note: the transformWithState state-server protocol
+    imports protobuf at query start; on a runtime without protobuf the
+    query fails at initialization (the harness container hits this —
+    tests/test_streaming.py importorskips accordingly). The legacy
+    applyInPandasWithState lane (user_running_totals) has no such
+    dependency and carries the driver-checked rows."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events long, total_cents long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = 0, 0
+            if self._state.exists():
+                n, cents = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                # exact decimal cents, same arithmetic as _totals_fn
+                for v in pdf["value"]:
+                    cents += round(float(v) * 100)
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
+        _TotalsProcessor(),
+        outputStructType="user_id long, n_events long, total_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -318,3 +318,40 @@ def test_watermark_drops_late_rows_for_finalized_windows(spark, tmp_path):
         if p["stateOperators"]
     )
     assert dropped == 1
+
+
+def test_transform_with_state_matches_legacy_and_batch(spark, sf_dir, batch_events):
+    """The Spark 4 transformWithStateInPandas operator computes the
+    same per-user totals as the legacy applyInPandasWithState operator
+    and the plain batch aggregate — three lanes, one semantics.
+
+    transformWithState's state-server protocol needs protobuf, which
+    this container does not ship — the operator is still part of the
+    engine surface (user_totals_tws) and this test runs wherever
+    protobuf exists."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (absent here)",
+    )
+    from olist_snowflake_dbt_spark.streaming import (
+        stream_events,
+        user_totals_tws,
+    )
+
+    sink = run_available_now(
+        user_totals_tws(stream_events(spark, sf_dir)),
+        output_mode="update",
+        state_partitions=8,
+    )
+    got = {r.user_id: (r.n_events, r.total_cents) for r in sink.collect()}
+    exact = {
+        r.user_id: (r.n, r.cents)
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value").cast("double") * 100).cast("long"))
+            .alias("cents"),
+        )
+        .collect()
+    }
+    assert got == exact
