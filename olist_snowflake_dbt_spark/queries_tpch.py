@@ -1127,11 +1127,12 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS DECIMAL(38,4))) AS rev
         FROM lineitem GROUP BY l_partkey
     ),
-    tot AS (SELECT SUM(rev) AS total FROM pr)
+    tot AS (SELECT SUM(rev) AS total, COUNT(*) AS n_parts FROM pr)
     SELECT pr.l_partkey AS p_partkey,
            CAST(CAST(pr.rev AS DECIMAL(38,4)) AS DOUBLE) AS part_revenue
     FROM pr, tot
-    WHERE CAST(pr.rev AS DOUBLE) > 0.0005 * CAST(tot.total AS DOUBLE)
+    WHERE CAST(pr.rev AS DOUBLE)
+          > 1.5 * CAST(tot.total AS DOUBLE) / CAST(tot.n_parts AS DOUBLE)
     ORDER BY part_revenue DESC, p_partkey
     """,
 )
@@ -1142,20 +1143,28 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (tiny) and broadcasts as one row; the fact table shuffles
     once, for the per-part aggregate both sides reuse. The spec's
     partsupp value (ps_supplycost x ps_availqty) isn't in the driver's
-    schema — lineitem revenue per part stands in; the 0.0001/SF HAVING
-    fraction becomes a fixed 0.05%. Exact-decimal sums; the fraction
-    compare is one identical double step per engine."""
+    schema — lineitem revenue per part stands in; the spec's 0.0001/SF
+    HAVING fraction becomes 1.5x the mean per-part revenue, which is
+    SCALE-INVARIANT (a fixed share fraction goes vacuous as the part
+    count grows — measured 971 rows at sf0.01 but 0 at sf0.1).
+    Exact-decimal sums; the threshold compare is one identical double
+    expression per engine."""
     li = _t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     rev_exact = F.sum((price * (F.lit(1) - disc)).cast("decimal(38,4)"))
     pr = li.groupBy("l_partkey").agg(rev_exact.alias("__rev"))
-    tot = pr.agg(F.sum("__rev").alias("__total"))
+    tot = pr.agg(
+        F.sum("__rev").alias("__total"),
+        F.count(F.lit(1)).alias("__n_parts"),
+    )
     return (
         pr.crossJoin(F.broadcast(tot))
         .filter(
             F.col("__rev").cast("double")
-            > F.lit(0.0005) * F.col("__total").cast("double")
+            > F.lit(1.5)
+            * F.col("__total").cast("double")
+            / F.col("__n_parts").cast("double")
         )
         .select(
             F.col("l_partkey").alias("p_partkey"),
