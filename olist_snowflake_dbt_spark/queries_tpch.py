@@ -653,7 +653,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH potential AS (
         SELECT right(c_name, 2) AS cntrycode, c_custkey, c_acctbal
         FROM customer
-        WHERE right(c_name, 2) IN ('01','13','25','31','42','57','69','88')
+        WHERE right(c_name, 2) BETWEEN '00' AND '49'
     ),
     thresh AS (
         SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
@@ -683,15 +683,16 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact decimal sum divided by an exact count in double, so the
     > comparison is bit-identical across engines. Spec adaptations for
     the driver schema: phone-prefix country codes → the customer
-    name's trailing digits; 'no orders at all' → 'no orders since
-    1999' (every sf0.01 customer has some order, which would make the
-    canonical form vacuous)."""
+    name's trailing digits, restricted by a substring RANGE (half the
+    buckets — an 8-code IN-list left zero qualifying customers at
+    sf0.001); 'no orders at all' → 'no orders since 1999' (every
+    sf0.01 customer has some order, which would make the canonical
+    form vacuous). Non-vacuous at every shipped SF: 2/11/72 rows
+    pre-grouping."""
     c = _t(spark, sf_dir, "customer").select(
         F.expr("right(c_name, 2)").alias("cntrycode"), "c_custkey", "c_acctbal"
     )
-    potential = c.filter(
-        F.col("cntrycode").isin("01", "13", "25", "31", "42", "57", "69", "88")
-    )
+    potential = c.filter(F.col("cntrycode").between("00", "49"))
     thresh = potential.filter(F.col("c_acctbal") > 0).agg(
         (
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
@@ -731,8 +732,8 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
     JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_20')
+        OR (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_18'))
       AND l.l_shipdate >= TIMESTAMP '1996-01-01'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01'
     GROUP BY n1.n_name, n2.n_name, l_year
@@ -747,7 +748,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair predicate degenerates to a residual on two broadcast joins;
     lineitem is shuffled once, for the final aggregate. Year extraction
     happens after the date-range filter prunes the scan."""
-    two = ["NATION_1", "NATION_2"]
+    two = ["NATION_18", "NATION_20"]
     n1 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(two)).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
