@@ -27,6 +27,11 @@ _SKIP_PREFIX = (
 )
 _CARTESIAN_OK: set[str] = set()
 _BATCH_EVAL_OK: set[str] = set()
+# failing-rows queries whose PASS state is an empty result; everything
+# else must be non-vacuous — an empty result on both engines would
+# hash-match while proving nothing (caught live: a fixed Q11 share
+# threshold went 0-row at sf0.1; an 8-code Q22 bucket list at sf0.001)
+_EXPECTED_EMPTY = {"dq_singular_revenue_positive"}
 
 
 @pytest.mark.parametrize(
@@ -34,13 +39,11 @@ _BATCH_EVAL_OK: set[str] = set()
     [n for n in QUERIES if not n.startswith(_SKIP_PREFIX)],
 )
 def test_plan_has_no_antipatterns(spark, sf_dir, name):
-    plan = (
-        QUERIES[name](spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     if name not in _CARTESIAN_OK:
         assert "CartesianProduct" not in plan, f"{name}: cartesian join"
     if name not in _BATCH_EVAL_OK:
         assert "BatchEvalPython" not in plan, f"{name}: non-Arrow Python UDF"
+    if name not in _EXPECTED_EMPTY:
+        assert df.limit(1).count() == 1, f"{name}: vacuous (0-row) result"
