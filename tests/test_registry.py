@@ -119,3 +119,21 @@ def test_var_substitution(spark):
     reg.register("boom", "select {{ var('nope') }} as x from {{ ref('src') }}")
     with _pytest.raises(CompilationError, match="undefined var"):
         reg.build("boom")
+
+
+def test_var_types_and_bidirectional_tag_walk(spark):
+    from olist_snowflake_dbt_spark.plans.registry import ModelRegistry
+
+    reg = ModelRegistry(spark, variables={"flag": True, "lim": 1})
+    reg.register_source("src", spark.createDataFrame([(1,), (2,)], "id long"))
+    reg.register(
+        "m",
+        "select id from {{ ref('src') }} "
+        "where {{ var('flag') }} and id <= {{ var('lim') }}",
+        tags=("mid",),
+    )
+    assert [r.id for r in reg.build("m").collect()] == [1]
+    reg.register("up", "select * from {{ ref('src') }}")
+    reg.register("down", "select * from {{ ref('m') }}")
+    # +tag:x+ walks both directions from every tagged core
+    assert reg.select("+tag:mid+") >= {"m", "down"}

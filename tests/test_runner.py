@@ -280,3 +280,54 @@ def test_run_keep_going_skips_descendants_builds_siblings(spark, tmp_path):
     assert results["bad_child"].status == "skipped"
     assert results["good_mart"].status == "success"
     assert spark.table("good_mart").first().n == 1
+
+
+def test_engine_full_refresh_flows_to_incremental_model(spark, tmp_path):
+    """Engine.full_refresh=True reaches the incremental materialization
+    (dbt --full-refresh at the orchestration level)."""
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    eng.registry.register_source("src", src)
+    eng.registry.register(
+        "inc",
+        "select * from {{ ref('src') }}",
+        materialized="incremental",
+        strategy="merge",
+        unique_key=("id",),
+    )
+    eng.run(select="inc")
+    assert spark.table("inc").count() == 2
+    # second run with a 1-row source: merge would keep 2; full refresh -> 1
+    eng.registry.register_source(
+        "src", spark.createDataFrame([(3, "c")], "id long, v string")
+    )
+    eng.full_refresh = True
+    eng.registry.invalidate()
+    eng.run(select="inc")
+    assert [r.id for r in spark.table("inc").collect()] == [3]
+
+
+def test_keep_going_deep_sibling_subtree_still_builds(spark, tmp_path):
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.registry.register_source(
+        "src", spark.createDataFrame([(1,)], "id long")
+    )
+    eng.registry.register("root_a", "select id from {{ ref('src') }}")
+    eng.registry.register("bad_mid", "select boom from {{ ref('root_a') }}")
+    eng.registry.register("bad_leaf", "select * from {{ ref('bad_mid') }}")
+    eng.registry.register("ok_mid", "select id + 1 as id from {{ ref('root_a') }}")
+    eng.registry.register(
+        "ok_leaf",
+        "select id * 10 as id from {{ ref('ok_mid') }}",
+        materialized="table",
+    )
+    res = eng.run_keep_going()
+    assert res["bad_mid"].status == "error"
+    assert res["bad_leaf"].status == "skipped"
+    assert res["ok_mid"].status == "success"
+    assert res["ok_leaf"].status == "success"
+    assert spark.table("ok_leaf").first().id == 20
