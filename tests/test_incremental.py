@@ -230,3 +230,29 @@ def test_on_schema_change_modes(spark, tmp_path):
                   on_schema_change="sync_all_columns")
     assert set(out.columns) == {"id", "score"}
     assert {r.id for r in out.collect()} == {1, 2, 3}
+
+
+def test_on_schema_change_with_insert_overwrite_partitions(spark, tmp_path):
+    """Schema sync composes with partition-scoped overwrite: the new
+    column appears across the table, untouched partitions keep rows."""
+    from olist_snowflake_dbt_spark.operators.incremental import IncrementalTable
+
+    t = IncrementalTable(spark, str(tmp_path / "tbl"), partition_by=("day",))
+    t.apply(
+        spark.createDataFrame(
+            [(1, "d1", "a"), (2, "d2", "b")], "id long, day string, v string"
+        ),
+        strategy="insert_overwrite",
+    )
+    widened = spark.createDataFrame(
+        [(3, "d2", "c", 1.5)], "id long, day string, v string, score double"
+    )
+    out = t.apply(
+        widened,
+        strategy="insert_overwrite",
+        on_schema_change="append_new_columns",
+    )
+    rows = {r.id: r for r in out.collect()}
+    # d1 untouched (score backfilled NULL); d2 replaced wholesale
+    assert set(rows) == {1, 3}
+    assert rows[1].score is None and rows[3].score == 1.5

@@ -331,3 +331,27 @@ def test_keep_going_deep_sibling_subtree_still_builds(spark, tmp_path):
     assert res["ok_mid"].status == "success"
     assert res["ok_leaf"].status == "success"
     assert spark.table("ok_leaf").first().id == 20
+
+
+def test_source_freshness_empty_source_errors(spark, tmp_path):
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    empty = spark.createDataFrame([], "id string, loaded_at timestamp")
+    eng.registry.register_source("feed", empty)
+    res = eng.source_freshness(
+        "feed", "loaded_at", 60, 120, as_of=dt.datetime(2024, 1, 1)
+    )
+    assert res.status == TestStatus.ERROR and res.max_loaded_at is None
+
+
+def test_generate_docs_documents_broken_model_without_raising(spark, tmp_path):
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.registry.register_source("src", spark.createDataFrame([(1,)], "id long"))
+    eng.registry.register("ok", "select id from {{ ref('src') }}")
+    eng.registry.register("broken", "select no_col from {{ ref('src') }}")
+    manifest = eng.generate_docs(write=False)
+    assert {c["name"] for c in manifest["models"]["ok"]["columns"]} == {"id"}
+    assert "error" in manifest["models"]["broken"]["columns"][0]
