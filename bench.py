@@ -46,6 +46,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
         best: float | None = None
+        failed = False
         for _ in range(n_runs):
             t0 = time.perf_counter()
             try:
@@ -56,21 +57,30 @@ def main() -> None:
             except Exception as exc:  # a broken query must not sink the run
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
                 print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
+                # a query that fails on ANY run is an error, not a timing —
+                # never report it in both maps
+                failed = True
+            finally:
+                # cleanup runs even after a failed attempt, so its cached
+                # intermediates / broadcast state never pollute the next
+                # query's timing.
+                # Operators persist self-join intermediates for the
+                # duration of their query; drop them so 140+ queries'
+                # caches don't stack.
+                spark.catalog.clearCache()
+                # broadcast blocks and shuffle state are only reclaimed by
+                # the ContextCleaner after a JVM GC; without this, queries
+                # ~30+ in the run measure 10-20x slower than their true
+                # cost (measured: dedup_simhash 54s polluted vs 3s clean).
+                # Session-level periodicGC (session.py) covers production;
+                # the explicit call makes per-query timings deterministic.
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
+            if failed:
                 break
-            # operators persist self-join intermediates for the duration
-            # of their query; drop them so 129 queries' caches don't stack
-            spark.catalog.clearCache()
-            # broadcast blocks and shuffle state are only reclaimed by the
-            # ContextCleaner after a JVM GC; without this, queries ~30+ in
-            # the run measure 10-20x slower than their true cost
-            # (measured: dedup_simhash 54s polluted vs 3s clean).
-            # Session-level periodicGC (session.py) covers production; the
-            # explicit call makes per-query timings deterministic here.
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
-        if best is not None:
+        if best is not None and not failed:
             timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

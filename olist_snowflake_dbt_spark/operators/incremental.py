@@ -224,9 +224,22 @@ class IncrementalTable:
             self._write_full(batch)
             return self.read()
         existing = self.read()
+        standing_cols = list(existing.columns)
         existing, batch = self._reconcile_schema(existing, batch, on_schema_change)
         if strategy == "append":
-            # no rewrite of history: append-mode write only adds files
+            if list(existing.columns) != standing_cols:
+                # _reconcile_schema changed the column set (append_new_columns
+                # / sync_all_columns). A bare file append would leave parquet
+                # files with divergent footers, and read() (no mergeSchema)
+                # would pick the table schema from an arbitrary footer — new
+                # columns could silently vanish. dbt ALTERs the target before
+                # inserting (on_schema_change.sql sync_column_schemas); the
+                # plain-parquet equivalent is a full rewrite carrying the
+                # reconciled schema.
+                self._write_full(existing.unionByName(batch))
+                return self.read()
+            # column set unchanged → no rewrite of history: append-mode
+            # write only adds files
             w = batch.write.mode("append")
             if self.partition_by:
                 w = w.partitionBy(*self.partition_by)

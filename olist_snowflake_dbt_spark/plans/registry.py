@@ -49,10 +49,12 @@ class CycleError(CompilationError):
 
 
 _REF_RE = re.compile(r"\{\{\s*ref\(\s*['\"]([A-Za-z0-9_.]+)['\"]\s*\)\s*\}\}")
-_VAR_RE = re.compile(
-    r"\{\{\s*var\(\s*['\"]([A-Za-z0-9_]+)['\"]"
-    r"(?:\s*,\s*([^)]+?))?\s*\)\s*\}\}"
-)
+# Opens a {{ var('name' ... }} call; the optional default is parsed by a
+# small scanner (ModelRegistry._render_vars), not the regex — a quoted
+# default may contain ')' or ',' (e.g. {{ var('x', '(a)') }}), which no
+# paren-free capture group can delimit.
+_VAR_OPEN_RE = re.compile(r"\{\{\s*var\(\s*(['\"])([A-Za-z0-9_]+)\1\s*")
+_VAR_CLOSE_RE = re.compile(r"\s*\)\s*\}\}")
 
 
 @dataclass
@@ -268,25 +270,97 @@ class ModelRegistry:
                     return view
 
                 sql = _REF_RE.sub(_sub, sql)
-                sql = _VAR_RE.sub(self._sub_var, sql)
+                sql = self._render_vars(sql)
                 df = self.spark.sql(sql)
         finally:
             self._building.pop()
         self._built[name] = df
         return df
 
-    def _sub_var(self, m: "re.Match[str]") -> str:
-        """Render {{ var('k'[, default]) }} to a SQL literal. Strings
-        quote (with '' escaping); numbers/booleans render bare; an
-        unknown var without a default is a compile-time error, as in
-        dbt (dbt-core context var() semantics)."""
-        key, default = m.group(1), m.group(2)
-        if key in self.variables:
-            val = self.variables[key]
-        elif default is not None:
-            return default.strip()
-        else:
-            raise CompilationError(f"undefined var {key!r} and no default given")
+    def _render_vars(self, sql: str) -> str:
+        """Render every ``{{ var('k'[, default]) }}`` to a SQL literal
+        (dbt-core context var() semantics): strings quote (with ''
+        escaping), numbers/booleans render bare, an unknown var without
+        a default is a compile-time error.
+
+        Defaults are parsed by a scanner, not a regex: a quoted string
+        default may contain ``)`` or ``,``, and a quoted default is
+        routed through the same literal renderer as resolved variables —
+        so ``{{ var('x', 'abc') }}`` becomes the SQL string ``'abc'``,
+        never a bare identifier. Unquoted defaults (numbers, TRUE/FALSE,
+        simple expressions) splice verbatim, balanced-paren delimited."""
+        out: list[str] = []
+        pos = 0
+        while True:
+            m = _VAR_OPEN_RE.search(sql, pos)
+            if m is None:
+                out.append(sql[pos:])
+                return "".join(out)
+            out.append(sql[pos : m.start()])
+            key = m.group(2)
+            i = m.end()
+            has_default = False
+            default_str: str | None = None  # parsed quoted-string default
+            default_raw: str | None = None  # verbatim unquoted default
+            if i < len(sql) and sql[i] == ",":
+                has_default = True
+                i += 1
+                while i < len(sql) and sql[i].isspace():
+                    i += 1
+                if i < len(sql) and sql[i] in "'\"":
+                    quote = sql[i]
+                    i += 1
+                    buf: list[str] = []
+                    closed = False
+                    while i < len(sql):
+                        c = sql[i]
+                        if c == "\\" and i + 1 < len(sql):
+                            buf.append(sql[i + 1])
+                            i += 2
+                            continue
+                        if c == quote:
+                            i += 1
+                            closed = True
+                            break
+                        buf.append(c)
+                        i += 1
+                    if not closed:
+                        raise CompilationError(
+                            f"unterminated string default for var {key!r}"
+                        )
+                    default_str = "".join(buf)
+                else:
+                    depth = 0
+                    j = i
+                    while j < len(sql):
+                        c = sql[j]
+                        if c == "(":
+                            depth += 1
+                        elif c == ")":
+                            if depth == 0:
+                                break
+                            depth -= 1
+                        j += 1
+                    default_raw = sql[i:j].strip()
+                    i = j
+            tm = _VAR_CLOSE_RE.match(sql, i)
+            if tm is None:
+                raise CompilationError(f"malformed var() call for {key!r}")
+            if key in self.variables:
+                out.append(self._render_literal(self.variables[key]))
+            elif has_default:
+                out.append(
+                    default_raw if default_raw is not None
+                    else self._render_literal(default_str)
+                )
+            else:
+                raise CompilationError(
+                    f"undefined var {key!r} and no default given"
+                )
+            pos = tm.end()
+
+    @staticmethod
+    def _render_literal(val: Any) -> str:
         if isinstance(val, bool):
             return "TRUE" if val else "FALSE"
         if isinstance(val, (int, float)):

@@ -300,10 +300,20 @@ class Engine:
             raise ValueError("source_freshness requires an explicit as_of")
         if max_loaded is None:
             return FreshnessResult(source, None, None, TestStatus.ERROR)
-        if isinstance(max_loaded, _dt.datetime) and max_loaded.tzinfo is None:
-            anchor = as_of.replace(tzinfo=None) if getattr(as_of, "tzinfo", None) else as_of
-        else:
-            anchor = as_of
+        anchor = as_of
+        if isinstance(max_loaded, _dt.datetime):
+            # naive/aware may mismatch in EITHER direction: parquet
+            # timestamps usually collect naive, but TIMESTAMP-with-tz
+            # sources under a tz-aware session return aware datetimes.
+            # Normalize symmetrically (strip tz from whichever side has
+            # it when the other lacks it) so the subtraction never
+            # raises TypeError.
+            ml_aware = max_loaded.tzinfo is not None
+            ao_aware = getattr(as_of, "tzinfo", None) is not None
+            if ml_aware and not ao_aware:
+                max_loaded = max_loaded.replace(tzinfo=None)
+            elif ao_aware and not ml_aware:
+                anchor = as_of.replace(tzinfo=None)
         age = (anchor - max_loaded).total_seconds()
         if age > error_after_seconds:
             status = TestStatus.ERROR

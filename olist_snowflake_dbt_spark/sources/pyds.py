@@ -146,16 +146,27 @@ class JsonlSinkWriter(DataSourceWriter):
 
     def commit(self, messages):
         """Driver-side: publish exactly the staged files the successful
-        tasks reported — rename + manifest, atomic per file."""
+        tasks reported. Ordering makes the manifest the commit point:
+        (1) rename every staged file in (uuid names — no collision with
+        the previous generation), (2) write the manifest, (3) only then
+        remove superseded files. A crash before (2) leaves the old
+        manifest + old files fully intact; readers that honor the
+        manifest never observe a partial set."""
         import json
         import os
         import shutil
 
+        os.makedirs(self.path, exist_ok=True)  # zero-task write still commits
         staging = os.path.join(self.path, "_staging")
-        if self.overwrite:
-            for f in os.listdir(self.path):
-                if f.endswith(".jsonl") and not f.startswith("stage-"):
-                    os.remove(os.path.join(self.path, f))
+        superseded = (
+            [
+                f
+                for f in os.listdir(self.path)
+                if f.startswith("part-") and f.endswith(".jsonl")
+            ]
+            if self.overwrite
+            else []
+        )
         published = []
         for m in messages:
             final = m.file.replace("stage-", "part-")
@@ -163,6 +174,11 @@ class JsonlSinkWriter(DataSourceWriter):
             published.append({"file": final, "rows": m.rows})
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
             json.dump(published, fh)
+        for f in superseded:
+            try:
+                os.remove(os.path.join(self.path, f))
+            except FileNotFoundError:
+                pass
         shutil.rmtree(staging, ignore_errors=True)
 
     def abort(self, messages):

@@ -256,3 +256,57 @@ def test_on_schema_change_with_insert_overwrite_partitions(spark, tmp_path):
     # d1 untouched (score backfilled NULL); d2 replaced wholesale
     assert set(rows) == {1, 3}
     assert rows[1].score is None and rows[3].score == 1.5
+
+
+def test_append_with_schema_change_rewrites_reconciled(spark, tmp_path):
+    """strategy='append' + on_schema_change that widens/narrows the column
+    set must produce a table whose EVERY read sees the reconciled schema —
+    a bare file append would leave mixed parquet footers and spark.read
+    (no mergeSchema) would pick one arbitrarily, silently dropping the new
+    column (ADVICE r05)."""
+    from olist_snowflake_dbt_spark.operators.incremental import IncrementalTable
+
+    # append_new_columns: widened batch appended, old rows backfill NULL
+    t = IncrementalTable(spark, str(tmp_path / "t_app_widen"))
+    t.apply(spark.createDataFrame([(1, "a")], "id long, v string"),
+            strategy="append")
+    widened = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    )
+    out = t.apply(widened, strategy="append",
+                  on_schema_change="append_new_columns")
+    assert set(out.columns) == {"id", "v", "score"}
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+    # the standing FILES carry the reconciled schema: a fresh read (new
+    # session-level scan, still no mergeSchema) must agree
+    again = spark.read.parquet(str(tmp_path / "t_app_widen"))
+    assert set(again.columns) == {"id", "v", "score"}
+
+    # sync_all_columns: narrowed batch drops the column everywhere
+    t2 = IncrementalTable(spark, str(tmp_path / "t_app_narrow"))
+    t2.apply(spark.createDataFrame([(1, "a", 1.0)],
+                                   "id long, v string, score double"),
+             strategy="append")
+    narrowed = spark.createDataFrame([(2, "b")], "id long, v string")
+    out2 = t2.apply(narrowed, strategy="append",
+                    on_schema_change="sync_all_columns")
+    assert set(out2.columns) == {"id", "v"}
+    assert {r.id for r in out2.collect()} == {1, 2}
+
+    # unchanged schema still takes the no-rewrite file-append path
+    t3 = IncrementalTable(spark, str(tmp_path / "t_app_same"))
+    t3.apply(spark.createDataFrame([(1, "a")], "id long, v string"),
+             strategy="append")
+    import os
+    files_before = {
+        f for f in os.listdir(str(tmp_path / "t_app_same"))
+        if f.endswith(".parquet")
+    }
+    t3.apply(spark.createDataFrame([(2, "b")], "id long, v string"),
+             strategy="append", on_schema_change="append_new_columns")
+    files_after = {
+        f for f in os.listdir(str(tmp_path / "t_app_same"))
+        if f.endswith(".parquet")
+    }
+    assert files_before < files_after  # old files still present: pure append

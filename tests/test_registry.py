@@ -137,3 +137,38 @@ def test_var_types_and_bidirectional_tag_walk(spark):
     reg.register("down", "select * from {{ ref('m') }}")
     # +tag:x+ walks both directions from every tagged core
     assert reg.select("+tag:mid+") >= {"m", "down"}
+
+
+def test_var_default_with_parens_and_string_literal(spark):
+    """ADVICE r05: defaults containing ')' must parse, and a quoted
+    string default must render as a SQL string literal (never splice as
+    a bare identifier)."""
+    from olist_snowflake_dbt_spark.plans.registry import ModelRegistry
+
+    reg = ModelRegistry(spark)
+    reg.register_source("src", spark.createDataFrame([(1,)], "id long"))
+    # quoted default containing parens and a comma
+    reg.register(
+        "parens",
+        "select {{ var('x', '(a),b') }} as tag from {{ ref('src') }}",
+    )
+    assert reg.build("parens").first().tag == "(a),b"
+    # double-quoted default → still a SQL STRING literal, not an identifier
+    reg.register(
+        "dquote",
+        'select {{ var("y", "hello") }} as tag from {{ ref("src") }}',
+    )
+    assert reg.build("dquote").first().tag == "hello"
+    # unquoted expression default with balanced parens splices verbatim
+    reg.register(
+        "expr",
+        "select {{ var('n', (1 + 2) * 3) }} as n from {{ ref('src') }}",
+    )
+    assert reg.build("expr").first().n == 9
+    # a SET variable still wins over the default
+    reg2 = ModelRegistry(spark, variables={"x": "set"})
+    reg2.register_source("src", spark.createDataFrame([(1,)], "id long"))
+    reg2.register(
+        "won", "select {{ var('x', '(d)') }} as tag from {{ ref('src') }}"
+    )
+    assert reg2.build("won").first().tag == "set"

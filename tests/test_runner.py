@@ -355,3 +355,26 @@ def test_generate_docs_documents_broken_model_without_raising(spark, tmp_path):
     manifest = eng.generate_docs(write=False)
     assert {c["name"] for c in manifest["models"]["ok"]["columns"]} == {"id"}
     assert "error" in manifest["models"]["broken"]["columns"][0]
+
+
+def test_source_freshness_tz_mismatch_both_directions(spark, tmp_path):
+    """ADVICE r05: aware-loaded/naive-as_of (and the reverse) must grade
+    freshness instead of raising TypeError."""
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    aware = dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    src = spark.createDataFrame([("a", aware)], "id string, loaded_at timestamp")
+    eng.registry.register_source("feed_tz", src)
+
+    naive_as_of = dt.datetime(2024, 1, 1, 13, 0, 0)
+    res = eng.source_freshness("feed_tz", "loaded_at", 7200, 86400,
+                               as_of=naive_as_of)
+    assert res.age_seconds is not None and res.status == TestStatus.PASS
+
+    aware_as_of = dt.datetime(2024, 1, 1, 13, 0, 0, tzinfo=dt.timezone.utc)
+    res2 = eng.source_freshness("feed_tz", "loaded_at", 1800, 86400,
+                                as_of=aware_as_of)
+    assert res2.age_seconds is not None and res2.status in (
+        TestStatus.PASS, TestStatus.WARN
+    )
