@@ -237,3 +237,113 @@ def q_pyds_synthetic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hash_prefix_sum"),
     )
+
+
+@query(
+    "pyds_jsonl_sink_roundtrip",
+    """
+    WITH gen AS (
+        SELECT i AS doc_id, 'src_' || (i % 4) AS source,
+               md5(CAST(i AS VARCHAR)) AS text
+        FROM (SELECT UNNEST(generate_series(0, 499)) AS i)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum,
+           CAST(SUM(CAST('0x' || substr(text, 1, 8) AS BIGINT)) AS BIGINT)
+               AS hash_prefix_sum
+    FROM gen GROUP BY source
+    """,
+)
+def q_pyds_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE half of the Python DataSource API (sources/pyds.py
+    JsonlSinkDataSource): the 500-doc deterministic corpus is written
+    through the two-phase-commit jsonl sink TWICE in overwrite mode
+    (staging → rename → manifest-as-commit-point → prune superseded),
+    then read back and aggregated. Equality with the DuckDB twin that
+    regenerates the corpus proves (a) every staged row was published,
+    (b) the second overwrite replaced — not doubled — the first
+    generation, (c) the manifest lists exactly the published files.
+
+    Scale: each executor task stages its own file with zero cross-task
+    coordination; commit is O(#tasks) driver-side renames — the same
+    contract as Hadoop file committers."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from .sources import pyds
+
+    pyds.register(spark)
+    corpus = (
+        spark.read.format("synthetic_corpus")
+        .option("numDocs", 500)
+        .option("numPartitions", 6)
+        .load()
+    )
+    out_dir = _os.path.join(
+        _tempfile.gettempdir(), "spark_graft_jsonl_sink_roundtrip"
+    )
+    # write twice: the second overwrite must supersede the first
+    for _ in range(2):
+        (
+            corpus.write.format("jsonl_sink")
+            .mode("overwrite")
+            .option("path", out_dir)
+            .save()
+        )
+    with open(_os.path.join(out_dir, "_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    assert sum(m["rows"] for m in manifest) == 500, "manifest row count"
+    back = spark.read.schema("doc_id bigint, source string, text string").json(
+        _os.path.join(out_dir, "part-*.jsonl")
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
+        F.sum(F.conv(F.substring("text", 1, 8), 16, 10).cast("bigint"))
+        .cast("bigint")
+        .alias("hash_prefix_sum"),
+    )
+
+
+@query(
+    "pyds_stream_drain",
+    """
+    WITH gen AS (
+        SELECT i AS doc_id, 'src_' || (i % 4) AS source,
+               md5(CAST(i AS VARCHAR)) AS text
+        FROM (SELECT UNNEST(generate_series(0, 599)) AS i)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           CAST(SUM(CAST('0x' || substr(text, 1, 8) AS BIGINT)) AS BIGINT)
+               AS hash_prefix_sum
+    FROM gen GROUP BY source
+    """,
+)
+def q_pyds_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING half of the Python DataSource (sources/pyds.py
+    _CorpusStreamReader): the bounded 600-doc source drains through a
+    real Structured Streaming query in 128-doc micro-batches (offset
+    cursor advanced per batch, processAllAvailable drain) into a memory
+    sink; the final aggregate must equal the batch regeneration —
+    proving offset planning, per-batch reads, and exactly-once
+    accounting across micro-batch boundaries."""
+    from .sources import pyds
+    from .streaming import run_process_all
+
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("synthetic_corpus")
+        .option("numDocs", 600)
+        .option("batchSize", 128)
+        .load()
+    )
+    sink = run_process_all(stream, "append", state_partitions=8)
+    return sink.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+        F.sum(F.conv(F.substring("text", 1, 8), 16, 10).cast("bigint"))
+        .cast("bigint")
+        .alias("hash_prefix_sum"),
+    )

@@ -1232,3 +1232,71 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "s_suppkey", "s_name", "s_acctbal")
         .orderBy("p_partkey", "s_suppkey")
     )
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    """
+    SELECT ship_mode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+        SELECT l_orderkey,
+               CASE l_linenumber % 4
+                   WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
+                   WHEN 2 THEN 'RAIL' ELSE 'TRUCK' END AS ship_mode
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    ) l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE ship_mode IN ('MAIL', 'SHIP')
+    GROUP BY ship_mode
+    ORDER BY ship_mode
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority): the last shape of
+    the public 22-query suite — two-branch conditional aggregation over
+    lineitem ⋈ orders with an IN filter on ship mode. The driver schema
+    lacks l_shipmode/l_commitdate/l_receiptdate, so ship mode derives
+    deterministically from l_linenumber % 4 (both engines compute the
+    identical derivation) and the receipt-year window stands in as a
+    ship-date year window — the aggregation/join shape is the spec's.
+
+    Scale: the year window + mode IN-filter prune lineitem at the scan
+    (PushedFilters on l_shipdate; the mode filter folds to
+    `l_linenumber % 4 IN (0,1)` post-scan), projection prunes to 3
+    columns, and the orderkey join is the one shuffle — at 100 TB both
+    sides are facts, so this is the canonical AQE-planned sort-merge
+    join keyed on the join column, with the two conditional counts
+    computed map-side before the final 2-row aggregate."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .withColumn(
+            "ship_mode",
+            F.element_at(
+                F.array(F.lit("MAIL"), F.lit("SHIP"), F.lit("RAIL"), F.lit("TRUCK")),
+                (F.col("l_linenumber") % 4 + 1).cast("int"),
+            ),
+        )
+        .filter(F.col("ship_mode").isin("MAIL", "SHIP"))
+        .select("l_orderkey", "ship_mode")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )

@@ -25,6 +25,7 @@ from .events import (
     dedup_within_watermark,
     enrich_with_dim,
     run_available_now,
+    run_process_all,
     session_stats,
     stream_events,
     user_running_totals,
@@ -37,6 +38,7 @@ __all__ = [
     "dedup_within_watermark",
     "enrich_with_dim",
     "run_available_now",
+    "run_process_all",
     "session_stats",
     "stream_events",
     "user_running_totals",

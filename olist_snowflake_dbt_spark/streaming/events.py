@@ -285,6 +285,42 @@ def run_available_now(
     return spark.table(name)
 
 
+def run_process_all(
+    result: DataFrame,
+    output_mode: str = "append",
+    name: str | None = None,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Like :func:`run_available_now`, but drains via
+    ``processAllAvailable()`` + ``stop()`` on a default micro-batch
+    trigger. Needed for Python ``SimpleDataSourceStreamReader`` sources:
+    the AvailableNow trigger snapshots only the reader's first
+    prefetched slice as "available" and terminates after one
+    micro-batch, while processAllAvailable keeps cycling micro-batches
+    until the source's offset stops advancing — the correct
+    drain-a-bounded-cursor semantics."""
+    spark = result.sparkSession
+    name = name or f"stream_sink_{os.getpid()}_{next(_sink_counter)}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
+
+
 # -- transformWithStateInPandas (Spark 4 stateful API) -----------------
 
 

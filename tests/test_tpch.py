@@ -208,3 +208,18 @@ def test_q2_every_winner_ties_on_group_min(spark, sf_dir):
         by_part.setdefault(r.p_partkey, set()).add(r.s_acctbal)
     # decorrelated min: all rows for a part carry ONE balance (the min)
     assert all(len(v) == 1 for v in by_part.values())
+
+
+def test_q12_conditional_counts_and_plan(spark, sf_dir):
+    """Q12: both conditional counts come out of ONE aggregate over the
+    orderkey join — no cartesian, no second scan; result covers exactly
+    the two filtered ship modes and the counts partition each group."""
+    df = QUERIES["tpch_q12_shipmode_priority"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    rows = {r["ship_mode"]: r for r in df.collect()}
+    assert set(rows) == {"MAIL", "SHIP"}
+    for r in rows.values():
+        assert r["high_line_count"] >= 0 and r["low_line_count"] >= 0
+        assert r["high_line_count"] + r["low_line_count"] > 0
