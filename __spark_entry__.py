@@ -76,6 +76,7 @@ _CHECK_FIRST = [
     "stream_static_enrich",
     "stream_stream_join",
     "stream_window_counts",
+    "stream_stateful_totals_tws",
     # queries_udfs.py changed in round 5 after these r03 rows
     "udaf_decimal_sum",
     "udtf_chunk_words",
@@ -98,7 +99,6 @@ _CHECK_FIRST = [
     "json_extract",
     "date_functions",
     "distinct_agg",
-    "grouping_rollup",
 ]
 
 

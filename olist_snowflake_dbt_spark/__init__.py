@@ -26,3 +26,9 @@ and join strategy; AQE handles shuffle sizing and skew at scale.
 """
 
 __version__ = "0.1.0"
+
+# Optional-dependency wiring must precede JVM launch (PYTHONPATH is
+# frozen into the JVM environment at gateway start) — see compat.py.
+from .compat import export_protobuf_env as _export_protobuf_env
+
+_export_protobuf_env()

@@ -217,3 +217,58 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = run_available_now(counts, "complete", state_partitions=8)
     return sink.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+@query(
+    "stream_stateful_totals_tws",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value * 100 AS DECIMAL(18,0))) AS BIGINT)
+               AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals on the MODERN stateful surface —
+    ``transformWithStateInPandas`` with a typed ValueState (the Spark 4
+    API that supersedes applyInPandasWithState: named state variables,
+    timers, TTL, initial-state bootstrap). Bounded replay ⇒ the final
+    update per user equals the batch GROUP BY, same as the legacy lane
+    (stream_stateful_totals) — two stateful APIs, one semantics, both
+    driver-checked.
+
+    Runtime requirements handled here: protobuf (the state-server
+    protocol; compat.ensure_protobuf ships a pure-python copy to the
+    running session's executors when the interpreter lacks it) and the
+    RocksDB state store provider (named state variables map to state
+    store column families, unsupported by the HDFS-backed default)."""
+    from .compat import ensure_protobuf
+    from .streaming import stream_events, user_totals_tws
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf and none "
+            "was found (set SPARK_GRAFT_PROTOBUF_SITE to a site-packages "
+            "dir that has it)"
+        )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        from .streaming import run_available_now
+
+        return run_available_now(
+            user_totals_tws(stream_events(spark, sf_dir)),
+            "update",
+            state_partitions=8,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

@@ -334,12 +334,15 @@ def user_totals_tws(stream: DataFrame) -> DataFrame:
     State remains two longs per user; output is one row per user per
     micro-batch, Update mode.
 
-    Environment note: the transformWithState state-server protocol
-    imports protobuf at query start; on a runtime without protobuf the
-    query fails at initialization (the harness container hits this —
-    tests/test_streaming.py importorskips accordingly). The legacy
-    applyInPandasWithState lane (user_running_totals) has no such
-    dependency and carries the driver-checked rows."""
+    Environment notes: the transformWithState state-server protocol
+    imports protobuf at query start (compat.export_protobuf_env /
+    ensure_protobuf make a locally-available pure-python copy reachable
+    when the interpreter lacks it), and named state variables require
+    the RocksDB state store provider (they map to state-store column
+    families, which the HDFS-backed default does not support) — the
+    driver query stream_stateful_totals_tws sets both up. The legacy
+    applyInPandasWithState lane (user_running_totals) has neither
+    dependency."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

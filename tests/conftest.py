@@ -6,6 +6,9 @@ import pytest
 
 sys.path.insert(0, "/root/repo")
 
+# importing the package runs compat.export_protobuf_env() — the
+# PYTHONPATH export for transformWithState's driver-side Python worker
+# must precede the JVM launch in the spark fixture below
 from olist_snowflake_dbt_spark.session import get_spark
 
 

@@ -325,10 +325,12 @@ def test_transform_with_state_matches_legacy_and_batch(spark, sf_dir, batch_even
     same per-user totals as the legacy applyInPandasWithState operator
     and the plain batch aggregate — three lanes, one semantics.
 
-    transformWithState's state-server protocol needs protobuf, which
-    this container does not ship — the operator is still part of the
-    engine surface (user_totals_tws) and this test runs wherever
-    protobuf exists."""
+    transformWithState's state-server protocol needs protobuf
+    (conftest._probe_protobuf makes a locally-available copy importable
+    in pure-python mode; skipped only when no protobuf exists anywhere)
+    and the RocksDB state store provider — named state variables map to
+    state-store column families, which the HDFS-backed default provider
+    does not support."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithStateInPandas needs protobuf (absent here)",
@@ -338,11 +340,22 @@ def test_transform_with_state_matches_legacy_and_batch(spark, sf_dir, batch_even
         user_totals_tws,
     )
 
-    sink = run_available_now(
-        user_totals_tws(stream_events(spark, sf_dir)),
-        output_mode="update",
-        state_partitions=8,
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    try:
+        sink = run_available_now(
+            user_totals_tws(stream_events(spark, sf_dir)),
+            output_mode="update",
+            state_partitions=8,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     got = {r.user_id: (r.n_events, r.total_cents) for r in sink.collect()}
     exact = {
         r.user_id: (r.n, r.cents)
