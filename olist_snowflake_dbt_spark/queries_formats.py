@@ -281,7 +281,8 @@ def q_pyds_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     out_dir = _os.path.join(
-        _tempfile.gettempdir(), "spark_graft_jsonl_sink_roundtrip"
+        _tempfile.gettempdir(),
+        f"spark_graft_jsonl_sink_roundtrip_{_os.getpid()}",
     )
     # write twice: the second overwrite must supersede the first
     for _ in range(2):
