@@ -47,6 +47,8 @@ _CHECK_FIRST = [
     "tpch_q12_shipmode_priority",
     "pyds_jsonl_sink_roundtrip",
     "pyds_stream_drain",
+    "dedup_semantic",
+    "dedup_incremental_corpus",
     # sources/pyds.py + runner.py changed in round 6 after their r05 rows
     "pyds_synthetic_corpus",
     "runner_pipeline_gate",
@@ -97,8 +99,6 @@ _CHECK_FIRST = [
     "scalar_functions",
     "set_ops",
     "json_extract",
-    "date_functions",
-    "distinct_agg",
 ]
 
 

@@ -586,3 +586,61 @@ def drop_from_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     are required."""
     drops = pairs.select(F.col("id_b").alias("__drop")).dropDuplicates()
     return df.join(drops, df[id_col] == F.col("__drop"), "left_anti")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cluster_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    within each (externally computed) cluster, drop every row that has a
+    smaller-id near-duplicate at cosine ≥ ``threshold``; rows survive iff
+    they are their local duplicate-set's minimum. Clustering first is
+    what makes semantic dedup tractable at 100 TB: the quadratic cosine
+    comparison runs only WITHIN clusters (size ≈ n/k, pick k ∝ n to
+    bound it), never across the corpus — the exact shape the paper uses
+    to dedup LAION-scale corpora. Compose with
+    :func:`~..operators.clustering.kmeans_lloyd` for the assignment;
+    swap in :func:`dedup_by_components` on the pair set when transitive
+    (chain) semantics are wanted instead of direct-pair keep-min."""
+    pairs = embedding_cosine_pairs(
+        df, vec_col, id_col, threshold, block_col=cluster_col
+    )
+    drops = pairs.select(F.col("id_b").alias("__drop")).dropDuplicates()
+    return df.join(drops, df[id_col] == F.col("__drop"), "left_anti")
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    standing_fingerprints: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Incremental corpus dedup: admit only batch rows whose normalized
+    fingerprint is (a) new relative to the standing corpus and (b) the
+    smallest-id representative within the batch itself. This is how a
+    100 TB corpus grows without ever reprocessing itself: the standing
+    side is a FINGERPRINT TABLE (16-byte md5 + nothing else — ~1/1000th
+    of the corpus bytes), the batch is deduped internally (one shuffle
+    on the fingerprint) and anti-joined against the standing
+    fingerprints (AQE broadcasts whichever side is small; at steady
+    state that is the batch). Admitting the survivors and appending
+    their fingerprints to the standing table keeps the invariant.
+
+    ``standing_fingerprints`` needs a single column ``doc_fingerprint``
+    (build it with ``functions.text.fingerprint``)."""
+    deduped = exact_dedup(batch, text_col, id_col)
+    fp = deduped.withColumn("__fp", fingerprint(text_col))
+    return (
+        fp.join(
+            standing_fingerprints.select(
+                F.col("doc_fingerprint").alias("__fp")
+            ).dropDuplicates(),
+            "__fp",
+            "left_anti",
+        )
+        .drop("__fp")
+    )

@@ -1406,3 +1406,161 @@ def q_dedup_subdoc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+_SEM_NORM_A = (
+    "SQRT(CAST((SELECT SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,15)))"
+    " FROM (SELECT UNNEST(a.embedding) AS x)) AS DOUBLE))"
+)
+_SEM_NORM_B = (
+    "SQRT(CAST((SELECT SUM(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,15)))"
+    " FROM (SELECT UNNEST(b.embedding) AS y)) AS DOUBLE))"
+)
+
+_SEMANTIC_ORACLE = f"""
+    WITH pts AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                   AS xq
+        FROM ({_PLANTED_EMB})
+    ),
+    seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell,
+               list_transform(xq, v -> CAST(v AS DOUBLE) / 1000000.0) AS c
+        FROM (SELECT vec_id, xq,
+                     substr(md5(CAST(vec_id AS VARCHAR)), 1, 16) AS h
+              FROM pts ORDER BY h LIMIT {_KM_K})
+    ),
+    a0 AS (
+        SELECT vec_id, xq, cell FROM (
+            SELECT p.vec_id, p.xq, s.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY {_d2('p.embedding', 's.c')} ASC, s.cell ASC
+                   ) AS rn
+            FROM pts p CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    s1 AS (
+        SELECT cell, j, SUM(xq[j]) AS s
+        FROM a0, UNNEST(generate_series(1, {_KM_DIM})) AS t(j)
+        GROUP BY cell, j
+    ),
+    n1 AS (SELECT cell, COUNT(*) AS n FROM a0 GROUP BY cell),
+    c1 AS (
+        SELECT s1.cell,
+               list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY j) AS c
+        FROM s1 JOIN n1 USING (cell) GROUP BY s1.cell, n
+    ),
+    a1 AS (
+        SELECT vec_id, cell FROM (
+            SELECT p.vec_id, u.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY {_d2('p.embedding', 'u.c')} ASC, u.cell ASC
+                   ) AS rn
+            FROM pts p CROSS JOIN c1 u
+        ) WHERE rn = 1
+    ),
+    e AS (
+        SELECT p.vec_id, p.embedding, a1.cell
+        FROM pts p JOIN a1 USING (vec_id)
+    ),
+    drops AS (
+        SELECT DISTINCT b.vec_id
+        FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE CAST({_DOT_DEC} AS DOUBLE) / ({_SEM_NORM_A} * {_SEM_NORM_B})
+              >= 0.95
+    )
+    SELECT e.vec_id, e.cell AS cluster
+    FROM e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+"""
+
+
+@query("dedup_semantic", _SEMANTIC_ORACLE)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune) over the planted-duplicate
+    embedding corpus: the deterministic 2-iter k-means replay assigns
+    every vector a cluster, then operators/dedup.semantic_dedup drops
+    any vector with a smaller-id cosine≥0.95 neighbor WITHIN its
+    cluster. Planted exact dups always land in their original's cluster
+    (identical vectors ⇒ identical distances, ties broken by cell) and
+    score cosine 1.0, so they are guaranteed drops at any SF.
+
+    Scale shape: broadcast centroids for assignment (k×dim floats), the
+    quadratic cosine step is confined to clusters (size ≈ n/k; choose
+    k ∝ n to bound it — the SemDeDup paper's tractability argument),
+    and the keep-min prune is one anti-join on 8-byte ids."""
+    from .operators.clustering import kmeans_lloyd
+    from .operators.dedup import semantic_dedup
+
+    emb = _planted_emb(spark, sf_dir)
+    assign = kmeans_lloyd(emb, "embedding", "vec_id", k=_KM_K, iters=2)
+    e = emb.join(assign.select("vec_id", "cluster"), "vec_id").select(
+        "vec_id", "embedding", "cluster"
+    )
+    return semantic_dedup(e, "embedding", "vec_id", "cluster", 0.95).select(
+        "vec_id", "cluster"
+    )
+
+
+@query(
+    "dedup_incremental_corpus",
+    f"""
+    WITH standing AS (
+        SELECT DISTINCT md5({_NORM}) AS doc_fingerprint
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text
+        FROM documents WHERE doc_id % 50 = 1
+    ),
+    batch_dedup AS (
+        SELECT md5({_NORM}) AS fp, MIN(doc_id) AS doc_id
+        FROM batch GROUP BY 1
+    )
+    SELECT b.doc_id, b.text
+    FROM batch b
+    JOIN batch_dedup d ON b.doc_id = d.doc_id
+    WHERE d.fp NOT IN (SELECT doc_fingerprint FROM standing)
+    """,
+)
+def q_dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus growth (operators/dedup.incremental_dedup):
+    the standing corpus (even doc_ids) is represented ONLY by its
+    16-byte fingerprint table; an incoming batch — genuinely-new odd
+    docs, planted re-submissions of standing docs (id+1e6, must be
+    rejected), and planted within-batch dups (id+2e6, only the smallest
+    id survives) — is deduped internally and anti-joined against the
+    standing fingerprints. At 100 TB the corpus is never reprocessed:
+    the admission cost is one shuffle of the BATCH plus an anti-join
+    whose standing side is md5-only (~1/1000th of corpus bytes), and
+    appending survivors' fingerprints maintains the invariant."""
+    from .functions.text import fingerprint
+    from .operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    standing = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(fingerprint("text").alias("doc_fingerprint"))
+        .dropDuplicates()
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 1000000)
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 50 == 1)
+            .withColumn("doc_id", F.col("doc_id") + 2000000)
+        )
+    )
+    return incremental_dedup(batch, standing, "text", "doc_id")

@@ -333,3 +333,70 @@ def test_subdoc_chunks_plan_and_conservation(spark, sf_dir):
     )
     assert sum(r.n_kept for r in rows) == distinct_chunks
     assert all(0 <= r.n_kept <= r.n_chunks for r in rows)
+
+
+def test_semantic_dedup_drops_planted_dups_within_clusters(spark, sf_dir):
+    """SemDeDup composition: every planted exact duplicate (same vector,
+    id + 1e6) must be dropped — identical vectors share a k-means
+    cluster and score cosine 1.0 — while all original ids survive and
+    no cross-cluster comparison ever happens (pairs are cluster-blocked
+    equi-joins, so the plan has no CartesianProduct)."""
+    from olist_snowflake_dbt_spark.operators.clustering import kmeans_lloyd
+    from olist_snowflake_dbt_spark.operators.dedup import semantic_dedup
+    from olist_snowflake_dbt_spark.queries import QUERIES, _t
+
+    import pyspark.sql.functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1000000)
+    )
+    planted = emb.unionByName(dup)
+    assign = kmeans_lloyd(planted, "embedding", "vec_id", k=8, iters=2)
+    e = planted.join(assign.select("vec_id", "cluster"), "vec_id").select(
+        "vec_id", "embedding", "cluster"
+    )
+    out = semantic_dedup(e, "embedding", "vec_id", "cluster", 0.95)
+    survivors = {r.vec_id for r in out.select("vec_id").collect()}
+    originals = {r.vec_id for r in emb.select("vec_id").collect()}
+    planted_ids = {r.vec_id for r in dup.select("vec_id").collect()}
+    assert planted_ids.isdisjoint(survivors)  # every planted dup dropped
+    assert originals <= survivors | planted_ids  # no original lost
+    plan = QUERIES["dedup_semantic"](spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_rejects_standing_and_within_batch_dups(spark):
+    """incremental_dedup admits exactly: fingerprint-new batch rows,
+    one (smallest-id) representative per within-batch duplicate set."""
+    from olist_snowflake_dbt_spark.functions.text import fingerprint
+    from olist_snowflake_dbt_spark.operators.dedup import incremental_dedup
+
+    import pyspark.sql.functions as F
+
+    standing_docs = spark.createDataFrame(
+        [(0, "alpha text"), (2, "beta text")], "doc_id long, text string"
+    )
+    standing = standing_docs.select(
+        fingerprint("text").alias("doc_fingerprint")
+    ).dropDuplicates()
+    batch = spark.createDataFrame(
+        [
+            (11, "gamma text"),          # new -> admitted
+            (13, "ALPHA  text"),         # normalizes to standing alpha -> rejected
+            (15, "delta text"),          # new, dup'd below -> admitted (min id)
+            (17, "delta  TEXT"),         # within-batch dup of 15 -> rejected
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in incremental_dedup(batch, standing, "text", "doc_id").collect()}
+    assert got == {11, 15}
+    # idempotence of admission: re-running the SAME batch against the
+    # standing set grown by the survivors' fingerprints admits nothing
+    survivors = incremental_dedup(batch, standing, "text", "doc_id")
+    grown = standing.unionByName(
+        survivors.select(fingerprint("text").alias("doc_fingerprint"))
+    ).dropDuplicates()
+    assert incremental_dedup(batch, grown, "text", "doc_id").count() == 0
