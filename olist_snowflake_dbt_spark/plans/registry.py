@@ -174,37 +174,79 @@ class ModelRegistry:
         except _GraphCycleError as e:
             raise CycleError(f"ref() cycle detected: {e.args[1] if len(e.args) > 1 else e}") from e
 
-    def select(self, selector: str | None) -> set[str]:
-        """dbt-style graph selection: ``model``, ``+model`` (ancestors),
-        ``model+`` (descendants), ``+model+``, ``tag:x`` (all models
-        carrying the tag, composable with +); comma = union."""
+    def select(
+        self, selector: str | None, exclude: str | None = None
+    ) -> set[str]:
+        """dbt node-selection syntax (dbt-core graph selector semantics):
+
+        - atoms: ``model``, ``+model`` (ancestors), ``model+``
+          (descendants), ``+model+``, ``tag:x`` (composable with +),
+          ``@model`` (the at-operator: model, its descendants, AND the
+          ancestors of those descendants — everything needed to build
+          and test downstream of the model);
+        - SPACE-separated terms are a UNION (dbt ``--select a b``);
+        - COMMA-separated atoms within a term are an INTERSECTION
+          (dbt ``--select "tag:nightly,marts"``);
+        - ``exclude`` subtracts its own selection from the result
+          (dbt ``--exclude``)."""
         if selector is None:
-            return set(self._models)
-        edges = self.graph()
-        children: dict[str, set[str]] = {n: set() for n in edges}
-        for n, ps in edges.items():
-            for p in ps:
-                children[p].add(n)
+            out = set(self._models)
+        else:
+            edges = self.graph()
+            children: dict[str, set[str]] = {n: set() for n in edges}
+            for n, ps in edges.items():
+                for p in ps:
+                    children[p].add(n)
+            out = set()
+            for term in selector.split():
+                atoms = [a for a in term.split(",") if a]
+                if not atoms:
+                    continue
+                sets = [
+                    self._select_atom(a, edges, children) for a in atoms
+                ]
+                out |= set.intersection(*sets)
+        if exclude:
+            out -= self.select(exclude)
+        return out
+
+    def _select_atom(
+        self,
+        atom: str,
+        edges: dict[str, tuple[str, ...]],
+        children: dict[str, set[str]],
+    ) -> set[str]:
+        """Expand one selection atom to its node set."""
+        if atom.startswith("@"):
+            core = atom[1:]
+            if core not in self._models:
+                raise RefNotFoundError(
+                    f"selector {atom!r}: no model named {core!r}"
+                )
+            down: set[str] = {core}
+            self._walk_selection(core, False, True, edges, children, down)
+            out = set(down)
+            for n in down:
+                self._walk_selection(n, True, False, edges, children, out)
+            return out
+        up = atom.startswith("+")
+        down_suffix = atom.endswith("+")
+        core = atom.strip("+")
+        if core.startswith("tag:"):
+            tag = core[4:]
+            cores = [n for n, m in self._models.items() if tag in m.tags]
+            if not cores:
+                raise RefNotFoundError(
+                    f"selector {atom!r}: no model carries tag {tag!r}"
+                )
+        elif core not in self._models:
+            raise RefNotFoundError(f"selector {atom!r}: no model named {core!r}")
+        else:
+            cores = [core]
         out: set[str] = set()
-        for term in selector.split(","):
-            term = term.strip()
-            up = term.startswith("+")
-            down = term.endswith("+")
-            core = term.strip("+")
-            if core.startswith("tag:"):
-                tag = core[4:]
-                cores = [n for n, m in self._models.items() if tag in m.tags]
-                if not cores:
-                    raise RefNotFoundError(
-                        f"selector {term!r}: no model carries tag {tag!r}"
-                    )
-            elif core not in self._models:
-                raise RefNotFoundError(f"selector {term!r}: no model named {core!r}")
-            else:
-                cores = [core]
-            for core in cores:
-                out.add(core)
-                self._walk_selection(core, up, down, edges, children, out)
+        for c in cores:
+            out.add(c)
+            self._walk_selection(c, up, down_suffix, edges, children, out)
         return out
 
     def _walk_selection(self, core, up, down, edges, children, out) -> None:

@@ -99,10 +99,14 @@ class Engine:
                 self.spark.sql(str(h))
 
     # -- models (dbt run) ---------------------------------------------
-    def run(self, select: str | None = None) -> dict[str, MaterializedRelation]:
-        selected = self.registry.select(select)
+    def run(
+        self, select: str | None = None, exclude: str | None = None
+    ) -> dict[str, MaterializedRelation]:
+        selected = self.registry.select(select, exclude=exclude)
         self.registry.invalidate()
-        order = self.registry.topological_order(selected if select else None)
+        order = self.registry.topological_order(
+            selected if (select or exclude) else None
+        )
         self._run_hooks(getattr(self, "on_run_start", None))
         out: dict[str, MaterializedRelation] = {}
         for name in order:
@@ -208,8 +212,10 @@ class Engine:
                       predicate: Callable[[DataFrame], DataFrame], **kw) -> None:
         self.add_test(TestSpec(name, model, lambda df, _e: predicate(df), **kw))
 
-    def test(self, select: str | None = None) -> list[TestResult]:
-        selected = self.registry.select(select)
+    def test(
+        self, select: str | None = None, exclude: str | None = None
+    ) -> list[TestResult]:
+        selected = self.registry.select(select, exclude=exclude)
         results = []
         for spec in self.tests:
             if spec.model not in selected:
@@ -229,12 +235,14 @@ class Engine:
     # -- keep-going run (dbt's default node scheduling: a failed node
     # marks its DESCENDANTS skipped but unrelated subtrees still build;
     # $DBT/dbt/task/runnable.py:437-440 + graph/queue.py semantics) ----
-    def run_keep_going(self, select: str | None = None) -> dict[str, "NodeResult"]:
+    def run_keep_going(
+        self, select: str | None = None, exclude: str | None = None
+    ) -> dict[str, "NodeResult"]:
         """Like :meth:`run` but a node failure doesn't abort the
         invocation: the failed node records its error, every transitive
         descendant is marked ``skipped``, and independent branches keep
         building. Returns per-node status — the dbt run-results shape."""
-        selected = self.registry.select(select)
+        selected = self.registry.select(select, exclude=exclude)
         self.registry.invalidate()
         order = self.registry.topological_order(selected if select else None)
         graph = self.registry.graph()
@@ -262,14 +270,16 @@ class Engine:
         return results
 
     # -- full pipeline with gating (automate_pipeline.py:10-26) -------
-    def pipeline(self, select: str | None = None) -> PipelineResult:
+    def pipeline(
+        self, select: str | None = None, exclude: str | None = None
+    ) -> PipelineResult:
         try:
-            relations = self.run(select)
+            relations = self.run(select, exclude=exclude)
         except Exception:
             # build failure aborts before tests, like the reference's
             # early `return` on dbt run failure
             raise
-        tests = self.test(select)
+        tests = self.test(select, exclude=exclude)
         tests_ok = all(t.status != TestStatus.ERROR for t in tests)
         return PipelineResult(relations, tests, built_ok=True, tests_ok=tests_ok)
 

@@ -56,7 +56,10 @@ def test_selection_grammar(spark):
     assert r.select("+b") == {"a", "b"}
     assert r.select("b+") == {"b", "c"}
     assert r.select("+b+") == {"a", "b", "c"}
-    assert r.select("a,c") == {"a", "c"}
+    assert r.select("a c") == {"a", "c"}  # space = union (dbt CLI)
+    assert r.select("+c,b+") == {"b", "c"}  # comma = INTERSECTION
+    assert r.select("@a") == {"a", "b", "c"}  # at-operator
+    assert r.select("+b+", exclude="a") == {"b", "c"}  # --exclude
     with pytest.raises(RefNotFoundError):
         r.select("nope")
 
@@ -88,7 +91,8 @@ def test_tag_selector(spark):
     assert reg.select("tag:nightly") == {"a", "b"}
     assert reg.select("tag:gold+") == {"b", "c"}
     assert reg.select("+tag:gold") == {"a", "b"}
-    assert reg.select("tag:nightly,c") == {"a", "b", "c"}
+    assert reg.select("tag:nightly c") == {"a", "b", "c"}
+    assert reg.select("tag:nightly,tag:gold") == {"b"}  # intersection
     with _pytest.raises(RefNotFoundError):
         reg.select("tag:nope")
 

@@ -378,3 +378,18 @@ def test_source_freshness_tz_mismatch_both_directions(spark, tmp_path):
     assert res2.age_seconds is not None and res2.status in (
         TestStatus.PASS, TestStatus.WARN
     )
+
+
+def test_run_exclude_and_intersection_selection(spark, tmp_path):
+    """dbt node-selection parity on the engine surface: --exclude
+    subtracts, comma intersects, @ pulls descendants' ancestors."""
+    eng = _engine(spark, tmp_path)
+    all_nodes = eng.registry.select(None)
+    built = eng.run(select="+fct_orders", exclude="fct_orders")
+    assert "fct_orders" not in built
+    assert set(built) == eng.registry.select("+fct_orders") - {"fct_orders"}
+    # @staging-model builds the model, its mart descendant, and that
+    # descendant's other parents
+    at_sel = eng.registry.select("@stg_items")
+    assert "fct_orders" in at_sel and "stg_items" in at_sel
+    assert at_sel <= all_nodes
