@@ -107,12 +107,38 @@ def infer_seed_schema(raw: DataFrame) -> T.StructType:
 
 
 def read_seed_csv(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    column_types: dict[str, str] | None = None,
 ) -> DataFrame:
     """CSV → typed DataFrame. ``schema`` pins types (the deterministic path,
-    FIXTURES.md); otherwise types are inferred with dbt precedence."""
+    FIXTURES.md); otherwise types are inferred with dbt precedence.
+
+    ``column_types`` is dbt's seed ``+column_types`` config (dbt-core
+    seed materialization helpers.sql create_csv_table: listed columns
+    take the configured type verbatim, the rest keep agate inference).
+    The canonical use is preserving leading zeros — zip prefix "01037"
+    infers Integer and becomes 1037; ``{"zip": "string"}`` keeps it
+    textual. Values are Spark DDL type strings."""
     raw = _read_raw_strings(spark, path)
     st = schema or infer_seed_schema(raw)
+    if column_types:
+        unknown = sorted(set(column_types) - {f.name for f in st.fields})
+        if unknown:
+            raise ValueError(
+                f"column_types references columns not in the seed: {unknown}"
+            )
+        resolved = {
+            c: spark.range(0).select(F.lit(None).cast(t)).schema[0].dataType
+            for c, t in column_types.items()
+        }
+        st = T.StructType(
+            [
+                T.StructField(f.name, resolved.get(f.name, f.dataType), True)
+                for f in st.fields
+            ]
+        )
     cols = []
     for f in st.fields:
         src = F.col(f.name)
@@ -132,6 +158,7 @@ def seed_to_parquet(
     out_dir: str,
     name: str,
     schema: T.StructType | None = None,
+    column_types: dict[str, str] | None = None,
 ) -> DataFrame:
     """Full seed materialization: CSV → typed table on Parquet.
 
@@ -139,7 +166,7 @@ def seed_to_parquet(
     paths both collapse to mode=overwrite — seeds/seed.sql:23-30)."""
     import os
 
-    df = read_seed_csv(spark, csv_path, schema)
+    df = read_seed_csv(spark, csv_path, schema, column_types=column_types)
     path = os.path.join(out_dir, name)
     df.write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)

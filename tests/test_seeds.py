@@ -74,3 +74,29 @@ def test_seed_to_parquet_roundtrip(spark, tmp_path):
     # re-run overwrites (TRUNCATE+INSERT semantics)
     out2 = seed_to_parquet(spark, _write(tmp_path), str(tmp_path / "wh"), "my_seed")
     assert out2.count() == 3
+
+
+def test_column_types_override_preserves_leading_zeros(spark, tmp_path):
+    """dbt seed +column_types (helpers.sql create_csv_table): a listed
+    column takes the configured type verbatim — the canonical fix for
+    zip prefixes whose leading zeros agate's Integer inference destroys
+    ("01037" -> 1037); unlisted columns keep inference."""
+    import pyspark.sql.types as T
+    import pytest as _pytest
+
+    from olist_snowflake_dbt_spark.sources.seeds import read_seed_csv
+
+    p = tmp_path / "geo.csv"
+    p.write_text("zip,population\n01037,1200\n02115,3400\n", encoding="utf-8")
+
+    inferred = read_seed_csv(spark, str(p))
+    assert inferred.schema["zip"].dataType == T.LongType()
+    assert {r.zip for r in inferred.collect()} == {1037, 2115}  # zeros lost
+
+    pinned = read_seed_csv(spark, str(p), column_types={"zip": "string"})
+    assert pinned.schema["zip"].dataType == T.StringType()
+    assert pinned.schema["population"].dataType == T.LongType()  # still inferred
+    assert {r.zip for r in pinned.collect()} == {"01037", "02115"}
+
+    with _pytest.raises(ValueError, match="not in the seed"):
+        read_seed_csv(spark, str(p), column_types={"nope": "string"})
