@@ -175,7 +175,10 @@ class ModelRegistry:
             raise CycleError(f"ref() cycle detected: {e.args[1] if len(e.args) > 1 else e}") from e
 
     def select(
-        self, selector: str | None, exclude: str | None = None
+        self,
+        selector: str | None,
+        exclude: str | None = None,
+        state: dict[str, str] | None = None,
     ) -> set[str]:
         """dbt node-selection syntax (dbt-core graph selector semantics):
 
@@ -183,7 +186,10 @@ class ModelRegistry:
           (descendants), ``+model+``, ``tag:x`` (composable with +),
           ``@model`` (the at-operator: model, its descendants, AND the
           ancestors of those descendants — everything needed to build
-          and test downstream of the model);
+          and test downstream of the model), ``state:modified`` /
+          ``state:new`` (definition checksum differs from / absent in a
+          saved ``state`` manifest — dbt ``--state`` slim-CI selection;
+          composable with + for the canonical ``state:modified+``);
         - SPACE-separated terms are a UNION (dbt ``--select a b``);
         - COMMA-separated atoms within a term are an INTERSECTION
           (dbt ``--select "tag:nightly,marts"``);
@@ -203,11 +209,47 @@ class ModelRegistry:
                 if not atoms:
                     continue
                 sets = [
-                    self._select_atom(a, edges, children) for a in atoms
+                    self._select_atom(a, edges, children, state) for a in atoms
                 ]
                 out |= set.intersection(*sets)
         if exclude:
-            out -= self.select(exclude)
+            out -= self.select(exclude, state=state)
+        return out
+
+    def checksums(self) -> dict[str, str]:
+        """Stable definition checksum per model — md5 over the builder's
+        text (SQL body, or a Python builder's source), materialization,
+        and config. The dbt analogue is the manifest node checksum
+        slim-CI state selection compares (dbt-core contracts/graph/nodes
+        checksum field)."""
+        import hashlib
+        import inspect
+        import json as _json
+
+        out: dict[str, str] = {}
+        for name, m in self._models.items():
+            if isinstance(m.builder, str):
+                body = m.builder
+            else:
+                try:
+                    body = inspect.getsource(m.builder)
+                except (OSError, TypeError):  # builtins/lambdas in REPLs
+                    body = repr(m.builder)
+            payload = _json.dumps(
+                {
+                    "body": body,
+                    "materialized": m.materialized,
+                    "config": {
+                        k: v
+                        for k, v in sorted(m.config.items())
+                        if isinstance(v, (str, int, float, bool, list, tuple))
+                    },
+                    "tags": sorted(m.tags),
+                },
+                sort_keys=True,
+                default=str,
+            )
+            out[name] = hashlib.md5(payload.encode()).hexdigest()
         return out
 
     def _select_atom(
@@ -215,6 +257,7 @@ class ModelRegistry:
         atom: str,
         edges: dict[str, tuple[str, ...]],
         children: dict[str, set[str]],
+        state: dict[str, str] | None = None,
     ) -> set[str]:
         """Expand one selection atom to its node set."""
         if atom.startswith("@"):
@@ -232,6 +275,31 @@ class ModelRegistry:
         up = atom.startswith("+")
         down_suffix = atom.endswith("+")
         core = atom.strip("+")
+        if core.startswith("state:"):
+            if state is None:
+                raise CompilationError(
+                    f"selector {atom!r} requires a saved state manifest "
+                    "(pass state=... / Engine state_path)"
+                )
+            mode = core[6:]
+            current = self.checksums()
+            if mode == "new":
+                cores = [n for n in current if n not in state]
+            elif mode == "modified":
+                # dbt state:modified includes new nodes (no prior state
+                # to match) plus any whose checksum changed
+                cores = [
+                    n for n, c in current.items() if state.get(n) != c
+                ]
+            else:
+                raise CompilationError(
+                    f"unknown state selector {core!r} (state:modified / state:new)"
+                )
+            out: set[str] = set()
+            for c in cores:
+                out.add(c)
+                self._walk_selection(c, up, down_suffix, edges, children, out)
+            return out
         if core.startswith("tag:"):
             tag = core[4:]
             cores = [n for n, m in self._models.items() if tag in m.tags]

@@ -100,9 +100,12 @@ class Engine:
 
     # -- models (dbt run) ---------------------------------------------
     def run(
-        self, select: str | None = None, exclude: str | None = None
+        self,
+        select: str | None = None,
+        exclude: str | None = None,
+        state: dict | None = None,
     ) -> dict[str, MaterializedRelation]:
-        selected = self.registry.select(select, exclude=exclude)
+        selected = self.registry.select(select, exclude=exclude, state=state)
         self.registry.invalidate()
         order = self.registry.topological_order(
             selected if (select or exclude) else None
@@ -213,9 +216,12 @@ class Engine:
         self.add_test(TestSpec(name, model, lambda df, _e: predicate(df), **kw))
 
     def test(
-        self, select: str | None = None, exclude: str | None = None
+        self,
+        select: str | None = None,
+        exclude: str | None = None,
+        state: dict | None = None,
     ) -> list[TestResult]:
-        selected = self.registry.select(select, exclude=exclude)
+        selected = self.registry.select(select, exclude=exclude, state=state)
         results = []
         for spec in self.tests:
             if spec.model not in selected:
@@ -241,7 +247,8 @@ class Engine:
         """Like :meth:`run` but a node failure doesn't abort the
         invocation: the failed node records its error, every transitive
         descendant is marked ``skipped``, and independent branches keep
-        building. Returns per-node status — the dbt run-results shape."""
+        building. Returns per-node status — the dbt run-results shape
+        (also retained for :meth:`retry`)."""
         selected = self.registry.select(select, exclude=exclude)
         self.registry.invalidate()
         order = self.registry.topological_order(selected if select else None)
@@ -267,6 +274,30 @@ class Engine:
                 )
                 dead.add(name)
         self._run_hooks(getattr(self, "on_run_end", None))
+        # run-results artifact for retry (dbt writes run_results.json;
+        # `dbt retry` replays its errored/skipped nodes)
+        self._last_run_results = dict(results)
+        return results
+
+    def retry(self) -> dict[str, "NodeResult"]:
+        """``dbt retry``: re-run exactly the nodes the previous
+        :meth:`run_keep_going` left ``error`` or ``skipped`` — completed
+        successes are not rebuilt (dbt-core task/retry.py semantics,
+        driven by the retained run-results). Returns the new per-node
+        results for the retried subset and folds them into the retained
+        artifact so ``retry()`` can be chained until green."""
+        last = getattr(self, "_last_run_results", None)
+        if not last:
+            raise ValueError("retry() requires a prior run_keep_going()")
+        redo = sorted(
+            n for n, r in last.items() if r.status in ("error", "skipped")
+        )
+        if not redo:
+            return {}
+        results = self.run_keep_going(select=" ".join(redo))
+        merged = dict(last)
+        merged.update(results)
+        self._last_run_results = merged
         return results
 
     # -- full pipeline with gating (automate_pipeline.py:10-26) -------
@@ -282,6 +313,29 @@ class Engine:
         tests = self.test(select, exclude=exclude)
         tests_ok = all(t.status != TestStatus.ERROR for t in tests)
         return PipelineResult(relations, tests, built_ok=True, tests_ok=tests_ok)
+
+    # -- state artifacts (dbt --state / slim CI) ----------------------
+    def write_state(self, path: str | None = None) -> str:
+        """Persist model definition checksums — the ``--state`` artifact
+        a later invocation's ``state:modified`` selection compares
+        against (dbt slim-CI workflow: save on main, select against it
+        in CI)."""
+        import json
+        import os
+
+        path = path or os.path.join(self.warehouse_dir, "state.json")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w", encoding="utf-8") as fh:
+            json.dump(self.registry.checksums(), fh, indent=1, sort_keys=True)
+        return path
+
+    def load_state(self, path: str | None = None) -> dict:
+        import json
+        import os
+
+        path = path or os.path.join(self.warehouse_dir, "state.json")
+        with open(path, encoding="utf-8") as fh:
+            return json.load(fh)
 
     # -- source freshness (dbt source freshness; dbt-core
     # dbt/task/freshness.py semantics: max(loaded_at) age vs

@@ -393,3 +393,74 @@ def test_run_exclude_and_intersection_selection(spark, tmp_path):
     at_sel = eng.registry.select("@stg_items")
     assert "fct_orders" in at_sel and "stg_items" in at_sel
     assert at_sel <= all_nodes
+
+
+def test_state_modified_selection_and_write_state(spark, tmp_path):
+    """dbt slim CI: write_state on 'main', then state:modified(+) against
+    it selects exactly the redefined models (and their descendants)."""
+    from olist_snowflake_dbt_spark.plans.registry import CompilationError
+    from olist_snowflake_dbt_spark.runner import Engine
+    import pytest as _pytest
+
+    def build(defn_b):
+        eng = Engine(spark, str(tmp_path / "wh_state"))
+        eng.registry.register_source(
+            "src", spark.createDataFrame([(1,)], "id long")
+        )
+        eng.registry.register("a", "select id from {{ ref('src') }}")
+        eng.registry.register("b", defn_b)
+        eng.registry.register("c", "select * from {{ ref('b') }}")
+        return eng
+
+    main = build("select id from {{ ref('a') }}")
+    state_path = main.write_state()
+    state = main.load_state(state_path)
+
+    unchanged = build("select id from {{ ref('a') }}")
+    assert unchanged.registry.select("state:modified", state=state) == set()
+    assert unchanged.registry.select("state:new", state=state) == set()
+
+    changed = build("select id, id + 1 as id2 from {{ ref('a') }}")
+    changed.registry.register("d", "select * from {{ ref('a') }}")  # new node
+    assert changed.registry.select("state:modified", state=state) == {"b", "d"}
+    assert changed.registry.select("state:modified+", state=state) == {"b", "c", "d"}
+    assert changed.registry.select("state:new", state=state) == {"d"}
+    # building only the modified frontier works end-to-end
+    built = changed.run(select="state:modified+", state=state)
+    assert set(built) == {"b", "c", "d"}
+    with _pytest.raises(CompilationError, match="state"):
+        changed.registry.select("state:modified")  # no manifest passed
+
+
+def test_retry_reruns_only_failed_and_skipped(spark, tmp_path):
+    """dbt retry: after a keep-going run with a failing node, retry()
+    replays exactly the errored node and its skipped descendants —
+    fixed in the meantime, everything goes green without rebuilding the
+    successful siblings."""
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_retry"))
+    eng.registry.register_source(
+        "src", spark.createDataFrame([(1,)], "id long")
+    )
+    eng.registry.register("ok_model", "select id from {{ ref('src') }}")
+    state = {"broken": True}
+
+    def flaky(ctx):
+        if state["broken"]:
+            raise RuntimeError("transient failure")
+        return ctx.ref("src")
+
+    eng.registry.register("flaky", flaky)
+    eng.registry.register("child", "select * from {{ ref('flaky') }}")
+
+    first = eng.run_keep_going()
+    assert first["ok_model"].status == "success"
+    assert first["flaky"].status == "error"
+    assert first["child"].status == "skipped"
+
+    state["broken"] = False
+    second = eng.retry()
+    assert set(second) == {"flaky", "child"}  # successes NOT rebuilt
+    assert all(r.status == "success" for r in second.values())
+    assert eng.retry() == {}  # nothing left to retry
