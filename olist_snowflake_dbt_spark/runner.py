@@ -128,6 +128,9 @@ class Engine:
         model = self.registry.models()[name]
         self._run_hooks(model.config.get("pre_hook"))
         df = self.registry.build(name)
+        contract = model.config.get("contract")
+        if contract:
+            self._enforce_contract(name, df, contract)
         if model.materialized == "table":
             rel = materialize_table(
                 self.spark,
@@ -187,6 +190,37 @@ class Engine:
             rel = materialize_view(name, df)
         self._run_hooks(model.config.get("post_hook"))
         return rel
+
+    @staticmethod
+    def _enforce_contract(name: str, df: DataFrame, contract: dict) -> None:
+        """dbt model contracts (``contract: {enforced: true}`` +
+        declared columns): the model's ACTUAL schema must match the
+        declared column names and types exactly — order-insensitive,
+        no undeclared extras, no missing declarations, no type drift —
+        and the build fails BEFORE anything materializes (dbt-core
+        contract enforcement: compiled-schema vs yaml-declared columns).
+        ``contract`` shape: ``{"columns": {name: ddl_type, ...}}``
+        (plus optional ``enforced: False`` to register without
+        checking)."""
+        if contract.get("enforced", True) is False:
+            return
+        declared = {
+            c: str(t).strip().lower()
+            for c, t in dict(contract.get("columns", {})).items()
+        }
+        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        missing = sorted(set(declared) - set(actual))
+        extra = sorted(set(actual) - set(declared))
+        drift = sorted(
+            f"{c}: declared {declared[c]}, got {actual[c]}"
+            for c in set(declared) & set(actual)
+            if declared[c] != actual[c]
+        )
+        if missing or extra or drift:
+            raise ValueError(
+                f"contract violation on model {name!r}: "
+                f"missing={missing} undeclared={extra} type_drift={drift}"
+            )
 
     # -- tests (dbt test) ---------------------------------------------
     def add_test(self, spec: TestSpec) -> None:

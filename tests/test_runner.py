@@ -464,3 +464,45 @@ def test_retry_reruns_only_failed_and_skipped(spark, tmp_path):
     assert set(second) == {"flaky", "child"}  # successes NOT rebuilt
     assert all(r.status == "success" for r in second.values())
     assert eng.retry() == {}  # nothing left to retry
+
+
+def test_model_contract_enforcement(spark, tmp_path):
+    """dbt model contracts: a declared-columns contract gates the build
+    — exact name+type match passes; missing/extra/drifted columns fail
+    BEFORE materialization; enforced=False registers without checking."""
+    from olist_snowflake_dbt_spark.runner import Engine
+    import pytest as _pytest
+
+    eng = Engine(spark, str(tmp_path / "wh_contract"))
+    eng.registry.register_source(
+        "src", spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    eng.registry.register(
+        "good",
+        "select id, v from {{ ref('src') }}",
+        contract={"columns": {"id": "bigint", "v": "string"}},
+    )
+    assert "good" in eng.run(select="good")
+
+    eng.registry.register(
+        "drift",
+        "select cast(id as int) as id, v from {{ ref('src') }}",
+        contract={"columns": {"id": "bigint", "v": "string"}},
+    )
+    with _pytest.raises(ValueError, match="type_drift"):
+        eng.run(select="drift")
+
+    eng.registry.register(
+        "extra",
+        "select id, v, 1 as surprise from {{ ref('src') }}",
+        contract={"columns": {"id": "bigint", "v": "string"}},
+    )
+    with _pytest.raises(ValueError, match="undeclared"):
+        eng.run(select="extra")
+
+    eng.registry.register(
+        "unenforced",
+        "select id from {{ ref('src') }}",
+        contract={"enforced": False, "columns": {"id": "bigint", "v": "string"}},
+    )
+    assert "unenforced" in eng.run(select="unenforced")
