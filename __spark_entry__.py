@@ -53,6 +53,7 @@ _CHECK_FIRST = [
     "pyds_synthetic_corpus",
     "runner_pipeline_gate",
     "runner_source_freshness",
+    "runner_slimci_retry",
     # queries_sql_breadth.py changed in round 5 after these r03/r04 rows
     "array_agg_ops",
     "conditional_agg_filter",
@@ -98,7 +99,6 @@ _CHECK_FIRST = [
     "null_arithmetic",
     "scalar_functions",
     "set_ops",
-    "json_extract",
 ]
 
 

@@ -237,3 +237,128 @@ def q_runner_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "source string, max_loaded_at timestamp, age_seconds double, status string",
     )
+
+
+_SLIMCI_ORACLE = """
+SELECT o_orderstatus AS order_status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+       CAST(1 AS BIGINT) AS n_modified,
+       CAST(2 AS BIGINT) AS n_retried,
+       TRUE AS retry_green,
+       TRUE AS contract_gate_ok
+FROM orders GROUP BY 1
+"""
+
+
+@query("runner_slimci_retry", _SLIMCI_ORACLE)
+def q_runner_slimci_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver proof for the round-6 orchestration features, end-to-end:
+
+    1. a keep-going run where a Python model fails → its descendant is
+       skipped, siblings build (dbt graph-queue semantics);
+    2. ``retry()`` replays EXACTLY the errored+skipped pair to green —
+       the verdict column ``n_retried=2`` fails the hash if retry ever
+       rebuilds successes or misses a node;
+    3. slim-CI state: checksums written BEFORE a model is redefined;
+       ``state:modified+`` against them selects exactly the redefined
+       mart (``n_modified=1``) and only that subtree rebuilds;
+    4. model contracts: the redefined mart carries a declared-columns
+       contract that must pass, and a deliberately drifted contract
+       variant must RAISE before materializing (``contract_gate_ok``).
+
+    The data columns are the rebuilt mart itself, so the DuckDB twin
+    re-derives both the aggregate and every verdict literal."""
+    from .runner import Engine
+
+    wh = tempfile.mkdtemp(prefix="olist_slimci_")
+
+    def make_engine(mart_sql: str, contract: dict) -> Engine:
+        eng = Engine(spark, wh)
+        eng.registry.register_source("raw_orders", _t(spark, sf_dir, "orders"))
+        eng.registry.register(
+            "stg_orders",
+            "select o_orderkey, o_orderstatus, o_totalprice "
+            "from {{ ref('raw_orders') }}",
+        )
+        eng.registry.register(
+            "mart_status", mart_sql, materialized="table", contract=contract
+        )
+        return eng
+
+    v1_sql = (
+        "select o_orderstatus as order_status, "
+        "cast(count(*) as bigint) as n_orders "
+        "from {{ ref('stg_orders') }} group by 1"
+    )
+    v1_contract = {"columns": {"order_status": "string", "n_orders": "bigint"}}
+    eng1 = make_engine(v1_sql, v1_contract)
+
+    flaky_state = {"broken": True}
+
+    def flaky_model(ctx) -> DataFrame:  # noqa: ANN001
+        if flaky_state["broken"]:
+            raise RuntimeError("transient source outage")
+        return ctx.ref("stg_orders").limit(5)
+
+    eng1.registry.register("flaky_feed", flaky_model)
+    eng1.registry.register(
+        "flaky_child", "select count(*) as n from {{ ref('flaky_feed') }}"
+    )
+
+    first = eng1.run_keep_going()
+    assert first["mart_status"].status == "success", "sibling must build"
+    assert first["flaky_feed"].status == "error"
+    assert first["flaky_child"].status == "skipped"
+    state = eng1.load_state(eng1.write_state())
+
+    flaky_state["broken"] = False
+    retried = eng1.retry()
+    n_retried = len(retried)
+    retry_green = all(r.status == "success" for r in retried.values()) and (
+        eng1.retry() == {}
+    )
+
+    # redefine the mart (adds the revenue column) — slim CI must select
+    # exactly it, and its updated contract must pass
+    v2_sql = (
+        "select o_orderstatus as order_status, "
+        "cast(count(*) as bigint) as n_orders, "
+        "cast(cast(sum(cast(o_totalprice as decimal(18,2))) "
+        "     as decimal(38,2)) as double) as revenue "
+        "from {{ ref('stg_orders') }} group by 1"
+    )
+    v2_contract = {
+        "columns": {
+            "order_status": "string", "n_orders": "bigint", "revenue": "double",
+        }
+    }
+    eng2 = make_engine(v2_sql, v2_contract)
+    eng2.registry.register("flaky_feed", flaky_model)
+    eng2.registry.register(
+        "flaky_child", "select count(*) as n from {{ ref('flaky_feed') }}"
+    )
+    modified = eng2.registry.select("state:modified", state=state)
+    n_modified = len(modified)
+    built = eng2.run(select="state:modified+", state=state)
+    assert set(built) == modified, "slim CI must rebuild exactly the frontier"
+
+    # a drifted contract must refuse to materialize
+    eng3 = make_engine(v2_sql, v1_contract)  # v2 schema vs v1 contract
+    try:
+        eng3.run(select="mart_status")
+        contract_gate_ok = False
+    except ValueError:
+        contract_gate_ok = True
+
+    mart = spark.table("mart_status")
+    return mart.select(
+        "order_status",
+        "n_orders",
+        "revenue",
+        F.lit(n_modified).cast("bigint").alias("n_modified"),
+        F.lit(n_retried).cast("bigint").alias("n_retried"),
+        F.lit(bool(retry_green)).alias("retry_green"),
+        F.lit(bool(contract_gate_ok)).alias("contract_gate_ok"),
+    )
