@@ -348,6 +348,19 @@ class Engine:
         tests_ok = all(t.status != TestStatus.ERROR for t in tests)
         return PipelineResult(relations, tests, built_ok=True, tests_ok=tests_ok)
 
+    # -- node listing (dbt ls) ----------------------------------------
+    def ls(
+        self,
+        select: str | None = None,
+        exclude: str | None = None,
+        state: dict | None = None,
+    ) -> list[str]:
+        """``dbt ls``: resolve a selector to the sorted node list without
+        building anything — the dry-run answer to "what would this
+        selector touch?" (same grammar as run/test, including
+        state:modified against a saved manifest)."""
+        return sorted(self.registry.select(select, exclude=exclude, state=state))
+
     # -- state artifacts (dbt --state / slim CI) ----------------------
     def write_state(self, path: str | None = None) -> str:
         """Persist model definition checksums — the ``--state`` artifact

@@ -506,3 +506,18 @@ def test_model_contract_enforcement(spark, tmp_path):
         contract={"enforced": False, "columns": {"id": "bigint", "v": "string"}},
     )
     assert "unenforced" in eng.run(select="unenforced")
+
+
+def test_ls_lists_selection_without_building(spark, tmp_path):
+    """dbt ls: selector resolution only — no materialization happens."""
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_ls"))
+    eng.registry.register_source("src", spark.createDataFrame([(1,)], "id long"))
+    eng.registry.register("a", "select id from {{ ref('src') }}",
+                          materialized="table")
+    eng.registry.register("b", "select * from {{ ref('a') }}")
+    assert eng.ls("+b") == ["a", "b"]
+    assert eng.ls(None, exclude="b") == ["a"]
+    import os
+    assert not os.path.exists(str(tmp_path / "wh_ls" / "a"))  # nothing built
