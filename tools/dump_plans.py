@@ -17,6 +17,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 FLAGSHIPS = [
     ("fct_orders", "Reference pipeline: staging fused into the mart build; "
      "both dim joins broadcast; decimal sums partial-aggregated map-side."),
+    ("tpch_q12_shipmode_priority", "Fact-fact orderkey join: the date "
+     "window pushes into the lineitem scan (3-column ReadSchema), both "
+     "conditional counts come out of ONE two-phase aggregate; AQE picks "
+     "broadcast at test scale and sort-merge at cluster scale."),
+    ("dedup_semantic", "SemDeDup cluster-then-prune: broadcast-centroid "
+     "k-means assignment persisted once, cosine pairs confined to "
+     "within-cluster equi-joins, keep-min anti-join on ids."),
     ("dedup_minhash_lsh", "Signatures via codegen'd min-aggregates; one "
      "band-bucket exchange; no cartesian anywhere."),
     ("similarity_ann_lsh", "Hyperplane signatures bound per row; band join "
