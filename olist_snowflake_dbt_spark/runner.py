@@ -75,6 +75,42 @@ class Engine:
         self.registry = ModelRegistry(spark)
         self.tests: list[TestSpec] = []
         self.relations: dict[str, MaterializedRelation] = {}
+        self.exposures: dict[str, dict] = {}
+
+    # -- exposures (dbt exposures: downstream consumers declared in the
+    # DAG so `what breaks if I change X?` is answerable) ----------------
+    def register_exposure(
+        self,
+        name: str,
+        depends_on: "Sequence[str]",
+        owner: str = "",
+        exposure_type: str = "dashboard",
+        url: str = "",
+    ) -> None:
+        """Declare a downstream consumer (dashboard, ML pipeline,
+        notebook) of one or more models. Exposures participate in
+        impact analysis — ``impacted_exposures('model')`` — and appear
+        in the docs manifest, the dbt exposure semantics."""
+        missing = [d for d in depends_on if d not in self.registry.models()]
+        if missing:
+            raise ValueError(f"exposure {name!r} depends on unknown models {missing}")
+        self.exposures[name] = {
+            "depends_on": sorted(depends_on),
+            "owner": owner,
+            "type": exposure_type,
+            "url": url,
+        }
+
+    def impacted_exposures(self, model: str) -> list[str]:
+        """Which declared exposures sit downstream of ``model``? The
+        impact-analysis query a change review asks before touching a
+        shared mart."""
+        downstream = self.registry.select(f"{model}+")
+        return sorted(
+            n
+            for n, e in self.exposures.items()
+            if any(d in downstream for d in e["depends_on"])
+        )
 
     # -- seeds (dbt seed; SURVEY §3 entry point 2) --------------------
     def seed(self, seeds: dict[str, str], schemas: dict | None = None) -> None:
@@ -466,6 +502,7 @@ class Engine:
             }
         manifest = {
             "models": models_doc,
+            "exposures": self.exposures,
             "sources": sorted(self.registry._sources),
             "tests": [
                 {"name": t.name, "model": t.model,

@@ -521,3 +521,25 @@ def test_ls_lists_selection_without_building(spark, tmp_path):
     assert eng.ls(None, exclude="b") == ["a"]
     import os
     assert not os.path.exists(str(tmp_path / "wh_ls" / "a"))  # nothing built
+
+
+def test_exposures_impact_analysis_and_docs(spark, tmp_path):
+    """dbt exposures: declared downstream consumers appear in the docs
+    manifest and answer 'what breaks if I change X?'."""
+    from olist_snowflake_dbt_spark.runner import Engine
+    import pytest as _pytest
+
+    eng = Engine(spark, str(tmp_path / "wh_exp"))
+    eng.registry.register_source("src", spark.createDataFrame([(1,)], "id long"))
+    eng.registry.register("stg", "select id from {{ ref('src') }}")
+    eng.registry.register("mart", "select * from {{ ref('stg') }}")
+    eng.register_exposure(
+        "weekly_dashboard", ["mart"], owner="data-team", url="https://example.test/dash"
+    )
+    with _pytest.raises(ValueError, match="unknown models"):
+        eng.register_exposure("bad", ["nope"])
+    # changing stg impacts the dashboard (mart is downstream of stg)
+    assert eng.impacted_exposures("stg") == ["weekly_dashboard"]
+    assert eng.impacted_exposures("mart") == ["weekly_dashboard"]
+    manifest = eng.generate_docs(write=False)
+    assert manifest["exposures"]["weekly_dashboard"]["owner"] == "data-team"
