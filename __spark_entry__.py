@@ -81,6 +81,7 @@ _CHECK_FIRST = [
     "stream_stream_join",
     "stream_window_counts",
     "stream_stateful_totals_tws",
+    "stream_file_sink_exactly_once",
     # queries_udfs.py changed in round 5 after these r03 rows
     "udaf_decimal_sum",
     "udtf_chunk_words",
@@ -99,7 +100,6 @@ _CHECK_FIRST = [
     "left_join_null_fill",
     "null_arithmetic",
     "scalar_functions",
-    "set_ops",
 ]
 
 

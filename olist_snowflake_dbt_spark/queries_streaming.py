@@ -272,3 +272,55 @@ def q_stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+@query(
+    "stream_file_sink_exactly_once",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS id_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once DURABLE sink: the events stream writes to a parquet
+    file sink with a checkpoint, and the streaming query is started
+    TWICE against the same checkpoint — the second run finds the source
+    offsets already committed and writes NOTHING, so the read-back
+    aggregate equals the batch aggregate exactly (duplicated delivery
+    would double every count). This is the at-least-once-source +
+    transactional-file-sink contract (offset log + _spark_metadata
+    commit log) that production jobs restart on after failure; the
+    memory-sink queries elsewhere prove semantics, this one proves the
+    durable path."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import stream_events
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_sink_{os.getpid()}"
+    )
+    # fresh dirs per query invocation: exactly-once is proven by the
+    # SECOND start below, not by cross-invocation state
+    shutil.rmtree(base, ignore_errors=True)
+    out_dir, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+
+    src = stream_events(spark, sf_dir).select("event_id", "event_type")
+    for _ in range(2):  # second start: offsets committed -> writes nothing
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("event_id").cast("bigint")).cast("bigint").alias("id_sum"),
+    )
