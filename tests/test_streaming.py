@@ -368,3 +368,37 @@ def test_transform_with_state_matches_legacy_and_batch(spark, sf_dir, batch_even
         .collect()
     }
     assert got == exact
+
+
+def test_file_sink_second_start_writes_nothing(spark, sf_dir):
+    """Exactly-once durable sink: restarting the checkpointed parquet
+    sink against fully-committed source offsets must add ZERO files and
+    ZERO rows (offset log + _spark_metadata commit log)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sg_sink_once_")
+    out_dir, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    src = stream_events(spark, sf_dir).select("event_id", "event_type")
+
+    def start_once():
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+
+    files1 = start_once()
+    n1 = spark.read.parquet(out_dir).count()
+    files2 = start_once()
+    n2 = spark.read.parquet(out_dir).count()
+    assert files1 == files2  # no new files on restart
+    assert n1 == n2 > 0
+    shutil.rmtree(base, ignore_errors=True)
