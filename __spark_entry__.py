@@ -50,6 +50,7 @@ _CHECK_FIRST = [
     "pyds_stream_drain",
     "dedup_semantic",
     "dedup_incremental_corpus",
+    "cogroup_conversion_stats",
     # sources/pyds.py + runner.py changed in round 6 after their r05 rows
     "pyds_synthetic_corpus",
     "runner_pipeline_gate",
@@ -99,7 +100,6 @@ _CHECK_FIRST = [
     "groupby_sum_ordinal",
     "left_join_null_fill",
     "null_arithmetic",
-    "scalar_functions",
 ]
 
 

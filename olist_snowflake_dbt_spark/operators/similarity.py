@@ -401,3 +401,62 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cogrouped_conversion_stats(
+    clicks: DataFrame, purchases: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Co-grouped Pandas kernel (``groupBy().cogroup().applyInPandas``) —
+    the third Arrow lane next to grouped-map and mapInPandas: BOTH
+    inputs are shuffled once on the key and arrive in the SAME Python
+    kernel as two aligned pandas frames, so per-key logic that needs
+    two tables (funnel reconciliation, as-of alignment, ledger diffs)
+    runs without a join materializing the pair set. Keys present in
+    only one input still fire the kernel (the other frame arrives
+    empty) — FULL OUTER semantics.
+
+    Per key: click/purchase counts, first purchase time, and how many
+    clicks happened at-or-before that first purchase (the attribution
+    window count). All integer/min-max math — engine-exact for the
+    DuckDB twin.
+
+    Scale: one co-partitioned shuffle per side, Arrow-batched transfer,
+    per-key state only (no cross-key buffering)."""
+    import pandas as pd
+
+    schema = (
+        f"{key} long, n_clicks long, n_purchases long, "
+        "first_purchase_ts timestamp, clicks_before_first_purchase long"
+    )
+
+    def kernel(cdf: "pd.DataFrame", pdf: "pd.DataFrame") -> "pd.DataFrame":
+        uid = (cdf if len(cdf) else pdf)[key].iloc[0]
+        n_clicks, n_purch = len(cdf), len(pdf)
+        # When the consumer uses none of the kernel's output columns
+        # (e.g. a bare count — the kernel emits exactly one row per key,
+        # so the count is column-independent), Catalyst prunes payload
+        # columns out of the cogroup children and only the grouping key
+        # arrives. Tolerate the pruned shape instead of KeyError-ing;
+        # any plan that READS the outputs gets the full inputs.
+        have_ts = "ts" in cdf.columns and "ts" in pdf.columns
+        first_p = pdf["ts"].min() if (n_purch and have_ts) else pd.NaT
+        clicks_before = (
+            int((cdf["ts"] <= first_p).sum())
+            if n_purch and n_clicks and have_ts
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                key: [uid],
+                "n_clicks": [n_clicks],
+                "n_purchases": [n_purch],
+                "first_purchase_ts": [first_p],
+                "clicks_before_first_purchase": [clicks_before],
+            }
+        )
+
+    return (
+        clicks.groupBy(key)
+        .cogroup(purchases.groupBy(key))
+        .applyInPandas(kernel, schema=schema)
+    )

@@ -164,3 +164,52 @@ def q_sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     out = SMP.pack_sequences(docs, "doc_id", "n_chars", 4096, "source", 8)
     return out.select("doc_id", "source", "shard", "seq_start", "pack_id")
+
+
+@query(
+    "cogroup_conversion_stats",
+    """
+    WITH c AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    ca AS (SELECT user_id, COUNT(*) AS n_clicks FROM c GROUP BY 1),
+    pa AS (
+        SELECT user_id, COUNT(*) AS n_purchases, MIN(ts) AS first_purchase_ts
+        FROM p GROUP BY 1
+    ),
+    cb AS (
+        SELECT c.user_id, COUNT(*) AS clicks_before
+        FROM c JOIN pa ON c.user_id = pa.user_id
+                      AND c.ts <= pa.first_purchase_ts
+        GROUP BY 1
+    )
+    SELECT COALESCE(ca.user_id, pa.user_id) AS user_id,
+           CAST(COALESCE(ca.n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(pa.n_purchases, 0) AS BIGINT) AS n_purchases,
+           pa.first_purchase_ts,
+           CAST(COALESCE(cb.clicks_before, 0) AS BIGINT)
+               AS clicks_before_first_purchase
+    FROM ca
+    FULL OUTER JOIN pa ON ca.user_id = pa.user_id
+    LEFT JOIN cb ON COALESCE(ca.user_id, pa.user_id) = cb.user_id
+    """,
+)
+def q_cogroup_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped Pandas surface (operators/similarity.
+    cogrouped_conversion_stats): clicks and purchases cogrouped per
+    user into one Arrow kernel computing the conversion funnel — the
+    DuckDB twin re-derives it with FULL OUTER aggregates + an
+    attribution-window join."""
+    from .operators.similarity import cogrouped_conversion_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    return cogrouped_conversion_stats(clicks, purchases)

@@ -163,3 +163,40 @@ def test_pack_sequences_partition_property(spark):
             expect.append((sh, i, off, off // 512))
             off += n
     assert got == sorted(expect)
+
+
+def test_cogrouped_conversion_stats_semantics_and_pruned_count(spark):
+    """cogroup().applyInPandas: FULL OUTER per-key semantics (one row per
+    key from either side), exact attribution counts — and the kernel
+    must survive the count-only plan where Catalyst prunes payload
+    columns out of the cogroup children."""
+    import datetime as dt
+
+    from olist_snowflake_dbt_spark.operators.similarity import (
+        cogrouped_conversion_stats,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    clicks = spark.createDataFrame(
+        [(1, ts(0)), (1, ts(5)), (1, ts(30)), (2, ts(0))],
+        "user_id long, ts timestamp",
+    )
+    purchases = spark.createDataFrame(
+        [(1, ts(10)), (1, ts(40)), (3, ts(1))], "user_id long, ts timestamp"
+    )
+    out = cogrouped_conversion_stats(clicks, purchases)
+    rows = {r.user_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}  # full outer over keys
+    assert (rows[1].n_clicks, rows[1].n_purchases) == (3, 2)
+    assert rows[1].first_purchase_ts == ts(10)
+    assert rows[1].clicks_before_first_purchase == 2  # ts(0), ts(5)
+    assert rows[2].n_purchases == 0 and rows[2].first_purchase_ts is None
+    assert rows[3].n_clicks == 0 and rows[3].clicks_before_first_purchase == 0
+    # count-only plan: payload columns pruned from the kernel inputs —
+    # still one row per key
+    assert out.count() == 3
+    assert out.limit(2).count() == 2
