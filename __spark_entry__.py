@@ -38,7 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the oldest surviving rows (r03, queries.py) so no row ages past three
 # rounds. Driver coverage by round: r03 = first 50 registered, r04/r05 =
 # their rotations, r06 = this list; the four unions cover every query
-# registered through round 6. The 99 out-of-window names are re-verified
+# registered through round 6. The 100 out-of-window names are re-verified
 # in-repo by tools/gate.py (plan lint + oracle + vacuity) each round —
 # GATE.json records the latest all-queries verdict.
 _CHECK_FIRST = [
