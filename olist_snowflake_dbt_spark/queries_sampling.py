@@ -212,4 +212,7 @@ def q_cogroup_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts"
     )
-    return cogrouped_conversion_stats(clicks, purchases)
+    # 8 partitions: ~1.5k keys at sf0.1 — per-partition Python worker
+    # setup dominates beyond that (see operator docstring); on a real
+    # cluster size this to total cores
+    return cogrouped_conversion_stats(clicks, purchases, num_partitions=8)
