@@ -13,11 +13,17 @@ aliased identically on both sides.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from olist_snowflake_dbt_spark.queries import QUERIES, ORACLE_SQL
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import local_env  # noqa: E402,F401  (harness opt-in: protobuf site for tws)
+
+from olist_snowflake_dbt_spark.queries import QUERIES, ORACLE_SQL  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -10,7 +10,6 @@ requiring an install into the running interpreter.
 
 from __future__ import annotations
 
-import glob
 import importlib.util
 import os
 import sys
@@ -26,18 +25,20 @@ def _protobuf_importable() -> bool:
 
 
 def _candidate_sites() -> list[str]:
-    sites = [
+    # ONLY the documented, operator-controlled opt-in: a colon-separated
+    # list of site-packages dirs in $SPARK_GRAFT_PROTOBUF_SITE. The
+    # library never probes the filesystem on its own — auto-importing
+    # code from paths the operator didn't vet is a supply-chain hazard
+    # (and machine-specific globs don't belong in library code). Any
+    # env that ships protobuf works in pure-python mode — the fallback
+    # implementation is version-independent pure .py (the ABI-specific
+    # upb extension is deliberately NOT shipped to executors, so
+    # protobuf's automatic python-impl fallback engages).
+    return [
         p
         for p in os.environ.get("SPARK_GRAFT_PROTOBUF_SITE", "").split(":")
         if p
     ]
-    # any python env on this machine that ships protobuf works in
-    # pure-python mode — the fallback implementation is
-    # version-independent pure .py (the ABI-specific upb extension is
-    # deliberately NOT shipped to executors, so protobuf's automatic
-    # python-impl fallback engages)
-    sites += sorted(glob.glob("/root/reference/*/lib/python3.*/site-packages"))
-    return sites
 
 
 def export_protobuf_env() -> str | None:

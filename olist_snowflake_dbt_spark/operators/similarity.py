@@ -408,6 +408,7 @@ def cogrouped_conversion_stats(
     purchases: DataFrame,
     key: str = "user_id",
     num_partitions: int | None = None,
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Co-grouped Pandas kernel (``groupBy().cogroup().applyInPandas``) —
     the third Arrow lane next to grouped-map and mapInPandas: BOTH
@@ -431,13 +432,31 @@ def cogrouped_conversion_stats(
     both sides on the key so the cogroup inherits that partitioning
     (ENSURE_REQUIREMENTS adds no extra exchange); size it to total
     cores — per-partition Python worker setup is the other fixed cost
-    (measured 9.7s → 5.9s going 32 → 8 partitions on 1.5k keys)."""
+    (measured 9.7s → 5.9s going 32 → 8 partitions on 1.5k keys).
+    ``num_partitions=None`` auto-sizes from a one-pass
+    ``approx_count_distinct`` key estimate against that cost model
+    (~200 keys/partition floor, capped at defaultParallelism); the
+    estimate scans ``clicks`` once at build time, so at very large
+    scale pass an explicit value sized to your cluster instead."""
     import pandas as pd
 
+    # the kernel's schema must mirror the ACTUAL key type — hardcoding
+    # 'long' breaks string/decimal keys with an Arrow schema mismatch
+    key_ddl = clicks.schema[key].dataType.simpleString()
     schema = (
-        f"{key} long, n_clicks long, n_purchases long, "
+        f"{key} {key_ddl}, n_clicks long, n_purchases long, "
         "first_purchase_ts timestamp, clicks_before_first_purchase long"
     )
+    # validate the event-time column against the UN-pruned inputs here
+    # on the driver: the kernel below tolerates a missing column (that's
+    # Catalyst pruning, legitimate), so a typo'd ts_col would otherwise
+    # silently produce empty first_purchase_ts/clicks_before outputs
+    for side_name, side in (("clicks", clicks), ("purchases", purchases)):
+        if ts_col not in side.columns:
+            raise ValueError(
+                f"cogrouped_conversion_stats: ts_col {ts_col!r} not in "
+                f"{side_name} columns {side.columns}"
+            )
 
     def kernel(cdf: "pd.DataFrame", pdf: "pd.DataFrame") -> "pd.DataFrame":
         uid = (cdf if len(cdf) else pdf)[key].iloc[0]
@@ -448,10 +467,10 @@ def cogrouped_conversion_stats(
         # columns out of the cogroup children and only the grouping key
         # arrives. Tolerate the pruned shape instead of KeyError-ing;
         # any plan that READS the outputs gets the full inputs.
-        have_ts = "ts" in cdf.columns and "ts" in pdf.columns
-        first_p = pdf["ts"].min() if (n_purch and have_ts) else pd.NaT
+        have_ts = ts_col in cdf.columns and ts_col in pdf.columns
+        first_p = pdf[ts_col].min() if (n_purch and have_ts) else pd.NaT
         clicks_before = (
-            int((cdf["ts"] <= first_p).sum())
+            int((cdf[ts_col] <= first_p).sum())
             if n_purch and n_clicks and have_ts
             else 0
         )
@@ -465,9 +484,20 @@ def cogrouped_conversion_stats(
             }
         )
 
-    if num_partitions is not None:
-        clicks = clicks.repartition(num_partitions, key)
-        purchases = purchases.repartition(num_partitions, key)
+    if num_partitions is None:
+        # auto-size per the documented cost model: each partition pays a
+        # Python-worker setup, each key an Arrow flush — so amortize to
+        # ≥~200 keys/partition (the measured sweet spot: 1.5k keys ran
+        # 1.6x faster at 8 partitions than 32) without exceeding the
+        # cluster's parallelism. One cheap map-side-only job (no
+        # shuffle: approx_count_distinct partial-aggregates to 1 row).
+        sc = clicks.sparkSession.sparkContext
+        n_keys = clicks.agg(
+            F.approx_count_distinct(key).alias("k")
+        ).first()["k"]
+        num_partitions = max(1, min(sc.defaultParallelism, -(-n_keys // 200)))
+    clicks = clicks.repartition(num_partitions, key)
+    purchases = purchases.repartition(num_partitions, key)
     return (
         clicks.groupBy(key)
         .cogroup(purchases.groupBy(key))

@@ -239,11 +239,13 @@ class ModelRegistry:
                 {
                     "body": body,
                     "materialized": m.materialized,
-                    "config": {
-                        k: v
-                        for k, v in sorted(m.config.items())
-                        if isinstance(v, (str, int, float, bool, list, tuple))
-                    },
+                    # ALL config values participate — dbt's manifest
+                    # checksum covers contract/config changes, so a
+                    # contract-only edit (a dict value) must flip the
+                    # checksum for state:modified slim-CI selection;
+                    # json.dumps(sort_keys, default=str) canonicalizes
+                    # nested dicts and non-JSON types alike
+                    "config": dict(sorted(m.config.items())),
                     "tags": sorted(m.tags),
                 },
                 sort_keys=True,

@@ -212,7 +212,7 @@ def q_cogroup_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts"
     )
-    # 8 partitions: ~1.5k keys at sf0.1 — per-partition Python worker
-    # setup dominates beyond that (see operator docstring); on a real
-    # cluster size this to total cores
-    return cogrouped_conversion_stats(clicks, purchases, num_partitions=8)
+    # num_partitions auto-sizes from the approx key count per the
+    # operator's cost model (~1.5k keys at sf0.1 → 8 partitions, the
+    # measured sweet spot); pass an explicit value on a real cluster
+    return cogrouped_conversion_stats(clicks, purchases)

@@ -321,7 +321,9 @@ class Engine:
         (also retained for :meth:`retry`)."""
         selected = self.registry.select(select, exclude=exclude)
         self.registry.invalidate()
-        order = self.registry.topological_order(selected if select else None)
+        order = self.registry.topological_order(
+            selected if (select or exclude) else None
+        )
         graph = self.registry.graph()
         self._run_hooks(getattr(self, "on_run_start", None))
         results: dict[str, NodeResult] = {}

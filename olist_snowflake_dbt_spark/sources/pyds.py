@@ -172,8 +172,22 @@ class JsonlSinkWriter(DataSourceWriter):
             final = m.file.replace("stage-", "part-")
             os.rename(os.path.join(staging, m.file), os.path.join(self.path, final))
             published.append({"file": final, "rows": m.rows})
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+        if not self.overwrite:
+            # append: the manifest must keep the previous generation's
+            # entries — dropping them would orphan committed rows for any
+            # manifest-honoring reader even though the files stay on disk
+            manifest_path = os.path.join(self.path, "_MANIFEST.json")
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as fh:
+                    prior = json.load(fh)
+                published = prior + published
+        # atomic publish: a crash mid-write must never leave a torn
+        # manifest — readers see either the old generation or the new
+        # one, nothing in between (os.replace is atomic on POSIX)
+        tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as fh:
             json.dump(published, fh)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
         for f in superseded:
             try:
                 os.remove(os.path.join(self.path, f))

@@ -6,9 +6,12 @@ import pytest
 
 sys.path.insert(0, "/root/repo")
 
-# importing the package runs compat.export_protobuf_env() — the
-# PYTHONPATH export for transformWithState's driver-side Python worker
-# must precede the JVM launch in the spark fixture below
+# Harness-level opt-in for the container-local protobuf site (must
+# precede the package import, whose __init__ consumes the env var and
+# exports PYTHONPATH before the JVM launch in the spark fixture below —
+# transformWithState's driver-side Python worker inherits it)
+import local_env  # noqa: F401
+
 from olist_snowflake_dbt_spark.session import get_spark
 
 

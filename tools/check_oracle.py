@@ -30,6 +30,8 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+import local_env  # noqa: E402,F401  (harness opt-in: protobuf site for tws)
+
 
 def canon(v):
     if v is None:
