@@ -202,9 +202,22 @@ class IncrementalTable:
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(tmp)
+        # backup-swap, never delete-then-rename: the old generation must
+        # stay restorable until the new one is fully in place — a crash
+        # between an rmtree and the rename would lose the table outright.
+        # (Renames are metadata ops; the lazy `df` reading the standing
+        # files is safe because the write above already materialized it.)
+        backup = f"{self.path}.backup-{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.rename(tmp, self.path)
+            os.rename(self.path, backup)
+        try:
+            os.rename(tmp, self.path)
+        except OSError:
+            if os.path.exists(backup):
+                os.rename(backup, self.path)
+            raise
+        if os.path.exists(backup):
+            shutil.rmtree(backup, ignore_errors=True)
 
     def apply(
         self,
