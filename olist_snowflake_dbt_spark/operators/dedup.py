@@ -87,7 +87,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold.
 
@@ -95,6 +100,17 @@ def ngram_jaccard_pairs(
     count shared shingles per pair, Jaccard = ∩ / (|A|+|B|-∩). Exact but
     O(sum of bucket²) in the worst case — the oracle/verify path; use
     minhash_lsh_pairs at corpus scale.
+
+    ``max_doc_freq`` is the skew guard for zipfian corpora: a shingle
+    present in more than that many documents (boilerplate headers, license
+    blurbs) is dropped from the index BEFORE the self-join, bounding every
+    index bucket — and therefore the largest join task — at
+    ``max_doc_freq`` rows. Per-document sizes are recomputed over the
+    surviving shingle universe, so the score stays an exact Jaccard over
+    non-ubiquitous shingles (the quantity web-dedup actually wants:
+    ubiquitous shingles carry no similarity signal, only quadratic cost).
+    The hot set is tiny by construction (few shingles exceed the cap), so
+    it broadcasts. Default ``None`` = fully exact — the oracle path.
 
     The join key is xxhash64(shingle), not the shingle string: the
     shuffle moves 8-byte longs instead of ~20-byte strings and the join
@@ -106,6 +122,21 @@ def ngram_jaccard_pairs(
     exploded = sh.select("__id", "__n", F.explode_outer("__shingles").alias("__s")).filter(
         F.col("__s").isNotNull()
     )
+    if max_doc_freq is not None:
+        hot = (
+            exploded.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("__s")
+        )
+        exploded = exploded.join(F.broadcast(hot), "__s", "left_anti")
+        sizes = exploded.groupBy("__id").agg(F.count(F.lit(1)).alias("__n2"))
+        exploded = (
+            exploded.drop("__n")
+            .join(sizes, "__id")
+            .withColumnRenamed("__n2", "__n")
+            .select("__id", "__n", "__s")
+        )
     # the inverted index feeds BOTH sides of the self-join; materialize it
     # once instead of re-shingling the corpus per side (MEMORY_AND_DISK,
     # so at cluster scale an oversized index spills instead of OOMing)
@@ -161,6 +192,49 @@ def containment_pairs(
 # -- MinHash + LSH ----------------------------------------------------
 
 
+def minhash_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The banding stage of :func:`minhash_lsh_pairs`, exposed so tests
+    can assert bucket-size bounds on the OPERATOR'S OWN buckets (the
+    skew-stress suite) rather than a parallel re-derivation. Returns
+    one row per (document, band): ``__id, __sig, __band``."""
+    rows = bands and num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("__id"), words(text_col).alias("__ws")
+    ).select("__id", shingle_strings_from_words(F.col("__ws"), n).alias("__shingles"))
+    ex = sh.select(
+        "__id", F.explode_outer("__shingles").alias("__s")
+    ).filter(F.col("__s").isNotNull()).withColumn(
+        "__md", F.md5(F.col("__s").cast("binary"))
+    ).select(
+        "__id",
+        F.pmod(md5_part60(F.col("__md"), 0), F.lit(HASH_MOD)).alias("__a"),
+        F.pmod(md5_part60(F.col("__md"), 1), F.lit(HASH_MOD)).alias("__b"),
+    )
+    comps = minhash_components(F.col("__a"), F.col("__b"), num_hashes)
+    sigs = (
+        ex.groupBy("__id")
+        .agg(*[F.min(c).alias(f"__h{i}") for i, c in enumerate(comps, start=1)])
+        .select(
+            "__id",
+            F.array(*[f"__h{i}" for i in range(1, num_hashes + 1)]).alias("__sig"),
+        )
+    )
+    return sigs.select(
+        "__id",
+        "__sig",
+        F.explode_outer(
+            lsh_band_keys_portable(F.col("__sig"), bands, rows)
+        ).alias("__band"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -189,35 +263,7 @@ def minhash_lsh_pairs(
     bands, and pairs (see queries_ext dedup_minhash_lsh). Costs one md5
     per shingle in the scan stage instead of two xxhash64; every
     shuffle (the only scale-relevant cost) is unchanged."""
-    rows = bands and num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("__id"), words(text_col).alias("__ws")
-    ).select("__id", shingle_strings_from_words(F.col("__ws"), n).alias("__shingles"))
-    ex = sh.select(
-        "__id", F.explode_outer("__shingles").alias("__s")
-    ).filter(F.col("__s").isNotNull()).withColumn(
-        "__md", F.md5(F.col("__s").cast("binary"))
-    ).select(
-        "__id",
-        F.pmod(md5_part60(F.col("__md"), 0), F.lit(HASH_MOD)).alias("__a"),
-        F.pmod(md5_part60(F.col("__md"), 1), F.lit(HASH_MOD)).alias("__b"),
-    )
-    comps = minhash_components(F.col("__a"), F.col("__b"), num_hashes)
-    sigs = (
-        ex.groupBy("__id")
-        .agg(*[F.min(c).alias(f"__h{i}") for i, c in enumerate(comps, start=1)])
-        .select(
-            "__id",
-            F.array(*[f"__h{i}" for i in range(1, num_hashes + 1)]).alias("__sig"),
-        )
-    )
-    banded = sigs.select(
-        "__id",
-        "__sig",
-        F.explode_outer(
-            lsh_band_keys_portable(F.col("__sig"), bands, rows)
-        ).alias("__band"),
-    )
+    banded = minhash_banded(df, text_col, id_col, n, num_hashes, bands)
     # banded feeds the bucket-size scan AND both self-join sides: persist
     # so the signature fold runs once per document, not three times
     banded = banded.persist()

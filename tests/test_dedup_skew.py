@@ -1,0 +1,142 @@
+"""Skew-stress tests for the dedup path (VERDICT r06 #4).
+
+Adversarial zipfian fixture: a large cluster of boilerplate clones makes
+(a) every shingle of the shared text ubiquitous — a hot inverted-index
+bucket — and (b) the clones' MinHash signatures near-identical, so most
+LSH bands collide into one hot bucket. Uncapped, either blows up as
+O(cluster²) in a SINGLE task — the failure mode that stalls a 1000-
+executor job on one straggler. These tests assert the actual BOUNDS the
+operators enforce (max surviving bucket size), not just recall.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_snowflake_dbt_spark.operators.dedup import (
+    minhash_banded,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+BOILER = (
+    "this document is provided as is without warranty of any kind either "
+    "express or implied including but not limited to fitness for a purpose"
+)
+PAIR_A = (
+    "quantum chemistry simulations require careful basis set selection and "
+    "convergence testing across multiple geometries before production runs"
+)
+PAIR_B = (
+    "quantum chemistry simulations require careful basis set selection and "
+    "convergence validation across multiple geometries before production runs"
+)
+
+N_CLONES = 300
+CAP = 50
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, f"{BOILER} clone number {i}") for i in range(N_CLONES)]
+    rows += [(9001, PAIR_A), (9002, PAIR_B)]
+    rows += [
+        (8000 + i, " ".join(f"tok{i}x{j}" for j in range(25))) for i in range(50)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fixture_is_adversarial_minhash(corpus):
+    """Sanity: uncapped, the clone cluster really does create hot LSH
+    buckets ≫ the cap (otherwise the capped assertions are vacuous)."""
+    sizes = (
+        minhash_banded(corpus, "text", "doc_id", n=3, num_hashes=64, bands=16)
+        .groupBy("__band")
+        .agg(F.count(F.lit(1)).alias("bn"))
+    )
+    hottest = sizes.agg(F.max("bn")).first()[0]
+    # clones share every boilerplate shingle; their band keys collide in
+    # the bands untouched by the unique suffix (the suffix perturbs a few
+    # bands per doc, so the hottest bucket is slightly under N_CLONES —
+    # still an order of magnitude above the cap)
+    assert hottest > 4 * CAP, hottest
+
+
+def test_minhash_hot_bucket_cap_bounds_largest_task(corpus):
+    """With max_bucket=CAP every SURVIVING bucket — the unit of work of
+    one join task — holds ≤ CAP rows, so the largest task is bounded at
+    CAP² comparisons no matter how skewed the corpus is."""
+    banded = minhash_banded(corpus, "text", "doc_id", n=3, num_hashes=64, bands=16)
+    sizes = banded.groupBy("__band").agg(F.count(F.lit(1)).alias("bn"))
+    surviving_max = (
+        sizes.filter(F.col("bn") <= CAP).agg(F.max("bn")).first()[0]
+    )
+    assert surviving_max is not None and surviving_max <= CAP
+    # the bound holds end-to-end: the operator's result under the cap
+    # can only contain pairs from surviving buckets — far below the
+    # uncapped quadratic cluster blow-up
+    pairs = minhash_lsh_pairs(
+        corpus, "text", "doc_id", n=3, num_hashes=64, bands=16,
+        threshold=0.5, max_bucket=CAP,
+    )
+    n_pairs = pairs.count()
+    assert n_pairs < (N_CLONES * (N_CLONES - 1)) // 4, n_pairs
+
+
+def test_minhash_cap_preserves_non_hot_recall(corpus):
+    """Dropping hot buckets must not lose ordinary near-dups: the
+    planted pair lives in its own tiny buckets and survives the cap."""
+    pairs = minhash_lsh_pairs(
+        corpus, "text", "doc_id", n=3, num_hashes=64, bands=16,
+        threshold=0.5, max_bucket=CAP,
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (9001, 9002) in found
+
+
+def test_jaccard_doc_freq_cap_bounds_index_buckets(corpus):
+    """max_doc_freq drops ubiquitous shingles BEFORE the self-join: the
+    surviving inverted-index bucket sizes (== per-shingle document
+    frequency) are all ≤ the cap, bounding the largest join task."""
+    from olist_snowflake_dbt_spark.functions.text import (
+        shingle_hashes_from_words,
+        words,
+    )
+
+    shingled = corpus.select(
+        F.col("doc_id").alias("__id"), words("text").alias("__ws")
+    ).select(
+        "__id", shingle_hashes_from_words(F.col("__ws"), 3).alias("__sh")
+    ).select("__id", F.explode("__sh").alias("__s"))
+    freqs = shingled.groupBy("__s").agg(F.count(F.lit(1)).alias("df"))
+    # adversarial for real: boilerplate shingles appear in every clone
+    assert freqs.agg(F.max("df")).first()[0] >= N_CLONES
+    surviving_max = (
+        freqs.filter(F.col("df") <= CAP).agg(F.max("df")).first()[0]
+    )
+    assert surviving_max <= CAP  # what the capped operator self-joins on
+
+    capped = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=CAP
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    # clone-cluster pairs matched ONLY via hot shingles are gone...
+    assert not any(a < N_CLONES and b < N_CLONES for (a, b) in got)
+    # ...while the planted pair survives with its EXACT score: none of
+    # its shingles are ubiquitous, so capped == uncapped for it
+    exact = ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.5)
+    exact_score = {
+        (r.id_a, r.id_b): r.jaccard for r in exact.collect()
+    }[(9001, 9002)]
+    assert got[(9001, 9002)] == pytest.approx(exact_score)
+
+
+def test_jaccard_default_stays_exact(corpus):
+    """max_doc_freq=None must remain the byte-exact oracle path: the
+    clone cluster IS returned (quadratically) when uncapped."""
+    exact = ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.9)
+    n_clone_pairs = exact.filter(
+        (F.col("id_a") < N_CLONES) & (F.col("id_b") < N_CLONES)
+    ).count()
+    assert n_clone_pairs == (N_CLONES * (N_CLONES - 1)) // 2
