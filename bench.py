@@ -45,6 +45,11 @@ def main() -> None:
     # plan cost. Override with SPARK_GRAFT_BENCH_RUNS=1 for a fast pass.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    # every raw run per query is preserved (BENCH_DETAIL.json) so a
+    # round-over-round drift is separable from a plan regression by
+    # machine: a query whose min rose but whose spread straddles the old
+    # min is noise; one whose EVERY run exceeds the old max changed plan
+    raw_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
         best: float | None = None
@@ -55,6 +60,7 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = time.perf_counter() - t0
+                raw_runs.setdefault(name, []).append(round(elapsed, 3))
                 best = elapsed if best is None else min(best, elapsed)
             except Exception as exc:  # a broken query must not sink the run
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
@@ -100,8 +106,16 @@ def main() -> None:
     try:
         detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "BENCH_DETAIL.json")
+        detail = {
+            **out,
+            "queries": {
+                k: {"min": v, "runs": raw_runs.get(k, [])}
+                for k, v in timings.items()
+            },
+            "n_runs": n_runs,
+        }
         with open(detail_path, "w") as fh:
-            json.dump({**out, "queries": timings}, fh, indent=1, sort_keys=True)
+            json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError:
         pass
     # the driver records only the last ~2000 chars of stdout and parses

@@ -115,7 +115,21 @@ class ModelRegistry:
         self._models: dict[str, Model] = {}
         self._sources: dict[str, Callable[[SparkSession], DataFrame] | DataFrame] = {}
         self._built: dict[str, DataFrame] = {}
-        self._building: list[str] = []  # recursion stack for cycle reporting
+        # recursion stack for cycle reporting — PER THREAD: a cycle is a
+        # property of one build recursion, and Engine.run_concurrent
+        # builds independent nodes on a thread pool, so a shared stack
+        # would see cross-thread pushes as false cycles (and pop the
+        # wrong thread's frame on unwind)
+        import threading
+
+        self._building_tls = threading.local()
+
+    @property
+    def _building(self) -> list:
+        stack = getattr(self._building_tls, "stack", None)
+        if stack is None:
+            stack = self._building_tls.stack = []
+        return stack
 
     # -- registration -------------------------------------------------
     def register(

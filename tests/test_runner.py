@@ -543,3 +543,100 @@ def test_exposures_impact_analysis_and_docs(spark, tmp_path):
     assert eng.impacted_exposures("mart") == ["weekly_dashboard"]
     manifest = eng.generate_docs(write=False)
     assert manifest["exposures"]["weekly_dashboard"]["owner"] == "data-team"
+
+
+def test_run_concurrent_builds_independent_marts_in_parallel(spark, tmp_path):
+    """VERDICT r06 #8: independent DAG nodes materialize CONCURRENTLY
+    (dbt's thread-pool scheduling, $DBT/dbt/task/runnable.py:437-440)
+    with results identical to a serial run. Proof of true concurrency:
+    the two independent marts' builders rendezvous on a Barrier — a
+    serial scheduler would deadlock it (timeout), concurrent passes."""
+    import threading
+
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    barrier = threading.Barrier(2, timeout=30)
+    eng = Engine(spark, str(tmp_path / "wh_conc"))
+    eng.registry.register_source(
+        "src", spark.range(0, 100).select("id", (F.col("id") % 7).alias("k"))
+    )
+    eng.registry.register("stg", "select * from {{ ref('src') }}")
+
+    def _mart(agg):
+        def build(ctx):
+            barrier.wait()  # both marts must be in-flight at once
+            return ctx.ref("stg").groupBy("k").agg(agg)
+
+        return build
+
+    eng.registry.register(
+        "mart_a", _mart(F.sum("id").alias("v")), materialized="table"
+    )
+    eng.registry.register(
+        "mart_b", _mart(F.count(F.lit(1)).alias("v")), materialized="table"
+    )
+    # a child of BOTH marts: must only start after both finish
+    eng.registry.register(
+        "combined",
+        "select a.k, a.v + b.v as total from {{ ref('mart_a') }} a "
+        "join {{ ref('mart_b') }} b on a.k = b.k",
+        materialized="table",
+    )
+    out = eng.run_concurrent(threads=4)
+    assert set(out) == {"stg", "mart_a", "mart_b", "combined"}
+    got = {r.k: r.total for r in out["combined"].df.collect()}
+
+    # identical results to a serial run of the same DAG
+    eng2 = Engine(spark, str(tmp_path / "wh_serial"))
+    eng2.registry.register_source(
+        "src", spark.range(0, 100).select("id", (F.col("id") % 7).alias("k"))
+    )
+    eng2.registry.register("stg", "select * from {{ ref('src') }}")
+    eng2.registry.register(
+        "mart_a",
+        lambda ctx: ctx.ref("stg").groupBy("k").agg(F.sum("id").alias("v")),
+        materialized="table",
+    )
+    eng2.registry.register(
+        "mart_b",
+        lambda ctx: ctx.ref("stg").groupBy("k").agg(F.count(F.lit(1)).alias("v")),
+        materialized="table",
+    )
+    eng2.registry.register(
+        "combined",
+        "select a.k, a.v + b.v as total from {{ ref('mart_a') }} a "
+        "join {{ ref('mart_b') }} b on a.k = b.k",
+        materialized="table",
+    )
+    want = {r.k: r.total for r in eng2.run()["combined"].df.collect()}
+    assert got == want
+
+
+def test_run_concurrent_failure_fails_fast_and_propagates(spark, tmp_path):
+    """A failing node's error propagates (fail-fast, like run());
+    in-flight siblings complete, downstream of the failure never runs."""
+    import pytest as _pytest
+
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_fail"))
+    eng.registry.register_source("src", spark.range(0, 10))
+    built = []
+
+    def ok(ctx):
+        built.append("ok")
+        return ctx.ref("src")
+
+    def boom(ctx):
+        raise RuntimeError("injected model failure")
+
+    eng.registry.register("good", ok, materialized="table")
+    eng.registry.register("bad", boom, materialized="table")
+    eng.registry.register(
+        "downstream_of_bad",
+        lambda ctx: ctx.ref("bad"),
+        materialized="table",
+    )
+    with _pytest.raises(RuntimeError, match="injected model failure"):
+        eng.run_concurrent(threads=2)
+    assert "downstream_of_bad" not in eng.relations

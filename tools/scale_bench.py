@@ -1,0 +1,134 @@
+"""Scale-proof lane (VERDICT r06 #1): measure the sf0.1 -> sf1 scaling
+ratio of the most expensive operators and publish it, converting the
+100-TB design claims from plan-shape arguments into a measured curve.
+
+Runs each query min-of-N at BOTH scale factors inside one session
+(shared JVM/codegen warmup, per-query cache/GC hygiene identical to
+bench.py), then writes SCALING.json:
+
+    {"data_ratio": 10, "queries": {name: {"sf0.1": s, "sf1": s,
+     "ratio": r}}, ...}
+
+Reading the ratios: the data grows 10x, so a perfectly linear operator
+with zero fixed cost shows ratio 10; every query carries 0.3-2 s of
+fixed session/plan/Python-worker setup that does NOT grow, so healthy
+ratios land well under 10. A ratio >> 10 means super-linear work —
+each one must carry a named cause or a fix (SCALE.md records the
+adjudication).
+
+Usage: python tools/scale_bench.py [--runs 2] [--only q1,q2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import local_env  # noqa: E402,F401
+
+# the ~16 most expensive / scale-critical operators (bench top-list +
+# the deliberate fact-fact shuffles): every dedup family member, ANN,
+# stateful streaming, the cogroup Arrow lane, and the TPC-H heavies
+SCALE_QUERIES = [
+    "fct_orders",
+    "tpch_q1_pricing_summary",
+    "tpch_q9_product_profit",
+    "tpch_q12_shipmode_priority",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_semantic",
+    "dedup_embedding_cosine",
+    "dedup_connected_components",
+    "similarity_ann_lsh",
+    "stream_stateful_totals_tws",
+    "cogroup_conversion_stats",
+]
+
+SF_DIRS = {
+    "sf0.1": "/root/testdata/sf0.1",
+    "sf1": os.path.join(REPO, "benchdata", "sf1"),
+}
+
+
+def _time_query(spark, fn, sf_dir: str, runs: int) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - t0
+        best = elapsed if best is None else min(best, elapsed)
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+    names = [n for n in args.only.split(",") if n] or SCALE_QUERIES
+
+    if not os.path.isdir(SF_DIRS["sf1"]):
+        sys.exit("sf1 missing — run: python tools/gen_scale.py")
+
+    from olist_snowflake_dbt_spark.queries import QUERIES
+    from olist_snowflake_dbt_spark.session import get_spark
+    from olist_snowflake_dbt_spark.sources.readers import TESTDATA_TABLES, read_table
+
+    spark = get_spark("scale_bench")
+    spark.range(1).count()
+    for sf_dir in SF_DIRS.values():
+        for t in TESTDATA_TABLES:
+            try:
+                read_table(spark, sf_dir, t).limit(1).count()
+            except Exception:
+                pass
+
+    out: dict[str, dict] = {}
+    for name in names:
+        fn = QUERIES[name]
+        row: dict[str, float] = {}
+        for sf, sf_dir in SF_DIRS.items():
+            try:
+                row[sf] = round(_time_query(spark, fn, sf_dir, args.runs), 3)
+            except Exception as exc:
+                row[f"{sf}_error"] = f"{type(exc).__name__}: {exc}"[:200]
+                print(f"{name} @ {sf} FAILED: {row[f'{sf}_error']}", file=sys.stderr)
+        if "sf0.1" in row and "sf1" in row:
+            row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
+        out[name] = row
+        print(name, row, flush=True)
+
+    result = {
+        "data_ratio": 10,
+        "runs_per_point": args.runs,
+        "queries": out,
+        "note": (
+            "min-of-N wall seconds per scale factor in one shared session; "
+            "fixed per-query overhead (plan, Python worker, checkpoint "
+            "setup) does not scale with data, so linear operators show "
+            "ratio << 10. Adjudication of outliers: SCALE.md §measured."
+        ),
+    }
+    with open(os.path.join(REPO, "SCALING.json"), "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+    print(json.dumps({k: v.get("ratio") for k, v in out.items()}))
+
+
+if __name__ == "__main__":
+    main()
