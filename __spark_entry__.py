@@ -34,78 +34,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries in
-# dict order. The round-6 rotation targets STALENESS, not novelty (VERDICT
-# r05 #1): every name here is either (a) brand-new this round (tpch_q12,
-# the two pyds write/stream queries), or (b) a query whose implementation
-# file changed AFTER its latest driver row — queries_sql_breadth.py /
-# queries_udfs.py / operators/incremental.py / streaming/events.py were
-# edited in round 5 after the r04 window froze, and runner.py /
-# plans/registry.py / sources/pyds.py changed in round 6 — or (c) one of
-# the oldest surviving rows (r03, queries.py) so no row ages past three
-# rounds. Driver coverage by round: r03 = first 50 registered, r04/r05 =
-# their rotations, r06 = this list; the four unions cover every query
-# registered through round 6. The 100 out-of-window names are re-verified
-# in-repo by tools/gate.py (plan lint + oracle + vacuity) each round —
-# GATE.json records the latest all-queries verdict.
+# dict order. The round-7 rotation (VERDICT r06 #2) targets STALENESS:
+# (a) every query whose implementation changed in round 7 — operators/
+# dedup.py (minhash_banded refactor + ngram max_doc_freq, which
+# dedup_connected_components consumes), operators/similarity.py (cogroup
+# key-typing + auto-partitioning), operators/incremental.py (backup-swap
+# publish, used by all five incremental-family queries), runner.py +
+# plans/registry.py (run ordering, full-config checksums → slim-CI),
+# sources/pyds.py (append-manifest merge, atomic commit), compat.py
+# (env-var-only protobuf → tws) — plus (b) the 31 oldest surviving
+# driver rows (r03-era breadth/dedup/text queries), so after this round
+# no query's latest driver row predates r05. dedup_semantic /
+# dedup_incremental_corpus ride along (modified file, fresh r06 rows) to
+# fill the window; dedup_embedding_cosine (r05 row, function untouched)
+# is the one modified-file query left to tools/gate.py, which re-verifies
+# all 150 on current code every round (GATE.json).
 _CHECK_FIRST = [
-    # flagship (registry/runner code path changed in round 6)
+    # flagship (registry/runner code path changed again in round 7)
     "fct_orders",
-    # brand-new this round
-    "tpch_q12_shipmode_priority",
-    "pyds_jsonl_sink_roundtrip",
-    "pyds_stream_drain",
-    "dedup_semantic",
-    "dedup_incremental_corpus",
-    "cogroup_conversion_stats",
-    # sources/pyds.py + runner.py changed in round 6 after their r05 rows
-    "pyds_synthetic_corpus",
+    # runner.py / plans/registry.py changed (keep-going order, checksums)
     "runner_pipeline_gate",
     "runner_source_freshness",
     "runner_slimci_retry",
-    # queries_sql_breadth.py changed in round 5 after these r03/r04 rows
-    "array_agg_ops",
-    "conditional_agg_filter",
-    "correlated_scalar_subquery",
+    # sources/pyds.py changed (append-manifest merge, atomic commit)
+    "pyds_synthetic_corpus",
+    "pyds_jsonl_sink_roundtrip",
+    "pyds_stream_drain",
+    # compat.py changed (protobuf opt-in moved to harness)
+    "stream_stateful_totals_tws",
+    # operators/similarity.py changed (typed key, ts_col, auto-sizing)
+    "cogroup_conversion_stats",
+    # operators/incremental.py changed (backup-swap publish)
+    "incremental_merge_sim",
     "incremental_delete_insert_sim",
     "incremental_insert_overwrite_sim",
-    "lateral_explode",
-    "minmax_by_agg",
-    "moment_stats",
-    "null_safe_join",
-    "percentile_agg",
-    "range_join_bucketed",
-    "salted_skew_join",
-    "seed_csv_inference",
-    "string_funcs",
-    "two_phase_distinct_skew",
-    "unpivot_stack",
-    "window_frames",
-    # streaming/events.py changed in rounds 5+6 after these rows
-    "stream_dedup",
-    "stream_session_stats",
-    "stream_stateful_totals",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "stream_window_counts",
-    "stream_stateful_totals_tws",
-    "stream_file_sink_exactly_once",
-    # queries_udfs.py changed in round 5 after these r03 rows
-    "udaf_decimal_sum",
-    "udtf_chunk_words",
-    # operators/incremental.py changed in rounds 5+6 after its r03 row
-    "incremental_merge_sim",
-    # oldest surviving driver rows (r03, queries.py)
-    "stg_projection_rename",
-    "dq_accepted_values",
-    "dq_not_null",
-    "dq_relationships",
-    "dq_singular_revenue_positive",
-    "dq_unique",
-    "dq_verdict",
-    "filter_predicate",
-    "groupby_sum_ordinal",
-    "left_join_null_fill",
-    "null_arithmetic",
+    "incremental_microbatch_sim",
+    "dynamic_table_refresh",
+    # operators/dedup.py changed (banding refactor, max_doc_freq)
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "dedup_semantic",
+    "dedup_incremental_corpus",
+    # oldest surviving driver rows (r03): SQL breadth over queries_sql_breadth
+    "window_running_agg",
+    "topk_per_group",
+    "distinct_agg",
+    "set_ops",
+    "semi_join_exists",
+    "scalar_functions",
+    "date_functions",
+    "json_extract",
+    "time_bucket_agg",
+    "grouping_rollup",
+    "pivot_status_by_year",
+    "asof_last_purchase",
+    # oldest surviving driver rows (r03): snapshots / dedup / similarity
+    "scd2_window_rebuild",
+    "dedup_exact",
+    "dedup_containment",
+    "dedup_simhash",
+    "dedup_winnowing",
+    "fuzzy_join_levenshtein",
+    "similarity_brute_topk",
+    "similarity_ivf",
+    "similarity_quantized_topk",
+    # oldest surviving driver rows (r03): text-analysis family
+    "text_token_stats",
+    "text_language_id",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_tfidf_topk",
+    "text_decontaminate",
+    "text_repetition_stats",
+    "text_pii_pseudonymize",
+    "text_ngram_counts",
+    "corpus_prep_pipeline",
 ]
 
 

@@ -65,13 +65,25 @@ def stream_events(
     division); TIMESTAMP_NTZ → cast (value-preserving under the engine's
     pinned UTC session timezone)."""
     schema = _events_schema(spark, sf_dir)
-    reader = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-    )
+    # the driver's testdata lays events out as ONE parquet file named
+    # events.parquet; Spark-written datasets (e.g. the local sf1 scale
+    # lane) make it a DIRECTORY of part files. The file-stream source
+    # lists a directory, so: single file → stream sf_dir filtered to
+    # that name; directory → stream the directory itself (a glob filter
+    # for "events.parquet" would match no part file and silently replay
+    # zero rows).
+    import os as _os
+
+    events_path = _os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema(schema)
+    if _os.path.isdir(events_path):
+        target = events_path
+    else:
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        target = sf_dir
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(sf_dir)
+    stream = reader.parquet(target)
     ts_type = schema["ts"].dataType
     if isinstance(ts_type, LongType):
         # integer div — float division rounds above 2^53 (off-by-1 µs)

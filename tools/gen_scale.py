@@ -98,6 +98,15 @@ def main() -> None:
                         F.slice("embedding", F.lit(1), F.col("__rep") % n),
                     )
                 ),
+            ).withColumn(
+                # block-key cardinality must scale WITH the corpus (the
+                # operators' documented design: semantic clusters with
+                # k ∝ n, SemDeDup-style). Keeping the 10 sf0.1 labels at
+                # 10x rows would make every label-blocked operator
+                # measure the fixed-cardinality-blocking anti-pattern
+                # (10x block size -> 100x pairs), not its scaling.
+                "label",
+                F.col("label") + F.col("__rep") * F.lit(100),
             )
         if t == "events":
             # nudge timestamps per replica so event-time windows don't

@@ -80,6 +80,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--only", default="")
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="update existing SCALING.json entries instead of replacing the file",
+    )
     args = ap.parse_args()
     names = [n for n in args.only.split(",") if n] or SCALE_QUERIES
 
@@ -114,6 +119,12 @@ def main() -> None:
         out[name] = row
         print(name, row, flush=True)
 
+    scaling_path = os.path.join(REPO, "SCALING.json")
+    if args.merge and os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            prior = json.load(fh).get("queries", {})
+        prior.update(out)
+        out = prior
     result = {
         "data_ratio": 10,
         "runs_per_point": args.runs,
