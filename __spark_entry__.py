@@ -44,14 +44,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # sources/pyds.py (append-manifest merge, atomic commit), compat.py
 # (env-var-only protobuf → tws) — plus (b) the 31 oldest surviving
 # driver rows (r03-era breadth/dedup/text queries), so after this round
-# no query's latest driver row predates r05. dedup_semantic /
-# dedup_incremental_corpus ride along (modified file, fresh r06 rows) to
-# fill the window; dedup_embedding_cosine (r05 row, function untouched)
-# is the one modified-file query left to tools/gate.py, which re-verifies
-# all 150 on current code every round (GATE.json).
+# no query's latest driver row predates r05 — plus (c) the brand-new
+# runner_concurrent_dag (thread-pool DAG execution, Barrier-proven
+# in-driver). dedup_semantic rides along (modified file, fresh r06 row)
+# to fill the window; dedup_incremental_corpus and dedup_embedding_cosine
+# (fresh rows, functions untouched this round) are left to tools/gate.py,
+# which re-verifies all 150 on current code every round (GATE.json).
 _CHECK_FIRST = [
     # flagship (registry/runner code path changed again in round 7)
     "fct_orders",
+    # brand-new this round: concurrent DAG materialization (A20 ext)
+    "runner_concurrent_dag",
     # runner.py / plans/registry.py changed (keep-going order, checksums)
     "runner_pipeline_gate",
     "runner_source_freshness",
@@ -75,7 +78,6 @@ _CHECK_FIRST = [
     "dedup_ngram_jaccard",
     "dedup_connected_components",
     "dedup_semantic",
-    "dedup_incremental_corpus",
     # oldest surviving driver rows (r03): SQL breadth over queries_sql_breadth
     "window_running_agg",
     "topk_per_group",

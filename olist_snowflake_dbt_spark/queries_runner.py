@@ -362,3 +362,99 @@ def q_runner_slimci_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(retry_green)).alias("retry_green"),
         F.lit(bool(contract_gate_ok)).alias("contract_gate_ok"),
     )
+
+
+_CONCURRENT_ORACLE = """
+WITH stg AS (
+    SELECT o_orderstatus AS order_status, o_totalprice, o_orderpriority
+    FROM orders
+),
+a AS (
+    SELECT order_status,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+    FROM stg GROUP BY 1
+),
+b AS (
+    SELECT order_status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM stg GROUP BY 1
+)
+SELECT a.order_status, a.revenue, b.n_orders, b.n_priorities,
+       TRUE AS concurrent_proven
+FROM a JOIN b ON a.order_status = b.order_status
+"""
+
+
+@query("runner_concurrent_dag", _CONCURRENT_ORACLE)
+def q_runner_concurrent_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 extension: ``Engine.run_concurrent`` — dbt's thread-pool node
+    scheduling ($DBT/dbt/task/runnable.py:437-440) over a diamond DAG
+    (stg → {mart_revenue, mart_counts} → combined). Concurrency is
+    proven IN-DRIVER, not just claimed: the two independent marts'
+    builders rendezvous on a 2-party Barrier — a serial scheduler can
+    never have both in flight and would time the query out (red row),
+    while the result must still hash-match the serial DuckDB oracle
+    (scheduling may reorder only what the DAG declares independent)."""
+    import threading
+
+    from .runner import Engine
+
+    barrier = threading.Barrier(2, timeout=60)
+    wh = tempfile.mkdtemp(prefix="olist_concurrent_dag_")
+    eng = Engine(spark, wh)
+    eng.registry.register_source("raw_orders", _t(spark, sf_dir, "orders"))
+    eng.registry.register(
+        "stg_orders_c",
+        """
+        select o_orderstatus as order_status, o_totalprice, o_orderpriority
+        from {{ ref('raw_orders') }}
+        """,
+    )
+
+    @eng.registry.model(name="mart_revenue", materialized="table")
+    def mart_revenue(ctx) -> DataFrame:  # noqa: ANN001
+        barrier.wait()
+        return (
+            ctx.ref("stg_orders_c")
+            .groupBy("order_status")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                .alias("revenue")
+            )
+        )
+
+    @eng.registry.model(name="mart_counts", materialized="table")
+    def mart_counts(ctx) -> DataFrame:  # noqa: ANN001
+        barrier.wait()
+        return (
+            ctx.ref("stg_orders_c")
+            .groupBy("order_status")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.countDistinct("o_orderpriority")
+                .cast("bigint")
+                .alias("n_priorities"),
+            )
+        )
+
+    eng.registry.register(
+        "combined_status",
+        """
+        select a.order_status, a.revenue, b.n_orders, b.n_priorities
+        from {{ ref('mart_revenue') }} a
+        join {{ ref('mart_counts') }} b on a.order_status = b.order_status
+        """,
+        materialized="table",
+    )
+    out = eng.run_concurrent(threads=4)
+    return out["combined_status"].df.select(
+        "order_status",
+        "revenue",
+        "n_orders",
+        "n_priorities",
+        F.lit(True).alias("concurrent_proven"),
+    )

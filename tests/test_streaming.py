@@ -402,3 +402,40 @@ def test_file_sink_second_start_writes_nothing(spark, sf_dir):
     assert files1 == files2  # no new files on restart
     assert n1 == n2 > 0
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_events_reads_directory_layout(spark, sf_dir, tmp_path):
+    """Regression pin for the sf1 scale-lane finding: the file-stream
+    source must read BOTH on-disk layouts of the events table — the
+    driver's single FILE named events.parquet and a Spark-written
+    DIRECTORY of part files. The original glob-filter approach matched
+    only the file layout and silently replayed ZERO rows for the
+    directory layout (a 0-row stream looks 'fast', not broken)."""
+    from olist_snowflake_dbt_spark.sources.readers import read_table
+    from olist_snowflake_dbt_spark.streaming import (
+        run_available_now,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    batch = read_table(spark, sf_dir, "events")
+    # re-materialize the same events as a Spark-written DIRECTORY
+    dir_sf = tmp_path / "sfdir"
+    dir_sf.mkdir()
+    batch.repartition(3).write.parquet(str(dir_sf / "events.parquet"))
+
+    got = run_available_now(
+        windowed_event_counts(
+            stream_events(spark, str(dir_sf)), "1 hour", watermark="30 minutes"
+        ),
+        state_partitions=4,
+    )
+    want = run_available_now(
+        windowed_event_counts(
+            stream_events(spark, sf_dir), "1 hour", watermark="30 minutes"
+        ),
+        state_partitions=4,
+    )
+    assert got.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
