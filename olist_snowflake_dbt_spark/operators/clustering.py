@@ -70,7 +70,15 @@ def seed_centroids(df: DataFrame, vec_col: str, id_col: str, k: int) -> DataFram
         .withColumn("__h", F.substring(F.md5(F.col("__sid").cast("string")), 1, 16))
         .orderBy("__h")
         .limit(k)
-        .withColumn("cell", F.row_number().over(Window.orderBy("__h", "__sid")) - 1)
+        # partitionBy(lit): single-partition total order over the k
+        # post-limit rows, declared (k-bounded — no scale hazard)
+        .withColumn(
+            "cell",
+            F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy("__h", "__sid")
+            )
+            - 1,
+        )
         .select(
             "cell",
             F.transform(

@@ -367,7 +367,14 @@ def ivf_topk(
         .orderBy("__h")
         .limit(n_cells)
         .withColumn(
-            "cell", F.row_number().over(Window.orderBy("__h", "__cid")) - 1
+            # partitionBy(lit) = same single-partition total order, but
+            # declared: silences Spark's global-window warning for a
+            # window that is k-row-bounded by the limit above
+            "cell",
+            F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy("__h", "__cid")
+            )
+            - 1,
         )
         .select("cell", "__cv")
     )
