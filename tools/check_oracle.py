@@ -23,6 +23,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import os
 import sys
 from collections import Counter
 
@@ -89,7 +90,13 @@ def main() -> int:
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata lays each table out as ONE file named
+        # {t}.parquet; Spark-written datasets (the local sf1 scale lane)
+        # make it a DIRECTORY of part files — glob those
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
