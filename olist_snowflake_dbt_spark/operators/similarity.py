@@ -127,6 +127,7 @@ def ann_lsh_topk(
     planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 signature band with the
     query; cosine re-rank on candidates only.
@@ -136,7 +137,18 @@ def ann_lsh_topk(
     ``aggregate`` and DuckDB's ``list_reduce`` fold sequentially, so
     the sign bits — and the re-rank cosines — are bit-identical), and
     band keys are arithmetic bit-chunks of the signature (chunk |
-    band<<width), not hashes."""
+    band<<width), not hashes.
+
+    Scale knobs: ``planes``/``bands`` set bucket granularity (each band
+    has ``2^(planes/bands)`` buckets — widen bands as the corpus grows,
+    the LSH analogue of k ∝ n). ``max_bucket`` is the skew guard for
+    duplicate-heavy corpora: a corpus band-bucket larger than the cap
+    (a pile of near-identical vectors all sharing every band) is
+    dropped BEFORE the join, bounding the per-query candidate work —
+    the same documented recall-for-ceiling trade as
+    ``minhash_lsh_pairs``; queries outside the hot pile keep their
+    neighbors (asserted in tests/test_dedup_skew.py). Default ``None``
+    = no cap, the oracle-exact plan."""
     width = planes // bands
     mask = (1 << width) - 1
 
@@ -170,6 +182,11 @@ def ann_lsh_topk(
 
     q = with_bands(queries, "query")
     c = with_bands(corpus, "neighbor")
+    if max_bucket is not None:
+        sizes = c.groupBy("__band").agg(F.count(F.lit(1)).alias("__bn"))
+        c = c.join(
+            sizes.filter(F.col("__bn") <= max_bucket).select("__band"), "__band"
+        )
     # per-row norms ride the join so the re-rank pays one dot per pair,
     # never three (cosine_similarity would recompute both norms per pair)
     cands = (

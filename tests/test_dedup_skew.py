@@ -140,3 +140,43 @@ def test_jaccard_default_stays_exact(corpus):
         (F.col("id_a") < N_CLONES) & (F.col("id_b") < N_CLONES)
     ).count()
     assert n_clone_pairs == (N_CLONES * (N_CLONES - 1)) // 2
+
+
+def test_ann_lsh_hot_bucket_cap_bounds_candidates_keeps_cold_recall(spark):
+    """Duplicate-heavy corpora pile near-identical vectors into the SAME
+    band buckets (they share every band). The optional max_bucket guard
+    drops those buckets before the join — bounding per-query candidate
+    work — while queries OUTSIDE the pile keep their true neighbors."""
+    import math
+
+    from olist_snowflake_dbt_spark.operators.similarity import ann_lsh_topk
+
+    dim = 8
+    # 400 near-identical "hot" vectors + 20 spread-out cold vectors
+    hot = [
+        (i, [1.0 + (i % 7) * 1e-4] + [0.1] * (dim - 1)) for i in range(400)
+    ]
+    cold = [
+        (1000 + j, [math.cos(j), math.sin(j)] + [float(j % 3)] * (dim - 2))
+        for j in range(20)
+    ]
+    # a planted near-dup pair in the cold region
+    cold.append((2001, [math.cos(5), math.sin(5)] + [2.0] * (dim - 2)))
+    corpus = spark.createDataFrame(
+        hot + cold, "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [cold[5], cold[-1]], "vec_id long, embedding array<double>"
+    )
+
+    capped = ann_lsh_topk(
+        corpus, queries, dim, k=5, planes=16, bands=4, max_bucket=50
+    )
+    rows = capped.collect()
+    # the cold planted pair still finds each other (their buckets are small)
+    got = {(r.query_id, r.neighbor_id) for r in rows if r.rank == 1}
+    assert (2001, 1005) in got or (1005, 2001) in got
+    # and the hot pile cannot dominate the candidate set: no query's
+    # result contains more than k rows, and hot ids (whose buckets were
+    # dropped) don't appear as neighbors of cold queries
+    assert all(r.neighbor_id >= 1000 for r in rows)
