@@ -108,6 +108,20 @@ def main() -> None:
                 "label",
                 F.col("label") + F.col("__rep") * F.lit(100),
             )
+        if t == "part":
+            # tag the name's FIRST word per replica: replicated-verbatim
+            # names would make sf1 a table with 10 exact copies of every
+            # entity — a worst-case duplicate pile where fuzzy matching
+            # legitimately returns 100x the pairs. Real growth adds NEW
+            # entities. Prefixing (not replacing) keeps every substring,
+            # so TPC-H LIKE '%...%' predicates (Q9 et al.) match the
+            # same rows.
+            df = df.withColumn(
+                "p_name",
+                F.when(F.col("__rep") == 0, F.col("p_name")).otherwise(
+                    F.concat(F.lit("r"), F.col("__rep"), F.col("p_name"))
+                ),
+            )
         if t == "events":
             # nudge timestamps per replica so event-time windows don't
             # see 10 exact-duplicate streams (same second, 10x rows)

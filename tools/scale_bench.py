@@ -52,6 +52,19 @@ SCALE_QUERIES = [
     "similarity_ann_lsh",
     "stream_stateful_totals_tws",
     "cogroup_conversion_stats",
+    # breadth: one representative per remaining family (streaming
+    # windows, sessionization, text, corpus prep, sub-doc dedup, fuzzy
+    # join, clustering, IVF ANN, distribution-heavy TPC-H, CTAS)
+    "stream_window_counts",
+    "sessionize_events",
+    "text_decontaminate",
+    "corpus_prep_pipeline",
+    "dedup_subdoc_chunks",
+    "fuzzy_join_levenshtein",
+    "kmeans_clusters",
+    "similarity_ivf",
+    "tpch_q13_customer_distribution",
+    "materialize_table_roundtrip",
 ]
 
 SF_DIRS = {
