@@ -1,0 +1,126 @@
+"""dbt-style command-line surface for the engine.
+
+The reference orchestrates everything through CLI invocations —
+``automate_pipeline.py:10-26`` shells out to ``dbt seed`` / ``dbt run``
+/ ``dbt test`` and gates on their exit codes. This module gives the
+Spark engine the same operational surface:
+
+    python -m olist_snowflake_dbt_spark seed
+    python -m olist_snowflake_dbt_spark run   [--select S] [--threads N]
+    python -m olist_snowflake_dbt_spark test  [--select S]
+    python -m olist_snowflake_dbt_spark build [--select S]   # seed+run+test+gate
+    python -m olist_snowflake_dbt_spark ls    [--select S]
+    python -m olist_snowflake_dbt_spark docs
+
+``--project module[:function]`` points at any callable that registers
+models + tests on an :class:`~.runner.Engine` (default: the bundled
+demo project, the reference pipeline over packaged synthetic seeds).
+``--threads N`` (>1) routes ``run`` through the concurrent Kahn-
+wavefront scheduler — the analogue of dbt's ``--threads``. Exit codes
+follow dbt: 0 green, 1 failed build/tests — so the reference's
+orchestrator pattern (gate on exit code) ports unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import importlib
+import os
+import sys
+
+
+def _load_project(spec: str):
+    mod_name, _, fn_name = spec.partition(":")
+    mod = importlib.import_module(mod_name)
+    return getattr(mod, fn_name or "configure")
+
+
+def _discover_seeds(seed_dir: str) -> dict[str, str]:
+    return {
+        os.path.splitext(os.path.basename(p))[0]: p
+        for p in sorted(glob.glob(os.path.join(seed_dir, "*.csv")))
+    }
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    from .models.demo_project import SEED_DIR
+
+    ap = argparse.ArgumentParser(prog="olist_snowflake_dbt_spark")
+    ap.add_argument(
+        "command", choices=["seed", "run", "test", "build", "ls", "docs"]
+    )
+    ap.add_argument(
+        "--project",
+        default="olist_snowflake_dbt_spark.models.demo_project:configure",
+        help="module[:function] that registers models + tests on the Engine",
+    )
+    ap.add_argument("--warehouse", default="spark-warehouse/cli")
+    ap.add_argument("--seed-dir", default=SEED_DIR)
+    ap.add_argument("--select", default=None)
+    ap.add_argument("--exclude", default=None)
+    ap.add_argument(
+        "--threads",
+        type=int,
+        default=1,
+        help=">1 materializes independent DAG nodes concurrently (dbt --threads)",
+    )
+    args = ap.parse_args(argv)
+
+    from .runner import Engine
+
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark("cli")
+    eng = Engine(spark, args.warehouse)
+
+    # sources first (every downstream command resolves refs against them),
+    # then the project's model/test registrations
+    seeds = _discover_seeds(args.seed_dir)
+    if seeds:
+        eng.seed(seeds)
+    _load_project(args.project)(eng)
+
+    if args.command == "seed":
+        for name in seeds:
+            print(f"seeded {name} -> {eng.warehouse_dir}/{name}")
+        return 0
+
+    if args.command == "ls":
+        for name in eng.ls(args.select, exclude=args.exclude):
+            print(name)
+        return 0
+
+    if args.command == "docs":
+        eng.generate_docs(write=True)
+        path = os.path.join(eng.warehouse_dir, "docs.json")
+        print(f"wrote {path}")
+        return 0
+
+    if args.command == "run":
+        rels = (
+            eng.run_concurrent(args.select, exclude=args.exclude, threads=args.threads)
+            if args.threads > 1
+            else eng.run(args.select, exclude=args.exclude)
+        )
+        for name, rel in rels.items():
+            print(f"built {name} ({rel.materialization})")
+        return 0
+
+    # test / build: run models (build scope) then evaluate tests + gate,
+    # automate_pipeline.py's run→test→gate flow with dbt exit semantics
+    result = eng.pipeline(args.select, exclude=args.exclude)
+    for t in result.tests:
+        status = "PASS" if t.passed else f"FAIL ({t.failures} failing rows)"
+        print(f"{status}  {t.name}")
+    print(
+        f"{'OK' if result.ok else 'FAILED'}: "
+        f"{len(result.relations)} models, "
+        f"{sum(1 for t in result.tests if t.passed)}/{len(result.tests)} tests passed"
+    )
+    return 0 if result.ok else 1
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())
