@@ -46,10 +46,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver rows (r03-era breadth/dedup/text queries), so after this round
 # no query's latest driver row predates r05 — plus (c) the brand-new
 # runner_concurrent_dag (thread-pool DAG execution, Barrier-proven
-# in-driver). dedup_semantic rides along (modified file, fresh r06 row)
-# to fill the window; dedup_incremental_corpus and dedup_embedding_cosine
-# (fresh rows, functions untouched this round) are left to tools/gate.py,
-# which re-verifies all 150 on current code every round (GATE.json).
+# in-driver) and the three operators born this round (text_gopher_rules,
+# dedup_span_ngram, zorder_layout_stats — never had a driver row).
+# dedup_semantic / dedup_incremental_corpus / dedup_embedding_cosine /
+# incremental delete_insert+insert_overwrite (fresh r06 rows, their
+# specific functions untouched or family-covered by in-window siblings)
+# are left to tools/gate.py, which re-verifies ALL registered queries on
+# current code every round (GATE.json).
 _CHECK_FIRST = [
     # flagship (registry/runner code path changed again in round 7)
     "fct_orders",
@@ -67,17 +70,22 @@ _CHECK_FIRST = [
     "stream_stateful_totals_tws",
     # operators/similarity.py changed (typed key, ts_col, auto-sizing)
     "cogroup_conversion_stats",
-    # operators/incremental.py changed (backup-swap publish)
+    # operators/incremental.py changed (backup-swap publish; merge_sim +
+    # microbatch_sim exercise the changed publish path for the whole
+    # family — delete_insert/insert_overwrite keep fresh r06 rows and
+    # yield their slots to the three brand-new round-7 queries below)
     "incremental_merge_sim",
-    "incremental_delete_insert_sim",
-    "incremental_insert_overwrite_sim",
     "incremental_microbatch_sim",
     "dynamic_table_refresh",
     # operators/dedup.py changed (banding refactor, max_doc_freq)
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_connected_components",
-    "dedup_semantic",
+    # BRAND-NEW round-7 operators (first-ever driver rows): Gopher
+    # rule gate, Lee-et-al duplicated-span accounting, Z-order layout
+    "text_gopher_rules",
+    "dedup_span_ngram",
+    "zorder_layout_stats",
     # oldest surviving driver rows (r03): SQL breadth over queries_sql_breadth
     "window_running_agg",
     "topk_per_group",

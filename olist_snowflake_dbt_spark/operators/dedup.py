@@ -706,3 +706,91 @@ def incremental_dedup(
         )
         .drop("__fp")
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_freq: int = 2,
+) -> DataFrame:
+    """Exact duplicated-span accounting (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    family, word-granular): for every document, how many of its word
+    positions are covered by an n-gram that occurs ≥ ``min_freq`` times
+    across the corpus. Emits ``n_words``, ``n_dup_words`` (size of the
+    UNION of all duplicated n-gram intervals) and ``dup_ratio`` — the
+    signal RefinedWeb/Dolma threshold on to drop or trim
+    boilerplate-ridden documents.
+
+    Suffix arrays don't distribute; this is the distributed equivalent
+    for fixed n:
+
+    1. one map-only pass explodes (doc, pos, gram) — grams are hashed to
+       8-byte ``xxhash64`` keys so the corpus-frequency shuffle moves
+       ints, not strings (collision odds ~ m²/2⁶⁴ — negligible and
+       non-adversarial here);
+    2. one groupBy(gram_hash) with map-side combine counts corpus
+       frequency; rows with freq < min_freq are dropped BEFORE the
+       join-back, so the equi-join only carries actually-duplicated
+       grams;
+    3. the join-back is gram_hash-keyed (AQE handles the skewed
+       boilerplate gram); covered positions per doc are the union of
+       [pos, pos+n-1] intervals, computed per-row with array
+       expressions (``array_distinct ∘ flatten ∘ transform`` over the
+       collected duplicate positions) — per-doc bounded, no second
+       explode through the shuffle.
+
+    Total cost: 2 shuffles (freq count + join-back/regroup) regardless
+    of corpus size; no state is quadratic. Documents shorter than n
+    words have no n-grams and report 0 duplicated positions (no
+    short-doc fallback shingle — span semantics, unlike
+    :func:`word_shingles`)."""
+    base = df.select(F.col(id_col), words(text_col).alias("__w"))
+    nw = F.size(F.col("__w"))
+    lens = base.select(id_col, nw.cast("long").alias("n_words"))
+    grams = (
+        base.select(
+            F.col(id_col),
+            F.posexplode(
+                F.when(
+                    nw >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), nw - n + 1),
+                        lambda i: F.xxhash64(
+                            F.array_join(F.slice(F.col("__w"), i, n), " ")
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ).alias("__p0", "__gh"),
+        )
+        .select(id_col, (F.col("__p0") + 1).alias("pos"), "__gh")
+    )
+    freq = (
+        grams.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .filter(F.col("__freq") >= min_freq)
+        .select("__gh")
+    )
+    dup_pos = grams.join(freq, "__gh").select(id_col, "pos")
+    covered = dup_pos.groupBy(id_col).agg(
+        F.size(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.collect_list("pos"),
+                        lambda p: F.sequence(p, p + n - 1),
+                    )
+                )
+            )
+        ).cast("long").alias("n_dup_words")
+    )
+    out = lens.join(covered, id_col, "left").withColumn(
+        "n_dup_words", F.coalesce(F.col("n_dup_words"), F.lit(0).cast("long"))
+    )
+    return out.withColumn(
+        "dup_ratio",
+        F.when(F.col("n_words") > 0, F.col("n_dup_words") / F.col("n_words"))
+        .otherwise(F.lit(0.0)),
+    )

@@ -179,6 +179,107 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return out.drop("__w", "__g")
 
 
+#: stopwords whose PRESENCE (not ratio) Gopher requires — Rae et al.
+#: 2021, appendix A1.1 ("required words").
+GOPHER_REQUIRED_WORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, app. A1.1)
+    — the standard pre-training corpus gate, re-expressed as pure
+    Catalyst integer arithmetic so every flag is exact and
+    oracle-checkable (no float ratio ever crosses an engine boundary;
+    each threshold is an integer cross-multiplication):
+
+    - ``ok_word_count``    — word count in [min_words, max_words]
+    - ``ok_mean_word_len`` — mean word length in [3, 10]
+                             (3·n_words ≤ Σlen ≤ 10·n_words)
+    - ``ok_symbol_ratio``  — (# + …) per word ≤ 0.1  (10·symbols ≤ words)
+    - ``ok_bullet_lines``  — ≤ 90 % of lines start with a bullet
+    - ``ok_ellipsis_lines``— ≤ 30 % of lines end with an ellipsis
+    - ``ok_alpha_words``   — ≥ 80 % of tokens contain a letter
+    - ``ok_stopwords``     — ≥ 2 distinct Gopher required words present
+    - ``pass_gopher``      — AND of all seven
+
+    One map-only scan, zero shuffle, zero Python: at 100 TB this fuses
+    into the parquet read and filters before anything downstream pays
+    for a byte. Counts are also emitted so the gate is auditable."""
+    c = F.col(text_col)
+    base = (
+        df.withColumn("__w", words(text_col))
+        .withColumn("__t", tokens(text_col))
+        .withColumn("__lines", F.split(c, "\n"))
+        .withColumn("__padded", _padded(text_col))
+    )
+    w, t, lines = F.col("__w"), F.col("__t"), F.col("__lines")
+    n_words = F.size(w)
+    n_tokens = F.size(t)
+    n_lines = F.size(lines)
+    sum_word_len = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    # symbols: '#' occurrences + ellipsis occurrences ('...' or '…');
+    # replace '...' first so '…' never double-counts a char run.
+    n_hash = _occurrences(c, "#")
+    n_ellipsis = _occurrences(c, "...") + _occurrences(c, "…")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_tokens = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+    required_present = F.lit(0).cast("long")
+    for rw in GOPHER_REQUIRED_WORDS:
+        required_present = required_present + F.when(
+            _occurrences(F.col("__padded"), f" {rw} ") > 0, 1
+        ).otherwise(0)
+    out = (
+        base.withColumn("n_words", n_words.cast("long"))
+        .withColumn("n_lines", n_lines.cast("long"))
+        .withColumn("n_symbols", (n_hash + n_ellipsis).cast("long"))
+        .withColumn("n_required_stopwords", required_present)
+        .withColumn(
+            "ok_word_count",
+            (n_words >= min_words) & (n_words <= max_words),
+        )
+        .withColumn(
+            "ok_mean_word_len",
+            (n_words > 0)
+            & (sum_word_len >= min_mean_word_len * n_words)
+            & (sum_word_len <= max_mean_word_len * n_words),
+        )
+        .withColumn("ok_symbol_ratio", 10 * (n_hash + n_ellipsis) <= n_words)
+        .withColumn("ok_bullet_lines", 10 * bullet_lines <= 9 * n_lines)
+        .withColumn("ok_ellipsis_lines", 10 * ellipsis_lines <= 3 * n_lines)
+        .withColumn(
+            "ok_alpha_words",
+            (n_tokens > 0) & (5 * alpha_tokens >= 4 * n_tokens),
+        )
+        .withColumn("ok_stopwords", required_present >= 2)
+    )
+    flags = [
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+        "ok_stopwords",
+    ]
+    pass_all = F.lit(True)
+    for fl in flags:
+        pass_all = pass_all & F.col(fl)
+    return out.withColumn("pass_gopher", pass_all).drop(
+        "__w", "__t", "__lines", "__padded"
+    )
+
+
 def tfidf_topk(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

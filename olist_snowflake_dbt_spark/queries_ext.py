@@ -1572,3 +1572,172 @@ def q_dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return incremental_dedup(batch, standing, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------
+# round 7 additions: Gopher rules, duplicated spans, Z-order layout
+# ---------------------------------------------------------------------
+
+_GOPHER_REQ_SQL = " + ".join(
+    f"CASE WHEN position(' {w} ' IN padded) > 0 THEN 1 ELSE 0 END"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+
+@query(
+    "text_gopher_rules",
+    rf"""
+    WITH base AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+               regexp_extract_all(text, '\S+') AS t,
+               string_split(text, chr(10)) AS lines,
+               ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ' AS padded,
+               text
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS sum_wl,
+               CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+               CAST((length(text) - length(replace(text, '...', ''))) // 3
+                    + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS n_ell,
+               CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS bullet_lines,
+               CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS BIGINT) AS ellipsis_lines,
+               CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_tokens,
+               CAST({_GOPHER_REQ_SQL} AS BIGINT) AS n_required_stopwords
+        FROM base
+    )
+    SELECT doc_id, n_words, n_lines,
+           n_hash + n_ell AS n_symbols,
+           n_required_stopwords,
+           n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+           n_words > 0 AND sum_wl >= 3 * n_words AND sum_wl <= 10 * n_words AS ok_mean_word_len,
+           10 * (n_hash + n_ell) <= n_words AS ok_symbol_ratio,
+           10 * bullet_lines <= 9 * n_lines AS ok_bullet_lines,
+           10 * ellipsis_lines <= 3 * n_lines AS ok_ellipsis_lines,
+           n_tokens > 0 AND 5 * alpha_tokens >= 4 * n_tokens AS ok_alpha_words,
+           n_required_stopwords >= 2 AS ok_stopwords,
+           (n_words >= 50 AND n_words <= 100000)
+               AND (n_words > 0 AND sum_wl >= 3 * n_words AND sum_wl <= 10 * n_words)
+               AND (10 * (n_hash + n_ell) <= n_words)
+               AND (10 * bullet_lines <= 9 * n_lines)
+               AND (10 * ellipsis_lines <= 3 * n_lines)
+               AND (n_tokens > 0 AND 5 * alpha_tokens >= 4 * n_tokens)
+               AND (n_required_stopwords >= 2) AS pass_gopher
+    FROM m
+    """,
+)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher quality-rule gate (operators/text.gopher_rules):
+    seven document filters from Rae et al. 2021 appendix A1.1, all as
+    exact integer cross-multiplications so no float ratio crosses the
+    engine boundary. Map-only — at 100 TB this fuses into the scan."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.gopher_rules(docs).select(
+        "doc_id", "n_words", "n_lines", "n_symbols", "n_required_stopwords",
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+        "ok_stopwords", "pass_gopher",
+    )
+
+
+@query(
+    "dedup_span_ngram",
+    f"""
+    WITH d2 AS ({{planted}}),
+    w AS (SELECT doc_id, {{words}} AS w FROM d2),
+    lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM w),
+    g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(w[i:i+4], ' ') AS gram
+        FROM w, UNNEST(generate_series(1, len(w) - 4)) AS s(i)
+    ),
+    f AS (
+        SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM g GROUP BY 1)
+        WHERE c >= 2
+    ),
+    dp AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)),
+    cov AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS n_dup_words
+        FROM dp, UNNEST(generate_series(pos, pos + 4)) AS c(p)
+        GROUP BY 1
+    )
+    SELECT l.doc_id, l.n_words,
+           COALESCE(cov.n_dup_words, 0) AS n_dup_words,
+           CASE WHEN l.n_words > 0
+                THEN CAST(COALESCE(cov.n_dup_words, 0) AS DOUBLE) / l.n_words
+                ELSE 0.0 END AS dup_ratio
+    FROM lens l LEFT JOIN cov USING (doc_id)
+    """.format(planted=_PLANTED_DOCS, words=_WORDS),
+)
+def q_dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span accounting, Lee-et-al style
+    (operators/dedup.duplicated_span_stats): per document, the number
+    of word positions covered by a corpus-duplicated 5-gram — the
+    distributed, fixed-n stand-in for suffix-array ExactSubstr. Two
+    shuffles total (gram-frequency count + join-back); grams travel as
+    8-byte xxhash64 keys, the oracle joins the strings directly."""
+    return DD.duplicated_span_stats(
+        _planted_docs(spark, sf_dir), "text", "doc_id", n=5, min_freq=2
+    )
+
+
+_Z_INTERLEAVE_SQL = " + ".join(
+    t
+    for b in range(8)
+    for t in (
+        f"((sx // {1 << b}) % 2) * {1 << (2 * b)}",
+        f"((sy // {1 << b}) % 2) * {1 << (2 * b + 1)}",
+    )
+)
+
+
+@query(
+    "zorder_layout_stats",
+    f"""
+    WITH src AS (
+        SELECT user_id AS x, CAST(FLOOR(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    b AS (
+        SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax
+        FROM src
+    ),
+    s AS (
+        SELECT x, y,
+               CASE WHEN xmax <= xmin THEN 0
+                    ELSE CAST(FLOOR(CAST((x - xmin) * 255 AS DOUBLE) / (xmax - xmin)) AS BIGINT)
+               END AS sx,
+               CASE WHEN ymax <= ymin THEN 0
+                    ELSE CAST(FLOOR(CAST((y - ymin) * 255 AS DOUBLE) / (ymax - ymin)) AS BIGINT)
+               END AS sy
+        FROM src CROSS JOIN b
+    ),
+    z AS (SELECT x, y, {_Z_INTERLEAVE_SQL} AS zkey FROM s)
+    SELECT CAST(zkey // 4096 AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           MIN(y) AS y_min, MAX(y) AS y_max
+    FROM z GROUP BY 1
+    """,
+)
+def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit (operators/layout.zorder_stats):
+    scale (user_id, cents) onto a 256x256 grid, interleave the bits into
+    a Morton key, split the key space into 16 Z-ranges (= the files an
+    OPTIMIZE ZORDER would write) and report each range's min/max
+    envelope on BOTH dimensions — the parquet file statistics that make
+    multi-dimensional predicate pruning work at 100 TB. One scalar
+    min/max aggregate broadcast back + one groupBy: a single data
+    shuffle at any scale."""
+    from .operators import layout as LAY
+
+    src = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return LAY.zorder_stats(src, "x", "y", bits=8, bucket_bits=4)

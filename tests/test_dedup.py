@@ -400,3 +400,46 @@ def test_incremental_dedup_rejects_standing_and_within_batch_dups(spark):
         survivors.select(fingerprint("text").alias("doc_fingerprint"))
     ).dropDuplicates()
     assert incremental_dedup(batch, grown, "text", "doc_id").count() == 0
+
+
+def test_duplicated_span_stats_hand_checked(spark):
+    from olist_snowflake_dbt_spark.operators.dedup import duplicated_span_stats
+
+    # d1/d2 share the 3-gram "a b c" once each; d3 repeats "x y z" twice
+    # WITHIN itself (overlapping coverage 1..5); d4 is unique; d5 short.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c p q"),
+            (2, "m a b c n"),
+            (3, "x y z x y z"),
+            (4, "u v w r s"),
+            (5, "t u"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_dup_words, r.dup_ratio)
+        for r in duplicated_span_stats(df, "text", "doc_id", n=3, min_freq=2).collect()
+    }
+    assert got[1] == (5, 3, 0.6)       # positions 1-3 covered
+    assert got[2] == (5, 3, 0.6)       # positions 2-4 covered
+    # d3: "x y z" at pos 1 and 4 (freq 2) + "z x y"/"y z x" unique →
+    # covered {1..3} ∪ {4..6} = all 6
+    assert got[3] == (6, 6, 1.0)
+    assert got[4] == (5, 0, 0.0)
+    assert got[5] == (2, 0, 0.0)       # shorter than n: no grams, no spans
+
+
+def test_duplicated_span_stats_planted_full_cover(spark, planted):
+    from olist_snowflake_dbt_spark.operators.dedup import duplicated_span_stats
+
+    out = duplicated_span_stats(planted, "text", "doc_id", n=5, min_freq=2)
+    planted_pairs = out.filter(
+        (F.col("doc_id") % 50 == 0) | (F.col("doc_id") >= 1_000_000)
+    )
+    # every planted duplicate (and its original) with ≥5 words is fully
+    # covered by duplicated 5-grams — dup_ratio exactly 1.0
+    bad = planted_pairs.filter(
+        (F.col("n_words") >= 5) & (F.col("dup_ratio") < 1.0)
+    ).count()
+    assert bad == 0

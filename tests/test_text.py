@@ -208,3 +208,43 @@ def test_ngram_counts_exact_and_tiebreak(spark):
     # top-k boundary is deterministic: ties broken by ngram ASC
     top = ngram_counts(docs, "text", n=2, k=2).collect()
     assert [r["ngram"] for r in top] == ["the cat", "cat ran"]
+
+
+def test_gopher_rules_flags(spark):
+    from olist_snowflake_dbt_spark.operators.text import gopher_rules
+
+    good = "The quick brown fox jumps over the lazy dog and runs to be " \
+           "part of the pack with plenty of words that have normal shape " \
+           "and length so every rule here passes cleanly today " * 2
+    bullets = "- one\n- two\n- three\n- four"
+    dots = "first line...\nsecond line…\nthird"
+    symbols = "# # # # tag"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, dots), (4, symbols), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_rules(df, "text").collect()}
+    assert got[1].pass_gopher
+    assert got[1].ok_word_count and got[1].ok_stopwords and got[1].ok_alpha_words
+    # 4/4 bullet lines > 90 % → fails the bullet rule (and word count)
+    assert not got[2].ok_bullet_lines and not got[2].pass_gopher
+    # 2/3 ellipsis-terminated lines > 30 %
+    assert not got[3].ok_ellipsis_lines
+    # 4 symbols vs 5 words → ratio 0.8 > 0.1
+    assert not got[4].ok_symbol_ratio
+    # empty doc fails length/alpha/stopword rules but must not crash
+    assert not got[5].pass_gopher and got[5].n_words == 0
+
+
+def test_gopher_rules_integer_thresholds_are_exact(spark):
+    from olist_snowflake_dbt_spark.operators.text import gopher_rules
+
+    # exactly at the boundary: 10 * symbols == n_words passes (≤), one
+    # more symbol fails — no float epsilon anywhere
+    at = ("w " * 10).strip() + " #"           # 11 words? no: '#' not a word
+    df = spark.createDataFrame([(1, at)], "doc_id long, text string")
+    r = gopher_rules(df, "text").collect()[0]
+    assert r.n_words == 10 and r.n_symbols == 1 and r.ok_symbol_ratio
+    df2 = spark.createDataFrame([(1, at + " #")], "doc_id long, text string")
+    r2 = gopher_rules(df2, "text").collect()[0]
+    assert r2.n_symbols == 2 and not r2.ok_symbol_ratio
