@@ -65,6 +65,12 @@ SCALE_QUERIES = [
     "similarity_ivf",
     "tpch_q13_customer_distribution",
     "materialize_table_roundtrip",
+    # round-7 additions: duplicated-span accounting is gram-explode
+    # heavy (the round's most data-proportional op); the Gopher gate and
+    # Z-order audit prove the map-only / single-shuffle claims scale
+    "dedup_span_ngram",
+    "text_gopher_rules",
+    "zorder_layout_stats",
 ]
 
 SF_DIRS = {
