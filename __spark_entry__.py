@@ -62,10 +62,10 @@ _CHECK_FIRST = [
     "runner_pipeline_gate",
     "runner_source_freshness",
     "runner_slimci_retry",
-    # sources/pyds.py changed (append-manifest merge, atomic commit)
-    "pyds_synthetic_corpus",
+    # sources/pyds.py changed THIS round in the sink commit path only —
+    # jsonl_sink_roundtrip exercises it; the reader/stream queries keep
+    # fresh r06 rows and yield their slots to brand-new round-7 queries
     "pyds_jsonl_sink_roundtrip",
-    "pyds_stream_drain",
     # compat.py changed (protobuf opt-in moved to harness)
     "stream_stateful_totals_tws",
     # operators/similarity.py changed (typed key, ts_col, auto-sizing)
@@ -82,10 +82,13 @@ _CHECK_FIRST = [
     "dedup_ngram_jaccard",
     "dedup_connected_components",
     # BRAND-NEW round-7 operators (first-ever driver rows): Gopher
-    # rule gate, Lee-et-al duplicated-span accounting, Z-order layout
+    # rule gate, Lee-et-al duplicated-span accounting + removal cut,
+    # Z-order layout, integer-exact PageRank
     "text_gopher_rules",
     "dedup_span_ngram",
+    "dedup_span_removal",
     "zorder_layout_stats",
+    "graph_pagerank_purchases",
     # oldest surviving driver rows (r03): SQL breadth over queries_sql_breadth
     "window_running_agg",
     "topk_per_group",

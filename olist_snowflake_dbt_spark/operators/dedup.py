@@ -794,3 +794,82 @@ def duplicated_span_stats(
         F.when(F.col("n_words") > 0, F.col("n_dup_words") / F.col("n_words"))
         .otherwise(F.lit(0.0)),
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_freq: int = 2,
+) -> DataFrame:
+    """The cleaning companion of :func:`duplicated_span_stats`: REMOVE
+    every word position covered by a corpus-duplicated n-gram and emit
+    the surviving text — Lee et al.'s ExactSubstr-cut output at word
+    granularity (the transform RefinedWeb applies after the accounting).
+    Returns (id, n_words, n_kept, clean_text) where ``clean_text`` joins
+    the kept NORMALIZED words (positions are defined over the normalized
+    word sequence, same convention as the stats op).
+
+    Same 2-shuffle shape as the stats op, plus the final regroup: the
+    covered-interval union is built per doc as an array, then the word
+    array is filtered by position with a single ``F.filter`` index
+    lambda — no per-position explode of the document through a shuffle.
+    A doc whose every position is covered yields ``clean_text = ''``
+    (kept for auditability; drop with ``n_kept > 0`` downstream)."""
+    base = df.select(F.col(id_col), words(text_col).alias("__w"))
+    nw = F.size(F.col("__w"))
+    grams = (
+        base.select(
+            F.col(id_col),
+            F.posexplode(
+                F.when(
+                    nw >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), nw - n + 1),
+                        lambda i: F.xxhash64(
+                            F.array_join(F.slice(F.col("__w"), i, n), " ")
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ).alias("__p0", "__gh"),
+        )
+        .select(id_col, (F.col("__p0") + 1).cast("long").alias("pos"), "__gh")
+    )
+    freq = (
+        grams.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .filter(F.col("__freq") >= min_freq)
+        .select("__gh")
+    )
+    covered = (
+        grams.join(freq, "__gh")
+        .groupBy(id_col)
+        .agg(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.collect_list("pos"),
+                        lambda p: F.sequence(p, p + n - 1),
+                    )
+                )
+            ).alias("__cov")
+        )
+    )
+    out = (
+        base.join(covered, id_col, "left")
+        .withColumn("__cov", F.coalesce(F.col("__cov"), F.array().cast("array<long>")))
+        .withColumn(
+            "__kept",
+            F.filter(
+                F.col("__w"),
+                lambda x, i: ~F.array_contains(F.col("__cov"), (i + 1).cast("long")),
+            ),
+        )
+    )
+    return out.select(
+        id_col,
+        F.size(F.col("__w")).cast("long").alias("n_words"),
+        F.size(F.col("__kept")).cast("long").alias("n_kept"),
+        F.array_join(F.col("__kept"), " ").alias("clean_text"),
+    )

@@ -1,0 +1,115 @@
+"""Graph-analytics operators for corpus curation: integer-exact
+PageRank over an edge table.
+
+Why a TRAINING-DATA engine ships PageRank: web-crawl curation ranks
+hosts/documents by link connectivity to pick crawl seeds and to weight
+corpus sampling (the CommonCrawl/OpenWebText lineage — "pages linked
+from high-rank pages are higher quality"). The same shape ranks any
+entity graph (customer↔supplier purchase graphs here, since the
+testdata has no link column).
+
+Why INTEGER-exact: float PageRank is order-dependent (the per-node sum
+of double contributions depends on aggregation order, so two engines —
+or two RUNS — disagree in the last ulp and a value-hash oracle can
+never pass). This variant does the random-walk redistribution in
+integer "points": each node donates ``floor(points·d_num/d_den)``,
+split as ``floor(donation/outdeg)`` per out-edge, and KEEPS the
+remainder (both floors). Total points are conserved exactly, every
+engine computes bit-identical ranks, and the ordering converges to the
+same ranking as float PageRank as ``init_points`` grows (the quantum is
+1/init_points of a node's mass).
+
+Scale shape (per iteration): one equi-join of the rank frame onto the
+edge list's src (co-partitionable — both sides hash on node id), one
+groupBy(dst) with map-side combine. Rank state is (node, long) — 16
+bytes/node; ``localCheckpoint`` per round keeps the plan constant-size
+exactly like :func:`~.dedup.connected_components`. A skewed in-degree
+hub is an aggregation hot key with partial aggregation — not a join
+explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def integer_pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    init_points: int = 1_000_000,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, pagerank_points) after ``iterations`` rounds of exact
+    integer mass redistribution over the directed edge list. Dangling
+    nodes (no out-edges) keep their full mass each round — deterministic
+    and conservation-preserving (feed a bidirectional edge list if the
+    random-walk interpretation should never strand mass).
+
+    All arithmetic is 64-bit integer ``div`` — no doubles anywhere, so
+    results are bit-identical across engines and partitionings; the sum
+    of ``pagerank_points`` always equals ``n_nodes * init_points``."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).dropDuplicates()
+    if checkpoint:
+        e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    ranks = nodes.withColumn(
+        "pagerank_points", F.lit(init_points).cast("long")
+    )
+    if checkpoint:
+        ranks = ranks.localCheckpoint()
+    for _ in range(iterations):
+        sending = (
+            ranks.join(outdeg, "node", "left")
+            .withColumn(
+                "__per_edge",
+                F.when(
+                    F.col("__deg").isNotNull(),
+                    F.expr(
+                        f"(pagerank_points * {damping_num} div {damping_den})"
+                        " div __deg"
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            .withColumn(
+                "__kept",
+                F.col("pagerank_points")
+                - F.col("__per_edge") * F.coalesce(F.col("__deg"), F.lit(0)),
+            )
+        )
+        recv = (
+            e.join(
+                sending.select(F.col("node").alias("src"), "__per_edge"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("__per_edge").alias("__recv"))
+        )
+        ranks = (
+            sending.select("node", "__kept")
+            .join(recv, "node", "left")
+            .select(
+                "node",
+                (F.col("__kept") + F.coalesce(F.col("__recv"), F.lit(0)))
+                .cast("long")
+                .alias("pagerank_points"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
+    if checkpoint:
+        e.unpersist()
+    return ranks

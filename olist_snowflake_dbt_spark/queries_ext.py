@@ -1741,3 +1741,138 @@ def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("long").alias("y"),
     )
     return LAY.zorder_stats(src, "x", "y", bits=8, bucket_bits=4)
+
+
+@query(
+    "dedup_span_removal",
+    f"""
+    WITH d2 AS ({{planted}}),
+    w AS (SELECT doc_id, {{words}} AS w FROM d2),
+    g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(w[i:i+4], ' ') AS gram
+        FROM w, UNNEST(generate_series(1, len(w) - 4)) AS s(i)
+    ),
+    f AS (
+        SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM g GROUP BY 1)
+        WHERE c >= 2
+    ),
+    dp AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)),
+    cov AS (
+        SELECT DISTINCT doc_id, p AS pos
+        FROM dp, UNNEST(generate_series(pos, pos + 4)) AS c(p)
+    ),
+    k AS (
+        SELECT w.doc_id, CAST(i AS BIGINT) AS pos, w.w[i] AS word
+        FROM w, UNNEST(generate_series(1, len(w.w))) AS s(i)
+    ),
+    kept AS (
+        SELECT k.doc_id, k.pos, k.word
+        FROM k LEFT JOIN cov ON k.doc_id = cov.doc_id AND k.pos = cov.pos
+        WHERE cov.pos IS NULL
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(word, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY 1
+    )
+    SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           COALESCE(agg.clean_text, '') AS clean_text
+    FROM w LEFT JOIN agg USING (doc_id)
+    """.format(planted=_PLANTED_DOCS, words=_WORDS),
+)
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr CUT (operators/dedup.remove_duplicated_spans):
+    emit each document's surviving normalized words after removing every
+    position covered by a corpus-duplicated 5-gram — the transform
+    applied downstream of dedup_span_ngram's accounting. Same 2-shuffle
+    plan plus the per-row position filter (F.filter index lambda — the
+    document never explodes through a shuffle)."""
+    return DD.remove_duplicated_spans(
+        _planted_docs(spark, sf_dir), "text", "doc_id", n=5, min_freq=2
+    )
+
+
+_PAGERANK_ORACLE = """
+    WITH dir AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (
+        SELECT src, dst FROM dir
+        UNION
+        SELECT dst AS src, src AS dst FROM dir
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    outdeg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pts FROM nodes),
+    s1 AS (
+        SELECT r.node,
+               (r.pts * 85 // 100) // d.deg AS per_edge,
+               r.pts - ((r.pts * 85 // 100) // d.deg) * d.deg AS kept
+        FROM r0 r JOIN outdeg d USING (node)
+    ),
+    r1 AS (
+        SELECT s.node, s.kept + COALESCE(c.recv, 0) AS pts
+        FROM s1 s LEFT JOIN (
+            SELECT e.dst AS node, CAST(SUM(x.per_edge) AS BIGINT) AS recv
+            FROM e JOIN s1 x ON e.src = x.node GROUP BY 1
+        ) c USING (node)
+    ),
+    s2 AS (
+        SELECT r.node,
+               (r.pts * 85 // 100) // d.deg AS per_edge,
+               r.pts - ((r.pts * 85 // 100) // d.deg) * d.deg AS kept
+        FROM r1 r JOIN outdeg d USING (node)
+    ),
+    r2 AS (
+        SELECT s.node, s.kept + COALESCE(c.recv, 0) AS pts
+        FROM s2 s LEFT JOIN (
+            SELECT e.dst AS node, CAST(SUM(x.per_edge) AS BIGINT) AS recv
+            FROM e JOIN s2 x ON e.src = x.node GROUP BY 1
+        ) c USING (node)
+    ),
+    s3 AS (
+        SELECT r.node,
+               (r.pts * 85 // 100) // d.deg AS per_edge,
+               r.pts - ((r.pts * 85 // 100) // d.deg) * d.deg AS kept
+        FROM r2 r JOIN outdeg d USING (node)
+    ),
+    r3 AS (
+        SELECT s.node, s.kept + COALESCE(c.recv, 0) AS pts
+        FROM s3 s LEFT JOIN (
+            SELECT e.dst AS node, CAST(SUM(x.per_edge) AS BIGINT) AS recv
+            FROM e JOIN s3 x ON e.src = x.node GROUP BY 1
+        ) c USING (node)
+    )
+    SELECT node, CAST(pts AS BIGINT) AS pagerank_points FROM r3
+"""
+
+
+@query("graph_pagerank_purchases", _PAGERANK_ORACLE)
+def q_graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.integer_pagerank), 3
+    rounds over the bidirectional customer↔supplier purchase graph
+    (distinct pairs from lineitem⋈orders — the one fact-fact join,
+    pre-deduped before any iteration). Exact integer mass
+    redistribution makes ranks bit-identical across engines — the
+    oracle unrolls the same three rounds in SQL. The crawl-seed /
+    corpus-weighting primitive of web-corpus curation."""
+    from .operators import graph as GR
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    d = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    edges = d.unionByName(
+        d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return GR.integer_pagerank(edges, iterations=3)

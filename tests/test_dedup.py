@@ -443,3 +443,43 @@ def test_duplicated_span_stats_planted_full_cover(spark, planted):
         (F.col("n_words") >= 5) & (F.col("dup_ratio") < 1.0)
     ).count()
     assert bad == 0
+
+
+def test_remove_duplicated_spans_hand_checked(spark):
+    from olist_snowflake_dbt_spark.operators.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c p q"),
+            (2, "m a b c n"),
+            (3, "x y z x y z"),
+            (4, "u v w r s"),
+            (5, "t u"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_kept, r.clean_text)
+        for r in remove_duplicated_spans(df, "text", "doc_id", n=3, min_freq=2).collect()
+    }
+    assert got[1] == (2, "p q")
+    assert got[2] == (2, "m n")
+    assert got[3] == (0, "")          # fully covered → empty survivor
+    assert got[4] == (5, "u v w r s")
+    assert got[5] == (2, "t u")       # shorter than n: untouched
+
+
+def test_span_removal_consistent_with_span_stats(spark, planted):
+    from olist_snowflake_dbt_spark.operators.dedup import (
+        duplicated_span_stats,
+        remove_duplicated_spans,
+    )
+
+    stats = duplicated_span_stats(planted, "text", "doc_id", n=5, min_freq=2)
+    cut = remove_duplicated_spans(planted, "text", "doc_id", n=5, min_freq=2)
+    joined = stats.join(cut.select("doc_id", "n_kept"), "doc_id")
+    # kept + covered positions partition the word sequence exactly
+    bad = joined.filter(
+        F.col("n_kept") + F.col("n_dup_words") != F.col("n_words")
+    ).count()
+    assert bad == 0
