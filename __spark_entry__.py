@@ -70,11 +70,10 @@ _CHECK_FIRST = [
     "stream_stateful_totals_tws",
     # operators/similarity.py changed (typed key, ts_col, auto-sizing)
     "cogroup_conversion_stats",
-    # operators/incremental.py changed (backup-swap publish; merge_sim +
-    # microbatch_sim exercise the changed publish path for the whole
-    # family — delete_insert/insert_overwrite keep fresh r06 rows and
-    # yield their slots to the three brand-new round-7 queries below)
-    "incremental_merge_sim",
+    # operators/incremental.py changed (backup-swap publish);
+    # microbatch_sim exercises the changed publish path for the family —
+    # merge/delete_insert/insert_overwrite keep fresh r06 rows and
+    # yield their slots to the brand-new round-7 queries below
     "incremental_microbatch_sim",
     "dynamic_table_refresh",
     # operators/dedup.py changed (banding refactor, max_doc_freq)
@@ -85,6 +84,7 @@ _CHECK_FIRST = [
     # rule gate, Lee-et-al duplicated-span accounting + removal cut,
     # Z-order layout, integer-exact PageRank
     "text_gopher_rules",
+    "text_hashed_linear_score",
     "dedup_span_ngram",
     "dedup_span_removal",
     "zorder_layout_stats",

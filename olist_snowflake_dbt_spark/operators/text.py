@@ -280,6 +280,60 @@ def gopher_rules(
     )
 
 
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    seed: str = "quality-v1",
+) -> DataFrame:
+    """fastText-shaped linear classifier inference (Joulin et al. 2016;
+    the CCNet / GPT-3-style model-based quality filter): every word is
+    hashed into a ``buckets``-wide feature space (the hashing trick —
+    vocabulary-free, collisions share a weight BY BUCKET, exactly the
+    trained model's semantics), each bucket carries a weight, and the
+    document's logit is the sum of its words' bucket weights.
+
+    Weights here are a deterministic stand-in derived from the bucket id
+    (md5 → integer milli-weight in [-1000, 1000]); a TRAINED model swaps
+    in a broadcast ``bucket → weight`` lookup-join or a literal CASE
+    table — the Spark-side plumbing (hash → weight → per-doc sum →
+    threshold) is identical and is what this operator exists to prove at
+    scale: inference is a map-only scan fused into the parquet read,
+    zero shuffle, zero Python. Integer milli-weights keep the logit
+    exact (no float summation order), so the score is oracle-checkable
+    bit-for-bit.
+
+    Emits ``n_words``, ``logit_milli`` (sum of milli-weights),
+    ``score_per_word`` (logit/1000/n_words — IEEE-exact division) and
+    ``keep`` (logit ≥ 0)."""
+    from ..functions.hashing import portable_hash60
+
+    base = df.withColumn("__w", words(text_col))
+    nw = F.size(F.col("__w"))
+
+    def _weight(w: Column) -> Column:
+        bucket = portable_hash60(w) % buckets
+        return (
+            portable_hash60(F.concat(F.lit(seed + ":"), bucket.cast("string")))
+            % 2001
+        ) - 1000
+
+    logit = F.aggregate(
+        F.col("__w"), F.lit(0).cast("long"), lambda acc, w: acc + _weight(w)
+    )
+    return (
+        base.withColumn("n_words", nw.cast("long"))
+        .withColumn("logit_milli", logit)
+        .withColumn(
+            "score_per_word",
+            F.when(nw > 0, F.col("logit_milli") / 1000.0 / nw).otherwise(0.0),
+        )
+        .withColumn("keep", F.col("logit_milli") >= 0)
+        .drop("__w")
+    )
+
+
 def tfidf_topk(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

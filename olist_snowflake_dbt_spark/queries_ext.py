@@ -1876,3 +1876,41 @@ def q_graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return GR.integer_pagerank(edges, iterations=3)
+
+
+_HL_BUCKET = "CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 4096"
+_HL_WEIGHT = (
+    "(CAST('0x' || substr(md5('quality-v1:' || CAST("
+    + _HL_BUCKET
+    + " AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000"
+)
+
+
+@query(
+    "text_hashed_linear_score",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(COALESCE(list_sum(list_transform(w, x -> {_HL_WEIGHT})), 0)
+                    AS BIGINT) AS logit_milli
+        FROM w
+    )
+    SELECT doc_id, n_words, logit_milli,
+           CASE WHEN n_words > 0
+                THEN logit_milli / 1000.0 / n_words ELSE 0.0 END AS score_per_word,
+           logit_milli >= 0 AS keep
+    FROM m
+    """,
+)
+def q_text_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped hashing-trick linear classifier inference
+    (operators/text.hashed_linear_score): word → 4096-bucket feature
+    hash → bucket milli-weight → per-doc logit sum + keep decision.
+    Map-only, integer-exact — the model-based quality filter's plumbing
+    at parquet-scan speed."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.hashed_linear_score(docs).select(
+        "doc_id", "n_words", "logit_milli", "score_per_word", "keep"
+    )
