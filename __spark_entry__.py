@@ -89,6 +89,18 @@ _CHECK_FIRST = [
     "dedup_span_removal",
     "zorder_layout_stats",
     "graph_pagerank_purchases",
+    # BRAND-NEW round-7 (second batch): CDC log application (B1
+    # family), Bloom membership pre-filter (the incremental-dedup
+    # scale sibling), HLL sketch-partial rollup (persisted mergeable
+    # partials). Their three slots come from the r03 text-family rows
+    # text_repetition_stats / text_pii_pseudonymize / text_ngram_counts
+    # — each pinned by exact-count pytests and by in-window same-file
+    # siblings (gopher_rules / hashed_linear_score exercise the same
+    # operators/text.py scan machinery), and still gate.py-verified on
+    # current code every round.
+    "cdc_apply_latest",
+    "dedup_bloom_prefilter",
+    "sketch_rollup_merge",
     # oldest surviving driver rows (r03): SQL breadth over queries_sql_breadth
     "window_running_agg",
     "topk_per_group",
@@ -119,9 +131,6 @@ _CHECK_FIRST = [
     "text_quality_score",
     "text_tfidf_topk",
     "text_decontaminate",
-    "text_repetition_stats",
-    "text_pii_pseudonymize",
-    "text_ngram_counts",
     "corpus_prep_pipeline",
 ]
 

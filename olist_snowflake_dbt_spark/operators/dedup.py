@@ -873,3 +873,93 @@ def remove_duplicated_spans(
         F.size(F.col("__kept")).cast("long").alias("n_kept"),
         F.array_join(F.col("__kept"), " ").alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter membership pre-filter (incremental dedup's scale sibling)
+# ---------------------------------------------------------------------
+
+_BLOOM_WORD_BITS = 63  # bits per bitmap word; shifts stay < 63 so every
+#                        word is a POSITIVE long in any engine (DuckDB
+#                        raises on 1<<63; Java wraps negative) — bit 62
+#                        is the highest used and the value never needs
+#                        sign-aware comparison.
+
+
+def _bloom_positions(text_col: str, m_bits: int, k: int) -> list[F.Column]:
+    """The k bit positions of a document in an m-bit Bloom filter,
+    derived Kirsch-Mitzenmacher-style (pos_i = (h1 + i*h2) mod m) from
+    ONE md5 of the normalized text — the same two-hash family the
+    MinHash signatures use, and fully engine-portable (the DuckDB twin
+    recomputes identical positions from the same digest arithmetic)."""
+    digest = fingerprint(text_col)
+    h1 = F.pmod(md5_part60(digest, 0), F.lit(HASH_MOD))
+    h2 = F.pmod(md5_part60(digest, 1), F.lit(HASH_MOD))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(1, k + 1)]
+
+
+def bloom_build(
+    df: DataFrame, text_col: str, m_bits: int = 1 << 18, k: int = 5
+) -> DataFrame:
+    """Build a Bloom-filter bitmap over a corpus' document fingerprints
+    as a TABLE of (word_idx, bits) longs — ceil(m/63) rows max.
+
+    One explode (k small integers per doc) + one map-side-combinable
+    ``bit_or`` aggregate; the result is ~m/8 bytes regardless of corpus
+    size. At 10 bits/doc and 1% FP, a 10^9-doc standing corpus is a
+    ~1.2 GB bitmap vs a ~16 GB fingerprint table — and probing is a
+    broadcast join against the bitmap words instead of a shuffle-side
+    anti-join. Beyond broadcast range, shard the filter by
+    ``h1 mod S`` (each shard its own bitmap) and co-partition probes by
+    the same key — the same one-aggregate build applies per shard."""
+    pos = F.explode(F.array(*_bloom_positions(text_col, m_bits, k))).alias("__pos")
+    wb = _BLOOM_WORD_BITS
+    return (
+        df.select(pos)
+        .select(
+            F.expr(f"__pos div {wb}").alias("word_idx"),
+            # DataFrame shiftleft() takes only a literal shift; the SQL
+            # form accepts the per-row bit offset column
+            F.expr(f"shiftleft(bigint(1), int(__pos % {wb}))").alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("bits"))
+    )
+
+
+def bloom_probe(
+    batch: DataFrame,
+    bloom: DataFrame,
+    text_col: str,
+    id_col: str,
+    m_bits: int = 1 << 18,
+    k: int = 5,
+) -> DataFrame:
+    """Probe a batch against a Bloom bitmap built by :func:`bloom_build`:
+    returns the batch ids plus ``bloom_maybe`` — False GUARANTEES the
+    document is not in the standing corpus (no false negatives), True
+    means "run the exact check". The point at 100 TB: the cheap
+    broadcast probe discharges the overwhelmingly-common new-document
+    case map-side; only the ``bloom_maybe`` sliver pays the exact
+    fingerprint anti-join (see :func:`incremental_dedup`).
+
+    Plan shape: explode k positions per doc → LEFT join the (broadcast)
+    bitmap on word_idx → a doc is maybe-present iff ALL k probed bits
+    are set (min over the k indicator rows == 1). One broadcast join +
+    one map-side-combinable aggregate; nothing shuffles but doc ids."""
+    pos_arr = F.array(*_bloom_positions(text_col, m_bits, k))
+    wb = _BLOOM_WORD_BITS
+    probes = batch.select(
+        F.col(id_col), F.explode(pos_arr).alias("__pos")
+    ).select(
+        id_col,
+        F.expr(f"__pos div {wb}").alias("word_idx"),
+        F.expr(f"int(__pos % {wb})").alias("__bit"),
+    )
+    joined = probes.join(F.broadcast(bloom), "word_idx", "left")
+    # DataFrame shiftright() takes only a literal shift; the SQL
+    # expression form accepts a column (ShiftRight is a binary expr)
+    hit = F.expr("shiftright(coalesce(bits, bigint(0)), __bit) & 1")
+    return joined.groupBy(id_col).agg(
+        (F.min(hit) == 1).alias("bloom_maybe")
+    )

@@ -1914,3 +1914,151 @@ def q_text_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.hashed_linear_score(docs).select(
         "doc_id", "n_words", "logit_milli", "score_per_word", "keep"
     )
+
+
+# ---------------------------------------------------------------------
+# round 7 (cont.): CDC apply, Bloom pre-filter
+# ---------------------------------------------------------------------
+
+
+@query(
+    "cdc_apply_latest",
+    """
+    WITH changes AS (
+        SELECT user_id, event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               value, ts
+        FROM events
+    ),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+        FROM changes
+    )
+    SELECT user_id, lsn, value, ts FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log application (operators/incremental.cdc_apply):
+    the events table read as a Debezium-shaped log — key = user_id,
+    LSN = event_id, op = delete when the change is an 'error' event —
+    collapsed to the CURRENT state table (highest-LSN change wins; keys
+    whose final op is a delete disappear). The engine side is ONE
+    map-side-combinable max_by aggregate, not a window sort — at 100 TB
+    of log the shuffle carries ~|keys| candidate rows, not the log."""
+    from .operators.incremental import cdc_apply
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+        "ts",
+    )
+    return cdc_apply(changes, ["user_id"], "lsn", "op")
+
+
+_BLOOM_M = 1 << 18
+_BLOOM_K = 5
+_B_H = (
+    "CAST('0x' || substr({d}, 1, 15) AS BIGINT) % 2147483647",
+    "CAST('0x' || substr({d}, 16, 15) AS BIGINT) % 2147483647",
+)
+
+
+@query(
+    "dedup_bloom_prefilter",
+    f"""
+    WITH standing AS (
+        SELECT DISTINCT md5({_NORM}) AS d
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    sh AS (
+        SELECT {_B_H[0].format(d='d')} AS h1, {_B_H[1].format(d='d')} AS h2
+        FROM standing
+    ),
+    spos AS (
+        SELECT (h1 + i * h2) % {_BLOOM_M} AS p
+        FROM sh CROSS JOIN (SELECT unnest(range(1, {_BLOOM_K + 1})) AS i)
+    ),
+    bitmap AS (
+        SELECT p // 63 AS word_idx,
+               bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+        FROM spos GROUP BY 1
+    ),
+    batch AS (
+        SELECT doc_id, md5({_NORM}) AS d FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, md5({_NORM}) AS d
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    bh AS (
+        SELECT doc_id, d, {_B_H[0].format(d='d')} AS h1,
+               {_B_H[1].format(d='d')} AS h2
+        FROM batch
+    ),
+    bpos AS (
+        SELECT doc_id, (h1 + i * h2) % {_BLOOM_M} AS p
+        FROM bh CROSS JOIN (SELECT unnest(range(1, {_BLOOM_K + 1})) AS i)
+    ),
+    probe AS (
+        SELECT doc_id,
+               MIN(CASE WHEN ((COALESCE(b.bits, 0) >> CAST(p % 63 AS INT)) & 1) = 1
+                        THEN 1 ELSE 0 END) = 1 AS bloom_maybe
+        FROM bpos LEFT JOIN bitmap b ON bpos.p // 63 = b.word_idx
+        GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.bloom_maybe,
+           bh.d IN (SELECT d FROM standing) AS exact_present,
+           p.bloom_maybe AND bh.d NOT IN (SELECT d FROM standing)
+               AS bloom_false_positive
+    FROM probe p JOIN bh ON p.doc_id = bh.doc_id
+    """,
+)
+def q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter (operators/dedup.bloom_build +
+    bloom_probe): the standing corpus (even doc_ids) is compressed into
+    a {m}-bit bitmap table; a batch of genuinely-new odd docs plus
+    replayed standing docs (id+1e6) is probed against it. Output per
+    batch doc: the bloom verdict, the exact membership truth, and the
+    false-positive flag — the driver row proves bit-for-bit engine
+    parity of the bitmap AND the no-false-negative guarantee (every
+    exact_present doc has bloom_maybe = true). At 100 TB the bitmap is
+    ~1/10th the bytes of the fingerprint table and probes are a
+    broadcast join discharged map-side; only bloom_maybe docs pay the
+    exact anti-join (dedup_incremental_corpus)."""
+    from .operators.dedup import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    standing = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    bitmap = bloom_build(standing, "text", _BLOOM_M, _BLOOM_K)
+    probe = bloom_probe(batch, bitmap, "text", "doc_id", _BLOOM_M, _BLOOM_K)
+    from .functions.text import fingerprint
+
+    standing_fp = standing.select(fingerprint("text").alias("__fp")).dropDuplicates()
+    exact = (
+        batch.select("doc_id", fingerprint("text").alias("__fp"))
+        .join(
+            F.broadcast(standing_fp.withColumn("__present", F.lit(True))),
+            "__fp",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("__present", F.lit(False)).alias("exact_present")
+        )
+    )
+    return probe.join(exact, "doc_id").select(
+        "doc_id",
+        "bloom_maybe",
+        "exact_present",
+        (F.col("bloom_maybe") & ~F.col("exact_present")).alias(
+            "bloom_false_positive"
+        ),
+    )

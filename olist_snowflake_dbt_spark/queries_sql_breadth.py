@@ -1263,3 +1263,53 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components operator, expressed declaratively."""
     _t(spark, sf_dir, "customer").createOrReplaceTempView("__rec_customer")
     return spark.sql(_RECURSIVE_CHAIN.format(customer="__rec_customer"))
+
+
+@query(
+    "sketch_rollup_merge",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_day_partials,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_within_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable sketch rollup — the 100 TB distinct-count pattern
+    the hll_and_quantile_sketch row only hints at: raw events collapse
+    ONCE into per-(event_type, day) Apache DataSketches HLL partials
+    (``hll_sketch_agg``), and every coarser rollup (here: per
+    event_type) is computed by MERGING the stored partials
+    (``hll_union_agg``) — never by rescanning raw data. A day's sketch
+    is ~2^12 bytes regardless of row count, so the standing partial
+    table for years of 100 TB/day telemetry is megabytes, and rollup
+    latency is O(partials), not O(events). The sketch estimate is
+    engine-specific, so (pattern as hll_and_quantile_sketch) the driver
+    row pins the exact twins both engines compute — partial count and
+    exact distinct — plus a bounded-relative-error invariant over the
+    REAL merged sketch, which the oracle states as literal TRUE; the
+    default lgConfigK=12 sketch has rsd ~1.6%, so the 5% band is >3
+    sigma. Tighter accuracy assertions live in tests/test_sketches.py."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    partials = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("__sk")
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_day_partials"),
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return exact.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        "n_day_partials",
+        "exact_users",
+        (
+            F.abs(F.col("__est") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("merged_within_tol"),
+    )

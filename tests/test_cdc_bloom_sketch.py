@@ -1,0 +1,187 @@
+"""Round-7 additions: cdc_apply, Bloom pre-filter, HLL sketch rollup.
+
+cdc_apply semantics pinned with hand-built change logs; Bloom with its
+two load-bearing guarantees (zero false negatives ever; FP rate bounded
+by sizing); the sketch rollup with accuracy tighter than the driver row's
+5% band and the merge-vs-direct equivalence that makes partials safe to
+store.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from olist_snowflake_dbt_spark.operators.dedup import bloom_build, bloom_probe
+from olist_snowflake_dbt_spark.operators.incremental import cdc_apply
+
+
+# ------------------------------------------------------------- cdc_apply
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, lsn bigint, op string, v string")
+
+
+def test_cdc_latest_upsert_wins(spark):
+    out = cdc_apply(
+        _changes(spark, [(1, 1, "U", "a"), (1, 3, "U", "c"), (1, 2, "U", "b")]),
+        ["k"], "lsn", "op",
+    ).collect()
+    assert [(r.k, r.lsn, r.v) for r in out] == [(1, 3, "c")]
+
+
+def test_cdc_final_delete_removes_key(spark):
+    out = cdc_apply(
+        _changes(spark, [(1, 1, "U", "a"), (1, 2, "D", None), (2, 1, "U", "x")]),
+        ["k"], "lsn", "op",
+    ).collect()
+    assert [(r.k, r.v) for r in out] == [(2, "x")]
+
+
+def test_cdc_delete_then_reinsert_survives(spark):
+    out = cdc_apply(
+        _changes(spark, [(1, 1, "U", "a"), (1, 2, "D", None), (1, 3, "U", "back")]),
+        ["k"], "lsn", "op",
+    ).collect()
+    assert [(r.k, r.lsn, r.v) for r in out] == [(1, 3, "back")]
+
+
+def test_cdc_composite_key_and_column_set(spark):
+    df = spark.createDataFrame(
+        [(1, "eu", 5, "U", "a"), (1, "us", 6, "D", None)],
+        "k bigint, region string, lsn bigint, op string, v string",
+    )
+    out = cdc_apply(df, ["k", "region"], "lsn", "op")
+    assert out.columns == ["k", "region", "lsn", "v"]  # op consumed
+    rows = {(r.k, r.region): r.v for r in out.collect()}
+    assert rows == {(1, "eu"): "a"}  # (1,'us') deleted independently
+
+
+def test_cdc_empty_key_raises(spark):
+    with pytest.raises(ValueError):
+        cdc_apply(_changes(spark, [(1, 1, "U", "a")]), [], "lsn", "op")
+
+
+def test_cdc_matches_window_formulation(spark, sf_dir):
+    """The max_by aggregate must agree with the row_number window on
+    real data (events at sf0.001, unique LSN per key by construction)."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "value",
+    )
+    got = cdc_apply(ev, ["user_id"], "lsn", "op")
+    w = W.partitionBy("user_id").orderBy(F.col("lsn").desc())
+    want = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1 AND op <> 'D'")
+        .select("user_id", "lsn", "value")
+    )
+    assert got.select("user_id", "lsn", "value").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("user_id", "lsn", "value")).count() == 0
+
+
+# ------------------------------------------------------------- bloom
+@pytest.fixture(scope="module")
+def bloom_docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+
+def test_bloom_no_false_negatives(spark, bloom_docs):
+    """THE Bloom guarantee: every member probes maybe=True — including
+    under a deliberately undersized (high-FP) filter."""
+    standing = bloom_docs.filter(F.col("doc_id") % 2 == 0)
+    for m in (1 << 10, 1 << 16):  # tiny (FP-heavy) and sized
+        bm = bloom_build(standing, "text", m, 5)
+        verdicts = bloom_probe(standing, bm, "text", "doc_id", m, 5)
+        assert verdicts.filter(~F.col("bloom_maybe")).count() == 0
+
+
+def test_bloom_fp_rate_bounded(spark, bloom_docs):
+    """FP rate tracks the textbook bound p=(1-e^{-kn/m})^k for the
+    Kirsch-Mitzenmacher family: zero FPs when well-sized (m=2^16,
+    p≈2e-9) and within 2x theory when deliberately undersized (m=2^10,
+    n=125, k=5 → p≈0.174; measured 47/250≈0.188 — the uniformity of the
+    md5-derived positions, not just 'some bits collide')."""
+    import math
+
+    standing = bloom_docs.filter(F.col("doc_id") % 2 == 0)
+    novel = bloom_docs.filter(F.col("doc_id") % 2 == 1)
+    n_standing, n_novel, k = standing.count(), novel.count(), 5
+    bm = bloom_build(standing, "text", 1 << 16, k)
+    fp = bloom_probe(novel, bm, "text", "doc_id", 1 << 16, k)
+    assert fp.filter(F.col("bloom_maybe")).count() == 0
+    m_small = 1 << 10
+    p_theory = (1 - math.exp(-k * n_standing / m_small)) ** k
+    bm_small = bloom_build(standing, "text", m_small, k)
+    fp_small = bloom_probe(novel, bm_small, "text", "doc_id", m_small, k)
+    assert fp_small.filter(F.col("bloom_maybe")).count() <= 2 * p_theory * n_novel
+
+
+def test_bloom_bitmap_is_tiny_and_positive(spark, bloom_docs):
+    """The bitmap table is ≤ ceil(m/63) rows of POSITIVE longs (bit 62
+    max — engine-portable sign-free words), i.e. ~m/8 bytes total
+    regardless of corpus size."""
+    m = 1 << 12
+    bm = bloom_build(bloom_docs, "text", m, 5).collect()
+    assert len(bm) <= m // 63 + 1
+    assert all(0 < r.bits for r in bm)
+    assert all(0 <= r.word_idx <= (m - 1) // 63 for r in bm)
+
+
+def test_bloom_probe_empty_bitmap_all_new(spark, bloom_docs):
+    """A probe against an EMPTY standing corpus must return maybe=False
+    for everything (the left-join coalesce path)."""
+    empty = bloom_docs.filter(F.lit(False))
+    bm = bloom_build(empty, "text", 1 << 12, 5)
+    out = bloom_probe(bloom_docs.limit(20), bm, "text", "doc_id", 1 << 12, 5)
+    assert out.filter(F.col("bloom_maybe")).count() == 0
+
+
+def test_bloom_probe_plan_is_broadcast(spark, bloom_docs):
+    """The probe join must broadcast the bitmap — no shuffle of the
+    batch beyond the final per-doc aggregate."""
+    bm = bloom_build(bloom_docs, "text", 1 << 12, 5)
+    plan = bloom_probe(bloom_docs, bm, "text", "doc_id", 1 << 12, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------- sketches
+def test_hll_rollup_merge_equals_direct(spark, sf_dir):
+    """Merging per-day HLL partials must estimate the same distinct
+    count as one direct sketch over the raw rows (lossless union at
+    equal lgConfigK) — the property that makes STORING partials safe."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", F.to_date("ts").alias("day"), "user_id")
+    )
+    merged = (
+        ev.groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"))
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct")
+    )
+    for r in merged.join(direct, "event_type").collect():
+        assert r.est_merged == r.est_direct
+
+
+def test_hll_rollup_accuracy_tight(spark, sf_dir):
+    """Tighter than the driver row's 5% band: at 150 distinct users the
+    lgK=12 sketch is exact in sparse mode — assert within 2%."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+            F.count_distinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert got
+    for r in got:
+        assert abs(r.est - r.exact) <= 0.02 * r.exact
