@@ -101,6 +101,19 @@ _CHECK_FIRST = [
     "cdc_apply_latest",
     "dedup_bloom_prefilter",
     "sketch_rollup_merge",
+    # BRAND-NEW round-7 (third batch): streaming CDC upsert sink
+    # (tombstone state table, split-invariance vs the batch oracle),
+    # count-min-sketch heavy hitters (bit-exact grid parity), and the
+    # ANALYZE-style column profiler. Slots from the r03 rows
+    # text_token_stats / text_language_id / text_fingerprint — all
+    # map-only Catalyst projections pinned by the hypothesis property
+    # suite (tests/test_text_properties.py); fingerprint() itself is
+    # transitively exercised by the in-window bloom + incremental-dedup
+    # rows (it is their hash input), and gate.py re-verifies all three
+    # on current code every round.
+    "cdc_stream_apply",
+    "cms_heavy_hitters",
+    "table_stats_profile",
     # oldest surviving driver rows (r03): SQL breadth over queries_sql_breadth
     "window_running_agg",
     "topk_per_group",
@@ -125,9 +138,6 @@ _CHECK_FIRST = [
     "similarity_ivf",
     "similarity_quantized_topk",
     # oldest surviving driver rows (r03): text-analysis family
-    "text_token_stats",
-    "text_language_id",
-    "text_fingerprint",
     "text_quality_score",
     "text_tfidf_topk",
     "text_decontaminate",

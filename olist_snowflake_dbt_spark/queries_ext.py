@@ -2062,3 +2062,77 @@ def q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom_false_positive"
         ),
     )
+
+
+_CMS_D = 4
+_CMS_W = 4096
+
+
+@query(
+    "cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT tok,
+               {_B_H[0].format(d='md5(tok)')} AS h1,
+               {_B_H[1].format(d='md5(tok)')} AS h2
+        FROM toks
+    ),
+    pos AS (
+        SELECT tok, j, (h1 + j * h2) % {_CMS_W} AS bucket
+        FROM h CROSS JOIN (SELECT unnest(range(1, {_CMS_D + 1})) AS j)
+    ),
+    cms AS (
+        SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pos GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM toks GROUP BY 1
+    ),
+    top AS (
+        SELECT tok, exact_count FROM exact
+        ORDER BY exact_count DESC, tok LIMIT 20
+    ),
+    cand AS (
+        SELECT DISTINCT t.tok, t.exact_count, p.j, p.bucket
+        FROM top t JOIN pos p ON t.tok = p.tok
+    )
+    SELECT cand.tok AS token, cand.exact_count,
+           MIN(cms.c) AS cms_est,
+           MIN(cms.c) >= cand.exact_count AS never_underestimates
+    FROM cand JOIN cms ON cand.j = cms.j AND cand.bucket = cms.bucket
+    GROUP BY 1, 2
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/sketches):
+    the corpus token stream folds into a 4×4096 integer grid — ≤16k
+    rows TOTAL through the exchange, corpus-size-independent, mergeable
+    across shards/days — and the top-20 exact heavy hitters (computed
+    as the verification twin under a total order) are point-queried
+    against it. Both the grid and the probes are md5-family integer
+    arithmetic, so the DuckDB oracle rebuilds the sketch bit-for-bit:
+    the driver row pins exact parity of estimates, not a tolerance
+    band, plus the one-sided error guarantee (est ≥ exact, always)."""
+    from .functions.text import words
+    from .operators.sketches import cms_build, cms_estimate
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(words(F.col("text"))).alias("tok")
+    )
+    cms = cms_build(toks, "tok", _CMS_D, _CMS_W)
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    top = exact.orderBy(F.col("exact_count").desc(), F.col("tok")).limit(20)
+    est = cms_estimate(top.select("tok"), cms, "tok", _CMS_D, _CMS_W)
+    return top.join(est, "tok").select(
+        F.col("tok").alias("token"),
+        "exact_count",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_count")).alias("never_underestimates"),
+    )

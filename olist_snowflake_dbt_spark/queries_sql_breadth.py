@@ -1313,3 +1313,54 @@ def q_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("exact_users")
         ).alias("merged_within_tol"),
     )
+
+
+_PROFILE_COL_SQL = """
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+           CAST(MIN({c}) AS VARCHAR) AS min_val,
+           CAST(MAX({c}) AS VARCHAR) AS max_val
+    FROM src
+"""
+
+
+@query(
+    "table_stats_profile",
+    """
+    WITH src AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+               CAST(o_orderdate AS DATE) AS o_orderdate
+        FROM orders
+    )
+    """
+    + " UNION ALL ".join(
+        _PROFILE_COL_SQL.format(c=c)
+        for c in ("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    ),
+)
+def q_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (operators/profiling.profile_columns):
+    row count, nulls, exact NDV, min, max for four orders columns in ONE
+    declared aggregate pass (long format, one row per column — the
+    catalog-stats shape dbt docs / a CBO consumes). Portability: price
+    goes through DECIMAL and the date through DATE before stringified
+    min/max so both engines render identical text. The oracle is the
+    per-column UNION ALL a SQL engine would write; Spark's single-pass
+    plan pays the documented Expand for multi-column exact
+    COUNT(DISTINCT) — `exact_ndv=False` swaps in HLL and drops the
+    Expand for routine 100 TB profiling."""
+    from .operators.profiling import profile_columns
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        F.to_date("o_orderdate").alias("o_orderdate"),
+    )
+    return profile_columns(
+        o, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    )

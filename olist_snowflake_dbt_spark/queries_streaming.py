@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import query
+from .queries import _t, query
 from .streaming import (
     dedup_within_watermark,
     run_available_now,
@@ -324,3 +324,69 @@ def q_stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("event_id").cast("bigint")).cast("bigint").alias("id_sum"),
     )
+
+
+@query(
+    "cdc_stream_apply",
+    """
+    WITH changes AS (
+        SELECT user_id, event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               value, ts
+        FROM events
+    ),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+        FROM changes
+    )
+    SELECT user_id, lsn, value, ts FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert sink (streaming/events.cdc_apply_stream):
+    the same Debezium-shaped change log as cdc_apply_latest, but
+    arriving as a FILE STREAM split into 4 micro-batches
+    (maxFilesPerTrigger=1), each foreachBatch-merged into a
+    tombstone-retaining parquet state table (cdc_latest over
+    standing ∪ batch, atomic swap publish). The oracle is the BATCH
+    collapse of the whole log — the driver row therefore proves the
+    cross-batch upsert/tombstone algebra converges to the batch answer
+    regardless of how the log was sliced, the exactly-once-observable
+    contract a production CDC sink restarts on."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import cdc_apply_stream, cdc_state
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cdc_stream_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+
+    changes = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+        "ts",
+    )
+    # slice the log into 4 files -> 4 micro-batches; the final state is
+    # split-invariant (max_by on lsn), which is exactly what the oracle
+    # comparison proves
+    changes.repartition(4).write.mode("overwrite").parquet(log_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(log_dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(log_dir)
+    )
+    q = cdc_apply_stream(
+        stream, state, ckpt, ["user_id"], "lsn", "op", state_partitions=8
+    ).start()
+    q.awaitTermination()
+    return cdc_state(spark, state, "op")

@@ -21,6 +21,8 @@ Design for scale (1000 executors, unbounded input):
 """
 
 from .events import (
+    cdc_apply_stream,
+    cdc_state,
     clicks_to_errors_join,
     dedup_within_watermark,
     enrich_with_dim,
@@ -34,6 +36,8 @@ from .events import (
 )
 
 __all__ = [
+    "cdc_apply_stream",
+    "cdc_state",
     "clicks_to_errors_join",
     "dedup_within_watermark",
     "enrich_with_dim",

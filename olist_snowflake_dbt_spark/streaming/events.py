@@ -393,3 +393,80 @@ def user_totals_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def cdc_apply_stream(
+    changes_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    lsn_col: str,
+    op_col: str,
+    state_partitions: int | None = None,
+):
+    """Streaming CDC compaction: maintain a latest-state parquet table
+    from a change-log STREAM via ``foreachBatch`` — the streaming twin
+    of ``operators/incremental.cdc_apply``.
+
+    Each micro-batch is collapsed with ``cdc_latest`` (one max_by
+    aggregate) and merged against the standing state by running
+    ``cdc_latest`` AGAIN over standing ∪ batch — so the higher LSN
+    always wins regardless of arrival batch. The state table keeps
+    delete TOMBSTONES (op retained): an out-of-order older update in a
+    later batch loses to the tombstone's LSN instead of resurrecting
+    the key; read the live view with ``cdc_state``. Publish is the
+    atomic write-tmp → rename swap shared with table materialization,
+    and the merge is IDEMPOTENT (re-merging a replayed batch reproduces
+    the same state), which upgrades foreachBatch's at-least-once replay
+    to exactly-once observable state.
+
+    At scale: per batch, cost is one aggregate over the batch plus one
+    over (standing ∪ collapsed-batch) — with a partitioned/bucketed
+    state layout the second collapses to touched keys; the plain-
+    parquet rewrite here mirrors the incremental-materialization
+    scoping decision in SCALE.md. Returns the started query's
+    DataStreamWriter (caller starts + awaits)."""
+    from ..operators.incremental import cdc_latest
+    from ..plans.materialize import _atomic_swap
+
+    import uuid as _uuid
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            if state_partitions is not None:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(state_partitions)
+                )
+            collapsed = cdc_latest(batch_df, key_cols, lsn_col, op_col)
+            if os.path.exists(state_path):
+                standing = spark.read.parquet(state_path)
+                merged = cdc_latest(
+                    standing.unionByName(collapsed), key_cols, lsn_col, op_col
+                )
+            else:
+                merged = collapsed
+            tmp = f"{state_path}.tmp-{_uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").parquet(tmp)
+            _atomic_swap(state_path, tmp)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return (
+        changes_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def cdc_state(
+    spark: SparkSession, state_path: str, op_col: str, delete_op: str = "D"
+) -> DataFrame:
+    """Live view over a :func:`cdc_apply_stream` state table: tombstones
+    filtered, op column consumed."""
+    return (
+        spark.read.parquet(state_path)
+        .filter(F.col(op_col) != delete_op)
+        .drop(op_col)
+    )

@@ -185,3 +185,166 @@ def test_hll_rollup_accuracy_tight(spark, sf_dir):
     assert got
     for r in got:
         assert abs(r.est - r.exact) <= 0.02 * r.exact
+
+
+# ----------------------------------------------------- cdc_apply_stream
+def test_cdc_stream_tombstone_beats_late_old_update(spark, tmp_path):
+    """A delete in an EARLY batch must not be resurrected by an
+    out-of-order OLDER update arriving in a LATER batch — the tombstone
+    (higher lsn) wins the cross-batch merge."""
+    from olist_snowflake_dbt_spark.streaming.events import (
+        cdc_apply_stream,
+        cdc_state,
+    )
+
+    log = str(tmp_path / "log")
+    schema = "k bigint, lsn bigint, op string, v string"
+    # batch 1 (first file): k=1 updated then deleted; k=2 updated
+    spark.createDataFrame(
+        [(1, 10, "U", "a"), (1, 20, "D", None), (2, 5, "U", "x")], schema
+    ).coalesce(1).write.mode("append").parquet(log)
+    # batch 2 (second file, later mtime): STALE update for k=1 (lsn 15
+    # < tombstone's 20) and a genuine newer update for k=2
+    spark.createDataFrame(
+        [(1, 15, "U", "stale"), (2, 30, "U", "y")], schema
+    ).coalesce(1).write.mode("append").parquet(log)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(log).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(log)
+    )
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    q = cdc_apply_stream(stream, state, ckpt, ["k"], "lsn", "op",
+                         state_partitions=2).start()
+    q.awaitTermination()
+
+    live = {r.k: (r.lsn, r.v) for r in cdc_state(spark, state, "op").collect()}
+    assert live == {2: (30, "y")}  # k=1 stays deleted
+    # tombstone retained in the raw state table (not silently dropped)
+    raw = {r.k: r.op for r in spark.read.parquet(state).collect()}
+    assert raw[1] == "D"
+
+
+def test_cdc_stream_restart_is_noop(spark, tmp_path):
+    """Restarting against the same checkpoint re-processes nothing
+    (offsets committed) and the state is unchanged — the
+    exactly-once-observable contract."""
+    from olist_snowflake_dbt_spark.streaming.events import cdc_apply_stream
+
+    log = str(tmp_path / "log")
+    schema = "k bigint, lsn bigint, op string, v string"
+    spark.createDataFrame([(1, 1, "U", "a"), (2, 2, "U", "b")], schema)\
+        .coalesce(1).write.mode("append").parquet(log)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    for _ in range(2):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(log).schema)
+            .parquet(log)
+        )
+        q = cdc_apply_stream(stream, state, ckpt, ["k"], "lsn", "op",
+                             state_partitions=2).start()
+        q.awaitTermination()
+    rows = spark.read.parquet(state).collect()
+    assert len(rows) == 2  # one row per key, not doubled
+
+
+# ----------------------------------------------------------------- cms
+def test_cms_one_sided_error_and_bound(spark):
+    """est ≥ exact always; est ≤ exact + N/width · safety on a corpus
+    with a known skewed distribution."""
+    from olist_snowflake_dbt_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(f"tok{i % 50}",) for i in range(2000)] + [
+        (f"rare{i}",) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "tok string")
+    cms = cms_build(df, "tok", depth=4, width=1024)
+    exact = df.groupBy("tok").count()
+    est = cms_estimate(exact.select("tok"), cms, "tok", depth=4, width=1024)
+    joined = {r.tok: (r["count"], r.cms_est)
+              for r in exact.join(est, "tok").collect()}
+    n = 2500
+    for tok, (ex, es) in joined.items():
+        assert es >= ex, f"{tok}: CMS underestimated"
+        assert es <= ex + (2.72 * n) / 1024 * 4  # e/width per row, slack 4
+
+
+def test_cms_partials_merge(spark):
+    """CMS grids are mergeable: per-cell SUM of two shard sketches ==
+    the sketch of the union — what makes per-day partials storable."""
+    import pyspark.sql.functions as F
+    from olist_snowflake_dbt_spark.operators.sketches import cms_build
+
+    rows = [(f"t{i % 97}",) for i in range(1500)]
+    df = spark.createDataFrame(rows, "tok string").withColumn(
+        "half", F.monotonically_increasing_id() % 2
+    )
+    full = cms_build(df, "tok", 4, 512)
+    merged = (
+        cms_build(df.filter("half = 0"), "tok", 4, 512)
+        .unionByName(cms_build(df.filter("half = 1"), "tok", 4, 512))
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert full.exceptAll(merged).count() == 0
+    assert merged.exceptAll(full).count() == 0
+
+
+def test_cms_absent_value_estimates_zero_or_collision(spark):
+    from olist_snowflake_dbt_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], "tok string")
+    cms = cms_build(df, "tok", 4, 4096)
+    ghost = spark.createDataFrame([("never-seen",)], "tok string")
+    [r] = cms_estimate(ghost, cms, "tok", 4, 4096).collect()
+    assert 0 <= r.cms_est <= 2  # almost surely 0; collisions only add
+
+
+# ------------------------------------------------------------ profiling
+def test_profile_columns_exact(spark):
+    from olist_snowflake_dbt_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "y", 5.0), (2, None, 7.5)],
+        "id bigint, s string, v double",
+    )
+    got = {r.column_name: r for r in
+           profile_columns(df, ["id", "s", "v"]).collect()}
+    assert set(got) == {"id", "s", "v"}
+    assert all(r.n_rows == 3 for r in got.values())
+    assert (got["id"].n_nulls, got["id"].ndv) == (0, 2)
+    assert (got["s"].n_nulls, got["s"].ndv) == (1, 2)
+    assert (got["v"].n_nulls, got["v"].ndv) == (1, 2)
+    assert (got["id"].min_val, got["id"].max_val) == ("1", "2")
+    assert (got["v"].min_val, got["v"].max_val) == ("5.0", "7.5")
+
+
+def test_profile_columns_approx_path(spark, sf_dir):
+    """exact_ndv=False swaps COUNT(DISTINCT) for HLL — no Expand in the
+    plan, ndv within 10%."""
+    from olist_snowflake_dbt_spark.operators.profiling import profile_columns
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    prof = profile_columns(o, ["o_orderkey", "o_custkey"], exact_ndv=False)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    exact = {
+        "o_orderkey": o.select("o_orderkey").distinct().count(),
+        "o_custkey": o.select("o_custkey").distinct().count(),
+    }
+    for r in prof.collect():
+        assert abs(r.ndv - exact[r.column_name]) <= 0.1 * exact[r.column_name]
+
+
+def test_profile_columns_empty_cols_raises(spark):
+    from olist_snowflake_dbt_spark.operators.profiling import profile_columns
+
+    with pytest.raises(ValueError):
+        profile_columns(spark.range(1), [])
