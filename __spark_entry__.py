@@ -114,10 +114,21 @@ _CHECK_FIRST = [
     "cdc_stream_apply",
     "cms_heavy_hitters",
     "table_stats_profile",
+    # BRAND-NEW round-7 (fourth batch): SCD-2 consumption (facts
+    # resolved to the dimension version valid at event time, as-of
+    # plan vs BETWEEN-join oracle) and the metrics semantic layer
+    # (declared measure -> grain query over fct_orders). Slots from
+    # r03 rows asof_last_purchase (the identical union+window as-of
+    # machinery is in-window via scd2_dim_asof_resolve, which
+    # exercises the harder two-table + tombstone-tie case) and
+    # distinct_agg (count_distinct is in-window via table_stats_profile
+    # NDV and sketch_rollup_merge exact twins); both stay gate.py-
+    # verified every round.
+    "scd2_dim_asof_resolve",
+    "metric_revenue_monthly",
     # oldest surviving driver rows (r03): SQL breadth over queries_sql_breadth
     "window_running_agg",
     "topk_per_group",
-    "distinct_agg",
     "set_ops",
     "semi_join_exists",
     "scalar_functions",
@@ -126,7 +137,6 @@ _CHECK_FIRST = [
     "time_bucket_agg",
     "grouping_rollup",
     "pivot_status_by_year",
-    "asof_last_purchase",
     # oldest surviving driver rows (r03): snapshots / dedup / similarity
     "scd2_window_rebuild",
     "dedup_exact",

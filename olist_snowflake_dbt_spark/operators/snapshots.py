@@ -127,3 +127,82 @@ def snapshot_apply(
         F.lit(None).cast("timestamp").alias("dbt_valid_to"),
     )
     return closed.unionByName(closing).unionByName(surviving).unionByName(inserts)
+
+
+def scd2_resolve_asof(
+    facts: DataFrame,
+    snap: DataFrame,
+    key: Sequence[str],
+    fact_ts: str,
+    payload_cols: Sequence[str],
+    dim_order: str | None = None,
+) -> DataFrame:
+    """Resolve each fact row to the SCD-2 dimension version valid at the
+    fact's event time — the consumption side of the snapshot operators
+    (dbt builds snapshots; every mart that joins one does THIS).
+
+    Semantically ``facts LEFT JOIN snap ON key AND fact_ts BETWEEN
+    dbt_valid_from AND dbt_valid_to`` — but executed as the union-then-
+    window AS-OF plan (tag dim versions and facts, one window per key
+    ordered by (ts, side), carry the last version struct forward): ONE
+    shuffle on the key, where the inequality join would either fall to
+    a broadcast-nested-loop or explode hot keys quadratically. Facts
+    before the key's first version resolve to NULLs (left semantics).
+
+    Assumes contiguous version history (each ``dbt_valid_to`` equals
+    the next version's ``dbt_valid_from``; NULL = current) — which the
+    snapshot_apply/snapshot_init operators guarantee; ``dim_order``
+    breaks ties when two versions share a valid_from (the later one
+    under that ordering wins, matching the BETWEEN join which excludes
+    the zero-width version).
+
+    Fact columns pass through untouched; the resolved version arrives
+    as ``dbt_valid_from`` plus ``payload_cols``.
+    """
+    pk = list(key)
+    dim_payload = F.struct(
+        F.col("dbt_valid_from").alias("dbt_valid_from"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    tie = (
+        F.col(dim_order).cast("long") if dim_order else F.lit(0).cast("long")
+    )
+    dim = snap.select(
+        *pk,
+        F.col("dbt_valid_from").alias("__ts"),
+        F.lit(0).alias("__side"),
+        tie.alias("__tie"),
+        dim_payload.alias("__dim"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"`{f.name}`:{f.dataType.simpleString()}"
+                for f in facts.schema.fields
+            ) + ">"
+        ).alias("__fact"),
+    )
+    dim_type = dim.schema["__dim"].dataType
+    fct = facts.select(
+        *pk,
+        F.col(fact_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tie"),
+        F.lit(None).cast(dim_type).alias("__dim"),
+        F.struct(*[F.col(c) for c in facts.columns]).alias("__fact"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(*pk)
+        .orderBy("__ts", "__side", "__tie")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    resolved = (
+        dim.unionByName(fct)
+        .withColumn("__dim", F.last("__dim", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    return resolved.select(
+        *[F.col(f"__fact.{c}").alias(c) for c in facts.columns],
+        F.col("__dim.dbt_valid_from").alias("dbt_valid_from"),
+        *[F.col(f"__dim.{c}").alias(c) for c in payload_cols],
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from .queries import _t, query
+from .queries import _FCT_ORDERS_ORACLE, _t, query
 
 
 @query(
@@ -1363,4 +1363,115 @@ def q_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return profile_columns(
         o, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    )
+
+
+@query(
+    "scd2_dim_asof_resolve",
+    """
+    WITH snap AS (
+        SELECT user_id, value AS state_value, ts AS vf,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS vt
+        FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.ts, p.purchase_value,
+           s.vf AS valid_from, s.state_value
+    FROM p LEFT JOIN snap s
+      ON p.user_id = s.user_id AND p.ts >= s.vf
+     AND (s.vt IS NULL OR p.ts < s.vt)
+    """,
+)
+def q_scd2_dim_asof_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 CONSUMPTION (operators/snapshots.scd2_resolve_asof): every
+    purchase fact resolved to the dimension version valid at its event
+    time — the join every mart built on a dbt snapshot performs. The
+    oracle is the textbook interval join (BETWEEN valid_from AND
+    valid_to); the engine executes the union-then-window as-of plan
+    instead — ONE shuffle on the key, no inequality join, no hot-key
+    blow-up — and must produce the identical row set, including facts
+    that predate the key's first version (NULL dimension, left
+    semantics) and same-instant version ties (zero-width versions
+    lose)."""
+    from .operators.snapshots import scd2_resolve_asof
+
+    ev = _t(spark, sf_dir, "events")
+    snap = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("value").alias("state_value"),
+        F.col("ts").alias("dbt_valid_from"),
+        "event_id",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    out = scd2_resolve_asof(
+        facts, snap, ["user_id"], "ts", ["state_value"], dim_order="event_id"
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.col("dbt_valid_from").alias("valid_from"),
+        "state_value",
+    )
+
+
+@query(
+    "metric_revenue_monthly",
+    """
+    WITH fct AS ({fct}),
+    m AS (
+        SELECT CAST(CAST(date_trunc('month', purchased_at) AS DATE) AS VARCHAR)
+                   AS month,
+               order_status,
+               CAST(total_order_value AS DECIMAL(18,4)) AS v
+        FROM fct
+    )
+    SELECT month, order_status,
+           CAST(CAST(SUM(v) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+    FROM m GROUP BY 1, 2
+    """.format(fct=_FCT_ORDERS_ORACLE),
+)
+def q_metric_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-layer metric query (plans/metrics): the ``revenue``
+    metric — declared once as (sum, total_order_value, time_dim
+    purchased_at, dims order_status) — compiled by query_metric into
+    the month-grain, status-sliced aggregate over the fct_orders model.
+    This is the dbt-metrics / MetricFlow surface on top of the
+    reference's mart: consumers request (metric, grain, dims) and the
+    layer guarantees the aggregate is assembled correctly every time
+    (undeclared dims raise — the anti-fan-out contract). One Catalyst
+    aggregate, map-side partials; measure math is DECIMAL-exact with a
+    DOUBLE presentation cast, so the oracle matches to the bit."""
+    from .plans.metrics import Metric, query_metric
+    from .queries import QUERIES
+
+    model = QUERIES["fct_orders"](spark, sf_dir)
+    revenue = Metric(
+        name="revenue",
+        agg="sum",
+        expr="total_order_value",
+        time_dim="purchased_at",
+        dims=("order_status", "city"),
+        decimal="decimal(18,4)",
+        decimal_wide="decimal(38,4)",
+    )
+    out = query_metric(model, revenue, grain="month", dims=["order_status"])
+    # Spark date_trunc yields TIMESTAMP, DuckDB a DATE, and the two
+    # stringify differently through pandas — present the grain as the
+    # ISO string both engines render identically
+    return out.select(
+        F.date_format("month", "yyyy-MM-dd").alias("month"),
+        "order_status",
+        "revenue",
     )

@@ -1,0 +1,161 @@
+"""scd2_resolve_asof (snapshot consumption) + the metrics semantic layer."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from olist_snowflake_dbt_spark.operators.snapshots import scd2_resolve_asof
+from olist_snowflake_dbt_spark.plans.metrics import Metric, query_metric
+
+
+def _ts(rows):
+    return [
+        tuple(
+            datetime.fromisoformat(v)
+            if isinstance(v, str) and v[:2] == "20" and ":" in v
+            else v
+            for v in r
+        )
+        for r in rows
+    ]
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(
+        _ts(rows), "k bigint, state string, dbt_valid_from timestamp, ord bigint"
+    )
+
+
+def _facts(spark, rows):
+    return spark.createDataFrame(_ts(rows), "fid bigint, k bigint, ts timestamp")
+
+
+def test_resolve_picks_version_valid_at_fact_time(spark):
+    snap = _snap(
+        spark,
+        [
+            (1, "v1", "2024-01-01 00:00:00", 1),
+            (1, "v2", "2024-02-01 00:00:00", 2),
+        ],
+    )
+    facts = _facts(
+        spark,
+        [
+            (10, 1, "2024-01-15 00:00:00"),  # inside v1
+            (11, 1, "2024-02-01 00:00:00"),  # boundary: v2 (>= valid_from)
+            (12, 1, "2023-12-01 00:00:00"),  # before history -> NULL
+        ],
+    )
+    out = {
+        r.fid: r.state
+        for r in scd2_resolve_asof(
+            facts, snap, ["k"], "ts", ["state"], dim_order="ord"
+        ).collect()
+    }
+    assert out == {10: "v1", 11: "v2", 12: None}
+
+
+def test_resolve_zero_width_version_loses(spark):
+    """Two versions opening at the same instant: the later (by
+    dim_order) wins — the zero-width one is never resolvable, matching
+    the BETWEEN-join semantics the oracle uses."""
+    snap = _snap(
+        spark,
+        [
+            (1, "dead", "2024-01-01 00:00:00", 1),
+            (1, "live", "2024-01-01 00:00:00", 2),
+        ],
+    )
+    facts = _facts(spark, [(10, 1, "2024-06-01 00:00:00")])
+    [r] = scd2_resolve_asof(
+        facts, snap, ["k"], "ts", ["state"], dim_order="ord"
+    ).collect()
+    assert r.state == "live"
+
+
+def test_resolve_keys_do_not_leak(spark):
+    snap = _snap(spark, [(1, "a", "2024-01-01 00:00:00", 1)])
+    facts = _facts(spark, [(10, 2, "2024-06-01 00:00:00")])
+    [r] = scd2_resolve_asof(facts, snap, ["k"], "ts", ["state"]).collect()
+    assert r.state is None and r.dbt_valid_from is None
+
+
+def test_resolve_plan_has_no_inequality_join(spark):
+    """The as-of plan must be window-based — no BroadcastNestedLoop /
+    CartesianProduct from an interval join."""
+    snap = _snap(spark, [(1, "a", "2024-01-01 00:00:00", 1)])
+    facts = _facts(spark, [(10, 1, "2024-06-01 00:00:00")])
+    plan = (
+        scd2_resolve_asof(facts, snap, ["k"], "ts", ["state"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+# ----------------------------------------------------------- metrics
+@pytest.fixture(scope="module")
+def model(spark):
+    return spark.createDataFrame(
+        _ts([
+            (1, "A", "2024-01-10 00:00:00", 10.50),
+            (2, "A", "2024-01-20 00:00:00", 20.00),
+            (3, "B", "2024-02-05 00:00:00", 5.25),
+            (4, "A", "2024-02-06 00:00:00", None),
+        ]),
+        "order_id bigint, status string, at timestamp, amount double",
+    )
+
+
+def test_metric_sum_by_month_and_dim(model):
+    m = Metric("rev", "sum", "amount", "at", dims=("status",))
+    got = {
+        (str(r["month"])[:10], r.status): r.rev
+        for r in query_metric(model, m, "month", ["status"]).collect()
+    }
+    assert got[("2024-01-01", "A")] == 30.50
+    assert got[("2024-02-01", "B")] == 5.25
+    assert got[("2024-02-01", "A")] is None  # sum of only-NULL group
+
+
+def test_metric_avg_is_decimal_exact(model):
+    m = Metric("aov", "avg", "amount", "at")
+    got = {str(r["month"])[:10]: r.aov
+           for r in query_metric(model, m, "month").collect()}
+    assert got["2024-01-01"] == 30.50 / 2  # (10.50+20.00)/2 exactly
+    assert got["2024-02-01"] == 5.25  # NULL excluded from count(e)
+
+
+def test_metric_count_distinct(model):
+    m = Metric("buyers", "count_distinct", "status", "at")
+    got = {str(r["month"])[:10]: r.buyers
+           for r in query_metric(model, m, "month").collect()}
+    assert got == {"2024-01-01": 1, "2024-02-01": 2}
+
+
+def test_metric_undeclared_dim_raises(model):
+    m = Metric("rev", "sum", "amount", "at", dims=("status",))
+    with pytest.raises(ValueError, match="does not declare"):
+        query_metric(model, m, "month", ["order_id"])
+
+
+def test_metric_unknown_grain_and_agg_raise(model):
+    with pytest.raises(ValueError, match="unknown grain"):
+        query_metric(model, Metric("r", "sum", "amount", "at"), "hour")
+    with pytest.raises(ValueError, match="unknown agg"):
+        query_metric(model, Metric("r", "median", "amount", "at"), "month") \
+            .collect()
+
+
+def test_metric_single_exchange_plan(model):
+    """One hash aggregate with map-side partials — no extra shuffle."""
+    m = Metric("rev", "sum", "amount", "at", dims=("status",))
+    plan = (
+        query_metric(model, m, "month", ["status"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1

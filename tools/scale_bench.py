@@ -71,6 +71,18 @@ SCALE_QUERIES = [
     "dedup_span_ngram",
     "text_gopher_rules",
     "zorder_layout_stats",
+    # round-7 additions (second wave): the bloom build folds the corpus
+    # into a fixed-size bitmap (ratio should be ~explode cost), the CMS
+    # grid is the fixed-key-domain aggregate claim, CDC apply is the
+    # map-side max_by vs full-log-window claim, the sketch rollup and
+    # profiler are scan-proportional single aggregates, and the
+    # streaming CDC sink carries fixed checkpoint cost + batch merges
+    "dedup_bloom_prefilter",
+    "cms_heavy_hitters",
+    "cdc_apply_latest",
+    "cdc_stream_apply",
+    "sketch_rollup_merge",
+    "table_stats_profile",
 ]
 
 SF_DIRS = {
