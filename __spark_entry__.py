@@ -126,8 +126,14 @@ _CHECK_FIRST = [
     # verified every round.
     "scd2_dim_asof_resolve",
     "metric_revenue_monthly",
+    # BRAND-NEW round-7 (fifth batch): metric anomaly monitor
+    # (trailing-baseline 3-sigma verdicts in exact integer arithmetic,
+    # planted spikes verified). Slot from r03 window_running_agg — the
+    # running-window machinery is in-window via scd2_dim_asof_resolve
+    # and metric_anomaly_daily itself (both window-over-key plans);
+    # gate.py still verifies it every round.
+    "metric_anomaly_daily",
     # oldest surviving driver rows (r03): SQL breadth over queries_sql_breadth
-    "window_running_agg",
     "topk_per_group",
     "set_ops",
     "semi_join_exists",

@@ -1475,3 +1475,84 @@ def q_metric_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_status",
         "revenue",
     )
+
+
+@query(
+    "metric_anomaly_daily",
+    """
+    WITH series AS (
+        SELECT day,
+               CAST(CASE WHEN date_part('day', day) = 15
+                         THEN value_cents * 5 ELSE value_cents END
+                    AS BIGINT) AS value_cents
+        FROM (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS value_cents
+            FROM orders GROUP BY 1
+        )
+    ),
+    wnd AS (
+        SELECT day, value_cents,
+               COUNT(value_cents) OVER w AS n,
+               SUM(CAST(value_cents AS HUGEINT)) OVER w AS s,
+               SUM(CAST(value_cents AS HUGEINT)
+                   * CAST(value_cents AS HUGEINT)) OVER w AS ss
+        FROM series
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, value_cents,
+           CAST(n AS BIGINT) AS baseline_n,
+           CAST(s AS BIGINT) AS baseline_sum,
+           CASE WHEN n < 14 THEN 'no_verdict'
+                WHEN (CAST(n AS HUGEINT) * CAST(value_cents AS HUGEINT) - s)
+                     * (CAST(n AS HUGEINT) * CAST(value_cents AS HUGEINT) - s)
+                     > 9 * (CAST(n AS HUGEINT) * ss - s * s) THEN 'anomaly'
+                ELSE 'normal'
+           END AS verdict
+    FROM wnd
+    """,
+)
+def q_metric_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric anomaly monitor (operators/monitoring.metric_anomalies):
+    the daily-revenue series (with a deterministic planted spike — every
+    15th of the month x5 — so TRUE verdicts exist to verify) screened
+    against a trailing 14-day baseline with a 3-sigma test evaluated in
+    EXACT integer arithmetic ((n*x-S)^2 > 9*(n*SS-S^2)) — no float in
+    any verdict, so the DuckDB oracle (HUGEINT twin of the DECIMAL(38)
+    math) reproduces every boolean bit-for-bit, including the flat-
+    baseline sigma=0 edge and the no-verdict NULLs of the first 14
+    buckets. This is the dbt-observability layer (elementary/re_data
+    shape): the monitor runs over the ALREADY-AGGREGATED metric frame
+    (thousands of rows for years of days), so its ordered window is a
+    single-task pass by construction — the 100 TB cost lives in the
+    metric aggregate, not the monitor."""
+    from .operators.monitoring import metric_anomalies
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).cast("bigint").alias("value_cents")
+    )
+    series = base.select(
+        "day",
+        F.when(F.dayofmonth("day") == 15, F.col("value_cents") * 5)
+        .otherwise(F.col("value_cents"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    out = metric_anomalies(series, "day", "value_cents", baseline=14, k=3)
+    # NULL booleans stringify differently through the two engines'
+    # pandas paths ('None' vs 'nan') — present the tri-state verdict as
+    # a string
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "value_cents",
+        "baseline_n",
+        F.col("baseline_sum").cast("bigint").alias("baseline_sum"),
+        F.when(F.col("is_anomaly").isNull(), "no_verdict")
+        .when(F.col("is_anomaly"), "anomaly")
+        .otherwise("normal")
+        .alias("verdict"),
+    )

@@ -159,3 +159,64 @@ def test_metric_single_exchange_plan(model):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1
+
+
+# -------------------------------------------------------- monitoring
+def _series(spark, vals):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t bigint, v bigint"
+    )
+
+
+def test_anomaly_flags_planted_spike(spark):
+    from olist_snowflake_dbt_spark.operators.monitoring import metric_anomalies
+
+    vals = [100] * 10 + [1000] + [100] * 5  # flat baseline, one spike
+    out = metric_anomalies(_series(spark, vals), "t", "v", baseline=5, k=3)
+    got = {r.t: r.is_anomaly for r in out.collect()}
+    assert got[10] is True  # the spike
+    assert got[9] is False and got[11] is False
+    assert all(got[t] is None for t in range(5))  # warmup: no verdict
+
+
+def test_anomaly_flat_baseline_sigma_zero_edge(spark):
+    """sigma=0: ANY deviation is anomalous, equality is not —
+    (n*x-S)^2 > 0 exactly."""
+    from olist_snowflake_dbt_spark.operators.monitoring import metric_anomalies
+
+    vals = [7] * 8 + [8] + [7] * 2
+    out = metric_anomalies(_series(spark, vals), "t", "v", baseline=5, k=3)
+    got = {r.t: r.is_anomaly for r in out.collect()}
+    assert got[8] is True  # 7->8 under zero variance
+    assert got[7] is False  # equal to flat baseline
+
+
+def test_anomaly_matches_float_zscore(spark):
+    """The exact integer test must agree with the float z-score
+    formulation away from boundaries (population sigma over the
+    trailing window)."""
+    import statistics
+
+    from olist_snowflake_dbt_spark.operators.monitoring import metric_anomalies
+
+    vals = [103, 98, 105, 110, 91, 99, 104, 250, 97, 101, 95, 400, 102]
+    out = metric_anomalies(_series(spark, vals), "t", "v", baseline=5, k=3)
+    got = {r.t: r.is_anomaly for r in out.collect()}
+    for t in range(5, len(vals)):
+        window = vals[t - 5:t]
+        mu = statistics.mean(window)
+        var = statistics.pvariance(window)
+        expect = (vals[t] - mu) ** 2 > 9 * var
+        assert got[t] == expect, f"t={t}"
+
+
+def test_anomaly_large_values_stay_exact(spark):
+    """Cents-scale values near 1e12 (100 TB-era daily revenue) must not
+    overflow or round: decimal(38) holds (n*x-S)^2 ~ 1e26 exactly."""
+    from olist_snowflake_dbt_spark.operators.monitoring import metric_anomalies
+
+    big = 10**12
+    vals = [big, big, big, big + 1]  # +1 deviation under sigma=0
+    out = metric_anomalies(_series(spark, vals), "t", "v", baseline=3, k=3)
+    got = {r.t: r.is_anomaly for r in out.collect()}
+    assert got[3] is True
