@@ -65,6 +65,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         default=1,
         help=">1 materializes independent DAG nodes concurrently (dbt --threads)",
     )
+    ap.add_argument(
+        "--state",
+        default=None,
+        help="path to a state.json manifest for state:modified/state:new selection",
+    )
+    ap.add_argument(
+        "--defer",
+        dest="defer_wh",
+        default=None,
+        help="warehouse dir of another environment; refs to unselected "
+        "models resolve to its artifacts (dbt --defer)",
+    )
     args = ap.parse_args(argv)
 
     from .runner import Engine
@@ -99,10 +111,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 0
 
     if args.command == "run":
+        state = eng.load_state(args.state) if args.state else None
         rels = (
-            eng.run_concurrent(args.select, exclude=args.exclude, threads=args.threads)
+            eng.run_concurrent(
+                args.select, exclude=args.exclude, threads=args.threads,
+                state=state,
+            )
             if args.threads > 1
-            else eng.run(args.select, exclude=args.exclude)
+            else eng.run(
+                args.select, exclude=args.exclude, state=state,
+                defer=args.defer_wh,
+            )
         )
         for name, rel in rels.items():
             print(f"built {name} ({rel.materialization})")

@@ -123,6 +123,11 @@ class ModelRegistry:
         import threading
 
         self._building_tls = threading.local()
+        # dbt --defer: when set, refs to models OUTSIDE the current
+        # selection resolve to the deferred environment's artifact (if
+        # one exists there) instead of building locally
+        self._defer_dir: str | None = None
+        self._defer_selected: set[str] = set()
 
     @property
     def _building(self) -> list:
@@ -380,6 +385,19 @@ class ModelRegistry:
             who = f" (ref'd from {_requester!r})" if _requester else ""
             raise RefNotFoundError(f"no model named {name!r}{who}")
 
+        if self._defer_dir is not None and name not in self._defer_selected:
+            # dbt --defer (task/run.py defer_to_manifest semantics): an
+            # UNSELECTED parent resolves to the deferred environment's
+            # relation when one exists there — the slim-CI run never
+            # rebuilds (or re-reads the lineage of) upstream prod models
+            import os as _os
+
+            deferred = _os.path.join(self._defer_dir, name)
+            if _os.path.exists(deferred):
+                df = self.spark.read.parquet(deferred)
+                self._built[name] = df
+                return df
+
         model = self._models[name]
         self._building.append(name)
         try:
@@ -402,6 +420,18 @@ class ModelRegistry:
             self._building.pop()
         self._built[name] = df
         return df
+
+    def set_defer(self, defer_dir: str, selected: set[str]) -> None:
+        """Arm dbt ``--defer`` for the next build pass: refs to models
+        NOT in ``selected`` resolve to ``<defer_dir>/<name>`` when that
+        artifact exists (dbt's favor-local default: a missing deferred
+        artifact falls back to building locally)."""
+        self._defer_dir = defer_dir
+        self._defer_selected = set(selected)
+
+    def clear_defer(self) -> None:
+        self._defer_dir = None
+        self._defer_selected = set()
 
     def _render_vars(self, sql: str) -> str:
         """Render every ``{{ var('k'[, default]) }}`` to a SQL literal

@@ -140,20 +140,36 @@ class Engine:
         select: str | None = None,
         exclude: str | None = None,
         state: dict | None = None,
+        defer: str | None = None,
     ) -> dict[str, MaterializedRelation]:
+        """Build the selected models in DAG order.
+
+        ``defer`` is dbt's ``--defer``: a path to ANOTHER environment's
+        warehouse (typically prod, alongside the ``state`` manifest used
+        for ``state:modified`` selection). Refs from selected models to
+        UNSELECTED parents then resolve to that environment's relation
+        when one exists there, so a slim-CI invocation builds only the
+        modified subgraph and reads everything upstream from prod —
+        neither rebuilding it nor re-executing its lineage."""
         selected = self.registry.select(select, exclude=exclude, state=state)
         self.registry.invalidate()
         order = self.registry.topological_order(
             selected if (select or exclude) else None
         )
+        if defer is not None:
+            self.registry.set_defer(defer, selected)
         self._run_hooks(getattr(self, "on_run_start", None))
         out: dict[str, MaterializedRelation] = {}
-        for name in order:
-            if name not in selected:
-                continue
-            rel = self._materialize_node(name)
-            out[name] = rel
-            self.relations[name] = rel
+        try:
+            for name in order:
+                if name not in selected:
+                    continue
+                rel = self._materialize_node(name)
+                out[name] = rel
+                self.relations[name] = rel
+        finally:
+            if defer is not None:
+                self.registry.clear_defer()
         self._run_hooks(getattr(self, "on_run_end", None))
         return out
 

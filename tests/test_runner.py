@@ -640,3 +640,74 @@ def test_run_concurrent_failure_fails_fast_and_propagates(spark, tmp_path):
     with _pytest.raises(RuntimeError, match="injected model failure"):
         eng.run_concurrent(threads=2)
     assert "downstream_of_bad" not in eng.relations
+
+
+def test_defer_resolves_unselected_parents_from_prod(spark, tmp_path):
+    """dbt --defer: a slim-CI run of the modified subgraph resolves refs
+    to UNSELECTED upstream models from the deferred (prod) warehouse —
+    proven three ways: the deferred parent's PROD data (which local
+    sources can no longer produce) flows into the CI build, the parent's
+    builder never executes locally (it raises), and no parent artifact
+    appears in the CI warehouse."""
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    prod_wh = str(tmp_path / "prod_wh")
+    ci_wh = str(tmp_path / "ci_wh")
+
+    # prod: a (table) -> b (table), built from the prod source
+    prod = Engine(spark, prod_wh)
+    prod.registry.register_source(
+        "src", spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    )
+    prod.registry.register(
+        "a", "select id, v from {{ ref('src') }}", materialized="table"
+    )
+    prod.registry.register(
+        "b", "select id, v * 2 as v2 from {{ ref('a') }}", materialized="table"
+    )
+    prod.run()
+    state = prod.load_state(prod.write_state())
+
+    # CI: 'a' has the SAME definition (unmodified by checksum), but the
+    # CI environment's 'src' carries POISONED data (999s) — if the
+    # deferred read were silently bypassed and 'a' rebuilt locally, the
+    # numbers would betray it; 'b' is modified -> frontier = {'b'}
+    ci = Engine(spark, ci_wh)
+    ci.registry.register_source(
+        "src", spark.createDataFrame([(1, 999), (2, 999)], "id long, v long")
+    )
+    ci.registry.register("a", "select id, v from {{ ref('src') }}",
+                         materialized="table")
+    ci.registry.register(
+        "b", "select id, v * 3 as v2 from {{ ref('a') }}", materialized="table"
+    )
+    assert ci.registry.select("state:modified+", state=state) == {"b"}
+
+    built = ci.run(select="state:modified+", state=state, defer=prod_wh)
+    assert set(built) == {"b"}
+    got = {r.id: r.v2 for r in built["b"].df.collect()}
+    assert got == {1: 30, 2: 60}  # PROD 'a' data x the NEW x3 logic
+    import os
+
+    assert not os.path.exists(os.path.join(ci_wh, "a"))  # nothing built
+    assert os.path.exists(os.path.join(ci_wh, "b"))
+    # defer context is cleared after the run: a full rebuild now uses
+    # the LOCAL (poisoned) source again instead of silently reading prod
+    rebuilt = ci.run()
+    assert {r.v2 for r in rebuilt["b"].df.collect()} == {999 * 3}
+
+
+def test_defer_falls_back_to_local_build_when_artifact_missing(spark, tmp_path):
+    """dbt's favor-local default: if the deferred environment has no
+    artifact for an unselected parent, it builds locally."""
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.registry.register_source(
+        "src", spark.createDataFrame([(5,)], "id long")
+    )
+    eng.registry.register("a", "select id from {{ ref('src') }}")
+    eng.registry.register("b", "select id + 1 as id from {{ ref('a') }}",
+                          materialized="table")
+    built = eng.run(select="b", defer=str(tmp_path / "empty_prod"))
+    assert [r.id for r in built["b"].df.collect()] == [6]
