@@ -69,3 +69,53 @@ def two_phase_distinct(
     return dedup.groupBy(*group_cols).agg(
         F.count(F.col(distinct_col)).alias(f"n_distinct_{distinct_col}")
     )
+
+
+def key_skew_stats(
+    df: DataFrame, key_cols: Sequence[str], top: int = 5
+) -> DataFrame:
+    """Shuffle-planning advisor: measure how skewed a prospective
+    shuffle key is BEFORE paying for the shuffle it would route.
+
+    Returns the ``top`` hottest key values with, per key: its row
+    count, the total row count, the distinct-key count, the key's
+    integer per-mille share of all rows, its hotness ratio vs a
+    perfectly uniform key (count * distinct / total, rounded down),
+    and the salt factor :func:`salted_join` would need to spread the
+    hot key across reducers as evenly as the average key
+    (= that same ratio, floored at 1).
+
+    All outputs are integer-exact (cross-multiplied, no float), so an
+    oracle reproduces every number. Cost: ONE map-side-combined
+    aggregate over (key) + a top-k (TakeOrdered) — the same shape as a
+    count census; the two scalar totals ride along via a broadcast
+    1-row join. At 100 TB this is the cheap pre-flight that decides
+    between a plain shuffle join, ``salted_join``, or a broadcast —
+    the decision AQE makes reactively at runtime, made plannable.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_rows"))
+    totals = counts.agg(
+        F.sum("key_rows").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_keys"),
+    )
+    topk = (
+        counts.orderBy(F.col("key_rows").desc(), *key_cols)
+        .limit(top)
+        .crossJoin(F.broadcast(totals))
+    )
+    # integer `div` throughout (floor semantics, verified identical to
+    # DuckDB HUGEINT `//`); the product is widened through DECIMAL(38)
+    # so 10^12 rows x 10^9 distinct keys cannot overflow a long
+    hot = F.expr(
+        "cast(cast(key_rows as decimal(19,0)) * distinct_keys "
+        "div total_rows as bigint)"
+    )
+    return topk.select(
+        *key_cols,
+        F.col("key_rows").cast("bigint").alias("key_rows"),
+        "total_rows",
+        "distinct_keys",
+        F.expr("key_rows * 1000 div total_rows").alias("share_per_mille"),
+        hot.alias("hotness_ratio"),
+        F.greatest(hot, F.lit(1)).cast("bigint").alias("recommended_salts"),
+    )

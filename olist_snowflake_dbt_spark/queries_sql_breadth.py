@@ -1556,3 +1556,53 @@ def q_metric_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("normal")
         .alias("verdict"),
     )
+
+
+@query(
+    "skew_key_stats",
+    """
+    WITH keyed AS (
+        SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS join_key
+        FROM events
+    ),
+    counts AS (
+        SELECT join_key, COUNT(*) AS key_rows FROM keyed GROUP BY 1
+    ),
+    totals AS (
+        SELECT CAST(SUM(key_rows) AS BIGINT) AS total_rows,
+               CAST(COUNT(*) AS BIGINT) AS distinct_keys
+        FROM counts
+    ),
+    topk AS (
+        SELECT * FROM counts ORDER BY key_rows DESC, join_key LIMIT 5
+    )
+    SELECT t.join_key, CAST(t.key_rows AS BIGINT) AS key_rows,
+           total_rows, distinct_keys,
+           CAST(t.key_rows * 1000 // total_rows AS BIGINT) AS share_per_mille,
+           CAST(CAST(t.key_rows AS HUGEINT) * distinct_keys // total_rows
+                AS BIGINT) AS hotness_ratio,
+           CAST(GREATEST(CAST(t.key_rows AS HUGEINT) * distinct_keys
+                         // total_rows, 1) AS BIGINT) AS recommended_salts
+    FROM topk t CROSS JOIN totals
+    """,
+)
+def q_skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-planning skew advisor (operators/skew.key_skew_stats):
+    a prospective join key with a PLANTED hot value (a third of all
+    events fold onto key -1) is measured before any shuffle is paid —
+    top-5 hottest keys with exact integer share, hotness-vs-uniform
+    ratio, and the salt factor salted_join would need. The advisor is
+    one map-side-combined census + TakeOrdered + a broadcast 1-row
+    totals join; every number is integer `div` arithmetic (verified
+    floor-identical to DuckDB HUGEINT `//`), so the oracle reproduces
+    the recommendation exactly. This makes the salting decision that
+    AQE takes reactively at runtime plannable AHEAD of the run — the
+    pre-flight a 100 TB join deserves."""
+    from .operators.skew import key_skew_stats
+
+    keyed = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 3 == 0, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("join_key")
+    )
+    return key_skew_stats(keyed, ["join_key"], top=5)

@@ -220,3 +220,42 @@ def test_anomaly_large_values_stay_exact(spark):
     out = metric_anomalies(_series(spark, vals), "t", "v", baseline=3, k=3)
     got = {r.t: r.is_anomaly for r in out.collect()}
     assert got[3] is True
+
+
+# ------------------------------------------------------- skew advisor
+def test_key_skew_stats_exact_numbers(spark):
+    from olist_snowflake_dbt_spark.operators.skew import key_skew_stats
+
+    # 80 rows of key 'hot', 10 keys x 2 rows
+    rows = [("hot",)] * 80 + [(f"k{i}",) for i in range(10) for _ in range(2)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.k: r for r in key_skew_stats(df, ["k"], top=3).collect()}
+    hot = out["hot"]
+    assert (hot.key_rows, hot.total_rows, hot.distinct_keys) == (80, 100, 11)
+    assert hot.share_per_mille == 800
+    assert hot.hotness_ratio == 80 * 11 // 100  # 8
+    assert hot.recommended_salts == 8
+    cold = [r for k, r in out.items() if k != "hot"][0]
+    assert cold.key_rows == 2 and cold.recommended_salts == 1  # floored
+
+
+def test_key_skew_stats_uniform_key_recommends_no_salt(spark):
+    from olist_snowflake_dbt_spark.operators.skew import key_skew_stats
+
+    df = spark.createDataFrame([(i % 10,) for i in range(100)], "k bigint")
+    out = key_skew_stats(df, ["k"], top=10).collect()
+    assert all(r.recommended_salts == 1 for r in out)
+
+
+def test_key_skew_stats_matches_salted_join_contract(spark):
+    """The advisor's recommendation actually balances the hot key: with
+    recommended_salts salts, the hot key's per-salt row count falls to
+    ~the average key's count."""
+    from olist_snowflake_dbt_spark.operators.skew import key_skew_stats
+
+    rows = [("hot", 1)] * 90 + [(f"k{i}", 1) for i in range(9)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    [hot] = [r for r in key_skew_stats(df, ["k"], top=1).collect()]
+    per_salt = hot.key_rows / hot.recommended_salts
+    avg = hot.total_rows / hot.distinct_keys
+    assert per_salt <= 2 * avg
