@@ -77,6 +77,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="warehouse dir of another environment; refs to unselected "
         "models resolve to its artifacts (dbt --defer)",
     )
+    ap.add_argument(
+        "--favor-state",
+        dest="favor_state",
+        action="store_true",
+        help="with --defer: the deferred artifact wins even when the "
+        "local warehouse has one (dbt --favor-state; default favors local)",
+    )
     args = ap.parse_args(argv)
 
     from .runner import Engine
@@ -115,12 +122,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         rels = (
             eng.run_concurrent(
                 args.select, exclude=args.exclude, threads=args.threads,
-                state=state,
+                state=state, defer=args.defer_wh,
+                favor_state=args.favor_state,
             )
             if args.threads > 1
             else eng.run(
                 args.select, exclude=args.exclude, state=state,
-                defer=args.defer_wh,
+                defer=args.defer_wh, favor_state=args.favor_state,
             )
         )
         for name, rel in rels.items():

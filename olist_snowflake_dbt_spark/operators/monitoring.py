@@ -46,7 +46,18 @@ def metric_anomalies(
     ``is_anomaly = NULL`` (no verdict) rather than a false negative.
 
     Returns the series plus (baseline_n, baseline_sum, is_anomaly).
+
+    ``baseline`` and ``k`` are validated eagerly: the exact-integer
+    comparison routes ``n`` and ``k*k`` through bounded DECIMALs, and
+    with ANSI off an overflowing CAST yields NULL — which would turn
+    every verdict into a silent ``is_anomaly = NULL`` instead of an
+    error. decimal(4,0) covers n ≤ 9999 and k ≤ 99; anything beyond
+    that raises here rather than NULLing downstream.
     """
+    if not (1 <= baseline <= 9999):
+        raise ValueError(f"baseline must be in [1, 9999], got {baseline}")
+    if not (1 <= k <= 99):
+        raise ValueError(f"k must be in [1, 99], got {k}")
     w = (
         W.partitionBy(F.lit(0))
         .orderBy(time_col)
@@ -63,8 +74,8 @@ def metric_anomalies(
         - s
     ).cast("decimal(19,0)")
     lhs2 = lhs * lhs  # decimal(38,0), exact
-    rhs = F.lit(k * k).cast("decimal(2,0)") * (
-        (n.cast("decimal(2,0)") * ss).cast("decimal(38,0)")
+    rhs = F.lit(k * k).cast("decimal(4,0)") * (
+        (n.cast("decimal(4,0)") * ss).cast("decimal(38,0)")
         - (s * s).cast("decimal(38,0)")
     ).cast("decimal(38,0)")
     return series.select(

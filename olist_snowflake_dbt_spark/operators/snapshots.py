@@ -141,9 +141,12 @@ def scd2_resolve_asof(
     fact's event time — the consumption side of the snapshot operators
     (dbt builds snapshots; every mart that joins one does THIS).
 
-    Semantically ``facts LEFT JOIN snap ON key AND fact_ts BETWEEN
-    dbt_valid_from AND dbt_valid_to`` — but executed as the union-then-
-    window AS-OF plan (tag dim versions and facts, one window per key
+    Semantically ``facts LEFT JOIN snap ON key AND fact_ts >=
+    dbt_valid_from AND (fact_ts < dbt_valid_to OR dbt_valid_to IS
+    NULL)`` — half-open ``[valid_from, next valid_from)`` intervals, so
+    a fact landing exactly on a version boundary matches ONLY the newer
+    version (an inclusive BETWEEN would double-match it). Executed as
+    the union-then-window AS-OF plan (tag dim versions and facts, one window per key
     ordered by (ts, side), carry the last version struct forward): ONE
     shuffle on the key, where the inequality join would either fall to
     a broadcast-nested-loop or explode hot keys quadratically. Facts
@@ -153,7 +156,7 @@ def scd2_resolve_asof(
     the next version's ``dbt_valid_from``; NULL = current) — which the
     snapshot_apply/snapshot_init operators guarantee; ``dim_order``
     breaks ties when two versions share a valid_from (the later one
-    under that ordering wins, matching the BETWEEN join which excludes
+    under that ordering wins, matching the interval join which excludes
     the zero-width version).
 
     Fact columns pass through untouched; the resolved version arrives

@@ -128,6 +128,8 @@ class ModelRegistry:
         # one exists there) instead of building locally
         self._defer_dir: str | None = None
         self._defer_selected: set[str] = set()
+        self._defer_favor_state: bool = False
+        self._defer_local_dir: str | None = None
 
     @property
     def _building(self) -> list:
@@ -387,11 +389,20 @@ class ModelRegistry:
 
         if self._defer_dir is not None and name not in self._defer_selected:
             # dbt --defer (task/run.py defer_to_manifest semantics): an
-            # UNSELECTED parent resolves to the deferred environment's
-            # relation when one exists there — the slim-CI run never
-            # rebuilds (or re-reads the lineage of) upstream prod models
+            # UNSELECTED parent resolves to an existing artifact instead
+            # of rebuilding. Precedence matches dbt: by DEFAULT the
+            # CURRENT environment's relation wins when one exists
+            # (favor-local); ``--favor-state`` flips that so the
+            # deferred environment's artifact always wins. Either way
+            # the slim-CI run never re-executes upstream lineage.
             import os as _os
 
+            if not self._defer_favor_state and self._defer_local_dir:
+                local = _os.path.join(self._defer_local_dir, name)
+                if _os.path.exists(local):
+                    df = self.spark.read.parquet(local)
+                    self._built[name] = df
+                    return df
             deferred = _os.path.join(self._defer_dir, name)
             if _os.path.exists(deferred):
                 df = self.spark.read.parquet(deferred)
@@ -421,17 +432,30 @@ class ModelRegistry:
         self._built[name] = df
         return df
 
-    def set_defer(self, defer_dir: str, selected: set[str]) -> None:
+    def set_defer(
+        self,
+        defer_dir: str,
+        selected: set[str],
+        favor_state: bool = False,
+        local_dir: str | None = None,
+    ) -> None:
         """Arm dbt ``--defer`` for the next build pass: refs to models
-        NOT in ``selected`` resolve to ``<defer_dir>/<name>`` when that
-        artifact exists (dbt's favor-local default: a missing deferred
-        artifact falls back to building locally)."""
+        NOT in ``selected`` resolve to an existing artifact instead of
+        rebuilding. Default precedence is dbt's favor-local: an artifact
+        in the CURRENT environment (``local_dir/<name>``) wins over the
+        deferred one; ``favor_state=True`` is dbt ``--favor-state`` —
+        ``<defer_dir>/<name>`` always wins when it exists. With neither
+        artifact present, the parent falls back to building locally."""
         self._defer_dir = defer_dir
         self._defer_selected = set(selected)
+        self._defer_favor_state = favor_state
+        self._defer_local_dir = local_dir
 
     def clear_defer(self) -> None:
         self._defer_dir = None
         self._defer_selected = set()
+        self._defer_favor_state = False
+        self._defer_local_dir = None
 
     def _render_vars(self, sql: str) -> str:
         """Render every ``{{ var('k'[, default]) }}`` to a SQL literal

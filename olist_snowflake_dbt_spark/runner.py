@@ -141,23 +141,28 @@ class Engine:
         exclude: str | None = None,
         state: dict | None = None,
         defer: str | None = None,
+        favor_state: bool = False,
     ) -> dict[str, MaterializedRelation]:
         """Build the selected models in DAG order.
 
         ``defer`` is dbt's ``--defer``: a path to ANOTHER environment's
         warehouse (typically prod, alongside the ``state`` manifest used
         for ``state:modified`` selection). Refs from selected models to
-        UNSELECTED parents then resolve to that environment's relation
-        when one exists there, so a slim-CI invocation builds only the
-        modified subgraph and reads everything upstream from prod —
-        neither rebuilding it nor re-executing its lineage."""
+        UNSELECTED parents then resolve to an existing artifact instead
+        of re-executing upstream lineage — by default the CURRENT
+        warehouse's relation wins when one exists (dbt favor-local);
+        ``favor_state=True`` (dbt ``--favor-state``) makes the deferred
+        environment's artifact always win."""
         selected = self.registry.select(select, exclude=exclude, state=state)
         self.registry.invalidate()
         order = self.registry.topological_order(
             selected if (select or exclude) else None
         )
         if defer is not None:
-            self.registry.set_defer(defer, selected)
+            self.registry.set_defer(
+                defer, selected,
+                favor_state=favor_state, local_dir=self.warehouse_dir,
+            )
         self._run_hooks(getattr(self, "on_run_start", None))
         out: dict[str, MaterializedRelation] = {}
         try:
@@ -179,6 +184,8 @@ class Engine:
         exclude: str | None = None,
         threads: int = 4,
         state: dict | None = None,
+        defer: str | None = None,
+        favor_state: bool = False,
     ) -> dict[str, MaterializedRelation]:
         """:meth:`run` with dbt's node scheduling: independent DAG nodes
         materialize CONCURRENTLY on a bounded thread pool; a node is
@@ -196,11 +203,22 @@ class Engine:
         new is submitted (use :meth:`run_keep_going` for dbt's
         mark-descendants-skipped mode). Results are identical to a
         serial :meth:`run` — the scheduler only ever reorders nodes the
-        DAG declares independent."""
+        DAG declares independent.
+
+        ``defer`` / ``favor_state`` mirror :meth:`run` exactly — a
+        threaded slim-CI run resolves unselected parents from the other
+        environment's warehouse too (dbt applies --defer uniformly
+        regardless of --threads). The armed defer state is read-only
+        during the pass, so worker threads share it safely."""
         import concurrent.futures
 
         selected = self.registry.select(select, exclude=exclude, state=state)
         self.registry.invalidate()
+        if defer is not None:
+            self.registry.set_defer(
+                defer, selected,
+                favor_state=favor_state, local_dir=self.warehouse_dir,
+            )
         graph = self.registry.graph()
         deps = {n: {p for p in graph.get(n, ()) if p in selected} for n in selected}
         children: dict[str, set[str]] = {n: set() for n in selected}
@@ -212,29 +230,33 @@ class Engine:
         futures: dict = {}
         pending = {n for n in selected if deps[n]}
         failure: Exception | None = None
-        with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
-            for n in sorted(selected - pending):  # deterministic submit order
-                futures[pool.submit(self._materialize_node, n)] = n
-            while futures:
-                done, _ = concurrent.futures.wait(
-                    futures, return_when=concurrent.futures.FIRST_COMPLETED
-                )
-                for fut in done:
-                    name = futures.pop(fut)
-                    try:
-                        rel = fut.result()
-                    except Exception as exc:
-                        failure = failure or exc
-                        continue  # drain in-flight; submit nothing new
-                    out[name] = rel
-                    self.relations[name] = rel
-                    if failure is not None:
-                        continue
-                    for c in sorted(children.get(name, ())):
-                        deps[c].discard(name)
-                        if not deps[c] and c in pending:
-                            pending.discard(c)
-                            futures[pool.submit(self._materialize_node, c)] = c
+        try:
+            with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
+                for n in sorted(selected - pending):  # deterministic submit order
+                    futures[pool.submit(self._materialize_node, n)] = n
+                while futures:
+                    done, _ = concurrent.futures.wait(
+                        futures, return_when=concurrent.futures.FIRST_COMPLETED
+                    )
+                    for fut in done:
+                        name = futures.pop(fut)
+                        try:
+                            rel = fut.result()
+                        except Exception as exc:
+                            failure = failure or exc
+                            continue  # drain in-flight; submit nothing new
+                        out[name] = rel
+                        self.relations[name] = rel
+                        if failure is not None:
+                            continue
+                        for c in sorted(children.get(name, ())):
+                            deps[c].discard(name)
+                            if not deps[c] and c in pending:
+                                pending.discard(c)
+                                futures[pool.submit(self._materialize_node, c)] = c
+        finally:
+            if defer is not None:
+                self.registry.clear_defer()
         if failure is not None:
             raise failure
         self._run_hooks(getattr(self, "on_run_end", None))

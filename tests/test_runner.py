@@ -711,3 +711,72 @@ def test_defer_falls_back_to_local_build_when_artifact_missing(spark, tmp_path):
                           materialized="table")
     built = eng.run(select="b", defer=str(tmp_path / "empty_prod"))
     assert [r.id for r in built["b"].df.collect()] == [6]
+
+
+def _defer_fixture(spark, tmp_path, ci_src_vals):
+    """prod(a -> b) built from clean source; CI registers the same 'a'
+    (unmodified) over a poisoned source and a modified 'b'. Returns
+    (ci_engine, state, prod_wh)."""
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    prod_wh = str(tmp_path / "prod_wh")
+    prod = Engine(spark, prod_wh)
+    prod.registry.register_source(
+        "src", spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    )
+    prod.registry.register(
+        "a", "select id, v from {{ ref('src') }}", materialized="table"
+    )
+    prod.registry.register(
+        "b", "select id, v * 2 as v2 from {{ ref('a') }}", materialized="table"
+    )
+    prod.run()
+    state = prod.load_state(prod.write_state())
+
+    ci = Engine(spark, str(tmp_path / "ci_wh"))
+    ci.registry.register_source(
+        "src", spark.createDataFrame(ci_src_vals, "id long, v long")
+    )
+    ci.registry.register(
+        "a", "select id, v from {{ ref('src') }}", materialized="table"
+    )
+    ci.registry.register(
+        "b", "select id, v * 3 as v2 from {{ ref('a') }}", materialized="table"
+    )
+    return ci, state, prod_wh
+
+
+def test_defer_applies_on_threaded_runs_too(spark, tmp_path):
+    """dbt applies --defer uniformly regardless of --threads: the
+    concurrent scheduler must resolve unselected parents from the
+    deferred warehouse exactly like the serial path (previously the
+    threaded branch silently dropped the flag and rebuilt upstream
+    lineage against CI sources)."""
+    ci, state, prod_wh = _defer_fixture(spark, tmp_path, [(1, 999), (2, 999)])
+    built = ci.run_concurrent(
+        select="state:modified+", state=state, defer=prod_wh, threads=2
+    )
+    assert set(built) == {"b"}
+    got = {r.id: r.v2 for r in built["b"].df.collect()}
+    assert got == {1: 30, 2: 60}  # PROD 'a' data, not the poisoned 999s
+    # defer context cleared even on the concurrent path
+    rebuilt = ci.run_concurrent(threads=2)
+    assert {r.v2 for r in rebuilt["b"].df.collect()} == {999 * 3}
+
+
+def test_defer_favor_local_vs_favor_state_precedence(spark, tmp_path):
+    """dbt's documented precedence: by DEFAULT an unselected parent with
+    an artifact in the CURRENT warehouse resolves locally (favor-local);
+    --favor-state flips it so the deferred artifact always wins."""
+    ci, state, prod_wh = _defer_fixture(spark, tmp_path, [(1, 100), (2, 200)])
+    ci.run()  # CI now has its OWN 'a' artifact (v=100/200)
+
+    built = ci.run(select="state:modified+", state=state, defer=prod_wh)
+    got = {r.id: r.v2 for r in built["b"].df.collect()}
+    assert got == {1: 300, 2: 600}  # favor-local: CI 'a' (100/200) x3
+
+    built = ci.run(
+        select="state:modified+", state=state, defer=prod_wh, favor_state=True
+    )
+    got = {r.id: r.v2 for r in built["b"].df.collect()}
+    assert got == {1: 30, 2: 60}  # favor-state: PROD 'a' (10/20) x3

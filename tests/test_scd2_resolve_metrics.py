@@ -222,6 +222,28 @@ def test_anomaly_large_values_stay_exact(spark):
     assert got[3] is True
 
 
+def test_anomaly_wide_params_no_silent_null(spark):
+    """baseline >= 100 / k >= 10 previously overflowed a decimal(2,0)
+    cast to NULL with ANSI off, silencing every verdict; the widened
+    decimal(4,0) path must emit real booleans, and out-of-range
+    parameters must raise instead of NULLing downstream."""
+    import pytest
+
+    from olist_snowflake_dbt_spark.operators.monitoring import metric_anomalies
+
+    vals = [100] * 120 + [10000] + [100] * 3
+    out = metric_anomalies(_series(spark, vals), "t", "v", baseline=100, k=10)
+    got = {r.t: r.is_anomaly for r in out.collect()}
+    assert got[120] is True  # the spike — NOT silently NULL
+    assert got[119] is False and got[121] is False
+
+    with pytest.raises(ValueError, match="baseline"):
+        metric_anomalies(_series(spark, [1]), "t", "v", baseline=10000)
+    with pytest.raises(ValueError, match="k must"):
+        metric_anomalies(_series(spark, [1]), "t", "v", k=100)
+
+
+
 # ------------------------------------------------------- skew advisor
 def test_key_skew_stats_exact_numbers(spark):
     from olist_snowflake_dbt_spark.operators.skew import key_skew_stats
