@@ -34,131 +34,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries in
-# dict order. The round-7 rotation (VERDICT r06 #2) targets STALENESS:
-# (a) every query whose implementation changed in round 7 — operators/
-# dedup.py (minhash_banded refactor + ngram max_doc_freq, which
-# dedup_connected_components consumes), operators/similarity.py (cogroup
-# key-typing + auto-partitioning), operators/incremental.py (backup-swap
-# publish, used by all five incremental-family queries), runner.py +
-# plans/registry.py (run ordering, full-config checksums → slim-CI),
-# sources/pyds.py (append-manifest merge, atomic commit), compat.py
-# (env-var-only protobuf → tws) — plus (b) the 31 oldest surviving
-# driver rows (r03-era breadth/dedup/text queries), so after this round
-# no query's latest driver row predates r05 — plus (c) the brand-new
-# runner_concurrent_dag (thread-pool DAG execution, Barrier-proven
-# in-driver) and the three operators born this round (text_gopher_rules,
-# dedup_span_ngram, zorder_layout_stats — never had a driver row).
-# dedup_semantic / dedup_incremental_corpus / dedup_embedding_cosine /
-# incremental delete_insert+insert_overwrite (fresh r06 rows, their
-# specific functions untouched or family-covered by in-window siblings)
-# are left to tools/gate.py, which re-verifies ALL registered queries on
-# current code every round (GATE.json).
+# dict order. The round-8 rotation targets STALENESS (ADVICE r07 #4 plus
+# the VERDICT r06 #2 policy): (a) every brand-new round-8 query
+# (timetravel_changes and the rest of the round-8 batch below) plus
+# skew_key_stats, the round-7 query that landed after the r07 driver run
+# and so has no recorded row yet; (b) every query whose implementation
+# changed after the r07 driver run (commit 31d91bb: runner.py +
+# plans/registry.py defer-on-threads + favor-local precedence →
+# runner_slimci_retry; operators/monitoring.py anomaly-cast validation →
+# metric_anomaly_daily); (c) ALL 30 oldest surviving driver rows — the 9
+# r03-era rows (as-of/window/text map-only family) and the 21 r04-era
+# rows (formats, multimodal, sampling, materialize, kmeans, sessionize)
+# — so after this round no query's latest driver row predates r05.
+# Everything out-of-window keeps fresh r05–r07 rows and is re-verified on
+# current code every round by tools/gate.py (GATE.json).
 _CHECK_FIRST = [
-    # flagship (registry/runner code path changed again in round 7)
+    # flagship
     "fct_orders",
-    # brand-new this round: concurrent DAG materialization (A20 ext)
-    "runner_concurrent_dag",
-    # runner.py / plans/registry.py changed (keep-going order, checksums)
-    "runner_pipeline_gate",
-    "runner_source_freshness",
+    # (a) brand-new round 8 + the r07 post-run orphan
+    "timetravel_changes",
+    "skew_key_stats",
+    # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
-    # sources/pyds.py changed THIS round in the sink commit path only —
-    # jsonl_sink_roundtrip exercises it; the reader/stream queries keep
-    # fresh r06 rows and yield their slots to brand-new round-7 queries
-    "pyds_jsonl_sink_roundtrip",
-    # compat.py changed (protobuf opt-in moved to harness)
-    "stream_stateful_totals_tws",
-    # operators/similarity.py changed (typed key, ts_col, auto-sizing)
-    "cogroup_conversion_stats",
-    # operators/incremental.py changed (backup-swap publish);
-    # microbatch_sim exercises the changed publish path for the family —
-    # merge/delete_insert/insert_overwrite keep fresh r06 rows and
-    # yield their slots to the brand-new round-7 queries below
-    "incremental_microbatch_sim",
-    "dynamic_table_refresh",
-    # operators/dedup.py changed (banding refactor, max_doc_freq)
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    # BRAND-NEW round-7 operators (first-ever driver rows): Gopher
-    # rule gate, Lee-et-al duplicated-span accounting + removal cut,
-    # Z-order layout, integer-exact PageRank
-    "text_gopher_rules",
-    "text_hashed_linear_score",
-    "dedup_span_ngram",
-    "dedup_span_removal",
-    "zorder_layout_stats",
-    "graph_pagerank_purchases",
-    # BRAND-NEW round-7 (second batch): CDC log application (B1
-    # family), Bloom membership pre-filter (the incremental-dedup
-    # scale sibling), HLL sketch-partial rollup (persisted mergeable
-    # partials). Their three slots come from the r03 text-family rows
-    # text_repetition_stats / text_pii_pseudonymize / text_ngram_counts
-    # — each pinned by exact-count pytests and by in-window same-file
-    # siblings (gopher_rules / hashed_linear_score exercise the same
-    # operators/text.py scan machinery), and still gate.py-verified on
-    # current code every round.
-    "cdc_apply_latest",
-    "dedup_bloom_prefilter",
-    "sketch_rollup_merge",
-    # BRAND-NEW round-7 (third batch): streaming CDC upsert sink
-    # (tombstone state table, split-invariance vs the batch oracle),
-    # count-min-sketch heavy hitters (bit-exact grid parity), and the
-    # ANALYZE-style column profiler. Slots from the r03 rows
-    # text_token_stats / text_language_id / text_fingerprint — all
-    # map-only Catalyst projections pinned by the hypothesis property
-    # suite (tests/test_text_properties.py); fingerprint() itself is
-    # transitively exercised by the in-window bloom + incremental-dedup
-    # rows (it is their hash input), and gate.py re-verifies all three
-    # on current code every round.
-    "cdc_stream_apply",
-    "cms_heavy_hitters",
-    "table_stats_profile",
-    # BRAND-NEW round-7 (fourth batch): SCD-2 consumption (facts
-    # resolved to the dimension version valid at event time, as-of
-    # plan vs BETWEEN-join oracle) and the metrics semantic layer
-    # (declared measure -> grain query over fct_orders). Slots from
-    # r03 rows asof_last_purchase (the identical union+window as-of
-    # machinery is in-window via scd2_dim_asof_resolve, which
-    # exercises the harder two-table + tombstone-tie case) and
-    # distinct_agg (count_distinct is in-window via table_stats_profile
-    # NDV and sketch_rollup_merge exact twins); both stay gate.py-
-    # verified every round.
-    "scd2_dim_asof_resolve",
-    "metric_revenue_monthly",
-    # BRAND-NEW round-7 (fifth batch): metric anomaly monitor
-    # (trailing-baseline 3-sigma verdicts in exact integer arithmetic,
-    # planted spikes verified). Slot from r03 window_running_agg — the
-    # running-window machinery is in-window via scd2_dim_asof_resolve
-    # and metric_anomaly_daily itself (both window-over-key plans);
-    # gate.py still verifies it every round.
     "metric_anomaly_daily",
-    # oldest surviving driver rows (r03): SQL breadth over queries_sql_breadth
-    "topk_per_group",
-    "set_ops",
-    "semi_join_exists",
-    "scalar_functions",
-    "date_functions",
-    "json_extract",
-    "time_bucket_agg",
-    "grouping_rollup",
-    "pivot_status_by_year",
-    # oldest surviving driver rows (r03): snapshots / dedup / similarity
-    "scd2_window_rebuild",
-    "dedup_exact",
-    "dedup_containment",
-    "dedup_simhash",
-    "dedup_winnowing",
-    "fuzzy_join_levenshtein",
-    "similarity_brute_topk",
-    "similarity_ivf",
-    "similarity_quantized_topk",
-    # oldest surviving driver rows (r03): text-analysis family
-    "text_quality_score",
-    "text_tfidf_topk",
-    "text_decontaminate",
-    "corpus_prep_pipeline",
+    # (c) oldest surviving driver rows — r03
+    "asof_last_purchase",
+    "distinct_agg",
+    "text_fingerprint",
+    "text_language_id",
+    "text_ngram_counts",
+    "text_pii_pseudonymize",
+    "text_repetition_stats",
+    "text_token_stats",
+    "window_running_agg",
+    # (c) oldest surviving driver rows — r04
+    "asof_click_attribution",
+    "clone_zero_copy",
+    "fmt_csv_roundtrip",
+    "fmt_jsonl_roundtrip",
+    "fmt_orc_roundtrip",
+    "fmt_schema_evolution",
+    "kmeans_clusters",
+    "materialize_table_roundtrip",
+    "mm_byte_stats",
+    "mm_decode",
+    "mm_features",
+    "mm_frame_sample",
+    "pandas_group_vector_sums",
+    "sample_hash_fraction",
+    "sample_hash_split",
+    "sample_mix_sources",
+    "sample_pack_sequences",
+    "sample_stratified_topn",
+    "sessionize_events",
+    "sink_partitioned_pruned",
+    "zorder_roundtrip",
+    # (d) next-oldest surviving rows (r05) filling the remaining slots —
+    # TPC-H's heaviest plans plus the r05 breadth rows; each slot here is
+    # swapped for a brand-new round-8 query as it lands.
+    "tpch_q1_pricing_summary",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
+    "similarity_ann_lsh",
+    "dedup_embedding_cosine",
+    "dedup_subdoc_chunks",
+    "recursive_cte_hierarchy",
+    "window_range_interval",
+    "variant_shred_agg",
+    "hll_and_quantile_sketch",
+    "sample_importance_weighted",
+    "quality_quantile_filter",
+    "text_corpus_freq_score",
+    "date_spine_gaps",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

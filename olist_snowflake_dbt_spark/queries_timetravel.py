@@ -1,0 +1,99 @@
+"""Driver queries for table versioning (plans/timetravel.py): Snowflake
+time travel (``AT(OFFSET => -1)``) and STREAMS/CHANGES semantics over the
+parquet warehouse.
+
+The reference project runs on Snowflake, where dbt snapshots and CDC
+consumers lean on the warehouse's built-in version history
+(``$DBT_PROJECT/snapshots`` would use it implicitly; Snowflake docs:
+Time Travel / Streams). Here both generations are PUBLISHED through
+:class:`plans.timetravel.VersionedTable` (two-phase manifest commit),
+the old generation is read back via ``offset=-1`` time travel, and the
+delta between versions is computed by :func:`plans.timetravel.
+table_changes` — so the driver row verifies the whole publish → manifest
+→ time-travel-read → changes cycle, not just the join.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.timetravel import VersionedTable, table_changes
+from .queries import query
+from .sources import formats as FMT
+from .sources.readers import read_table
+
+# Deterministic synthetic churn over the customer table:
+#   v1 (old) = every customer except c_custkey % 7 == 0
+#   v2 (new) = every customer except c_custkey % 3 == 0, with the market
+#              segment rewritten to 'UPDATED' where c_custkey % 5 == 0
+# so INSERTs are the (%7==0, %3!=0) keys, DELETEs the (%3==0, %7!=0)
+# keys, and UPDATEs the (%5==0) keys present in both versions.
+_TT_CHANGES_ORACLE = """
+WITH old AS (
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer WHERE c_custkey % 7 <> 0
+),
+new AS (
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED' ELSE c_mktsegment END
+               AS c_mktsegment,
+           c_acctbal
+    FROM customer WHERE c_custkey % 3 <> 0
+),
+j AS (
+    SELECT o.c_custkey AS o_key, n.c_custkey AS n_key,
+           o.c_name AS o_name, o.c_mktsegment AS o_seg, o.c_acctbal AS o_bal,
+           n.c_name AS n_name, n.c_mktsegment AS n_seg, n.c_acctbal AS n_bal
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_name IS DISTINCT FROM n.c_name
+       OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+       OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+)
+SELECT o_key AS c_custkey, o_name AS c_name, o_seg AS c_mktsegment,
+       o_bal AS c_acctbal, 'DELETE' AS metadata_action,
+       (o_key IS NOT NULL AND n_key IS NOT NULL) AS metadata_isupdate
+FROM j WHERE o_key IS NOT NULL
+UNION ALL
+SELECT n_key, n_name, n_seg, n_bal, 'INSERT',
+       (o_key IS NOT NULL AND n_key IS NOT NULL)
+FROM j WHERE n_key IS NOT NULL
+"""
+
+
+def _versions(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    old = cust.filter(F.col("c_custkey") % 7 != 0)
+    new = cust.filter(F.col("c_custkey") % 3 != 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("UPDATED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    return old, new
+
+
+@query("timetravel_changes", _TT_CHANGES_ORACLE)
+def q_timetravel_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake CHANGES between two published table generations
+    (plans/timetravel.py): v1 and v2 of a churned customer table are
+    PUBLISHED through VersionedTable (tmp-dir write → atomic rename →
+    manifest commit), v1 is read back via time travel ``offset=-1``, v2
+    via the current pointer, and the delta comes from ONE full-outer
+    hash join on the key comparing 8-byte xxhash64 row fingerprints —
+    unchanged keys are dropped BEFORE the DELETE/INSERT fan-out, so the
+    output (and everything downstream of a stream) is proportional to
+    the churn, not the table. Updates surface as Snowflake does them: a
+    DELETE+INSERT pair with metadata_isupdate = true."""
+    old, new = _versions(spark, sf_dir)
+    root = FMT.scratch_dir("timetravel")
+    shutil.rmtree(root, ignore_errors=True)  # idempotent across runs
+    vt = VersionedTable(spark, root, "customer_churn")
+    vt.publish(old)
+    vt.publish(new)
+    return table_changes(vt.read(offset=-1), vt.read(), ["c_custkey"])
