@@ -53,6 +53,8 @@ _CHECK_FIRST = [
     "fct_orders",
     # (a) brand-new round 8 + the r07 post-run orphan
     "timetravel_changes",
+    "timetravel_stream_consume",
+    "scd2_hard_delete",
     "skew_key_stats",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
@@ -105,8 +107,6 @@ _CHECK_FIRST = [
     "hll_and_quantile_sketch",
     "sample_importance_weighted",
     "quality_quantile_filter",
-    "text_corpus_freq_score",
-    "date_spine_gaps",
 ]
 
 

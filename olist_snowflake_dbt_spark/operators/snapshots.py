@@ -56,6 +56,7 @@ def snapshot_apply(
     updated_at: str | None = None,
     check_cols: Sequence[str] | None = None,
     snapshot_time=None,
+    hard_deletes: str = "ignore",
 ) -> DataFrame:
     """Advance an SCD-2 snapshot with a new source batch.
 
@@ -63,7 +64,30 @@ def snapshot_apply(
     source row's timestamp is newer); ``check`` requires ``check_cols``
     (change when any tracked column differs, NULL-safe) and uses
     ``snapshot_time`` (or ``updated_at``) as the new valid_from.
+
+    ``hard_deletes`` mirrors dbt's snapshot config (dbt 1.9
+    ``hard_deletes:``; legacy ``invalidate_hard_deletes=True`` ==
+    ``invalidate``): keys that vanished from the source are
+
+    - ``ignore`` (default): left open — a missing key is not evidence of
+      deletion (dbt's historical default);
+    - ``invalidate``: their open row is CLOSED with ``dbt_valid_to =
+      snapshot_time`` (requires ``snapshot_time``);
+    - ``new_record``: closed as above PLUS a tombstone version inserted
+      with ``dbt_is_deleted = true`` and an open validity window, so
+      downstream as-of joins resolve post-deletion facts to an explicit
+      deleted marker instead of the stale last version. The output gains
+      a ``dbt_is_deleted`` boolean column (false for every live row).
+
+    Deletion detection adds NO extra join or shuffle — it is one more
+    filter branch over the same full-outer join the strategies already
+    share, so the plan shape (one key-equi shuffle, AQE-broadcastable)
+    is unchanged at any scale.
     """
+    if hard_deletes not in ("ignore", "invalidate", "new_record"):
+        raise ValueError(f"unknown hard_deletes mode: {hard_deletes!r}")
+    if hard_deletes != "ignore" and snapshot_time is None:
+        raise ValueError(f"hard_deletes={hard_deletes!r} requires snapshot_time")
     if strategy == "timestamp":
         if updated_at is None:
             raise ValueError("timestamp strategy requires updated_at")
@@ -104,6 +128,22 @@ def snapshot_apply(
             " AND ".join(f"src.{c} <=> cur.{c}" for c in check_cols)
         )
 
+    # keys gone from the source: only a "deletion" when configured; an
+    # already-tombstoned open row (dbt_is_deleted) is not deleted AGAIN
+    # on later runs, and a key that REAPPEARS always closes its tombstone
+    # and inserts a fresh live version (revive), even if the payload is
+    # byte-identical to the pre-deletion one.
+    cur_tomb = (
+        F.coalesce(F.col("cur.dbt_is_deleted"), F.lit(False))
+        if "dbt_is_deleted" in snap.columns
+        else F.lit(False)
+    )
+    if hard_deletes != "ignore":
+        is_deleted = in_cur & ~in_src & ~cur_tomb
+        row_changed = row_changed | (in_src & cur_tomb)
+    else:
+        is_deleted = F.lit(False)
+
     # open rows that close this round (changed) keep cur.* but gain valid_to
     closing = joined.filter(in_src & in_cur & row_changed).select(
         *[F.col(f"cur.{c}").alias(c) for c in data_cols],
@@ -113,20 +153,53 @@ def snapshot_apply(
     )
     # open rows that survive unchanged (or whose key left the source —
     # dbt keeps them open unless hard-deletes are configured)
-    surviving = joined.filter(in_cur & ~(in_src & row_changed)).select(
+    surviving = joined.filter(in_cur & ~(in_src & row_changed) & ~is_deleted).select(
         *[F.col(f"cur.{c}").alias(c) for c in data_cols],
         F.col("cur.dbt_scd_id").alias("dbt_scd_id"),
         F.col("cur.dbt_valid_from").alias("dbt_valid_from"),
         F.col("cur.dbt_valid_to").alias("dbt_valid_to"),
     )
-    # inserts: brand-new keys + the new version of changed rows
+    # inserts: brand-new keys + the new version of changed rows. A
+    # live source batch has no dbt_is_deleted column even when the
+    # snapshot already carries one (new_record mode) — fresh versions
+    # are live by definition.
+    def _src_col(c):
+        if c == "dbt_is_deleted" and c not in source.columns:
+            return F.lit(False).alias(c)
+        return F.col(f"src.{c}").alias(c)
+
     inserts = joined.filter(in_src & (~in_cur | row_changed)).select(
-        *[F.col(f"src.{c}").alias(c) for c in data_cols],
+        *[_src_col(c) for c in data_cols],
         _scd_id(key, new_vf, prefix="src.").alias("dbt_scd_id"),
         new_vf.cast("timestamp").alias("dbt_valid_from"),
         F.lit(None).cast("timestamp").alias("dbt_valid_to"),
     )
-    return closed.unionByName(closing).unionByName(surviving).unionByName(inserts)
+    out = closed.unionByName(closing).unionByName(surviving).unionByName(inserts)
+    if hard_deletes == "ignore":
+        return out
+    del_vt = F.lit(snapshot_time).cast("timestamp")
+    invalidated = joined.filter(is_deleted).select(
+        *[F.col(f"cur.{c}").alias(c) for c in data_cols],
+        F.col("cur.dbt_scd_id").alias("dbt_scd_id"),
+        F.col("cur.dbt_valid_from").alias("dbt_valid_from"),
+        del_vt.alias("dbt_valid_to"),
+    )
+    out = out.unionByName(invalidated)
+    if hard_deletes == "invalidate":
+        return out
+    # new_record: also insert an OPEN tombstone version carrying the last
+    # payload, flagged dbt_is_deleted — the whole table gains the flag.
+    had_flag = "dbt_is_deleted" in data_cols
+    if not had_flag:
+        out = out.withColumn("dbt_is_deleted", F.lit(False))
+    tombstones = joined.filter(is_deleted).select(
+        *[F.col(f"cur.{c}").alias(c) for c in data_cols],
+        _scd_id(key, del_vt, prefix="cur.").alias("dbt_scd_id"),
+        del_vt.alias("dbt_valid_from"),
+        F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+    )
+    tombstones = tombstones.withColumn("dbt_is_deleted", F.lit(True))
+    return out.unionByName(tombstones)
 
 
 def scd2_resolve_asof(

@@ -161,6 +161,70 @@ class VersionedTable:
         return [v["version"] for v in drop]
 
 
+class TableStream:
+    """Snowflake ``CREATE STREAM s ON TABLE t`` over a VersionedTable.
+
+    A stream is an OFFSET into the table's version history plus the
+    CHANGES view from that offset to the current version. Snowflake
+    advances the offset transactionally when a DML statement consumes
+    the stream; here :meth:`read` returns the pending delta and
+    :meth:`advance` commits the consumption (two-phase: the offset file
+    rewrite is the commit point, so a consumer that crashes before
+    advancing re-reads the SAME delta — at-least-once, which is what
+    Snowflake gives a failed transaction too).
+
+    The offset is one integer in ``_stream_<name>.json`` next to the
+    table manifest — per-stream, so multiple independent consumers each
+    keep their own position (as in Snowflake). Reading is the
+    table_changes join between two retained generations; nothing is
+    stored per-row, so a stream costs O(1) bytes regardless of table
+    size, and vacuum() must retain at least the offset generation (the
+    read raises if the consumer fell behind the retention window —
+    Snowflake's stream staleness error).
+    """
+
+    def __init__(self, vt: VersionedTable, name: str, key: list[str] | tuple[str, ...]):
+        self.vt = vt
+        self.name = name
+        self.key = list(key)
+        self._offset_path = os.path.join(vt.root, f"_stream_{name}.json")
+        if not os.path.exists(self._offset_path):
+            self._write_offset(vt.current_version())
+
+    def _write_offset(self, v: int) -> None:
+        tmp = f"{self._offset_path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"offset_version": v}, f)
+        os.replace(tmp, self._offset_path)
+
+    def offset_version(self) -> int:
+        with open(self._offset_path) as f:
+            return json.load(f)["offset_version"]
+
+    def read(self) -> DataFrame:
+        """The pending CHANGES from the stream offset to current. Empty
+        (but well-typed) when the consumer is caught up."""
+        base = self.offset_version()
+        retained = {v["version"] for v in self.vt.versions()}
+        if base not in retained:
+            raise RuntimeError(
+                f"stream {self.name}: offset version {base} fell out of "
+                f"the retention window (have {sorted(retained)}) — the "
+                f"stream is stale; recreate it"
+            )
+        old = self.vt.read(version=base)
+        new = self.vt.read()
+        return table_changes(old, new, self.key)
+
+    def advance(self) -> int:
+        """Commit consumption: move the offset to the current version
+        (call AFTER the consuming write succeeds — the Snowflake analogue
+        is the stream advancing with the consuming transaction)."""
+        v = self.vt.current_version()
+        self._write_offset(v)
+        return v
+
+
 def table_changes(
     old: DataFrame,
     new: DataFrame,

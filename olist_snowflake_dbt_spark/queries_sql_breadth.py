@@ -1606,3 +1606,59 @@ def q_skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("join_key")
     )
     return key_skew_stats(keyed, ["join_key"], top=5)
+
+
+@query(
+    "scd2_hard_delete",
+    """
+    WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+    v2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 6 = 0 THEN 'MOVED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 4 <> 0
+    )
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '2024-01-01 00:00:00' AS dbt_valid_from,
+           CASE WHEN c_custkey % 4 = 0 OR c_custkey % 6 = 0
+                THEN TIMESTAMP '2024-02-01 00:00:00' END AS dbt_valid_to
+    FROM base
+    UNION ALL
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '2024-02-01 00:00:00', NULL
+    FROM v2 WHERE c_custkey % 6 = 0
+    """,
+)
+def q_scd2_hard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt ``hard_deletes: invalidate`` (operators/snapshots.snapshot_apply;
+    dbt 1.9 snapshot config, legacy invalidate_hard_deletes=True): a key
+    that VANISHES from the source closes its open SCD-2 row at
+    snapshot_time instead of lingering open forever. One batch drops the
+    c_custkey % 4 == 0 keys and rewrites the % 6 == 0 segments, so the
+    oracle history must show: vanished keys closed, changed keys closed +
+    reopened, everything else still open. Deletion detection rides the
+    SAME single full-outer key join the change strategies use — no extra
+    shuffle at any scale."""
+    from .operators.snapshots import snapshot_apply, snapshot_init
+
+    t0, t1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    base = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    snap = snapshot_init(base, ["c_custkey"], F.lit(t0))
+    v2 = base.filter(F.col("c_custkey") % 4 != 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 6 == 0, F.lit("MOVED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    out = snapshot_apply(
+        snap,
+        v2,
+        ["c_custkey"],
+        strategy="check",
+        check_cols=["c_mktsegment"],
+        snapshot_time=t1,
+        hard_deletes="invalidate",
+    )
+    return out.select(
+        "c_custkey", "c_mktsegment", "dbt_valid_from", "dbt_valid_to"
+    )

@@ -20,7 +20,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .plans.timetravel import VersionedTable, table_changes
+from .plans.timetravel import TableStream, VersionedTable, table_changes
 from .queries import query
 from .sources import formats as FMT
 from .sources.readers import read_table
@@ -97,3 +97,71 @@ def q_timetravel_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt.publish(old)
     vt.publish(new)
     return table_changes(vt.read(offset=-1), vt.read(), ["c_custkey"])
+
+
+# v3 churn on top of v2: drop the c_custkey % 11 == 0 keys, promote the
+# % 13 == 0 keys to segment 'VIP'.
+_TT_STREAM_ORACLE = """
+WITH v2 AS (
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED' ELSE c_mktsegment END
+               AS c_mktsegment,
+           c_acctbal
+    FROM customer WHERE c_custkey % 3 <> 0
+),
+v3 AS (
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 13 = 0 THEN 'VIP' ELSE c_mktsegment END
+               AS c_mktsegment,
+           c_acctbal
+    FROM v2 WHERE c_custkey % 11 <> 0
+),
+j AS (
+    SELECT o.c_custkey AS o_key, n.c_custkey AS n_key,
+           o.c_name AS o_name, o.c_mktsegment AS o_seg, o.c_acctbal AS o_bal,
+           n.c_name AS n_name, n.c_mktsegment AS n_seg, n.c_acctbal AS n_bal
+    FROM v2 o FULL OUTER JOIN v3 n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_name IS DISTINCT FROM n.c_name
+       OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+       OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+)
+SELECT o_key AS c_custkey, o_name AS c_name, o_seg AS c_mktsegment,
+       o_bal AS c_acctbal, 'DELETE' AS metadata_action,
+       (o_key IS NOT NULL AND n_key IS NOT NULL) AS metadata_isupdate
+FROM j WHERE o_key IS NOT NULL
+UNION ALL
+SELECT n_key, n_name, n_seg, n_bal, 'INSERT',
+       (o_key IS NOT NULL AND n_key IS NOT NULL)
+FROM j WHERE n_key IS NOT NULL
+"""
+
+
+@query("timetravel_stream_consume", _TT_STREAM_ORACLE)
+def q_timetravel_stream_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake STREAM consumption offsets (plans/timetravel.TableStream):
+    a stream created at v1 sees the v1->v2 delta; after the consumer
+    ADVANCES (the transactional offset commit), publishing v3 makes the
+    stream read ONLY the v2->v3 delta — returned here, so the oracle
+    match proves the offset actually moved and the second read is
+    incremental, not cumulative. The offset is one integer next to the
+    manifest (O(1) bytes per stream at any table size); each read is the
+    single fingerprint-compare join of table_changes between the two
+    retained generations."""
+    old, new = _versions(spark, sf_dir)
+    v3 = new.filter(F.col("c_custkey") % 11 != 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("VIP")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    root = FMT.scratch_dir("timetravel_stream")
+    shutil.rmtree(root, ignore_errors=True)  # idempotent across runs
+    vt = VersionedTable(spark, root, "customer_churn")
+    vt.publish(old)
+    stream = TableStream(vt, "consumer_a", ["c_custkey"])
+    vt.publish(new)
+    stream.read()  # pending v1->v2 delta ...
+    stream.advance()  # ... consumed
+    vt.publish(v3)
+    return stream.read()  # v2->v3 only

@@ -159,3 +159,29 @@ def test_driver_query_matches_duckdb_oracle(spark, sf_dir):
     g = sorted(map(tuple, got.collect()))
     assert len(g) == len(exp) > 0
     assert g == sorted(exp)
+
+
+def test_stream_offsets_and_staleness(spark, vt):
+    vt.publish(_df(spark, [(1, "a")]))
+    from olist_snowflake_dbt_spark.plans.timetravel import TableStream
+
+    s = TableStream(vt, "c1", ["k"])
+    assert s.read().count() == 0  # caught up at creation
+    vt.publish(_df(spark, [(1, "a"), (2, "b")]))
+    first = s.read().collect()
+    assert [(r.k, r.metadata_action) for r in first] == [(2, "INSERT")]
+    # not advanced -> same delta again (at-least-once on consumer crash)
+    assert s.read().count() == 1
+    s.advance()
+    assert s.read().count() == 0
+    vt.publish(_df(spark, [(2, "b")]))
+    second = s.read().collect()  # v2->v3 only: key 1 deleted
+    assert [(r.k, r.metadata_action) for r in second] == [(1, "DELETE")]
+    # two consumers keep independent offsets
+    s2 = TableStream(vt, "c2", ["k"])
+    assert s2.read().count() == 0 and s.read().count() == 1
+    # retention passing the offset -> staleness error
+    vt.publish(_df(spark, [(3, "c")]))
+    vt.vacuum(retain=1)
+    with pytest.raises(RuntimeError):
+        s.read()
