@@ -55,6 +55,8 @@ _CHECK_FIRST = [
     "timetravel_changes",
     "timetravel_stream_consume",
     "scd2_hard_delete",
+    "governance_masked_view",
+    "governance_row_access",
     "skew_key_stats",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
@@ -105,8 +107,6 @@ _CHECK_FIRST = [
     "window_range_interval",
     "variant_shred_agg",
     "hll_and_quantile_sketch",
-    "sample_importance_weighted",
-    "quality_quantile_filter",
 ]
 
 

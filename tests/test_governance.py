@@ -1,0 +1,74 @@
+"""operators/governance.py: masking styles, schema stability of the
+governed view, deny-by-default row access, and the broadcast-semi-join
+plan shape (no fact shuffle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_snowflake_dbt_spark.operators.governance import (
+    apply_masking,
+    apply_row_access,
+    mask_expr,
+)
+
+
+@pytest.fixture()
+def people(spark):
+    return spark.createDataFrame(
+        [(1, "Ada Lovelace", "555-0100", 1200.50), (2, "Mary Shelley", "555-0199", 80.25)],
+        "id int, name string, phone string, balance double",
+    )
+
+
+def test_mask_styles(spark, people):
+    row = people.select(
+        mask_expr("name", "redact").alias("r"),
+        mask_expr("phone", "partial", keep=4).alias("p"),
+        mask_expr("name", "token").alias("t"),
+        mask_expr("balance", "null").alias("n"),
+    ).first()
+    assert row.r == "***MASKED***"
+    assert row.p == "555-****"
+    assert len(row.t) == 32 and row.t != "Ada Lovelace"
+    assert row.n is None
+    with pytest.raises(ValueError):
+        mask_expr("name", "rot13")
+
+
+def test_apply_masking_schema_stable_and_role_gated(spark, people):
+    policies = {
+        "name": (["admin"], mask_expr("name", "redact")),
+        "balance": (["admin"], mask_expr("balance", "null")),
+    }
+    admin = apply_masking(people, "admin", policies)
+    analyst = apply_masking(people, "analyst", policies)
+    # stable names+types (nullability may tighten on literal masks)
+    assert admin.dtypes == people.dtypes == analyst.dtypes
+    assert admin.collect() == people.collect()  # cleartext passthrough
+    got = {r.id: (r.name, r.balance, r.phone) for r in analyst.collect()}
+    assert got[1] == ("***MASKED***", None, "555-0100")  # ungoverned col intact
+
+
+def test_token_masking_preserves_joinability(spark, people):
+    policies = {"name": ([], mask_expr("name", "token"))}
+    a = apply_masking(people, "x", policies).select("id", "name")
+    b = apply_masking(people.select("id", "name"), "y", policies)
+    assert a.join(b, ["id", "name"]).count() == 2  # tokens join across tables
+
+
+def test_row_access_deny_by_default_and_plan(spark, people):
+    grants = spark.createDataFrame(
+        [("analyst", 1)], "role string, id int"
+    )
+    seen = apply_row_access(people, "analyst", grants, on=["id"])
+    assert [r.id for r in seen.collect()] == [1]
+    nothing = apply_row_access(people, "intern", grants, on=["id"])
+    assert nothing.count() == 0  # unlisted role sees NOTHING
+    with pytest.raises(NotImplementedError):
+        apply_row_access(
+            people, "analyst", grants, on=["id"], unlisted_role_sees_nothing=False
+        )
+    plan = seen._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
