@@ -57,6 +57,8 @@ _CHECK_FIRST = [
     "scd2_hard_delete",
     "governance_masked_view",
     "governance_row_access",
+    "bm25_topk",
+    "hybrid_rrf_fusion",
     "skew_key_stats",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
@@ -105,8 +107,6 @@ _CHECK_FIRST = [
     "dedup_subdoc_chunks",
     "recursive_cte_hierarchy",
     "window_range_interval",
-    "variant_shred_agg",
-    "hll_and_quantile_sketch",
 ]
 
 
