@@ -59,6 +59,11 @@ _CHECK_FIRST = [
     "governance_row_access",
     "bm25_topk",
     "hybrid_rrf_fusion",
+    "dedup_cluster_representative",
+    "sample_reservoir_per_group",
+    "sample_mixture_weights",
+    "sample_chunk_windows",
+    "funnel_conversion",
     "skew_key_stats",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
@@ -100,13 +105,8 @@ _CHECK_FIRST = [
     # swapped for a brand-new round-8 query as it lands.
     "tpch_q1_pricing_summary",
     "tpch_q9_product_profit",
-    "tpch_q18_large_orders",
-    "tpch_q21_waiting_suppliers",
     "similarity_ann_lsh",
     "dedup_embedding_cosine",
-    "dedup_subdoc_chunks",
-    "recursive_cte_hierarchy",
-    "window_range_interval",
 ]
 
 

@@ -963,3 +963,48 @@ def bloom_probe(
     return joined.groupBy(id_col).agg(
         (F.min(hit) == 1).alias("bloom_maybe")
     )
+
+
+def cluster_representative(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col,
+) -> DataFrame:
+    """Pick ONE representative document per near-duplicate cluster —
+    the standard corpus-curation step after pair generation (keep the
+    best-quality member, drop the rest; e.g. the C4/RefinedWeb recipe
+    keeps one page per dup cluster rather than dropping all copies).
+
+    ``pairs`` is any near-dup edge list ``(id_a, id_b)`` (MinHash LSH,
+    n-gram Jaccard, SimHash, …); clusters are their transitive closure
+    via :func:`connected_components`; docs in no pair form singleton
+    clusters of themselves. The winner per cluster maximizes
+    ``quality_col``, ties broken by smallest id — encoded as ONE
+    map-side-combinable ``max(struct(quality, -id))`` aggregate, NOT a
+    per-cluster window: a window over a hot mega-cluster serializes its
+    members through one reducer, while the struct-max combines partials
+    on the map side, so a million-member boilerplate cluster costs one
+    row per upstream partition through the shuffle.
+
+    Returns one row per cluster: ``(component, <id_col> of the winner,
+    <quality_col> of the winner, n_cluster_members)``.
+    """
+    qc = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    qname = quality_col if isinstance(quality_col, str) else "quality"
+    cc = connected_components(pairs)
+    labeled = df.join(
+        cc, df[id_col] == cc["node"], "left"
+    ).withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    winners = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_cluster_members"),
+        F.max(
+            F.struct(qc.alias("q"), (-F.col(id_col)).alias("nid"))
+        ).alias("__w"),
+    )
+    return winners.select(
+        "component",
+        (-F.col("__w.nid")).alias(id_col),
+        F.col("__w.q").alias(qname),
+        "n_cluster_members",
+    )

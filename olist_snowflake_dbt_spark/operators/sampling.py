@@ -177,3 +177,136 @@ def weighted_sample(
         u32 * F.lit(denom).cast("bigint")
         < num.cast("bigint") * F.lit(16**_HEX_K).cast("bigint")
     )
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``min(n, |group|)`` rows per group, chosen uniformly by
+    md5-hash rank — the deterministic twin of per-group reservoir
+    sampling. Because the rank is a pure function of (salt, id), the
+    sample is reproducible across runs, engines, and re-partitionings,
+    and a NEW row enters the sample only by out-hashing an incumbent —
+    the same stability property a streaming reservoir gives per batch.
+    ``salt`` rotates the sample without touching the data.
+
+    One hash-partition by group + per-group top-n window. A hot group
+    serializes its members through one reducer; for mega-groups use the
+    two-phase form (pre-filter with hash_sample at a generous fraction,
+    then window) — the filter is shuffle-free, so the window sees only
+    ~n log n candidates."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    rank_key = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-flattened source mixture for multi-corpus training
+    (the DoReMi / data-mixing recipe at τ = 2): a source with share
+    ``p_g`` of the corpus is sampled at ``w_g ∝ sqrt(p_g)`` — rare
+    sources up-weighted, dominant ones damped — and the per-source
+    acceptance rate to REALIZE that mixture is ``rate_g ∝ w_g / p_g``.
+
+    τ = 2 is deliberate: sqrt is IEEE-correctly-rounded (pow/log are
+    not), and every downstream number here is derived by quantizing
+    ``floor(sqrt(n_g) * scale)`` to an integer FIRST, then forming
+    ratios of exact integer sums — so weights are bit-identical on any
+    engine, and Σ w_g = 1 up to integer division remainder.
+
+    Returns one row per source: ``(group, n_docs, sqrt_scaled,
+    weight, rate_vs_max)`` where ``weight = sqrt_scaled /
+    Σ sqrt_scaled`` (the target mixture share) and ``rate_vs_max``
+    normalizes acceptance rates so the most down-sampled source keeps
+    rate 1.0 relative cost accounting. Two tiny aggregates over group
+    counts — the corpus itself is scanned once.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    q = counts.withColumn(
+        "sqrt_scaled",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(scale)).cast("long"),
+    )
+    tot = q.agg(
+        F.sum("sqrt_scaled").alias("__tot"), F.sum("n_docs").alias("__n")
+    )
+    scored = q.join(F.broadcast(tot)).withColumn(
+        "weight", F.col("sqrt_scaled").cast("double") / F.col("__tot")
+    )
+    # acceptance rate ∝ weight / share ∝ sqrt_scaled / n_docs (the __n
+    # and __tot factors are source-independent and cancel); normalize by
+    # the max over sources. All products stay in double space on values
+    # < 2^53 (exact conversions, correctly-rounded multiply) so the
+    # ratio is engine-portable without long overflow.
+    r = F.col("sqrt_scaled").cast("double") / F.col("n_docs")
+    mx = scored.select(
+        F.max(F.struct(r.alias("r"),
+                       F.col("sqrt_scaled").alias("s"),
+                       F.col("n_docs").alias("d"))).alias("__m")
+    ).select(F.col("__m.s").alias("__ms"), F.col("__m.d").alias("__md"))
+    return (
+        scored.join(F.broadcast(mx))
+        .withColumn(
+            "rate_vs_max",
+            (F.col("sqrt_scaled").cast("double") * F.col("__md"))
+            / (F.col("__ms").cast("double") * F.col("n_docs")),
+        )
+        .select(group_col, "n_docs", "sqrt_scaled", "weight", "rate_vs_max")
+    )
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str,
+    words_col: Column,
+    window: int,
+    stride: int,
+) -> DataFrame:
+    """Sliding-window chunking of token sequences into training samples
+    (the HF/BPE `return_overflowing_tokens` + stride layout): chunks
+    start at offsets 0, stride, 2·stride, … while a FULL window fits
+    (``offset + window <= n``); a document shorter than one window
+    yields a single short chunk of all its tokens. Up to ``stride - 1``
+    trailing tokens past the last full window are dropped — the standard
+    truncation tokenizer chunkers document (set ``stride = 1`` for full
+    coverage at maximal overlap).
+
+    Executes entirely inside codegen: the word array is built once per
+    row, offsets come from ``sequence()``, each chunk is ``slice()`` +
+    ``array_join`` — explode is the only fan-out and it is map-side.
+    Returns ``(id, chunk_idx, chunk_start, chunk_len, chunk_text)``.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    base = df.select(F.col(id_col), words_col.alias("__w"))
+    nw = F.size("__w")
+    starts = F.when(nw <= window, F.array(F.lit(0))).otherwise(
+        F.sequence(F.lit(0), nw - window, F.lit(stride))
+    )
+    chunks = base.select(
+        id_col,
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        F.col("__w"),
+    )
+    piece = F.slice(F.col("__w"), F.col("chunk_start") + 1, window)
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        "chunk_start",
+        F.size(piece).alias("chunk_len"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

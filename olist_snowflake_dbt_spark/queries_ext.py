@@ -2136,3 +2136,76 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") >= F.col("exact_count")).alias("never_underestimates"),
     )
+
+
+@query(
+    "dedup_cluster_representative",
+    f"""
+    WITH RECURSIVE d2 AS ({_PLANTED_DOCS}),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 1)),
+                   i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        FROM (SELECT doc_id, {_WORDS} AS w FROM d2)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+               COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        WHERE n_common / (n_a + n_b - n_common) >= 0.6
+    ),
+    edges AS (
+        SELECT id_a AS node, id_b AS other FROM pairs
+        UNION
+        SELECT id_b AS node, id_a AS other FROM pairs
+    ),
+    reach AS (
+        SELECT node, other FROM edges
+        UNION
+        SELECT r.node, e.other FROM reach r JOIN edges e ON r.other = e.node
+    ),
+    comp AS (
+        SELECT node, least(node, MIN(other)) AS component
+        FROM reach GROUP BY node
+    ),
+    lab AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+               length(d.text) AS quality
+        FROM d2 d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    agg AS (
+        SELECT component, COUNT(*) AS n_cluster_members,
+               MAX(quality) AS quality
+        FROM lab GROUP BY 1
+    ),
+    win AS (
+        SELECT l.component, MIN(l.doc_id) AS doc_id
+        FROM lab l JOIN agg a
+          ON l.component = a.component AND l.quality = a.quality
+        GROUP BY 1
+    )
+    SELECT a.component, w.doc_id, a.quality, a.n_cluster_members
+    FROM agg a JOIN win w USING (component)
+    """,
+)
+def q_dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster REPRESENTATIVE selection (operators/dedup.
+    cluster_representative): after n-gram-Jaccard >= 0.6 pair generation
+    and transitive clustering, keep exactly one doc per cluster — the
+    longest text, ties to the smallest doc_id (the C4/RefinedWeb "keep
+    the best copy" curation step, not "drop all copies"). Singletons
+    represent themselves. The argmax is one map-side-combinable
+    max(struct(quality, -id)) aggregate, not a per-cluster window, so a
+    boilerplate mega-cluster costs one row per upstream partition
+    through the shuffle."""
+    docs = _planted_docs(spark, sf_dir).withColumn(
+        "quality", F.length("text").cast("long")
+    )
+    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.6)
+    return DD.cluster_representative(docs, pairs, "doc_id", "quality")

@@ -216,3 +216,118 @@ def q_cogroup_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operator's cost model (~1.5k keys at sf0.1 → 8 partitions, the
     # measured sweet spot); pass an explicit value on a real cluster
     return cogrouped_conversion_stats(clicks, purchases)
+
+
+@query(
+    "sample_reservoir_per_group",
+    f"""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('r8|' || CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) AS rk
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars FROM ranked WHERE rk <= 7
+    """,
+)
+def q_sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic reservoir (operators/sampling.
+    reservoir_per_group): exactly 7 docs per source chosen by salted
+    md5-hash rank — reproducible across runs/engines/shards, uniform by
+    hash mixing, rotatable via the salt, and stable under corpus growth
+    (a new doc displaces at most one incumbent). One hash-partition by
+    group + a top-n window."""
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return SMP.reservoir_per_group(docs, "source", "doc_id", 7, salt="r8")
+
+
+@query(
+    "sample_mixture_weights",
+    """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    q AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS sqrt_scaled
+        FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(sqrt_scaled) AS BIGINT) AS t FROM q),
+    mx AS (
+        SELECT sqrt_scaled AS ms, n_docs AS md
+        FROM q ORDER BY CAST(sqrt_scaled AS DOUBLE) / n_docs DESC,
+                        sqrt_scaled DESC, n_docs DESC
+        LIMIT 1
+    )
+    SELECT q.source, q.n_docs, q.sqrt_scaled,
+           CAST(q.sqrt_scaled AS DOUBLE) / tot.t AS weight,
+           (CAST(q.sqrt_scaled AS DOUBLE) * mx.md)
+               / (CAST(mx.ms AS DOUBLE) * q.n_docs) AS rate_vs_max
+    FROM q CROSS JOIN tot CROSS JOIN mx
+    """,
+)
+def q_sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture at tau=2 (operators/sampling.
+    mixture_weights, the DoReMi-style data-mixing prep): rare sources
+    up-weighted by w_g proportional to sqrt(p_g), with the per-source
+    acceptance rate normalized to the most down-sampled source. sqrt is
+    the one IEEE-exact root, and all shares are ratios of pre-quantized
+    integers, so the mixture table is bit-identical across engines. Two
+    broadcast scalars over the per-source counts — the corpus scans
+    once."""
+    docs = _t(spark, sf_dir, "documents").select("source")
+    return SMP.mixture_weights(docs, "source")
+
+
+@query(
+    "sample_chunk_windows",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   ' ') AS wl
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    wn AS (SELECT doc_id, list_filter(wl, x -> x <> '') AS wl FROM w),
+    st AS (
+        SELECT doc_id, wl,
+               CASE WHEN len(wl) <= 32 THEN [0]
+                    ELSE list_transform(
+                        generate_series(0, len(wl) - 32, 16), x -> x)
+               END AS starts
+        FROM wn
+    ),
+    ex AS (
+        SELECT doc_id, wl,
+               generate_subscripts(starts, 1) - 1 AS chunk_idx,
+               UNNEST(starts) AS chunk_start
+        FROM st
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_start AS INT) AS chunk_start,
+           CAST(len(wl[chunk_start + 1 : chunk_start + 32]) AS INT)
+               AS chunk_len,
+           array_to_string(wl[chunk_start + 1 : chunk_start + 32], ' ')
+               AS chunk_text
+    FROM ex
+    """,
+)
+def q_sample_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking into training samples (operators/sampling.
+    chunk_windows): 32-token windows at stride 16 (50% overlap, the HF
+    return_overflowing_tokens layout); short docs yield one short chunk.
+    Entirely codegen — word array built once, offsets from sequence(),
+    chunks by slice() — with explode as the only (map-side) fan-out; no
+    shuffle at all."""
+    from .functions.text import words
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    return SMP.chunk_windows(docs, "doc_id", words("text"), window=32, stride=16)

@@ -1662,3 +1662,108 @@ def q_scd2_hard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "c_custkey", "c_mktsegment", "dbt_valid_from", "dbt_valid_to"
     )
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH st AS (
+        SELECT user_id, event_type, ts, event_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) OVER w AS fs
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    st2 AS (
+        SELECT user_id, event_type, ts, fs,
+               MIN(CASE WHEN event_type = 'click' AND fs IS NOT NULL
+                        THEN ts END) OVER w AS fqc
+        FROM st
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s1,
+               MIN(CASE WHEN event_type = 'click' AND fs IS NOT NULL
+                        THEN ts END) AS s2,
+               MIN(CASE WHEN event_type = 'purchase' AND fqc IS NOT NULL
+                        THEN ts END) AS s3
+        FROM st2 GROUP BY 1
+    )
+    SELECT 'signup' AS stage, 1 AS stage_idx,
+           COUNT(s1) AS n_users, CAST(0 AS BIGINT) AS sum_lag_ms
+    FROM per_user
+    UNION ALL
+    SELECT 'click_after_signup', 2, COUNT(s2),
+           CAST(COALESCE(SUM(epoch_ms(s2) - epoch_ms(s1)), 0) AS BIGINT)
+    FROM per_user WHERE s2 IS NOT NULL
+    UNION ALL
+    SELECT 'purchase_after_click', 3, COUNT(s3),
+           CAST(COALESCE(SUM(epoch_ms(s3) - epoch_ms(s2)), 0) AS BIGINT)
+    FROM per_user WHERE s3 IS NOT NULL
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (Snowflake MATCH_RECOGNIZE territory,
+    re-expressed as running-window sequence detection): signup -> first
+    click AT OR AFTER the first signup -> first purchase at or after
+    that click, per user, with stage populations and exact integer
+    millisecond lags. ONE shuffle: both running MINs and the final
+    per-user aggregate share the (user_id) partitioning, so Catalyst
+    plans a single exchange + sort; ties at identical timestamps break
+    by event_id on both engines. The window form (not a self-join per
+    stage) is what survives 100 TB of events — each user's sequence
+    streams through one sorted pass."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    st = ev.withColumn("fs", F.min(F.when(is_("signup"), F.col("ts"))).over(w))
+    st2 = st.withColumn(
+        "fqc",
+        F.min(
+            F.when(is_("click") & F.col("fs").isNotNull(), F.col("ts"))
+        ).over(w),
+    )
+    per_user = st2.groupBy("user_id").agg(
+        F.min(F.when(is_("signup"), F.col("ts"))).alias("s1"),
+        F.min(
+            F.when(is_("click") & F.col("fs").isNotNull(), F.col("ts"))
+        ).alias("s2"),
+        F.min(
+            F.when(is_("purchase") & F.col("fqc").isNotNull(), F.col("ts"))
+        ).alias("s3"),
+    )
+    # events.ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
+    # cast to TIMESTAMP is wall-clock-identity and epoch math matches
+    # DuckDB's epoch_ms exactly
+    ms = lambda c: F.unix_millis(F.col(c).cast("timestamp"))  # noqa: E731
+    lag = lambda a, b: ms(b) - ms(a)  # noqa: E731
+    stages = [
+        per_user.agg(
+            F.lit("signup").alias("stage"),
+            F.lit(1).alias("stage_idx"),
+            F.count("s1").alias("n_users"),
+            F.lit(0).cast("long").alias("sum_lag_ms"),
+        ),
+        per_user.filter(F.col("s2").isNotNull()).agg(
+            F.lit("click_after_signup").alias("stage"),
+            F.lit(2).alias("stage_idx"),
+            F.count("s2").alias("n_users"),
+            F.coalesce(F.sum(lag("s1", "s2")), F.lit(0)).cast("long").alias("sum_lag_ms"),
+        ),
+        per_user.filter(F.col("s3").isNotNull()).agg(
+            F.lit("purchase_after_click").alias("stage"),
+            F.lit(3).alias("stage_idx"),
+            F.count("s3").alias("n_users"),
+            F.coalesce(F.sum(lag("s2", "s3")), F.lit(0)).cast("long").alias("sum_lag_ms"),
+        ),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out

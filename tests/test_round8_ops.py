@@ -1,0 +1,108 @@
+"""Round-8 operators: cluster representatives, per-group reservoir,
+mixture weights, sliding-window chunking, funnel ordering semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_snowflake_dbt_spark.operators.dedup import cluster_representative
+from olist_snowflake_dbt_spark.operators.sampling import (
+    chunk_windows,
+    mixture_weights,
+    reservoir_per_group,
+)
+
+
+def test_cluster_representative_picks_best_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id int, quality int",
+    )
+    # 1-2-3 form one cluster via transitive pairs; 4 and 9 are singletons
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
+    out = {r.component: r for r in
+           cluster_representative(docs, pairs, "doc_id", "quality").collect()}
+    assert set(out) == {1, 4, 9}
+    win = out[1]
+    assert win.doc_id == 2  # max quality 30, tie -> smaller id (2 beats 3)
+    assert win.quality == 30 and win.n_cluster_members == 3
+    assert out[4].doc_id == 4 and out[4].n_cluster_members == 1
+
+
+def test_reservoir_per_group_exact_deterministic(spark):
+    df = spark.createDataFrame(
+        [(g, i) for g in ("a", "b") for i in range(50)] + [("tiny", 0)],
+        "g string, id int",
+    )
+    out = reservoir_per_group(df, "g", "id", 5)
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 5, "b": 5, "tiny": 1}  # min(n, |group|)
+    again = reservoir_per_group(df, "g", "id", 5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    other = reservoir_per_group(df, "g", "id", 5, salt="x")
+    assert sorted(map(tuple, out.collect())) != sorted(map(tuple, other.collect()))
+    with pytest.raises(ValueError):
+        reservoir_per_group(df, "g", "id", 0)
+
+
+def test_mixture_weights_flattens_toward_rare(spark):
+    df = spark.createDataFrame(
+        [("big",)] * 900 + [("small",)] * 100, "src string"
+    )
+    out = {r.src: r for r in mixture_weights(df, "src").collect()}
+    shares = {"big": 0.9, "small": 0.1}
+    # temperature flattening: big damped below its share, small raised
+    assert out["big"].weight < shares["big"]
+    assert out["small"].weight > shares["small"]
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 1e-9
+    # most down-sampled source has the LOWEST acceptance rate; max is 1.0
+    assert out["small"].rate_vs_max == 1.0
+    assert out["big"].rate_vs_max < 1.0
+
+
+def test_chunk_windows_layout(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b c")], "id int, text string")
+    out = chunk_windows(df, "id", F.split("text", " "), window=4, stride=2)
+    rows = sorted(map(tuple, out.collect()))
+    # doc 1: 10 words -> starts 0,2,4,6 (full windows only)
+    d1 = [r for r in rows if r[0] == 1]
+    assert [(r[1], r[2], r[3]) for r in d1] == [
+        (0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4)
+    ]
+    assert d1[1][4] == "w2 w3 w4 w5"
+    # doc 2: shorter than one window -> single short chunk
+    d2 = [r for r in rows if r[0] == 2]
+    assert [(r[1], r[2], r[3], r[4]) for r in d2] == [(0, 0, 3, "a b c")]
+    with pytest.raises(ValueError):
+        chunk_windows(df, "id", F.split("text", " "), window=0, stride=1)
+
+
+def test_funnel_requires_order(spark, monkeypatch):
+    """A purchase BEFORE any click must not count as converted, and a
+    click before signup must not start the funnel."""
+    import olist_snowflake_dbt_spark.queries_sql_breadth as B
+
+    rows = [
+        # user 1: proper order -> full funnel
+        (1, "2024-01-01 00:00:00", 1, "signup"),
+        (2, "2024-01-01 00:10:00", 1, "click"),
+        (3, "2024-01-01 00:20:00", 1, "purchase"),
+        # user 2: purchase before click -> stops at click stage
+        (4, "2024-01-02 00:00:00", 2, "signup"),
+        (5, "2024-01-02 00:05:00", 2, "purchase"),
+        (6, "2024-01-02 00:10:00", 2, "click"),
+        # user 3: click before signup -> only signup counted
+        (7, "2024-01-03 00:00:00", 3, "click"),
+        (8, "2024-01-03 00:10:00", 3, "signup"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(B, "_t", lambda s, d, n: ev)
+    out = {r.stage: r for r in B.q_funnel_conversion(spark, "ignored").collect()}
+    assert out["signup"].n_users == 3
+    assert out["click_after_signup"].n_users == 2  # users 1 and 2
+    assert out["purchase_after_click"].n_users == 1  # user 1 only
+    assert out["purchase_after_click"].sum_lag_ms == 10 * 60 * 1000
