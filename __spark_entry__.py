@@ -64,6 +64,8 @@ _CHECK_FIRST = [
     "sample_mixture_weights",
     "sample_chunk_windows",
     "funnel_conversion",
+    "text_bigram_lm_score",
+    "drift_chi2_event_types",
     "skew_key_stats",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
@@ -105,8 +107,6 @@ _CHECK_FIRST = [
     # swapped for a brand-new round-8 query as it lands.
     "tpch_q1_pricing_summary",
     "tpch_q9_product_profit",
-    "similarity_ann_lsh",
-    "dedup_embedding_cosine",
 ]
 
 

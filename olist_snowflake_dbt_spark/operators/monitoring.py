@@ -84,3 +84,67 @@ def metric_anomalies(
         s.cast("decimal(38,0)").alias("baseline_sum"),
         F.when(n == baseline, lhs2 > rhs).alias("is_anomaly"),
     )
+
+
+def drift_chi2(
+    ref: DataFrame,
+    cur: DataFrame,
+    feature_col: str,
+) -> DataFrame:
+    """Categorical distribution-drift monitor: per-category chi-square
+    contributions of the CURRENT window against the REFERENCE window —
+    the standard data-drift gate a feature store / training pipeline
+    runs before trusting a new batch (same statistic scikit-learn /
+    Evidently-style monitors report; PSI's log-free sibling).
+
+    For category c with reference count ``r_c`` (n_ref total) and
+    current count ``o_c`` (n_cur total), the expected current count
+    under no-drift is ``e_c = n_cur · (r_c + 1) / (n_ref + K)`` —
+    add-one smoothing over the K categories of the UNION, so a category
+    unseen in the reference contributes a finite, well-defined term
+    instead of dividing by zero. The contribution is the classic
+    ``(o_c - e_c)² / e_c``.
+
+    Determinism: every input is an exact integer; the contribution is
+    evaluated in double space with one fixed expression tree
+    (correctly-rounded mul/div on values < 2^53) and quantized to
+    ``floor(x * 1e6)`` micros, so the drift table — and any alert
+    threshold on its sum — is bit-identical across engines.
+
+    Returns one row per category: ``(feature value, n_ref, n_cur,
+    expected_micro, chi2_contrib_micro)``; Σ contrib over rows is the
+    chi-square statistic (df = K - 1) to threshold on.
+
+    Scale: two map-side-combinable counts + a full-outer join on the
+    category key + two broadcast scalars — cost is O(distinct
+    categories), never the table."""
+    rc = ref.groupBy(F.col(feature_col).alias("f")).agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    cc = cur.groupBy(F.col(feature_col).alias("f")).agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    cats = rc.join(cc, "f", "full_outer").select(
+        "f",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    totals = cats.agg(
+        F.sum("n_ref").alias("__nr"),
+        F.sum("n_cur").alias("__nc"),
+        F.count(F.lit(1)).alias("__k"),
+    )  # 1 row — broadcast
+    j = cats.join(F.broadcast(totals))
+    e = (
+        F.col("__nc").cast("double")
+        * (F.col("n_ref") + F.lit(1))
+        / (F.col("__nr") + F.col("__k"))
+    )
+    diff = F.col("n_cur").cast("double") - e
+    return j.select(
+        F.col("f").alias(feature_col),
+        "n_ref",
+        "n_cur",
+        F.floor(e * F.lit(1_000_000.0)).alias("expected_micro"),
+        F.floor(diff * diff / e * F.lit(1_000_000.0)).alias("chi2_contrib_micro"),
+    )

@@ -502,3 +502,92 @@ def pseudonymize(
         )
         out = out.withColumn(c, F.when(ln > keep_last, masked).otherwise(F.col(c)))
     return out
+
+
+def bigram_lm_score(
+    model_docs: DataFrame,
+    score_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-LM quality scoring (the CCNet / Wikipedia-LM filtering
+    recipe, bigram order): train add-one-smoothed bigram statistics on
+    ``model_docs``, score every ``score_docs`` document by its mean
+    bigram probability under that model — low scores flag
+    gibberish/boilerplate relative to the reference corpus, exactly what
+    the KenLM perplexity gate does in public pipeline papers (CCNet;
+    Gopher's quality filters), with the LM swapped for a warehouse-
+    computable one.
+
+    Determinism policy (module standard): probabilities are RATIONAL —
+    ``p(w2|w1) = (c(w1,w2) + 1) / (c(w1)·prefix occurrences + V)`` with
+    V = model unigram vocabulary — and each bigram's probability is
+    quantized to ``floor(p * 1e9)`` BEFORE the per-doc integer sum, so
+    scores are bit-identical on any engine (no log, no float
+    accumulation). Mean probability replaces perplexity's geometric
+    mean: both are monotone quality signals, and the arithmetic mean
+    needs no exp/log.
+
+    Returns ``(id, n_bigrams, sum_p_nano, avg_p)`` — ``avg_p`` is the
+    one double (single exact division). Docs with < 2 words score NULL
+    avg_p with n_bigrams = 0.
+
+    Scale shape: model counts are two map-side-combinable aggregates
+    over exploded bigrams; scoring joins each doc bigram against the
+    (w1, w2) count table and the w1 prefix table — hash joins on hashed
+    string keys, AQE-skew-splittable on stop-word prefixes; V and the
+    per-doc aggregate ride broadcast/one-shuffle respectively. Nothing
+    is ever collected."""
+    def _bigrams(df: DataFrame) -> DataFrame:
+        w = df.select(F.col(id_col), words(text_col).alias("__w"))
+        nw = F.size("__w")
+        pairs = F.when(
+            nw >= 2,
+            F.transform(
+                F.sequence(F.lit(1), nw - 1),
+                lambda i: F.struct(
+                    F.element_at("__w", i).alias("w1"),
+                    F.element_at("__w", i + F.lit(1)).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        return w.select(
+            id_col, F.explode(pairs).alias("__b")
+        ).select(id_col, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+
+    mb = _bigrams(model_docs)
+    c2 = mb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = mb.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        model_docs.select(F.explode(words(text_col)).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )  # 1 row — broadcast
+
+    sb = _bigrams(score_docs)
+    joined = (
+        sb.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(F.broadcast(vocab))
+    )
+    p_nano = F.floor(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+        * F.lit(1_000_000_000.0)
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(p_nano).alias("sum_p_nano"),
+    )
+    # docs too short to form a bigram still get a row
+    base = score_docs.select(id_col).join(per_doc, id_col, "left")
+    return base.select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("sum_p_nano"), F.lit(0)).alias("sum_p_nano"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("sum_p_nano").cast("double")
+            / F.lit(1_000_000_000.0)
+            / F.col("n_bigrams"),
+        ).alias("avg_p"),
+    )

@@ -2209,3 +2209,126 @@ def q_dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFram
     )
     pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.6)
     return DD.cluster_representative(docs, pairs, "doc_id", "quality")
+
+
+@query(
+    "text_bigram_lm_score",
+    f"""
+    WITH model AS (
+        SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS w
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    held AS (
+        SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS w
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    mb AS (
+        SELECT UNNEST(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i+1])) AS s
+        FROM model WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT s, COUNT(*) AS c2 FROM mb GROUP BY 1),
+    c1 AS (SELECT split_part(s, ' ', 1) AS w1, COUNT(*) AS c1
+           FROM mb GROUP BY 1),
+    vocab AS (
+        SELECT COUNT(DISTINCT x) AS v
+        FROM (SELECT UNNEST(w) AS x FROM model)
+    ),
+    sb AS (
+        SELECT doc_id,
+               UNNEST(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i+1])) AS s
+        FROM held WHERE len(w) >= 2
+    ),
+    scored AS (
+        SELECT sb.doc_id,
+               CAST(floor(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+                          / (COALESCE(c1.c1, 0) + vocab.v)
+                          * 1000000000.0) AS BIGINT) AS p_nano
+        FROM sb
+        LEFT JOIN c2 ON sb.s = c2.s
+        LEFT JOIN c1 ON split_part(sb.s, ' ', 1) = c1.w1
+        CROSS JOIN vocab
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(p_nano) AS BIGINT) AS sum_p_nano
+        FROM scored GROUP BY 1
+    )
+    SELECT h.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.sum_p_nano, 0) AS sum_p_nano,
+           CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                THEN CAST(p.sum_p_nano AS DOUBLE) / 1000000000.0 / p.n_bigrams
+           END AS avg_p
+    FROM held h LEFT JOIN per_doc p ON h.doc_id = p.doc_id
+    """,
+)
+def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality gate (operators/text.bigram_lm_score, the
+    CCNet/KenLM filtering recipe with a warehouse-computable LM):
+    add-one-smoothed bigram statistics trained on the even-doc_id half
+    of the corpus score the held-out odd half by mean bigram
+    probability. Probabilities are rational ((c2+1)/(c1+V)) and
+    nano-quantized before the per-doc integer sum, so the quality
+    ranking is bit-identical across engines — no log, no float
+    accumulation, no KenLM binary. Model counts are two combinable
+    aggregates; scoring is two hash joins on bigram/prefix keys
+    (AQE-skew-splittable stop-word prefixes) plus a broadcast vocab
+    scalar."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = docs.filter(F.col("doc_id") % 2 == 0)
+    held = docs.filter(F.col("doc_id") % 2 == 1)
+    return TX.bigram_lm_score(model, held, "text", "doc_id")
+
+
+@query(
+    "drift_chi2_event_types",
+    """
+    WITH rc AS (
+        SELECT event_type AS f, COUNT(*) AS n_ref
+        FROM events WHERE event_id % 2 = 0 GROUP BY 1
+    ),
+    cc AS (
+        SELECT event_type AS f, COUNT(*) AS n_cur
+        FROM events WHERE event_id % 2 = 1 GROUP BY 1
+    ),
+    cats AS (
+        SELECT COALESCE(rc.f, cc.f) AS f,
+               COALESCE(n_ref, 0) AS n_ref,
+               COALESCE(n_cur, 0) AS n_cur
+        FROM rc FULL OUTER JOIN cc ON rc.f = cc.f
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_ref) AS BIGINT) AS nr,
+               CAST(SUM(n_cur) AS BIGINT) AS nc,
+               COUNT(*) AS k
+        FROM cats
+    )
+    SELECT cats.f AS event_type, n_ref, n_cur,
+           CAST(floor(CAST(nc AS DOUBLE) * (n_ref + 1) / (nr + k)
+                      * 1000000.0) AS BIGINT) AS expected_micro,
+           CAST(floor(
+               (CAST(n_cur AS DOUBLE) - CAST(nc AS DOUBLE) * (n_ref + 1) / (nr + k))
+               * (CAST(n_cur AS DOUBLE) - CAST(nc AS DOUBLE) * (n_ref + 1) / (nr + k))
+               / (CAST(nc AS DOUBLE) * (n_ref + 1) / (nr + k))
+               * 1000000.0) AS BIGINT) AS chi2_contrib_micro
+    FROM cats CROSS JOIN tot
+    """,
+)
+def q_drift_chi2_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift monitor (operators/monitoring.drift_chi2): the
+    chi-square contribution of each event_type in the odd-event_id
+    window against the even-window reference distribution — the
+    before-you-train distribution-shift gate (PSI's log-free sibling).
+    Add-one smoothing over the category union keeps unseen categories
+    finite; contributions quantize to integer micros so the statistic
+    thresholds identically on any engine. Cost is O(distinct
+    categories): two combinable counts, one category-key join, two
+    broadcast scalars."""
+    from .operators.monitoring import drift_chi2
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    return drift_chi2(ref, cur, "event_type")

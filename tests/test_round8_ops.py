@@ -106,3 +106,42 @@ def test_funnel_requires_order(spark, monkeypatch):
     assert out["click_after_signup"].n_users == 2  # users 1 and 2
     assert out["purchase_after_click"].n_users == 1  # user 1 only
     assert out["purchase_after_click"].sum_lag_ms == 10 * 60 * 1000
+
+def test_bigram_lm_score_semantics(spark):
+    from olist_snowflake_dbt_spark.operators.text import bigram_lm_score
+
+    model = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "x")],
+        "doc_id int, text string",
+    )
+    score = spark.createDataFrame(
+        [(10, "the cat"), (11, "cat zzz"), (12, "q")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_score(model, score).collect()}
+    # vocab = {the,cat,sat,ran,x} = 5; c1(the)=2, c2(the,cat)=2
+    assert out[10].n_bigrams == 1
+    assert out[10].sum_p_nano == int((2 + 1) / (2 + 5) * 1e9)
+    # unseen bigram with seen prefix: (0+1)/(c1(cat)=2 + 5)
+    assert out[11].sum_p_nano == int((0 + 1) / (2 + 5) * 1e9)
+    assert out[10].avg_p > out[11].avg_p  # in-model text scores higher
+    # too short to form a bigram: present with NULL score
+    assert out[12].n_bigrams == 0 and out[12].avg_p is None
+
+
+def test_drift_chi2_detects_shift(spark):
+    from olist_snowflake_dbt_spark.operators.monitoring import drift_chi2
+
+    ref = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "f string")
+    same = spark.createDataFrame([("a",)] * 25 + [("b",)] * 25, "f string")
+    shifted = spark.createDataFrame(
+        [("a",)] * 45 + [("b",)] * 5 + [("c",)] * 10, "f string"
+    )
+    calm = drift_chi2(ref, same, "f").agg(
+        F.sum("chi2_contrib_micro").alias("s")).first().s
+    drift = drift_chi2(ref, shifted, "f").agg(
+        F.sum("chi2_contrib_micro").alias("s")).first().s
+    assert drift > calm  # shifted window scores far higher
+    rows = {r.f: r for r in drift_chi2(ref, shifted, "f").collect()}
+    assert rows["c"].n_ref == 0  # unseen category is finite, not an error
+    assert rows["c"].chi2_contrib_micro > 0
