@@ -66,6 +66,8 @@ _CHECK_FIRST = [
     "funnel_conversion",
     "text_bigram_lm_score",
     "drift_chi2_event_types",
+    "rag_context_pack",
+    "join_strategy_advisor",
     "skew_key_stats",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
@@ -102,11 +104,6 @@ _CHECK_FIRST = [
     "sessionize_events",
     "sink_partitioned_pruned",
     "zorder_roundtrip",
-    # (d) next-oldest surviving rows (r05) filling the remaining slots —
-    # TPC-H's heaviest plans plus the r05 breadth rows; each slot here is
-    # swapped for a brand-new round-8 query as it lands.
-    "tpch_q1_pricing_summary",
-    "tpch_q9_product_profit",
 ]
 
 

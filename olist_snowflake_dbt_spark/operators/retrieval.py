@@ -162,3 +162,36 @@ def rrf_fuse(
         .withColumn("rrf_score", F.col("rrf_nano").cast("double") / F.lit(float(NANO)))
         .select(query_id_col, id_col, "n_systems", "rrf_nano", "rrf_score", "rank")
     )
+
+
+def context_pack(
+    ranked: DataFrame,
+    token_col: str,
+    budget: int,
+    query_id_col: str = "query_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """RAG context assembly: from a per-query ranked candidate list,
+    keep the rank-order PREFIX whose running token total fits the
+    context ``budget`` — the deterministic packing step between
+    retrieval and prompt construction (prefix-cut, not knapsack: the
+    ranker's order is the relevance contract, so skipping a large doc
+    to admit a lower-ranked small one is deliberately NOT done; that
+    trade is the ranker's job).
+
+    Adds ``cum_tokens`` (running total including the row). A doc whose
+    tokens alone exceed the budget is dropped with everything after it.
+    One window over the per-query top-k list — cost independent of
+    corpus size.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = (
+        Window.partitionBy(query_id_col)
+        .orderBy(F.col(rank_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return ranked.withColumn("cum_tokens", cum).filter(
+        F.col("cum_tokens") <= budget
+    )

@@ -119,3 +119,88 @@ def key_skew_stats(
         hot.alias("hotness_ratio"),
         F.greatest(hot, F.lit(1)).cast("bigint").alias("recommended_salts"),
     )
+
+
+# bytes-per-value model for fixed-width Spark SQL types (in-memory row
+# estimate, matching the order of magnitude Spark's SizeEstimator and
+# parquet column stats give for planning purposes)
+_TYPE_BYTES = {
+    "tinyint": 1,
+    "smallint": 2,
+    "int": 4,
+    "bigint": 8,
+    "float": 4,
+    "double": 8,
+    "boolean": 1,
+    "date": 4,
+    "timestamp": 8,
+    "timestamp_ntz": 8,
+}
+
+
+def table_size_advice(
+    tables: dict[str, "DataFrame"],
+    broadcast_threshold_bytes: int = 10 * 1024 * 1024,
+) -> "DataFrame":
+    """Pre-flight join-strategy advisor: estimate each table's row count
+    and in-memory width from its own data, and recommend ``broadcast``
+    (fits under the autoBroadcastJoinThreshold-style cutoff) or
+    ``shuffle`` — the sibling of :func:`key_skew_stats` for the OTHER
+    join-planning decision a 100 TB run makes before paying a shuffle.
+
+    Width model: fixed bytes per scalar type (see ``_TYPE_BYTES``),
+    decimals at 16, strings/binaries at their measured mean byte length
+    (integer ``floor(sum_bytes / n)`` per column — exact on any
+    engine), arrays at mean element count × element width + 4. The
+    estimate is ONE map-side-combinable aggregate per table — counts
+    and byte sums — so advising costs a single scan of each candidate,
+    and in practice runs on a sample or on parquet footer stats.
+
+    Returns one row per table: ``(table_name, n_rows, est_row_bytes,
+    est_total_bytes, strategy)``; all arithmetic integer-exact.
+    """
+    from pyspark.sql import functions as F
+
+    out = None
+    for name, df in tables.items():
+        fixed = 0
+        var_sums = []
+        for col, dtype in df.dtypes:
+            if dtype in _TYPE_BYTES:
+                fixed += _TYPE_BYTES[dtype]
+            elif dtype.startswith("decimal"):
+                fixed += 16
+            elif dtype in ("string", "binary"):
+                var_sums.append(F.sum(F.octet_length(F.col(col))).alias(col))
+            elif dtype.startswith("array<"):
+                elem = dtype[len("array<"):-1]
+                width = _TYPE_BYTES.get(elem, 8)
+                fixed += 4
+                var_sums.append((F.sum(F.size(F.col(col))) * width).alias(col))
+            else:
+                raise ValueError(
+                    f"table_size_advice: no size model for {name}.{col}: {dtype}"
+                )
+        agg = df.agg(F.count(F.lit(1)).alias("__n"), *var_sums)
+        n = F.greatest(F.col("__n"), F.lit(1))
+        row_bytes = F.lit(fixed)
+        for col in [c for c in agg.columns if c != "__n"]:
+            row_bytes = row_bytes + F.floor(
+                F.coalesce(F.col(col), F.lit(0)) / n
+            ).cast("long")
+        est = agg.select(
+            F.lit(name).alias("table_name"),
+            F.col("__n").alias("n_rows"),
+            row_bytes.cast("long").alias("est_row_bytes"),
+            (F.col("__n") * row_bytes).cast("long").alias("est_total_bytes"),
+        ).withColumn(
+            "strategy",
+            F.when(
+                F.col("est_total_bytes") <= broadcast_threshold_bytes,
+                F.lit("broadcast"),
+            ).otherwise(F.lit("shuffle")),
+        )
+        out = est if out is None else out.unionByName(est)
+    if out is None:
+        raise ValueError("table_size_advice: no tables given")
+    return out

@@ -172,3 +172,53 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rrf_fuse([("bm25", lex), ("cosine", vec)], k0=60, k=10)
+
+
+_TOK = ("len(list_filter(string_split_regex(trim(regexp_replace(lower(text),"
+        " '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> ''))")
+
+_PACK_ORACLE = (
+    "WITH "
+    + _BM25_CORE.format(queries=_BM25_QUERIES_SQL)
+    + f""",
+    tok AS (SELECT doc_id, CAST({_TOK} AS BIGINT) AS n_tokens FROM documents),
+    sel AS (
+        SELECT r.query_id, r.doc_id, r.rank, t.n_tokens,
+               CAST(SUM(t.n_tokens) OVER (
+                   PARTITION BY r.query_id ORDER BY r.rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+        FROM ranked r JOIN tok t USING (doc_id)
+        WHERE r.rank <= 10
+    )
+    SELECT query_id, doc_id, rank, n_tokens, cum_tokens
+    FROM sel WHERE cum_tokens <= 300
+    """
+)
+
+
+@query("rag_context_pack", _PACK_ORACLE)
+def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly (operators/retrieval.context_pack): the BM25
+    top-10 per query joined with exact word-token counts, then cut to
+    the rank-order prefix fitting a 300-token context budget — the
+    deterministic packing step between retrieval and prompt
+    construction (prefix-cut by the ranker's order, not a knapsack).
+    One window over the per-query top-k list; cost independent of
+    corpus size."""
+    from .functions.text import words
+    from .operators.retrieval import context_pack
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string")
+    ranked = bm25_topk(docs, qdf, k=10).select("query_id", "doc_id", "rank")
+    tok = docs.select(
+        "doc_id", F.size(words("text")).cast("long").alias("n_tokens")
+    )
+    return context_pack(
+        ranked.join(tok, "doc_id").select(
+            "query_id", "doc_id", "rank", "n_tokens"
+        ),
+        "n_tokens",
+        budget=300,
+    )

@@ -1767,3 +1767,66 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stages[1:]:
         out = out.unionByName(s)
     return out
+
+
+_SIZE_T = """
+    SELECT '{name}' AS table_name, COUNT(*) AS n_rows,
+           CAST({fixed} {var} AS BIGINT) AS est_row_bytes,
+           CAST(COUNT(*) * ({fixed} {var}) AS BIGINT) AS est_total_bytes
+    FROM {name}
+"""
+
+
+def _size_sql(name: str, fixed: int, strcols: list[str]) -> str:
+    var = "".join(
+        f" + floor(CAST(COALESCE(SUM(strlen({c})), 0) AS DOUBLE)"
+        f" / GREATEST(COUNT(*), 1))"
+        for c in strcols
+    )
+    return _SIZE_T.format(name=name, fixed=fixed, var=var)
+
+
+_ADVISOR_ORACLE = (
+    "WITH est AS ("
+    + " UNION ALL ".join(
+        [
+            _size_sql("region", 4, ["r_name"]),
+            _size_sql("nation", 8, ["n_name"]),
+            _size_sql("supplier", 20, ["s_name"]),
+            _size_sql("part", 20, ["p_name", "p_brand", "p_type"]),
+            _size_sql("customer", 20, ["c_name", "c_mktsegment"]),
+            _size_sql("orders", 32, ["o_orderstatus", "o_orderpriority"]),
+            _size_sql("lineitem", 68, ["l_returnflag", "l_linestatus"]),
+        ]
+    )
+    + """)
+    SELECT table_name, n_rows, est_row_bytes, est_total_bytes,
+           CASE WHEN est_total_bytes <= 1048576 THEN 'broadcast'
+                ELSE 'shuffle' END AS strategy
+    FROM est
+    """
+)
+
+
+@query("join_strategy_advisor", _ADVISOR_ORACLE)
+def q_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-strategy advisor (operators/skew.table_size_advice,
+    the sibling of skew_key_stats for the broadcast-vs-shuffle
+    decision): every TPC-H table's row count and byte width estimated
+    from one combinable aggregate each — fixed widths per scalar type,
+    strings at exact floor(sum_bytes/n) mean — and classified against a
+    1 MiB broadcast cutoff (the autoBroadcastJoinThreshold knob, scaled
+    to the testbed SF so the verdict actually splits: dims broadcast,
+    facts shuffle). Integer-exact everywhere, so the oracle reproduces
+    the recommendation bit-for-bit; in production the same code runs on
+    a sample or parquet footer stats."""
+    from .operators.skew import table_size_advice
+
+    tables = {
+        name: _t(spark, sf_dir, name)
+        for name in (
+            "region", "nation", "supplier", "part",
+            "customer", "orders", "lineitem",
+        )
+    }
+    return table_size_advice(tables, broadcast_threshold_bytes=1048576)

@@ -145,3 +145,47 @@ def test_drift_chi2_detects_shift(spark):
     rows = {r.f: r for r in drift_chi2(ref, shifted, "f").collect()}
     assert rows["c"].n_ref == 0  # unseen category is finite, not an error
     assert rows["c"].chi2_contrib_micro > 0
+
+
+def test_context_pack_prefix_cut(spark):
+    from olist_snowflake_dbt_spark.operators.retrieval import context_pack
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1, 50), (1, 20, 2, 40), (1, 30, 3, 200), (1, 40, 4, 5),
+         (2, 50, 1, 999)],
+        "query_id int, doc_id int, rank int, n_tokens int",
+    )
+    out = context_pack(ranked, "n_tokens", budget=100).collect()
+    got = sorted((r.query_id, r.doc_id, r.cum_tokens) for r in out)
+    # q1: ranks 1-2 fit (90); rank 3 overflows and rank 4 must NOT
+    # sneak in after it (prefix cut, not knapsack). q2: top doc alone
+    # overflows -> empty context.
+    assert got == [(1, 10, 50), (1, 20, 90)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        context_pack(ranked, "n_tokens", budget=0)
+
+
+def test_table_size_advice_model(spark):
+    from olist_snowflake_dbt_spark.operators.skew import table_size_advice
+
+    small = spark.createDataFrame(
+        [(1, "ab"), (2, "abcd")], "id bigint, s string"
+    )
+    big = spark.createDataFrame(
+        [(i, "x" * 100) for i in range(200)], "id bigint, s string"
+    )
+    out = {r.table_name: r for r in
+           table_size_advice({"small": small, "big": big},
+                             broadcast_threshold_bytes=1000).collect()}
+    # 8 bytes for the bigint + floor(mean(2,4)) = 3 for the string
+    assert out["small"].est_row_bytes == 11
+    assert out["small"].est_total_bytes == 22
+    assert out["small"].strategy == "broadcast"
+    assert out["big"].est_row_bytes == 108
+    assert out["big"].strategy == "shuffle"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        table_size_advice({})
+    with _pt.raises(ValueError):
+        table_size_advice({"m": small.select(F.create_map("s", "s").alias("m"))})
