@@ -364,3 +364,66 @@ def materialize_bucketed_table(
     writer.saveAsTable(name)
     out = spark.table(name)
     return MaterializedRelation(name, "bucketed_table", name, out)
+
+
+def multi_table_insert(
+    spark: SparkSession,
+    df: DataFrame,
+    route_col: str,
+    routes: dict[str, Column],
+    warehouse_dir: str,
+) -> dict[str, MaterializedRelation]:
+    """Snowflake ``INSERT ALL`` (conditional multi-table insert): route
+    each source row into one of several target tables IN A SINGLE PASS
+    over the source — the warehouse idiom for fanning a staging table
+    into band/priority/status marts without re-scanning it per target.
+
+    ``routes`` maps target table name → boolean predicate; a row lands
+    in the FIRST route whose predicate is true (Snowflake's
+    ``INSERT FIRST`` semantics — deliberately the order-deterministic
+    variant), and rows matching nothing are dropped (add a catch-all
+    ``F.lit(True)`` route for INSERT ALL-with-ELSE).
+
+    Spark-first single-pass plan: tag rows with the winning route name,
+    write ONE job partitioned by the route tag (each task splits its
+    rows into per-route files as it streams — no shuffle, no second
+    scan), then atomically promote each ``route=<name>`` directory to
+    ``<warehouse>/<name>``. The promotion loop is metadata-only (one
+    rename per target) and runs only after the full write succeeded, so
+    a crash mid-write publishes nothing; a crash mid-promotion leaves
+    previous table generations intact (each rename is the same
+    backup-swap used by materialize_table).
+
+    Returns name → MaterializedRelation (each also registered as a temp
+    view, like materialize_table)."""
+    if not routes:
+        raise ValueError("multi_table_insert: no routes given")
+    if route_col in df.columns:
+        raise ValueError(f"route tag column {route_col!r} collides with input")
+    tag = None
+    for name, pred in routes.items():
+        tag = F.when(pred, F.lit(name)) if tag is None else tag.when(pred, F.lit(name))
+    staged = df.withColumn(route_col, tag).filter(F.col(route_col).isNotNull())
+    stage_dir = os.path.join(
+        warehouse_dir, f".mti-stage-{uuid.uuid4().hex[:8]}"
+    )
+    staged.write.mode("overwrite").partitionBy(route_col).parquet(stage_dir)
+    out: dict[str, MaterializedRelation] = {}
+    try:
+        for name in routes:
+            src = os.path.join(stage_dir, f"{route_col}={name}")
+            final = os.path.join(warehouse_dir, name)
+            if not os.path.isdir(src):
+                os.makedirs(src, exist_ok=True)  # route matched 0 rows:
+                # publish an empty (schema-less) dir; readers get 0 rows
+            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+            os.rename(src, tmp)
+            _atomic_swap(final, tmp)
+            rel_df = spark.read.schema(
+                staged.drop(route_col).schema
+            ).parquet(final)
+            rel_df.createOrReplaceTempView(name)
+            out[name] = MaterializedRelation(name, "table", final, rel_df)
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    return out

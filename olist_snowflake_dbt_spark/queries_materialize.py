@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .plans.materialize import DynamicTable, clone_table, materialize_table
-from .queries import _FCT_ORDERS_ORACLE, QUERIES, query
+from .queries import _FCT_ORDERS_ORACLE, QUERIES, _t, query
 from .sources import formats as FMT
 
 
@@ -129,3 +129,97 @@ def q_dynamic_table_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt.refresh(agg(ev.filter(F.col("ts") < F.lit("2024-01-05").cast("timestamp"))))
     dt.refresh(agg(ev))
     return dt.read()
+
+
+@query(
+    "multi_table_insert_routes",
+    """
+    SELECT 'orders_high' AS target_table, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_total
+    FROM orders WHERE o_totalprice >= 200000
+    UNION ALL
+    SELECT 'orders_mid', COUNT(*),
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE)
+    FROM orders WHERE o_totalprice >= 50000 AND o_totalprice < 200000
+    UNION ALL
+    SELECT 'orders_low', COUNT(*),
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE)
+    FROM orders WHERE o_totalprice < 50000
+    """,
+)
+def q_multi_table_insert_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake INSERT FIRST / multi-table insert (plans/materialize.
+    multi_table_insert): orders fan into high/mid/low-value tables in
+    ONE pass — rows are tagged with their first matching route and
+    written once, partitioned by the tag (each task splits its stream
+    into per-route files; no shuffle, no per-target re-scan), then each
+    route directory promotes atomically to its table. The result here
+    re-READS the three published tables and aggregates them, so the
+    oracle match proves the whole route->write->promote->read cycle,
+    including first-match precedence at the band boundaries."""
+    o = _t(spark, sf_dir, "orders")
+    warehouse = FMT.scratch_dir("materialize", "mti_warehouse")
+    routes = {
+        "orders_high": F.col("o_totalprice") >= 200000,
+        "orders_mid": F.col("o_totalprice") >= 50000,
+        "orders_low": F.lit(True),
+    }
+    from .plans.materialize import multi_table_insert
+
+    rels = multi_table_insert(spark, o, "__route", routes, warehouse)
+    parts = []
+    for name, rel in rels.items():
+        parts.append(
+            rel.df.agg(
+                F.lit(name).alias("target_table"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                .alias("sum_total"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "result_cache_roundtrip",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_result_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake result-cache analogue (plans/result_cache.ResultCache):
+    the same aggregate plan requested twice through the cache — the
+    first call computes and publishes (tmp-dir + atomic rename), the
+    second is served as a parquet read of the stored result keyed by
+    the analyzed-plan fingerprint (semanticHash + schema digest). The
+    returned frame is the CACHED read, so the oracle match proves a
+    cache hit serves exactly what the computation would have — and the
+    path-keyed staleness contract is safe here because testdata tables
+    are immutable paths (generation-published tables get new paths,
+    hence new keys, automatically)."""
+    from .plans.result_cache import ResultCache
+
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("sum_total"),
+    )
+    cache = ResultCache(spark, FMT.scratch_dir("result_cache"))
+    cache.get_or_compute(agg)  # compute + publish
+    served, _hit = cache.get_or_compute(agg)  # served from cache
+    return served

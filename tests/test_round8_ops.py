@@ -189,3 +189,52 @@ def test_table_size_advice_model(spark):
         table_size_advice({})
     with _pt.raises(ValueError):
         table_size_advice({"m": small.select(F.create_map("s", "s").alias("m"))})
+
+
+def test_multi_table_insert_first_match_and_atomicity(spark, tmp_path):
+    from olist_snowflake_dbt_spark.plans.materialize import multi_table_insert
+
+    df = spark.createDataFrame(
+        [(1, 250), (2, 100), (3, 10), (4, 60)], "id int, v int"
+    )
+    routes = {
+        "hi": F.col("v") >= 200,
+        "mid": F.col("v") >= 50,  # first-match: hi rows must NOT land here
+        "lo": F.lit(True),
+    }
+    rels = multi_table_insert(spark, df, "__r", routes, str(tmp_path))
+    got = {n: sorted(r.id for r in rel.df.collect()) for n, rel in rels.items()}
+    assert got == {"hi": [1], "mid": [2, 4], "lo": [3]}
+    assert "__r" not in rels["hi"].df.columns  # tag stays internal
+    # second run replaces, not appends
+    rels2 = multi_table_insert(spark, df, "__r", routes, str(tmp_path))
+    assert rels2["mid"].df.count() == 2
+    # empty route publishes an empty readable table
+    rels3 = multi_table_insert(
+        spark, df.filter("v > 1000"), "__r", {"only": F.lit(True)}, str(tmp_path)
+    )
+    assert rels3["only"].df.count() == 0
+    with pytest.raises(ValueError):
+        multi_table_insert(spark, df, "id", routes, str(tmp_path))
+    with pytest.raises(ValueError):
+        multi_table_insert(spark, df, "__r", {}, str(tmp_path))
+
+
+def test_result_cache_hit_miss_invalidate(spark, tmp_path):
+    from olist_snowflake_dbt_spark.plans.result_cache import ResultCache
+
+    cache = ResultCache(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    q1 = df.groupBy("s").count()
+    r1, hit1 = cache.get_or_compute(q1)
+    assert hit1 is False
+    r2, hit2 = cache.get_or_compute(df.groupBy("s").count())
+    assert hit2 is True  # logically-equal plan -> same key
+    assert sorted(map(tuple, r2.collect())) == sorted(map(tuple, r1.collect()))
+    # a different literal is a different plan -> miss
+    _, hit3 = cache.get_or_compute(df.filter("id > 1").groupBy("s").count())
+    assert hit3 is False
+    assert cache.invalidate(q1) == 1
+    _, hit4 = cache.get_or_compute(q1)
+    assert hit4 is False  # recomputed after invalidation
+    assert cache.invalidate() >= 1  # drop-all returns count
