@@ -51,7 +51,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # sketch_rollup_merge in r07 and funnel per-user aggregates here) and
 # window_running_agg (running-window machinery is in-window via
 # funnel_conversion, rag_context_pack, and sample_reservoir_per_group);
-# both stay gate.py-verified on current code every round.
+# both stay gate.py-verified on current code every round; likewise
+# asof_last_purchase yields its slot to runner_snapshot_advance (the
+# identical union+window as-of machinery is in-window via the r04 row
+# asof_click_attribution and scd2_dim_asof_resolve's r07 row).
 # Everything out-of-window keeps fresh r05–r07 rows and is re-verified on
 # current code every round by tools/gate.py (GATE.json).
 _CHECK_FIRST = [
@@ -61,6 +64,7 @@ _CHECK_FIRST = [
     "timetravel_changes",
     "timetravel_stream_consume",
     "scd2_hard_delete",
+    "runner_snapshot_advance",
     "governance_masked_view",
     "governance_row_access",
     "bm25_topk",
@@ -81,7 +85,6 @@ _CHECK_FIRST = [
     "runner_slimci_retry",
     "metric_anomaly_daily",
     # (c) oldest surviving driver rows — r03
-    "asof_last_purchase",
     "text_fingerprint",
     "text_language_id",
     "text_ngram_counts",

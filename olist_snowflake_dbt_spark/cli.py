@@ -11,6 +11,7 @@ Spark engine the same operational surface:
     python -m olist_snowflake_dbt_spark build [--select S]   # seed+run+test+gate
     python -m olist_snowflake_dbt_spark ls    [--select S]
     python -m olist_snowflake_dbt_spark docs
+    python -m olist_snowflake_dbt_spark snapshot [--select NAME]
 
 ``--project module[:function]`` points at any callable that registers
 models + tests on an :class:`~.runner.Engine` (default: the bundled
@@ -48,7 +49,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     ap = argparse.ArgumentParser(prog="olist_snowflake_dbt_spark")
     ap.add_argument(
-        "command", choices=["seed", "run", "test", "build", "ls", "docs"]
+        "command", choices=["seed", "run", "test", "build", "ls", "docs", "snapshot"]
     )
     ap.add_argument(
         "--project",
@@ -115,6 +116,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         eng.generate_docs(write=True)
         path = os.path.join(eng.warehouse_dir, "docs.json")
         print(f"wrote {path}")
+        return 0
+
+    if args.command == "snapshot":
+        # dbt snapshot [--select name]: advance (or initialize) the
+        # registered SCD-2 history tables; exit 0 on success
+        rels = eng.snapshot(args.select)
+        if not rels:
+            print("no snapshots registered")
+        for name, rel in rels.items():
+            print(f"snapshotted {name} -> {rel.path}")
         return 0
 
     if args.command == "run":

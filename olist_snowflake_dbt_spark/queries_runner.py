@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import _t, query
+from .sources import formats as FMT
 
 _SEED_CSV = """order_status,status_name,is_open
 O,open,true
@@ -457,4 +458,68 @@ def q_runner_concurrent_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "n_priorities",
         F.lit(True).alias("concurrent_proven"),
+    )
+
+
+@query(
+    "runner_snapshot_advance",
+    """
+    WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+    v2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 6 = 0 THEN 'MOVED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 4 <> 0
+    )
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '2024-01-01 00:00:00' AS dbt_valid_from,
+           CASE WHEN c_custkey % 4 = 0 OR c_custkey % 6 = 0
+                THEN TIMESTAMP '2024-02-01 00:00:00' END AS dbt_valid_to
+    FROM base
+    UNION ALL
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '2024-02-01 00:00:00', NULL
+    FROM v2 WHERE c_custkey % 6 = 0
+    """,
+)
+def q_runner_snapshot_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dbt snapshot` ORCHESTRATION (runner.Engine.register_snapshot /
+    Engine.snapshot; CLI `python -m olist_snowflake_dbt_spark snapshot`):
+    the same churn pattern as scd2_hard_delete, but driven end-to-end
+    through the Engine — first run INITIALIZES the history table in the
+    warehouse, the source is swapped, and a SECOND Engine.snapshot()
+    run reads the standing table back from parquet and ADVANCES it
+    (check strategy + hard_deletes=invalidate), republishing via the
+    shared atomic swap. Matching the identical SQL oracle proves the
+    whole persist -> reread -> advance -> republish cycle, i.e. that
+    snapshot state lives ONLY in the warehouse (what lets any fresh
+    engine/cluster continue a 100 TB history)."""
+    import shutil as _sh
+
+    from .runner import Engine
+
+    wh = FMT.scratch_dir("runner_snapshot_wh")
+    _sh.rmtree(wh, ignore_errors=True)
+    eng = Engine(spark, wh)
+    base = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    v2 = base.filter(F.col("c_custkey") % 4 != 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 6 == 0, F.lit("MOVED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    src = {"df": base}
+    eng.register_snapshot(
+        "dim_customer_history",
+        lambda s, e: src["df"],
+        ["c_custkey"],
+        strategy="check",
+        check_cols=["c_mktsegment"],
+        hard_deletes="invalidate",
+    )
+    eng.snapshot(snapshot_time="2024-01-01 00:00:00")
+    src["df"] = v2
+    out = eng.snapshot(snapshot_time="2024-02-01 00:00:00")
+    return out["dim_customer_history"].df.select(
+        "c_custkey", "c_mktsegment", "dbt_valid_from", "dbt_valid_to"
     )

@@ -76,6 +76,7 @@ class Engine:
         self.tests: list[TestSpec] = []
         self.relations: dict[str, MaterializedRelation] = {}
         self.exposures: dict[str, dict] = {}
+        self.snapshot_configs: dict[str, dict] = {}
 
     # -- exposures (dbt exposures: downstream consumers declared in the
     # DAG so `what breaks if I change X?` is answerable) ----------------
@@ -362,6 +363,106 @@ class Engine:
                 f"contract violation on model {name!r}: "
                 f"missing={missing} undeclared={extra} type_drift={drift}"
             )
+
+    # -- snapshots (dbt snapshot: B2 orchestration over the SCD-2
+    # operators — register configs, then each `snapshot()` run either
+    # initializes the history table or advances it with the current
+    # source batch and republishes atomically) ------------------------
+    def register_snapshot(
+        self,
+        name: str,
+        source: str | Callable,
+        key: Sequence[str],
+        strategy: str = "timestamp",
+        updated_at: str | None = None,
+        check_cols: Sequence[str] | None = None,
+        hard_deletes: str = "ignore",
+    ) -> None:
+        """Declare a snapshot, dbt's ``snapshots/*.sql`` block: ``source``
+        is a registered model/source name (rebuilt fresh each run) or a
+        callable ``(spark, engine) -> DataFrame``; the remaining config
+        mirrors dbt's (strategy/updated_at/check_cols/hard_deletes) and
+        is validated lazily by snapshot_apply."""
+        self.snapshot_configs[name] = {
+            "source": source,
+            "key": list(key),
+            "strategy": strategy,
+            "updated_at": updated_at,
+            "check_cols": list(check_cols) if check_cols else None,
+            "hard_deletes": hard_deletes,
+        }
+
+    def snapshot(
+        self,
+        select: str | None = None,
+        snapshot_time=None,
+    ) -> dict[str, MaterializedRelation]:
+        """Run registered snapshots (all, or one by name via ``select``),
+        the ``dbt snapshot`` command:
+
+        - first run: every source row becomes an open SCD-2 version
+          (``snapshot_init``; valid_from = ``updated_at`` for the
+          timestamp strategy, ``snapshot_time`` for check);
+        - later runs: read the standing history table from the
+          warehouse, advance it with ``snapshot_apply`` (closing
+          changed/deleted versions, inserting new ones), and republish.
+
+        The publish is the shared tmp-write → atomic-swap, and the new
+        history is fully computed into the tmp dir BEFORE the swap, so
+        a crash mid-run leaves the previous history intact and a
+        re-run simply advances from it (idempotent when the source
+        hasn't changed). State lives only in the warehouse — a fresh
+        Engine pointed at the same directory continues the history.
+        """
+        import os
+        from datetime import datetime, timezone
+
+        if snapshot_time is None:
+            # dbt stamps snapshots with the run's wall clock; pass an
+            # explicit snapshot_time for deterministic backfills/tests
+            snapshot_time = datetime.now(timezone.utc).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+        configs = self.snapshot_configs
+        if select is not None:
+            if select not in configs:
+                raise ValueError(f"unknown snapshot: {select!r}")
+            configs = {select: configs[select]}
+        from .operators.snapshots import snapshot_apply, snapshot_init
+
+        out: dict[str, MaterializedRelation] = {}
+        for name, cfg in configs.items():
+            src = cfg["source"]
+            src_df = (
+                self.registry.build(src)
+                if isinstance(src, str)
+                else src(self.spark, self)
+            )
+            path = os.path.join(self.warehouse_dir, name)
+            if os.path.exists(path):
+                standing = self.spark.read.parquet(path)
+                advanced = snapshot_apply(
+                    standing,
+                    src_df,
+                    cfg["key"],
+                    strategy=cfg["strategy"],
+                    updated_at=cfg["updated_at"],
+                    check_cols=cfg["check_cols"],
+                    snapshot_time=snapshot_time,
+                    hard_deletes=cfg["hard_deletes"],
+                )
+            else:
+                vf = (
+                    F.col(cfg["updated_at"])
+                    if cfg["updated_at"]
+                    else F.lit(snapshot_time).cast("timestamp")
+                )
+                advanced = snapshot_init(src_df, cfg["key"], vf)
+            rel = materialize_table(self.spark, name, advanced, self.warehouse_dir)
+            self.registry.register_source(name, rel.df)
+            self.relations[name] = rel
+            out[name] = rel
+        return out
 
     # -- tests (dbt test) ---------------------------------------------
     def add_test(self, spec: TestSpec) -> None:
