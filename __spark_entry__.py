@@ -54,7 +54,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # both stay gate.py-verified on current code every round; likewise
 # asof_last_purchase yields its slot to runner_snapshot_advance (the
 # identical union+window as-of machinery is in-window via the r04 row
-# asof_click_attribution and scd2_dim_asof_resolve's r07 row).
+# asof_click_attribution and scd2_dim_asof_resolve's r07 row), and
+# mm_features yields its slot to fmt_copy_into_history (the multimodal
+# family's Arrow mapInPandas machinery stays in-window via its three
+# sibling rows mm_byte_stats / mm_decode / mm_frame_sample).
 # Everything out-of-window keeps fresh r05–r07 rows and is re-verified on
 # current code every round by tools/gate.py (GATE.json).
 _CHECK_FIRST = [
@@ -94,6 +97,7 @@ _CHECK_FIRST = [
     # (c) oldest surviving driver rows — r04
     "asof_click_attribution",
     "clone_zero_copy",
+    "fmt_copy_into_history",
     "fmt_csv_roundtrip",
     "fmt_jsonl_roundtrip",
     "fmt_orc_roundtrip",
@@ -102,7 +106,6 @@ _CHECK_FIRST = [
     "materialize_table_roundtrip",
     "mm_byte_stats",
     "mm_decode",
-    "mm_features",
     "mm_frame_sample",
     "pandas_group_vector_sums",
     "sample_hash_fraction",

@@ -348,3 +348,59 @@ def q_pyds_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hash_prefix_sum"),
     )
+
+
+@query(
+    "fmt_copy_into_history",
+    """
+    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 97 IN (0, 1, 2)
+    """,
+)
+def q_fmt_copy_into_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO with load history (sources/copy_into.CopyInto — the
+    Snowflake stage-ingest / Snowpipe / Auto Loader contract): three
+    landing-zone drops arrive across three loader runs — run 1 ingests
+    batches 0+1, run 2 sees batch 2 arrive and loads ONLY it (the two
+    loaded files are skipped by content fingerprint, no re-read), run 3
+    is a no-op. The returned table must contain each batch's rows
+    EXACTLY once — any re-load duplicates rows and breaks the hash, so
+    the oracle match IS the exactly-once-per-file proof. Each run costs
+    O(new files), never O(stage) — the property that matters when the
+    landing zone holds years of drops."""
+    import json as _json
+    import os as _os
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from .sources.copy_into import CopyInto
+
+    stage = FMT.scratch_dir("copy_into", "stage")
+    target = FMT.scratch_dir("copy_into", "table")
+    _sh.rmtree(stage, ignore_errors=True)
+    _sh.rmtree(target, ignore_errors=True)
+    _os.makedirs(stage, exist_ok=True)
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+        ]
+    )
+
+    def drop_batch(r: int) -> None:
+        rows = cust.filter(F.col("c_custkey") % 97 == r).collect()
+        with open(_os.path.join(stage, f"batch{r}.jsonl"), "w") as f:
+            for row in rows:
+                f.write(_json.dumps({"c_custkey": row.c_custkey,
+                                     "c_name": row.c_name}) + "\n")
+
+    ci = CopyInto(spark, stage, target, "*.jsonl")
+    drop_batch(0)
+    drop_batch(1)
+    ci.run(schema)  # loads batch0 + batch1
+    drop_batch(2)
+    ci.run(schema)  # loads ONLY batch2
+    ci.run(schema)  # no-op
+    return ci.read(schema)
