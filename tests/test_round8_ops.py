@@ -238,3 +238,79 @@ def test_result_cache_hit_miss_invalidate(spark, tmp_path):
     _, hit4 = cache.get_or_compute(q1)
     assert hit4 is False  # recomputed after invalidation
     assert cache.invalidate() >= 1  # drop-all returns count
+
+
+def test_multi_table_insert_crash_mid_promotion(spark, tmp_path, monkeypatch):
+    """A crash during the promotion loop must leave every already-
+    published table generation intact and readable."""
+    from olist_snowflake_dbt_spark.plans import materialize as m
+
+    df = spark.createDataFrame([(1, 300), (2, 10)], "id int, v int")
+    routes = {"hi": F.col("v") >= 200, "lo": F.lit(True)}
+    # publish generation 1 for both targets
+    m.multi_table_insert(spark, df, "__r", routes, str(tmp_path))
+
+    real_swap = m._atomic_swap
+    calls = {"n": 0}
+
+    def failing_swap(final, tmp):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second target's promotion dies
+            raise OSError("crash mid-promotion")
+        real_swap(final, tmp)
+
+    monkeypatch.setattr(m, "_atomic_swap", failing_swap)
+    df2 = spark.createDataFrame([(3, 300), (4, 10)], "id int, v int")
+    with pytest.raises(OSError):
+        m.multi_table_insert(spark, df2, "__r", routes, str(tmp_path))
+    monkeypatch.undo()
+    # first target advanced to gen 2, second still serves gen 1 fully
+    names = sorted(routes)  # dict order == promotion order: hi, lo
+    hi = spark.read.parquet(str(tmp_path / "hi"))
+    lo = spark.read.parquet(str(tmp_path / "lo"))
+    assert sorted(r.id for r in hi.collect()) == [3]  # promoted before crash
+    assert sorted(r.id for r in lo.collect()) == [2]  # old gen intact
+    assert names == ["hi", "lo"]
+    # no stage litter survives
+    litter = [e for e in (tmp_path).iterdir() if e.name.startswith(".mti-stage")]
+    assert litter == []
+
+
+def test_result_cache_concurrent_publish_race(spark, tmp_path, monkeypatch):
+    """Two concurrent misses of the same key: the loser of the rename
+    race discards its tmp dir and serves the winner's entry."""
+    from olist_snowflake_dbt_spark.plans.result_cache import ResultCache
+
+    cache = ResultCache(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    q = df.groupBy("s").count()
+    # simulate the racing winner: while OUR publish is in flight, the
+    # other session's entry appears before our exists-check
+    import olist_snowflake_dbt_spark.plans.result_cache as rcm
+
+    real_exists = rcm.os.path.exists
+    key = cache._key(q)
+    final = cache._entry(key)
+
+    def racing_exists(p):
+        if p == final and not real_exists(p):
+            # the other session publishes NOW, between our write and
+            # our exists-check
+            import json as js
+            import os as o
+
+            tmp2 = f"{final}.race"
+            q.write.mode("overwrite").parquet(tmp2)
+            with open(o.path.join(tmp2, "_manifest.json"), "w") as f:
+                js.dump({"key": key}, f)
+            o.rename(tmp2, final)
+        return real_exists(p)
+
+    monkeypatch.setattr(rcm.os.path, "exists", racing_exists)
+    served, hit = cache.get_or_compute(q)
+    monkeypatch.undo()
+    assert hit is False  # we computed
+    assert [tuple(r) for r in served.collect()] == [("a", 1)]
+    # our tmp was discarded: only the one published entry remains
+    entries = [e for e in tmp_path.iterdir() if e.is_dir() and key in e.name]
+    assert len(entries) == 1
