@@ -57,7 +57,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # asof_click_attribution and scd2_dim_asof_resolve's r07 row), and
 # mm_features yields its slot to fmt_copy_into_history (the multimodal
 # family's Arrow mapInPandas machinery stays in-window via its three
-# sibling rows mm_byte_stats / mm_decode / mm_frame_sample).
+# sibling rows mm_byte_stats / mm_decode / mm_frame_sample), and
+# sample_hash_fraction yields its slot to similarity_mrl_truncate_recall
+# (the md5-prefix boundary machinery stays in-window via its siblings
+# sample_hash_split, sample_mix_sources, and sample_reservoir_per_group).
 # Everything out-of-window keeps fresh r05–r07 rows and is re-verified on
 # current code every round by tools/gate.py (GATE.json).
 _CHECK_FIRST = [
@@ -72,6 +75,7 @@ _CHECK_FIRST = [
     "governance_row_access",
     "bm25_topk",
     "hybrid_rrf_fusion",
+    "similarity_mrl_truncate_recall",
     "dedup_cluster_representative",
     "sample_reservoir_per_group",
     "sample_mixture_weights",
@@ -108,7 +112,6 @@ _CHECK_FIRST = [
     "mm_decode",
     "mm_frame_sample",
     "pandas_group_vector_sums",
-    "sample_hash_fraction",
     "sample_hash_split",
     "sample_mix_sources",
     "sample_pack_sequences",

@@ -2332,3 +2332,64 @@ def q_drift_chi2_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.filter(F.col("event_id") % 2 == 0)
     cur = ev.filter(F.col("event_id") % 2 == 1)
     return drift_chi2(ref, cur, "event_type")
+
+
+_COS_RANK = """
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST({dot} AS DOUBLE)
+               / (SQRT(CAST((SELECT SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,15)))
+                             FROM (SELECT UNNEST(a.embedding) AS x)) AS DOUBLE))
+                  * SQRT(CAST((SELECT SUM(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,15)))
+                               FROM (SELECT UNNEST(b.embedding) AS y)) AS DOUBLE)))
+                   AS cosine
+        FROM {q} a JOIN {c} b ON a.vec_id != b.vec_id
+"""
+
+
+@query(
+    "similarity_mrl_truncate_recall",
+    f"""
+    WITH q64 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+    e16 AS (SELECT vec_id, embedding[1:16] AS embedding FROM embeddings),
+    q16 AS (SELECT vec_id, embedding FROM e16 WHERE vec_id < 8),
+    cfull AS ({_COS_RANK.format(dot=_DOT_DEC, q='q64', c='embeddings')}),
+    ctr AS ({_COS_RANK.format(dot=_DOT_DEC, q='q16', c='e16')}),
+    rfull AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM cfull) WHERE rnk <= 10
+    ),
+    rtr AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM ctr) WHERE rnk <= 10
+    ),
+    ov AS (
+        SELECT f.query_id, COUNT(*) AS n_overlap
+        FROM rfull f JOIN rtr t
+          ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        GROUP BY 1
+    )
+    SELECT q.vec_id AS query_id, 16 AS dim,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / 10.0 AS recall
+    FROM q64 q LEFT JOIN ov ON q.vec_id = ov.query_id
+    """,
+)
+def q_similarity_mrl_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation (operators/similarity.
+    mrl_truncate_recall; Kusupati et al. NeurIPS 2022): recall@10 of
+    exact cosine retrieval over the FIRST 16 of 64 dimensions vs the
+    full-dimension baseline, for 8 sample queries. Both rankings use the
+    exact-decimal fold with id tie-breaks, so the recall table is
+    bit-deterministic. This is the measurement that justifies serving
+    truncated vectors — 4x fewer bytes through every shuffle and ANN
+    candidate stage at the measured recall cost."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.mrl_truncate_recall(
+        emb, emb.filter(F.col("vec_id") < 8), dim=16, k=10
+    )

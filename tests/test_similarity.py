@@ -136,3 +136,23 @@ def test_quantized_topk_tracks_exact(spark, emb):
     }
     for (qid, _rk), (nid, c8) in q8.items():
         assert abs(c8 - exact_pairs[(qid, nid)]) < 0.05
+
+
+def test_mrl_truncate_recall_bounds_and_full_dim_identity(spark):
+    import numpy as np
+
+    from olist_snowflake_dbt_spark.operators.similarity import (
+        mrl_truncate_recall,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = emb.filter("vec_id < 3")
+    # truncating to the FULL dimension must give recall exactly 1.0
+    full = mrl_truncate_recall(emb, q, dim=8, k=5)
+    assert [r.recall for r in full.collect()] == [1.0, 1.0, 1.0]
+    # truncation can only lose quality: recall in [0, 1], k bounds overlap
+    tr = mrl_truncate_recall(emb, q, dim=2, k=5).collect()
+    assert all(0.0 <= r.recall <= 1.0 and 0 <= r.n_overlap <= 5 for r in tr)
+    assert all(r.dim == 2 for r in tr)
