@@ -60,7 +60,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # sibling rows mm_byte_stats / mm_decode / mm_frame_sample), and
 # sample_hash_fraction yields its slot to similarity_mrl_truncate_recall
 # (the md5-prefix boundary machinery stays in-window via its siblings
-# sample_hash_split, sample_mix_sources, and sample_reservoir_per_group).
+# sample_hash_split, sample_mix_sources, and sample_reservoir_per_group),
+# and fmt_jsonl_roundtrip yields its slot to timetravel_ivm_refresh
+# (schema'd JSONL read/write is in-window via fmt_copy_into_history,
+# whose loader reads staged JSONL with an explicit schema).
 # Everything out-of-window keeps fresh r05–r07 rows and is re-verified on
 # current code every round by tools/gate.py (GATE.json).
 _CHECK_FIRST = [
@@ -69,6 +72,7 @@ _CHECK_FIRST = [
     # (a) brand-new round 8 + the r07 post-run orphan
     "timetravel_changes",
     "timetravel_stream_consume",
+    "timetravel_ivm_refresh",
     "scd2_hard_delete",
     "runner_snapshot_advance",
     "governance_masked_view",
@@ -103,7 +107,6 @@ _CHECK_FIRST = [
     "clone_zero_copy",
     "fmt_copy_into_history",
     "fmt_csv_roundtrip",
-    "fmt_jsonl_roundtrip",
     "fmt_orc_roundtrip",
     "fmt_schema_evolution",
     "kmeans_clusters",

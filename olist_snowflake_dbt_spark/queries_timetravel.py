@@ -165,3 +165,64 @@ def q_timetravel_stream_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream.advance()  # ... consumed
     vt.publish(v3)
     return stream.read()  # v2->v3 only
+
+
+_IVM_ORACLE = """
+WITH v2 AS (
+    SELECT o_orderstatus,
+           CAST(CASE WHEN o_orderkey % 7 = 0
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100
+                     ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+                AS DECIMAL(18,2)) AS price
+    FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
+)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(CAST(SUM(price) AS DECIMAL(38,2)) AS DOUBLE) AS sum_total
+FROM v2 GROUP BY 1
+"""
+
+
+@query("timetravel_ivm_refresh", _IVM_ORACLE)
+def q_timetravel_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over a CHANGES delta
+    (operators/incremental.ivm_apply_changes — the algebra inside
+    Snowflake's incremental dynamic-table refresh): a standing
+    count/sum aggregate built over orders v1 is ADVANCED using only the
+    v1->v2 delta from table_changes (deletes of the %5 keys, repricing
+    of the %7 keys as DELETE+INSERT pairs) — the base table is never
+    re-aggregated. The oracle recomputes the aggregate directly over
+    v2, so the hash match proves maintained == recomputed exactly
+    (DECIMAL sums make maintenance order-independent). Refresh cost is
+    O(churned groups), the property that makes a 100 TB dynamic table
+    affordable to keep fresh."""
+    from .operators.incremental import ivm_apply_changes
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    v1 = o.filter(F.col("o_orderkey") % 3 != 0)
+    v2 = v1.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "price",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("price") + 100
+        ).otherwise(F.col("price")).cast("decimal(18,2)"),
+    )
+    agg1 = v1.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("decimal(38,2)").alias("sum_total"),
+    )
+    changes = table_changes(v1, v2, ["o_orderkey"])
+    maintained = ivm_apply_changes(
+        agg1,
+        changes,
+        ["o_orderstatus"],
+        count_col="n_rows",
+        sum_cols={"sum_total": "price"},
+    )
+    return maintained.select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_total").cast("double").alias("sum_total"),
+    )

@@ -185,3 +185,40 @@ def test_stream_offsets_and_staleness(spark, vt):
     vt.vacuum(retain=1)
     with pytest.raises(RuntimeError):
         s.read()
+
+
+def test_ivm_maintained_equals_recompute_and_drops_empty_groups(spark):
+    from olist_snowflake_dbt_spark.operators.incremental import (
+        ivm_apply_changes,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "c", 7)],
+        "k int, g string, x int",
+    )
+    # delete all of group c, update one of a, insert new group d
+    v2 = spark.createDataFrame(
+        [(1, "a", 99), (2, "a", 20), (3, "b", 5), (9, "d", 1)],
+        "k int, g string, x int",
+    )
+    agg1 = v1.groupBy("g").agg(
+        F.count("*").alias("n_rows"), F.sum("x").alias("sum_x")
+    )
+    ch = table_changes(v1, v2, ["k"])
+    got = ivm_apply_changes(
+        agg1, ch, ["g"], sum_cols={"sum_x": "x"}
+    )
+    want = v2.groupBy("g").agg(
+        F.count("*").alias("n_rows"), F.sum("x").alias("sum_x")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.filter("g = 'c'").count() == 0  # emptied group dropped
+    # a second maintenance round composes
+    v3 = v2.filter("k <> 9")
+    got2 = ivm_apply_changes(
+        got, table_changes(v2, v3, ["k"]), ["g"], sum_cols={"sum_x": "x"}
+    )
+    want2 = v3.groupBy("g").agg(
+        F.count("*").alias("n_rows"), F.sum("x").alias("sum_x")
+    )
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want2.collect()))
