@@ -63,7 +63,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # sample_hash_split, sample_mix_sources, and sample_reservoir_per_group),
 # and fmt_jsonl_roundtrip yields its slot to timetravel_ivm_refresh
 # (schema'd JSONL read/write is in-window via fmt_copy_into_history,
-# whose loader reads staged JSONL with an explicit schema).
+# whose loader reads staged JSONL with an explicit schema);
+# text_fingerprint's md5 machinery stays in-window via
+# text_pii_pseudonymize (md5 surrogates) and sample_reservoir_per_group
+# (salted md5 rank), and sample_stratified_topn's per-group top-n
+# window is the identical machinery as the in-window
+# sample_reservoir_per_group row — all three gate.py-verified every
+# round.
 # Everything out-of-window keeps fresh r05–r07 rows and is re-verified on
 # current code every round by tools/gate.py (GATE.json).
 _CHECK_FIRST = [
@@ -73,6 +79,8 @@ _CHECK_FIRST = [
     "timetravel_changes",
     "timetravel_stream_consume",
     "timetravel_ivm_refresh",
+    "timetravel_schema_drift",
+    "stream_file_ingest_native",
     "scd2_hard_delete",
     "runner_snapshot_advance",
     "governance_masked_view",
@@ -96,7 +104,6 @@ _CHECK_FIRST = [
     "runner_slimci_retry",
     "metric_anomaly_daily",
     # (c) oldest surviving driver rows — r03
-    "text_fingerprint",
     "text_language_id",
     "text_ngram_counts",
     "text_pii_pseudonymize",
@@ -118,7 +125,6 @@ _CHECK_FIRST = [
     "sample_hash_split",
     "sample_mix_sources",
     "sample_pack_sequences",
-    "sample_stratified_topn",
     "sessionize_events",
     "sink_partitioned_pruned",
     "zorder_roundtrip",

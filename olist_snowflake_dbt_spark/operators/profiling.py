@@ -62,3 +62,42 @@ def profile_columns(
         "min_val",
         "max_val",
     )
+
+
+def schema_drift(
+    old: DataFrame,
+    new: DataFrame,
+) -> "DataFrame":
+    """Schema-drift report between two relation versions (the
+    check a pipeline runs before trusting a republished upstream table,
+    and the warehouse-side view of dbt's on_schema_change handling):
+    one row per changed column — ``added`` (new only), ``removed``
+    (old only), ``type_changed`` (both, different dtype) — with the
+    dtype on each side. Unchanged columns are omitted; an empty result
+    means the contract held.
+
+    Driver-side metadata only (schemas, not data): zero jobs, zero
+    scans — safe to run before every consume at any table size. Column
+    order changes are deliberately NOT drift (consumers select by
+    name); use model contracts (runner.py) to pin ordering too."""
+    spark = old.sparkSession
+    o, n = dict(old.dtypes), dict(new.dtypes)
+    rows = []
+    for c in sorted(set(o) | set(n)):
+        if c in o and c not in n:
+            rows.append((c, "removed", o[c], None))
+        elif c in n and c not in o:
+            rows.append((c, "added", None, n[c]))
+        elif o[c] != n[c]:
+            rows.append((c, "type_changed", o[c], n[c]))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType(), False),
+            T.StructField("change", T.StringType(), False),
+            T.StructField("old_type", T.StringType(), True),
+            T.StructField("new_type", T.StringType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

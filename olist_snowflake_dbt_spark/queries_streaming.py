@@ -390,3 +390,71 @@ def q_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).start()
     q.awaitTermination()
     return cdc_state(spark, state, "op")
+
+
+@query(
+    "stream_file_ingest_native",
+    """
+    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 89 IN (0, 1, 2)
+    """,
+)
+def q_stream_file_ingest_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE exactly-once file-stream ingest (the engine-level
+    Auto Loader: readStream over a landing directory tracks processed
+    files in the checkpoint's source log): batches 0+1 are drained by an
+    availableNow run into a parquet sink, batch 2 is dropped into the
+    directory, and a SECOND run against the same checkpoint ingests
+    ONLY the new file — re-reading a processed file would duplicate
+    rows and break the oracle hash. Complements sources/copy_into.py
+    (the manifest-based loader usable OUTSIDE streaming): same
+    exactly-once-per-file contract, state in the checkpoint instead of
+    a load-history manifest."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_file_ingest_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    land = os.path.join(base, "landing")
+    out_dir, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    os.makedirs(land, exist_ok=True)
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+        ]
+    )
+
+    def drop_batch(r: int) -> None:
+        rows = cust.filter(F.col("c_custkey") % 89 == r).collect()
+        with open(os.path.join(land, f"batch{r}.jsonl"), "w") as f:
+            for row in rows:
+                f.write(_json.dumps({"c_custkey": row.c_custkey,
+                                     "c_name": row.c_name}) + "\n")
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .json(land)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drop_batch(0)
+    drop_batch(1)
+    drain()  # ingests batches 0+1, records them in the source log
+    drop_batch(2)
+    drain()  # ingests ONLY batch 2
+    return spark.read.schema(schema).parquet(out_dir)

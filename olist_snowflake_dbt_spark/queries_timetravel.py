@@ -226,3 +226,38 @@ def q_timetravel_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("sum_total").cast("double").alias("sum_total"),
     )
+
+
+@query(
+    "timetravel_schema_drift",
+    """
+    SELECT * FROM (VALUES
+        ('c_acctbal', 'removed', 'double', NULL),
+        ('c_segment_code', 'added', NULL, 'string'),
+        ('c_nationkey', 'type_changed', 'int', 'bigint')
+    ) AS t(column_name, change, old_type, new_type)
+    """,
+)
+def q_timetravel_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift report between two published generations
+    (operators/profiling.schema_drift): v2 of a customer projection
+    drops c_acctbal, adds c_segment_code, and widens c_nationkey int ->
+    bigint; the report flags exactly those three (renames/reorders of
+    untouched columns are not drift). Metadata-only — no job runs, so
+    the gate costs the same at 100 TB as at sf0.01; it is the check a
+    consumer runs against a VersionedTable generation before trusting
+    it, and the observability twin of runner.py's enforced model
+    contracts."""
+    from .operators.profiling import schema_drift
+
+    cust = read_table(spark, sf_dir, "customer")
+    v1 = cust.select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                     "c_mktsegment")
+    v2 = cust.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        "c_mktsegment",
+        F.upper("c_mktsegment").alias("c_segment_code"),
+    )
+    return schema_drift(v1, v2).withColumnRenamed("column", "column_name")

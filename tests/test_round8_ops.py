@@ -314,3 +314,20 @@ def test_result_cache_concurrent_publish_race(spark, tmp_path, monkeypatch):
     # our tmp was discarded: only the one published entry remains
     entries = [e for e in tmp_path.iterdir() if e.is_dir() and key in e.name]
     assert len(entries) == 1
+
+
+def test_schema_drift_report(spark):
+    from olist_snowflake_dbt_spark.operators.profiling import schema_drift
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "id int, s string, x double")
+    new = spark.createDataFrame([(1, "a", 2)], "id bigint, s string, y int")
+    got = {r.column: r for r in schema_drift(old, new).collect()}
+    assert set(got) == {"id", "x", "y"}  # s unchanged -> omitted
+    assert (got["id"].change, got["id"].old_type, got["id"].new_type) == (
+        "type_changed", "int", "bigint")
+    assert (got["x"].change, got["x"].new_type) == ("removed", None)
+    assert (got["y"].change, got["y"].old_type) == ("added", None)
+    # identical schemas -> empty report (the contract held)
+    assert schema_drift(old, old).count() == 0
+    # column REORDER is not drift
+    assert schema_drift(old, old.select("x", "id", "s")).count() == 0
