@@ -53,6 +53,25 @@ FLAGSHIPS = [
      "stop-words (a term-partition window would serialize them through "
      "one reducer); corpus size joins as a broadcast 1-row scalar; "
      "top-k via WindowGroupLimit rank pushdown."),
+    ("bm25_topk", "Inverted-index retrieval: tf aggregates once on "
+     "(doc, term) with map-side combine; broadcast query terms select "
+     "only their postings; df/avgdl ride broadcast scalars; per-term "
+     "nano scores integer-sum per (query, doc); top-k via window rank "
+     "pushdown. Nothing downstream of the probe touches the corpus."),
+    ("timetravel_changes", "CHANGES between table generations: one "
+     "full-outer hash join on the key comparing 8-byte xxhash64 row "
+     "fingerprints (fingerprints, not rows, through the exchange); "
+     "unchanged keys filtered BEFORE the DELETE/INSERT union fan-out."),
+    ("governance_row_access", "Row access policy: the session role's "
+     "grants filter FIRST, broadcast into a LEFT SEMI join against the "
+     "fact scan — enforcement is map-side; no fact shuffle."),
+    ("funnel_conversion", "Ordered funnel: both running MINs and the "
+     "per-user aggregate share one (user_id) exchange + sort — "
+     "sequence detection in a single sorted pass per user."),
+    ("timetravel_ivm_refresh", "Incremental view maintenance: the "
+     "CHANGES delta aggregates with map-side-combinable signed sums, "
+     "then ONE full-outer join on the group key advances the standing "
+     "aggregate — cost O(churned groups), never the base table."),
     ("corpus_prep_pipeline", "The end-to-end corpus prep chain as ONE "
      "declarative plan: quality filter pushes into the scans feeding "
      "both the shingle and packing branches, the benchmark side "
