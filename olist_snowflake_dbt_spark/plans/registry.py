@@ -48,7 +48,10 @@ class CycleError(CompilationError):
     """The ref() graph contains a cycle (dbt: compilation.py:190-220)."""
 
 
-_REF_RE = re.compile(r"\{\{\s*ref\(\s*['\"]([A-Za-z0-9_.]+)['\"]\s*\)\s*\}\}")
+_REF_RE = re.compile(
+    r"\{\{\s*ref\(\s*['\"]([A-Za-z0-9_.]+)['\"]"
+    r"(?:\s*,\s*(?:v|version)\s*=\s*(\d+))?\s*\)\s*\}\}"
+)
 # Opens a {{ var('name' ... }} call; the optional default is parsed by a
 # small scanner (ModelRegistry._render_vars), not the regex — a quoted
 # default may contain ')' or ',' (e.g. {{ var('x', '(a)') }}), which no
@@ -74,12 +77,22 @@ class Model:
     tags: tuple[str, ...] = ()
     config: dict[str, Any] = field(default_factory=dict)
 
-    def static_refs(self) -> tuple[str, ...]:
-        """Statically extract ref() edges (dbt uses the Rust dbt_extractor
-        at dbt/parser/models.py:28,414; a regex suffices for our grammar)."""
+    def static_ref_pairs(self) -> tuple[tuple[str, int | None], ...]:
+        """Statically extract ``(ref_name, pinned_version | None)`` edges
+        (dbt uses the Rust dbt_extractor at dbt/parser/models.py:28,414; a
+        regex suffices for our grammar). ``{{ ref('m', v=2) }}`` is dbt
+        1.5+ model-version pinning; an unpinned ref to a versioned model
+        resolves to its latest version at the registry layer."""
         if isinstance(self.builder, str):
-            return tuple(dict.fromkeys(_REF_RE.findall(self.builder)))
-        return self.depends_on
+            pairs = [
+                (nm, int(ver) if ver else None)
+                for nm, ver in _REF_RE.findall(self.builder)
+            ]
+            return tuple(dict.fromkeys(pairs))
+        return tuple((p, None) for p in self.depends_on)
+
+    def static_refs(self) -> tuple[str, ...]:
+        return tuple(dict.fromkeys(nm for nm, _ in self.static_ref_pairs()))
 
 
 class ModelContext:
@@ -90,8 +103,11 @@ class ModelContext:
         self.spark = spark
         self._consumer = consumer
 
-    def ref(self, name: str) -> DataFrame:
-        return self._registry.build(name, _requester=self._consumer)
+    def ref(self, name: str, v: int | None = None) -> DataFrame:
+        """``ctx.ref('m')`` (latest version when versioned) or
+        ``ctx.ref('m', v=1)`` (dbt 1.5+ version pinning)."""
+        resolved = self._registry.resolve_ref(name, v, _requester=self._consumer)
+        return self._registry.build(resolved, _requester=self._consumer)
 
     def source(self, name: str) -> DataFrame:
         """A raw (Bronze) input registered via ``register_source``."""
@@ -130,6 +146,13 @@ class ModelRegistry:
         self._defer_selected: set[str] = set()
         self._defer_favor_state: bool = False
         self._defer_local_dir: str | None = None
+        # dbt 1.5+ model versions: base name → {"latest": int,
+        # "versions": {n: concrete_model_name}, "deprecation": {n: date}}
+        self._versions: dict[str, dict] = {}
+        # Human-readable warnings raised during ref resolution (dbt emits
+        # UnpinnedRefNewVersionAvailable / deprecation warnings; callers
+        # read these after a build pass)
+        self.version_warnings: list[str] = []
 
     @property
     def _building(self) -> list:
@@ -168,6 +191,83 @@ class ModelRegistry:
     ) -> None:
         self._sources[name] = loader
 
+    def register_versioned(
+        self,
+        name: str,
+        versions: dict[int, str | Callable[[ModelContext], DataFrame]],
+        latest: int | None = None,
+        deprecation: dict[int, str] | None = None,
+        materialized: str = "view",
+        **config: Any,
+    ) -> dict[int, Model]:
+        """dbt 1.5+ model versions (dbt-core ``versions:`` schema config):
+        each version is its own DAG node named ``<name>_v<n>`` (dbt's
+        default versioned relation identity), ``latest`` mirrors
+        ``latest_version`` (defaults to the highest version number), and
+        ``deprecation`` carries per-version ``deprecation_date`` strings.
+
+        Ref resolution (``resolve_ref``): an UNPINNED ``ref('name')``
+        resolves to the latest version; ``ref('name', v=N)`` pins.
+        Pinning to a non-latest or deprecated version records a warning
+        in ``version_warnings`` (dbt's deprecation / unpinned-ref
+        warning surface) — a warning, never an error, matching dbt."""
+        if name in self._models:
+            raise CompilationError(
+                f"cannot version {name!r}: an unversioned model of that name exists"
+            )
+        if not versions:
+            raise CompilationError(f"versioned model {name!r} needs >=1 version")
+        out: dict[int, Model] = {}
+        concrete: dict[int, str] = {}
+        for n, builder in sorted(versions.items()):
+            cname = f"{name}_v{n}"
+            out[n] = self.register(cname, builder, materialized=materialized, **config)
+            concrete[n] = cname
+        self._versions[name] = {
+            "latest": latest if latest is not None else max(versions),
+            "versions": concrete,
+            "deprecation": dict(deprecation or {}),
+        }
+        return out
+
+    def resolve_ref(
+        self,
+        name: str,
+        version: int | None = None,
+        _requester: str | None = None,
+        _warn: bool = True,
+    ) -> str:
+        """Map a ``ref()`` target to a concrete model name, applying
+        model-version resolution. Non-versioned names pass through."""
+        meta = self._versions.get(name)
+        if meta is None:
+            if version is not None:
+                raise RefNotFoundError(
+                    f"ref({name!r}, v={version}) pins a version but {name!r} "
+                    "is not a versioned model"
+                )
+            return name
+        v = version if version is not None else meta["latest"]
+        if v not in meta["versions"]:
+            raise RefNotFoundError(
+                f"ref({name!r}, v={v}): no such version "
+                f"(have {sorted(meta['versions'])})"
+            )
+        who = _requester or "<caller>"
+        if not _warn:
+            return meta["versions"][v]
+        if v in meta["deprecation"]:
+            self.version_warnings.append(
+                f"{who}: ref('{name}', v={v}) targets a version deprecated "
+                f"on {meta['deprecation'][v]}"
+            )
+        elif version is not None and v != meta["latest"]:
+            self.version_warnings.append(
+                f"{who}: ref('{name}', v={v}) is pinned behind latest "
+                f"(v{meta['latest']})"
+            )
+        return meta["versions"][v]
+
     # -- graph --------------------------------------------------------
     def models(self) -> dict[str, Model]:
         return dict(self._models)
@@ -176,7 +276,14 @@ class ModelRegistry:
         """node → parents, validating every edge (compile-time ref check)."""
         edges: dict[str, tuple[str, ...]] = {}
         for name, model in self._models.items():
-            parents = model.static_refs()
+            parents = tuple(
+                dict.fromkeys(
+                    self.resolve_ref(nm, ver, _requester=name, _warn=False)
+                    if (nm in self._versions)
+                    else nm
+                    for nm, ver in model.static_ref_pairs()
+                )
+            )
             for p in parents:
                 if p not in self._models and p not in self._sources:
                     raise RefNotFoundError(
@@ -376,6 +483,8 @@ class ModelRegistry:
         to those view names — the Spark analogue of dbt rendering
         ``ref('x')`` → ``db.schema.x`` (dbt/compilation.py:745).
         """
+        if name in self._versions:
+            name = self.resolve_ref(name, None, _requester=_requester)
         if name in self._built:
             return self._built[name]
         if name in self._building:
@@ -418,7 +527,10 @@ class ModelRegistry:
                 sql = model.builder
 
                 def _sub(m: re.Match[str]) -> str:
-                    parent = m.group(1)
+                    raw, pin = m.group(1), m.group(2)
+                    parent = self.resolve_ref(
+                        raw, int(pin) if pin else None, _requester=name
+                    )
                     pdf = self.build(parent, _requester=name)
                     view = f"__model_{parent}"
                     pdf.createOrReplaceTempView(view)

@@ -523,3 +523,184 @@ def q_runner_snapshot_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["dim_customer_history"].df.select(
         "c_custkey", "c_mktsegment", "dbt_valid_from", "dbt_valid_to"
     )
+
+
+_VERSIONS_ORACLE = """
+WITH stg AS (
+    SELECT o_orderstatus AS order_status, o_orderpriority AS order_priority,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+),
+v1 AS (
+    SELECT order_status,
+           CAST(CAST(SUM(price) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+    FROM stg GROUP BY 1
+),
+v2 AS (
+    SELECT order_status, order_priority,
+           CAST(CAST(SUM(price) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+    FROM stg GROUP BY 1, 2
+)
+SELECT 'pinned_v1' AS via, order_status,
+       CAST(NULL AS VARCHAR) AS order_priority, revenue,
+       CAST(1 AS BIGINT) AS n_version_warnings, TRUE AS latest_is_v2
+FROM v1
+UNION ALL
+SELECT 'latest_v2' AS via, order_status, order_priority, revenue,
+       CAST(1 AS BIGINT) AS n_version_warnings, TRUE AS latest_is_v2
+FROM v2
+"""
+
+
+@query("runner_model_versions", _VERSIONS_ORACLE)
+def q_runner_model_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt 1.5+ MODEL VERSIONS (registry.register_versioned /
+    resolve_ref; dbt-core ``versions:`` + ``latest_version`` schema
+    config): ``rev_by_status`` ships v1 (status grain, deprecated) and
+    v2 (status x priority grain, latest). One consumer PINS
+    ``{{ ref('rev_by_status', v=1) }}``; another refs UNPINNED and must
+    silently resolve to v2 — dbt's contract-safe migration path for a
+    breaking grain change. The deprecation surface is asserted
+    in-driver: exactly ONE warning (the pinned consumer hitting the
+    deprecated v1), and the unpinned consumer's schema proves latest
+    resolution (a v1 resolution lacks order_priority and cannot
+    hash-match). Both concrete nodes coexist in one DAG under dbt's
+    default versioned identities (rev_by_status_v1/_v2)."""
+    from .runner import Engine
+
+    wh = tempfile.mkdtemp(prefix="olist_model_versions_")
+    eng = Engine(spark, wh)
+    eng.registry.register_source("raw_orders", _t(spark, sf_dir, "orders"))
+    eng.registry.register(
+        "stg_rev",
+        """
+        select o_orderstatus as order_status, o_orderpriority as order_priority,
+               cast(o_totalprice as decimal(18,2)) as price
+        from {{ ref('raw_orders') }}
+        """,
+    )
+    eng.registry.register_versioned(
+        "rev_by_status",
+        {
+            1: """
+               select order_status,
+                      cast(cast(sum(price) as decimal(38,2)) as double) as revenue
+               from {{ ref('stg_rev') }} group by 1
+               """,
+            2: """
+               select order_status, order_priority,
+                      cast(cast(sum(price) as decimal(38,2)) as double) as revenue
+               from {{ ref('stg_rev') }} group by 1, 2
+               """,
+        },
+        latest=2,
+        deprecation={1: "2026-12-31"},
+    )
+    eng.registry.register(
+        "consumer_pinned",
+        """
+        select 'pinned_v1' as via, order_status,
+               cast(null as string) as order_priority, revenue
+        from {{ ref('rev_by_status', v=1) }}
+        """,
+    )
+    eng.registry.register(
+        "consumer_latest",
+        """
+        select 'latest_v2' as via, order_status, order_priority, revenue
+        from {{ ref('rev_by_status') }}
+        """,
+    )
+    out = eng.run()
+    # In-driver assertions: unpinned ref resolved to v2 (its frame has
+    # the priority grain), and resolution produced exactly the one
+    # deprecation warning for the pinned consumer.
+    if "order_priority" not in out["consumer_latest"].df.columns:
+        raise AssertionError("unpinned ref did not resolve to latest (v2)")
+    warns = [w for w in eng.registry.version_warnings if "deprecated" in w]
+    if len(warns) != 1 or "consumer_pinned" not in warns[0]:
+        raise AssertionError(f"expected 1 deprecation warning, got {eng.registry.version_warnings}")
+    union = out["consumer_pinned"].df.unionByName(out["consumer_latest"].df)
+    return union.select(
+        "via",
+        "order_status",
+        "order_priority",
+        "revenue",
+        F.lit(len(warns)).cast("bigint").alias("n_version_warnings"),
+        F.lit(True).alias("latest_is_v2"),
+    )
+
+
+_GRANTS_ORACLE = """
+WITH mart AS (
+    SELECT o_orderstatus AS order_status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT order_status, n_orders, revenue,
+       CAST(2 AS BIGINT) AS n_grant_actions,
+       CAST(1 AS BIGINT) AS n_revoke_actions,
+       TRUE AS revoked_role_blocked,
+       TRUE AS granted_role_readable
+FROM mart
+"""
+
+
+@query("runner_grants_lifecycle", _GRANTS_ORACLE)
+def q_runner_grants_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt GRANTS (model config ``grants: {select: [...]}``; dbt-core
+    apply_grants semantics): run 1 materializes ``mart_secure`` granting
+    select to analyst+finance (2 GRANTs); the config then drops analyst
+    and run 2 must issue exactly the DELTA — one REVOKE, no re-grants
+    (dbt's show-grants diffing, not wholesale re-application).
+    Enforcement is asserted in-driver through ``Engine.read_as``: the
+    still-granted role reads the mart, the revoked role raises
+    ``PermissionError``. Verdict columns carry the audit counts so a
+    wrong delta can never hash-match the oracle."""
+    from .runner import Engine
+
+    wh = tempfile.mkdtemp(prefix="olist_grants_")
+    eng = Engine(spark, wh)
+    eng.registry.register_source("raw_orders", _t(spark, sf_dir, "orders"))
+    model = eng.registry.register(
+        "mart_secure",
+        """
+        select o_orderstatus as order_status,
+               cast(count(*) as bigint) as n_orders,
+               cast(cast(sum(cast(o_totalprice as decimal(18,2)))
+                    as decimal(38,2)) as double) as revenue
+        from {{ ref('raw_orders') }} group by 1
+        """,
+        materialized="table",
+        grants={"select": ["analyst", "finance"]},
+    )
+    eng.run(select="mart_secure")
+    n_grants_run1 = sum(1 for e in eng.grants_log if e[1] == "grant")
+
+    model.config["grants"] = {"select": ["finance"]}
+    eng.run(select="mart_secure")
+    n_grants = sum(1 for e in eng.grants_log if e[1] == "grant")
+    n_revokes = sum(1 for e in eng.grants_log if e[1] == "revoke")
+    if (n_grants_run1, n_grants, n_revokes) != (2, 2, 1):
+        raise AssertionError(
+            f"grant diffing broken: run1_grants={n_grants_run1} "
+            f"grants={n_grants} revokes={n_revokes} log={eng.grants_log}"
+        )
+
+    reader = eng.read_as("finance", "mart_secure")
+    try:
+        eng.read_as("analyst", "mart_secure")
+        raise AssertionError("revoked role was not blocked")
+    except PermissionError:
+        blocked = True
+    return reader.select(
+        "order_status",
+        "n_orders",
+        "revenue",
+        F.lit(n_grants).cast("bigint").alias("n_grant_actions"),
+        F.lit(n_revokes).cast("bigint").alias("n_revoke_actions"),
+        F.lit(blocked).alias("revoked_role_blocked"),
+        F.lit(True).alias("granted_role_readable"),
+    )

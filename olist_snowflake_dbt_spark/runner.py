@@ -77,6 +77,12 @@ class Engine:
         self.relations: dict[str, MaterializedRelation] = {}
         self.exposures: dict[str, dict] = {}
         self.snapshot_configs: dict[str, dict] = {}
+        # dbt grants (model config ``grants: {privilege: [roles]}``):
+        # the warehouse-side ACL state per relation, plus an append-only
+        # audit of every GRANT/REVOKE the engine issued (what Snowflake
+        # would show in its access-history view)
+        self.grants_state: dict[str, dict[str, set[str]]] = {}
+        self.grants_log: list[tuple[str, str, str, str]] = []
 
     # -- exposures (dbt exposures: downstream consumers declared in the
     # DAG so `what breaks if I change X?` is answerable) ----------------
@@ -331,7 +337,72 @@ class Engine:
         else:
             rel = materialize_view(name, df)
         self._run_hooks(model.config.get("post_hook"))
+        self._apply_grants(name, model.config.get("grants"))
         return rel
+
+    # -- grants (dbt model config ``grants:``; reference behavior:
+    # dbt-core apply_grants macro — show grants on the relation, diff
+    # against the config, issue only the delta of GRANT/REVOKE) --------
+    def _apply_grants(self, name: str, grants: dict | None) -> None:
+        """Reconcile the relation's ACL with the model's ``grants``
+        config. dbt semantics: the config is AUTHORITATIVE — roles
+        granted in a previous run but absent from the config now are
+        REVOKED (dbt only skips revokes under ``copy_grants``, out of
+        scope for a parquet warehouse). Only the delta is issued, and
+        every issued statement lands in ``grants_log`` so a run is
+        auditable. A model with no grants config keeps whatever state
+        it has (dbt: grants unmanaged unless configured)."""
+        if grants is None:
+            return
+        current = self.grants_state.setdefault(name, {})
+        for priv in sorted(set(grants) | set(current)):
+            want = set(grants.get(priv, ()))
+            have = current.get(priv, set())
+            for role in sorted(want - have):
+                self.grants_log.append((name, "grant", priv, role))
+            for role in sorted(have - want):
+                self.grants_log.append((name, "revoke", priv, role))
+            if want:
+                current[priv] = want
+            else:
+                current.pop(priv, None)
+
+    def read_as(self, role: str, model: str) -> DataFrame:
+        """Privilege-checked read: the governance surface a warehouse
+        enforces server-side. Raises ``PermissionError`` unless ``role``
+        holds ``select`` on the relation (or the relation's grants are
+        unmanaged, which a parquet warehouse treats as open — matching
+        dbt, where unconfigured grants are whatever the warehouse
+        already had)."""
+        acl = self.grants_state.get(model)
+        if acl is not None and "select" in acl and role not in acl["select"]:
+            raise PermissionError(
+                f"role {role!r} lacks select on {model!r} "
+                f"(granted: {sorted(acl['select'])})"
+            )
+        return self.registry.build(model)
+
+    def grants_audit(self) -> DataFrame:
+        """The GRANT/REVOKE audit as a DataFrame (deterministic order:
+        issue sequence)."""
+        from pyspark.sql.types import (
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("seq", IntegerType(), False),
+                StructField("model", StringType(), False),
+                StructField("action", StringType(), False),
+                StructField("privilege", StringType(), False),
+                StructField("role", StringType(), False),
+            ]
+        )
+        rows = [(i, *e) for i, e in enumerate(self.grants_log)]
+        return self.spark.createDataFrame(rows, schema)
 
     @staticmethod
     def _enforce_contract(name: str, df: DataFrame, contract: dict) -> None:

@@ -1,0 +1,170 @@
+"""dbt model versions (registry.register_versioned / resolve_ref) and
+dbt grants (Engine._apply_grants / read_as) — unit coverage beyond the
+two driver queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from olist_snowflake_dbt_spark.plans.registry import (
+    CompilationError,
+    ModelRegistry,
+    RefNotFoundError,
+)
+from olist_snowflake_dbt_spark.runner import Engine
+
+
+def _registry(spark):
+    reg = ModelRegistry(spark)
+    reg.register_source("src", spark.range(5).withColumnRenamed("id", "k"))
+    reg.register("base", "select k, k * 2 as v from {{ ref('src') }}")
+    return reg
+
+
+def _add_versions(reg, latest=None, deprecation=None):
+    reg.register_versioned(
+        "agg",
+        {
+            1: "select sum(v) as total from {{ ref('base') }}",
+            2: "select k % 2 as bucket, sum(v) as total from {{ ref('base') }} group by 1",
+        },
+        latest=latest,
+        deprecation=deprecation,
+    )
+
+
+class TestModelVersions:
+    def test_unpinned_resolves_latest(self, spark):
+        reg = _registry(spark)
+        _add_versions(reg)
+        df = reg.build("agg")  # latest defaults to max version = 2
+        assert set(df.columns) == {"bucket", "total"}
+
+    def test_latest_override_pins_default(self, spark):
+        reg = _registry(spark)
+        _add_versions(reg, latest=1)  # dbt latest_version may trail v2
+        assert reg.build("agg").columns == ["total"]
+
+    def test_sql_pin_and_python_pin(self, spark):
+        reg = _registry(spark)
+        _add_versions(reg)
+        reg.register("old_consumer", "select total from {{ ref('agg', v=1) }}")
+        assert reg.build("old_consumer").columns == ["total"]
+        assert reg.build("agg_v1").count() == 1
+
+    def test_pin_behind_latest_warns_once(self, spark):
+        reg = _registry(spark)
+        _add_versions(reg)
+        reg.register("old_consumer", "select total from {{ ref('agg', v=1) }}")
+        reg.build("old_consumer")
+        assert len(reg.version_warnings) == 1
+        assert "pinned behind latest" in reg.version_warnings[0]
+        assert "old_consumer" in reg.version_warnings[0]
+
+    def test_deprecated_version_warns(self, spark):
+        reg = _registry(spark)
+        _add_versions(reg, deprecation={1: "2026-06-30"})
+        reg.register("old_consumer", "select total from {{ ref('agg', v=1) }}")
+        reg.build("old_consumer")
+        assert any("deprecated on 2026-06-30" in w for w in reg.version_warnings)
+
+    def test_graph_edges_use_concrete_nodes(self, spark):
+        reg = _registry(spark)
+        _add_versions(reg)
+        reg.register("new_consumer", "select * from {{ ref('agg') }}")
+        edges = reg.graph()
+        assert edges["new_consumer"] == ("agg_v2",)
+        # graph() resolution must not spam warnings
+        assert reg.version_warnings == []
+
+    def test_unknown_version_is_ref_error(self, spark):
+        reg = _registry(spark)
+        _add_versions(reg)
+        with pytest.raises(RefNotFoundError, match="no such version"):
+            reg.resolve_ref("agg", 9)
+
+    def test_pin_on_unversioned_model_is_error(self, spark):
+        reg = _registry(spark)
+        with pytest.raises(RefNotFoundError, match="not a versioned model"):
+            reg.resolve_ref("base", 1)
+
+    def test_name_collision_with_unversioned(self, spark):
+        reg = _registry(spark)
+        with pytest.raises(CompilationError, match="unversioned model"):
+            reg.register_versioned("base", {1: "select 1"})
+
+
+class TestGrants:
+    def _engine(self, spark, tmp_path):
+        eng = Engine(spark, str(tmp_path / "wh"))
+        eng.registry.register_source("src", spark.range(10).withColumnRenamed("id", "k"))
+        return eng
+
+    def test_first_run_grants_all_configured(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        eng.registry.register(
+            "m", "select k from {{ ref('src') }}", materialized="table",
+            grants={"select": ["a", "b"]},
+        )
+        eng.run()
+        assert eng.grants_log == [("m", "grant", "select", "a"), ("m", "grant", "select", "b")]
+
+    def test_rerun_is_idempotent_no_delta(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        eng.registry.register(
+            "m", "select k from {{ ref('src') }}", materialized="table",
+            grants={"select": ["a"]},
+        )
+        eng.run()
+        eng.run()
+        assert len(eng.grants_log) == 1  # no re-grant on unchanged config
+
+    def test_removed_role_is_revoked(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        model = eng.registry.register(
+            "m", "select k from {{ ref('src') }}", materialized="table",
+            grants={"select": ["a", "b"]},
+        )
+        eng.run()
+        model.config["grants"] = {"select": ["b"]}
+        eng.run()
+        assert eng.grants_log[-1] == ("m", "revoke", "select", "a")
+        assert eng.grants_state["m"]["select"] == {"b"}
+
+    def test_dropped_privilege_is_fully_revoked(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        model = eng.registry.register(
+            "m", "select k from {{ ref('src') }}", materialized="table",
+            grants={"select": ["a"], "insert": ["etl"]},
+        )
+        eng.run()
+        model.config["grants"] = {"select": ["a"]}
+        eng.run()
+        assert ("m", "revoke", "insert", "etl") in eng.grants_log
+        assert "insert" not in eng.grants_state["m"]
+
+    def test_read_as_enforced_and_open_when_unmanaged(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        eng.registry.register(
+            "m", "select k from {{ ref('src') }}", materialized="table",
+            grants={"select": ["a"]},
+        )
+        eng.registry.register("open", "select k from {{ ref('src') }}")
+        eng.run()
+        assert eng.read_as("a", "m").count() == 10
+        with pytest.raises(PermissionError, match="lacks select"):
+            eng.read_as("intruder", "m")
+        # unmanaged relation stays open (dbt: grants only when configured)
+        assert eng.read_as("anyone", "open").count() == 10
+
+    def test_grants_audit_frame(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        eng.registry.register(
+            "m", "select k from {{ ref('src') }}", materialized="table",
+            grants={"select": ["a"]},
+        )
+        eng.run()
+        rows = eng.grants_audit().collect()
+        assert [(r.seq, r.model, r.action, r.privilege, r.role) for r in rows] == [
+            (0, "m", "grant", "select", "a")
+        ]
