@@ -106,3 +106,106 @@ def apply_row_access(
             "governance policies must fail closed"
         )
     return df.join(F.broadcast(grants), on=list(on), how="left_semi")
+
+
+def erase_subjects(
+    df: DataFrame,
+    subjects: DataFrame,
+    key: str,
+    subject_key: str,
+    action: str = "delete",
+    redact_cols: Sequence[str] = (),
+) -> DataFrame:
+    """One table's share of a right-to-be-forgotten request (GDPR art. 17
+    — the erasure workflow a Snowflake shop scripts around ``DELETE`` +
+    UPDATE-to-tokenize; dbt projects run it as an operation).
+
+    ``subjects`` holds the erasure requests (column ``subject_key``).
+    Two policy actions, the standard split between identity tables and
+    fact tables:
+
+    - ``delete``: drop the subject's rows outright (the identity/dim
+      table case) — a broadcast LEFT ANTI join, map-side at any size;
+    - ``pseudonymize``: KEEP the rows (aggregate analytics must survive)
+      but break the link to the person: the key column is replaced by
+      its md5 surrogate (deterministic, so the subject's facts still
+      join to EACH OTHER, but to nothing outside), and ``redact_cols``
+      are NULLed. A broadcast LEFT JOIN + conditional projection —
+      zero shuffle on the fact side.
+
+    At 100 TB the erasure batch is tiny relative to the corpus (it is
+    broadcast); each table is rewritten in ONE distributed pass with the
+    predicate pushed to the scan of the standing table's partitions.
+    """
+    marks = subjects.select(F.col(subject_key).alias("__erase_key")).dropDuplicates()
+    if action == "delete":
+        return df.join(
+            F.broadcast(marks), df[key] == marks["__erase_key"], "left_anti"
+        )
+    if action != "pseudonymize":
+        raise ValueError(f"unknown erasure action: {action!r}")
+    hit = F.col("__erase_key").isNotNull()
+    joined = df.join(F.broadcast(marks), df[key] == marks["__erase_key"], "left")
+    out = []
+    for name in df.columns:
+        dtype = dict(df.dtypes)[name]
+        if name == key:
+            out.append(
+                F.when(hit, F.md5(F.col(name).cast("string")))
+                .otherwise(F.col(name).cast("string"))
+                .alias(name)
+            )
+        elif name in redact_cols:
+            out.append(F.when(hit, F.lit(None).cast(dtype)).otherwise(F.col(name)).alias(name))
+        else:
+            out.append(F.col(name))
+    return joined.select(*out)
+
+
+def erasure_cascade(
+    subjects: DataFrame,
+    subject_key: str,
+    tables: dict[str, dict],
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """Apply one erasure request across every table that references the
+    subject, returning ``(transformed_tables, audit)``.
+
+    ``tables`` maps table name → ``{"df": frame, "key": col,
+    "action": "delete"|"pseudonymize", "redact_cols": [...]}``. The
+    audit has one row per table — affected/kept counts, distinct
+    surrogates minted, and ``n_residual_links``: rows in the TRANSFORMED
+    output still carrying an erased key in cleartext, recomputed from
+    the output itself (the compliance proof, not an assumption). A
+    correct cascade has 0 residuals everywhere.
+    """
+    marks = subjects.select(F.col(subject_key).alias("__erase_key")).dropDuplicates()
+    transformed: dict[str, DataFrame] = {}
+    audits = []
+    for name, spec in tables.items():
+        df, key, action = spec["df"], spec["key"], spec.get("action", "delete")
+        out = erase_subjects(
+            df, subjects, key, subject_key, action, spec.get("redact_cols", ())
+        )
+        transformed[name] = out
+        affected = df.join(
+            F.broadcast(marks), df[key] == marks["__erase_key"], "left_semi"
+        )
+        n_affected = affected.count()
+        n_kept = out.count()
+        if action == "pseudonymize":
+            n_surr = affected.select(F.countDistinct(key).alias("n")).first()["n"]
+        else:
+            n_surr = 0
+        residual = out.join(
+            F.broadcast(marks),
+            out[key].cast("string") == marks["__erase_key"].cast("string"),
+            "left_semi",
+        )
+        audits.append((name, action, n_affected, n_kept, n_surr, residual.count()))
+    spark = subjects.sparkSession
+    audit = spark.createDataFrame(
+        audits,
+        "table_name string, action string, n_affected bigint, n_kept bigint, "
+        "n_distinct_surrogates bigint, n_residual_links bigint",
+    )
+    return transformed, audit

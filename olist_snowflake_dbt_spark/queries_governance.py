@@ -137,3 +137,76 @@ def q_governance_row_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# GDPR art. 17 cascade: subjects = every 97th customer. The identity
+# table drops their rows; the fact table keeps every row but swaps the
+# key for its md5 surrogate and NULLs the clerk column. The audit row
+# per table carries the compliance counts, including n_residual_links
+# RECOMPUTED from the transformed output (must be 0).
+_ERASURE_ORACLE = """
+WITH subjects AS (
+    SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 97 = 0
+),
+cust_stats AS (
+    SELECT COUNT(*) FILTER (WHERE c_custkey IN (SELECT c_custkey FROM subjects))
+               AS n_affected,
+           COUNT(*) FILTER (WHERE c_custkey NOT IN (SELECT c_custkey FROM subjects))
+               AS n_kept
+    FROM customer
+),
+ord_stats AS (
+    SELECT COUNT(*) FILTER (WHERE o_custkey IN (SELECT c_custkey FROM subjects))
+               AS n_affected,
+           COUNT(*) AS n_kept,
+           COUNT(DISTINCT o_custkey)
+               FILTER (WHERE o_custkey IN (SELECT c_custkey FROM subjects))
+               AS n_surr
+    FROM orders
+)
+SELECT 'customer' AS table_name, 'delete' AS action,
+       CAST(n_affected AS BIGINT) AS n_affected,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(0 AS BIGINT) AS n_distinct_surrogates,
+       CAST(0 AS BIGINT) AS n_residual_links
+FROM cust_stats
+UNION ALL
+SELECT 'orders', 'pseudonymize',
+       CAST(n_affected AS BIGINT), CAST(n_kept AS BIGINT),
+       CAST(n_surr AS BIGINT), CAST(0 AS BIGINT)
+FROM ord_stats
+"""
+
+
+@query("governance_erasure_cascade", _ERASURE_ORACLE)
+def q_governance_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-be-forgotten CASCADE (operators/governance.
+    erasure_cascade): one erasure batch applied across the referencing
+    tables — DELETE on the identity table (broadcast anti-join),
+    PSEUDONYMIZE on the fact table (broadcast left join + conditional
+    projection: md5 surrogate key + clerk NULLed; analytics survive,
+    identity link does not). The returned audit is the compliance
+    artifact: per-table affected/kept counts, surrogates minted, and
+    residual cleartext links RECOMPUTED from the transformed frames —
+    the oracle pins them to 0, so a leaky cascade can never hash-match.
+    Both joins broadcast the (tiny) erasure batch; each table rewrites
+    in one map-side pass at any corpus size."""
+    from .operators.governance import erasure_cascade
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    subjects = customer.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    _, audit = erasure_cascade(
+        subjects,
+        "c_custkey",
+        {
+            "customer": {"df": customer, "key": "c_custkey", "action": "delete"},
+            "orders": {
+                "df": orders,
+                "key": "o_custkey",
+                "action": "pseudonymize",
+                "redact_cols": ["o_clerk"],
+            },
+        },
+    )
+    return audit

@@ -72,3 +72,57 @@ def test_row_access_deny_by_default_and_plan(spark, people):
         )
     plan = seen._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+class TestErasureCascade:
+    def _frames(self, spark):
+        people = spark.createDataFrame(
+            [(1, "ann"), (2, "bob"), (3, "cal")], "pid int, name string"
+        )
+        facts = spark.createDataFrame(
+            [(10, 1, "x", 5.0), (11, 1, "y", 6.0), (12, 2, "z", 7.0)],
+            "fid int, pid int, note string, amt double",
+        )
+        subjects = people.filter("pid = 1").select("pid")
+        return people, facts, subjects
+
+    def test_delete_and_pseudonymize(self, spark):
+        from olist_snowflake_dbt_spark.operators.governance import erasure_cascade
+
+        people, facts, subjects = self._frames(spark)
+        out, audit = erasure_cascade(
+            subjects,
+            "pid",
+            {
+                "people": {"df": people, "key": "pid", "action": "delete"},
+                "facts": {
+                    "df": facts,
+                    "key": "pid",
+                    "action": "pseudonymize",
+                    "redact_cols": ["note"],
+                },
+            },
+        )
+        assert sorted(r.pid for r in out["people"].collect()) == [2, 3]
+        rows = {r.fid: r for r in out["facts"].collect()}
+        # erased subject: md5 surrogate, note NULLed, amt (analytics) kept
+        import hashlib
+
+        surr = hashlib.md5(b"1").hexdigest()
+        assert rows[10].pid == surr and rows[11].pid == surr  # deterministic+joinable
+        assert rows[10].note is None and rows[10].amt == 5.0
+        # untouched subject: cleartext key, note intact
+        assert rows[12].pid == "2" and rows[12].note == "z"
+        a = {r.table_name: r for r in audit.collect()}
+        assert (a["people"].n_affected, a["people"].n_kept) == (1, 2)
+        assert (a["facts"].n_affected, a["facts"].n_kept) == (2, 3)
+        assert a["facts"].n_distinct_surrogates == 1
+        assert all(r.n_residual_links == 0 for r in a.values())
+
+    def test_unknown_action_raises(self, spark):
+        import pytest
+
+        from olist_snowflake_dbt_spark.operators.governance import erase_subjects
+
+        people, facts, subjects = self._frames(spark)
+        with pytest.raises(ValueError, match="unknown erasure action"):
+            erase_subjects(facts, subjects, "pid", "pid", action="shred")
