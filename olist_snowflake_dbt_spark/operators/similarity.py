@@ -582,3 +582,134 @@ def mrl_truncate_recall(
              ).alias("recall"),
         )
     )
+
+
+def _micro_slice(vec: Column, start: int, length: int) -> Column:
+    """A subspace slice in exact integer micro-units: floor(x * 1e6) as
+    bigint per component. All downstream PQ math is integer (squared L2
+    distances), so encode/ADC are bit-exact across engines — the same
+    determinism trick as the int8 path in ``quantized_topk``."""
+    return F.transform(
+        F.slice(vec, start, length),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("bigint"),
+    )
+
+
+def _int_dist2(a: Column, b: Column) -> Column:
+    """Exact squared L2 between two integer vectors (bigint fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — Jégou, Douze & Schmid, "Product Quantization for Nearest
+    Neighbor Search" (TPAMI 2011), the workhorse of billion-scale
+    vector serving (FAISS IVF-PQ's PQ half).
+
+    The vector space splits into ``n_subspaces`` contiguous subspaces;
+    each gets its own ``n_codes``-entry codebook (here: deterministic
+    md5-hash-sampled corpus rows sliced per subspace — the same
+    portable seeding as ``ivf_topk``; Lloyd-refined codebooks would
+    come from operators/clustering.kmeans). Every corpus vector is
+    ENCODED as one small code per subspace; a query computes one
+    distance TABLE per subspace against the codebook and scores a
+    candidate by summing table lookups at the candidate's codes —
+    never touching the candidate's floats (the "asymmetric" in ADC).
+
+    100 TB shape: the serving scan reads ONLY the code table —
+    ``n_subspaces`` small ints per vector vs ``dim`` floats (here 4
+    codes vs 256 bytes, 64x less I/O); encode is one broadcast join
+    against the (n_subspaces x n_codes)-row codebook with no corpus
+    shuffle; ADC is a broadcast join of the per-query distance table
+    against the code table followed by one partial-aggregated top-k.
+    Everything after the micro-unit conversion is bigint math, so the
+    ranking is bit-exact and oracle-checkable.
+    """
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    d = dim // n_subspaces
+    cents = (
+        corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+        .withColumn("__h", F.substring(F.md5(F.col("__cid").cast("string")), 1, 16))
+        .orderBy("__h")
+        .limit(n_codes)
+        .withColumn(
+            "code",
+            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("__h", "__cid"))
+            - 1,
+        )
+    )
+
+    def sub_explode(df: DataFrame, out_id: str) -> DataFrame:
+        parts = F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    _micro_slice(F.col(vec_col), m * d + 1, d).alias("sub"),
+                )
+                for m in range(n_subspaces)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.explode(parts).alias("__s")
+        ).select(out_id, F.col("__s.m").alias("m"), F.col("__s.sub").alias("__sub"))
+
+    codebook = cents.select(
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        _micro_slice(F.col("__cv"), m * d + 1, d).alias("sub"),
+                    )
+                    for m in range(n_subspaces)
+                ]
+            )
+        ).alias("__s"),
+    ).select("code", F.col("__s.m").alias("m"), F.col("__s.sub").alias("__csub"))
+
+    enc_w = Window.partitionBy("neighbor_id", "m").orderBy(
+        F.col("__d2").asc(), F.col("code").asc()
+    )
+    codes = (
+        sub_explode(corpus, "neighbor_id")
+        .join(F.broadcast(codebook), "m")
+        .withColumn("__d2", _int_dist2(F.col("__sub"), F.col("__csub")))
+        .withColumn("__rn", F.row_number().over(enc_w))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", "m", "code")
+    )
+    dtable = (
+        sub_explode(queries, "query_id")
+        .join(F.broadcast(codebook), "m")
+        .withColumn("__qd2", _int_dist2(F.col("__sub"), F.col("__csub")))
+        .select("query_id", "m", "code", "__qd2")
+    )
+    adc = (
+        codes.join(F.broadcast(dtable), ["m", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__qd2").cast("bigint").alias("adc_dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist2", "rank")
+    )

@@ -2393,3 +2393,76 @@ def q_similarity_mrl_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFr
     return SIM.mrl_truncate_recall(
         emb, emb.filter(F.col("vec_id") < 8), dim=16, k=10
     )
+
+
+_PQ_M, _PQ_K, _PQ_D = 4, 8, 16  # subspaces, codes, dims-per-subspace
+_PQ_MICRO = "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"
+_PQ_DIST2 = (
+    "list_reduce(list_transform(generate_series(1, {d}), "
+    "j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])), (x, y) -> x + y)"
+)
+
+_PQ_ORACLE = f"""
+WITH cents AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY h, cid) - 1 AS code, cv
+    FROM (SELECT vec_id AS cid, embedding AS cv,
+                 substr(md5(CAST(vec_id AS VARCHAR)), 1, 16) AS h
+          FROM embeddings ORDER BY h LIMIT {_PQ_K})
+),
+ms AS (SELECT UNNEST(generate_series(0, {_PQ_M - 1})) AS m),
+cb AS (
+    SELECT m, code,
+           list_transform(cv[m * {_PQ_D} + 1 : m * {_PQ_D} + {_PQ_D}],
+                          {_PQ_MICRO}) AS csub
+    FROM cents CROSS JOIN ms
+),
+vs AS (
+    SELECT vec_id AS neighbor_id, m,
+           list_transform(embedding[m * {_PQ_D} + 1 : m * {_PQ_D} + {_PQ_D}],
+                          {_PQ_MICRO}) AS vsub
+    FROM embeddings CROSS JOIN ms
+),
+enc AS (
+    SELECT neighbor_id, m, code FROM (
+        SELECT v.neighbor_id, v.m, c.code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.neighbor_id, v.m
+                   ORDER BY {_PQ_DIST2.format(d=_PQ_D, a='v.vsub', b='c.csub')} ASC,
+                            c.code ASC) AS rn
+        FROM vs v JOIN cb c ON v.m = c.m
+    ) WHERE rn = 1
+),
+qs AS (SELECT neighbor_id AS query_id, m, vsub FROM vs WHERE neighbor_id < 8),
+dt AS (
+    SELECT q.query_id, c.m, c.code,
+           {_PQ_DIST2.format(d=_PQ_D, a='q.vsub', b='c.csub')} AS qd2
+    FROM qs q JOIN cb c ON q.m = c.m
+),
+adc AS (
+    SELECT d.query_id, e.neighbor_id, CAST(SUM(d.qd2) AS BIGINT) AS adc_dist2
+    FROM enc e JOIN dt d ON e.m = d.m AND e.code = d.code
+    WHERE d.query_id <> e.neighbor_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist2, CAST(rn AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rn
+      FROM adc)
+WHERE rn <= 10
+"""
+
+
+@query("similarity_pq_adc", _PQ_ORACLE)
+def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (operators/similarity.pq_topk; Jegou et al., TPAMI 2011): 4
+    subspaces x 8 codes over the 64-dim embeddings, integer-micro
+    squared-L2 throughout — encode, distance tables, and ADC ranking
+    are all bigint-exact, so the DuckDB twin replays the identical
+    codebook, codes, and top-10. The serving path reads 4 small ints
+    per vector instead of 256 bytes of floats."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=10,
+        n_subspaces=_PQ_M, n_codes=_PQ_K,
+    )

@@ -156,3 +156,43 @@ def test_mrl_truncate_recall_bounds_and_full_dim_identity(spark):
     tr = mrl_truncate_recall(emb, q, dim=2, k=5).collect()
     assert all(0.0 <= r.recall <= 1.0 and 0 <= r.n_overlap <= 5 for r in tr)
     assert all(r.dim == 2 for r in tr)
+
+
+class TestProductQuantization:
+    def test_adc_exact_duplicate_achieves_min_distance(self, spark, emb):
+        """An exact copy of the query vector gets the SAME per-subspace
+        codes as the query itself, so its ADC distance equals
+        sum_m min_c dtable[m][c] — the global minimum any candidate can
+        reach. Planted duplicates must therefore sit at the minimal ADC
+        distance of their query (ties allowed, rank-1 not required)."""
+        from olist_snowflake_dbt_spark.operators.similarity import pq_topk
+
+        dup = (
+            emb.filter(F.col("vec_id") < 4)
+            .withColumn("vec_id", F.col("vec_id") + 1000000)
+        )
+        corpus = emb.unionByName(dup)
+        out = pq_topk(corpus, emb.filter(F.col("vec_id") < 4), k=5).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rows in by_q.items():
+            min_d = min(r.adc_dist2 for r in rows)
+            twin = [r for r in rows if r.neighbor_id == q + 1000000]
+            assert twin, f"planted twin of {q} missing from top-5"
+            assert twin[0].adc_dist2 == min_d
+
+    def test_codes_and_ranks_are_wellformed(self, spark, emb):
+        from olist_snowflake_dbt_spark.operators.similarity import pq_topk
+
+        out = pq_topk(emb, emb.filter(F.col("vec_id") < 3), k=7).collect()
+        assert len(out) == 3 * 7
+        for r in out:
+            assert r.adc_dist2 >= 0 and 1 <= r.rank <= 7
+            assert r.query_id != r.neighbor_id
+
+    def test_dim_not_divisible_raises(self, spark, emb):
+        from olist_snowflake_dbt_spark.operators.similarity import pq_topk
+
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_topk(emb, emb, n_subspaces=5)
