@@ -310,3 +310,49 @@ def chunk_windows(
         F.size(piece).alias("chunk_len"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def temporal_holdout(
+    df: DataFrame,
+    ts_col: str,
+    boundary: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Time-based train/test split with optional group-leakage guard —
+    the evaluation-hygiene op of any training pipeline over logged data.
+
+    Plain mode (``group_col=None``): ``train`` = rows strictly before
+    ``boundary``, ``test`` = rows at/after it — the forecasting setting,
+    where an entity may appear on both sides.
+
+    Group-disjoint mode: per-entity generalization needs the TEST
+    entities unseen in training, so any pre-boundary row belonging to a
+    group that also appears post-boundary is quarantined as ``leaked``
+    instead of entering train. Three labels out: ``train`` / ``test`` /
+    ``leaked`` — quarantining (rather than silently dropping) keeps the
+    split auditable and the row multiset conserved.
+
+    Scale shape: the test-window group set is the distinct groups of a
+    recent time slice — small next to the corpus — and is broadcast
+    into a map-side membership probe; the corpus itself never shuffles.
+    The boundary predicate is a pure scan filter (partition-prunable
+    when the table is date-partitioned).
+    """
+    ts = F.col(ts_col)
+    b = F.lit(boundary).cast("timestamp")
+    if group_col is None:
+        return df.withColumn(
+            "split", F.when(ts < b, F.lit("train")).otherwise(F.lit("test"))
+        )
+    test_groups = df.filter(ts >= b).select(group_col).dropDuplicates()
+    marked = df.join(
+        F.broadcast(test_groups.withColumn("__in_test", F.lit(True))),
+        group_col,
+        "left",
+    )
+    return marked.withColumn(
+        "split",
+        F.when(ts >= b, F.lit("test"))
+        .when(F.col("__in_test").isNotNull(), F.lit("leaked"))
+        .otherwise(F.lit("train")),
+    ).drop("__in_test")

@@ -331,3 +331,47 @@ def q_sample_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return SMP.chunk_windows(docs, "doc_id", words("text"), window=32, stride=16)
+
+
+_HOLDOUT_B = "2024-01-24 00:00:00"
+_HOLDOUT_ORACLE = f"""
+WITH test_groups AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE ts >= TIMESTAMP '{_HOLDOUT_B}'
+),
+labeled AS (
+    SELECT e.event_type, e.value,
+           CASE WHEN e.ts >= TIMESTAMP '{_HOLDOUT_B}' THEN 'test'
+                WHEN e.user_id IN (SELECT user_id FROM test_groups)
+                    THEN 'leaked'
+                ELSE 'train' END AS split
+    FROM events e
+)
+SELECT split, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+            AS DOUBLE) AS sum_value
+FROM labeled
+GROUP BY 1, 2
+"""
+
+
+@query("sample_time_holdout", _HOLDOUT_ORACLE)
+def q_sample_time_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware temporal holdout (operators/sampling.
+    temporal_holdout): events split at a time boundary with the
+    group-leakage guard on — pre-boundary rows of users who also appear
+    in the test window land in a 'leaked' quarantine bucket instead of
+    train, so a per-user model's eval set stays unseen. The oracle
+    replays the three-way labeling; decimal value sums keep the compare
+    exact. The corpus never shuffles: the test-window user set is
+    broadcast and the boundary predicate rides the scan."""
+    ev = _t(spark, sf_dir, "events")
+    out = SMP.temporal_holdout(ev, "ts", _HOLDOUT_B, group_col="user_id")
+    return out.groupBy("split", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -200,3 +200,39 @@ def test_cogrouped_conversion_stats_semantics_and_pruned_count(spark):
     # still one row per key
     assert out.count() == 3
     assert out.limit(2).count() == 2
+
+
+class TestTemporalHoldout:
+    def _events(self, spark):
+        import datetime as dt
+
+        rows = [
+            (1, "u1", dt.datetime(2024, 1, 1)),   # u1 pre-boundary only
+            (2, "u1", dt.datetime(2024, 1, 2)),
+            (3, "u2", dt.datetime(2024, 1, 3)),   # u2 spans the boundary
+            (4, "u2", dt.datetime(2024, 2, 5)),
+            (5, "u3", dt.datetime(2024, 2, 6)),   # u3 post-boundary only
+        ]
+        return spark.createDataFrame(rows, "eid int, user_id string, ts timestamp")
+
+    def test_group_disjoint_quarantines_leaks(self, spark):
+        from olist_snowflake_dbt_spark.operators.sampling import temporal_holdout
+
+        out = temporal_holdout(
+            self._events(spark), "ts", "2024-02-01 00:00:00", group_col="user_id"
+        )
+        got = {r.eid: r.split for r in out.collect()}
+        assert got == {1: "train", 2: "train", 3: "leaked", 4: "test", 5: "test"}
+        # conservation: quarantine, never drop
+        assert out.count() == 5
+        # no group appears in both train and test
+        tr = {r.user_id for r in out.filter("split='train'").collect()}
+        te = {r.user_id for r in out.filter("split='test'").collect()}
+        assert not (tr & te)
+
+    def test_plain_mode_keeps_groups_on_both_sides(self, spark):
+        from olist_snowflake_dbt_spark.operators.sampling import temporal_holdout
+
+        out = temporal_holdout(self._events(spark), "ts", "2024-02-01 00:00:00")
+        got = {r.eid: r.split for r in out.collect()}
+        assert got == {1: "train", 2: "train", 3: "train", 4: "test", 5: "test"}
