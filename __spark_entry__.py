@@ -56,8 +56,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # identical union+window as-of machinery is in-window via the r04 row
 # asof_click_attribution and scd2_dim_asof_resolve's r07 row), and
 # mm_features yields its slot to fmt_copy_into_history (the multimodal
-# family's Arrow mapInPandas machinery stays in-window via its three
-# sibling rows mm_byte_stats / mm_decode / mm_frame_sample), and
+# family's Arrow mapInPandas machinery stays in-window via its
+# sibling rows mm_decode / mm_frame_sample), and
 # sample_hash_fraction yields its slot to similarity_mrl_truncate_recall
 # (the md5-prefix boundary machinery stays in-window via its siblings
 # sample_hash_split, sample_mix_sources, and sample_reservoir_per_group),
@@ -100,12 +100,28 @@ _CHECK_FIRST = [
     "rag_context_pack",
     "join_strategy_advisor",
     "skew_key_stats",
+    # (a') round-8 continuation batch — each displaced row's machinery
+    # stays in-window via siblings and is gate.py-verified every round:
+    # fmt_csv_roundtrip (roundtrip machinery via fmt_orc_roundtrip +
+    # fmt_schema_evolution), mm_byte_stats (pure-Catalyst binary stats;
+    # Arrow mapInPandas siblings mm_decode/mm_frame_sample stay),
+    # text_ngram_counts (n-gram explode via text_bigram_lm_score),
+    # sample_mix_sources (md5-boundary machinery via sample_hash_split +
+    # sample_mixture_weights), kmeans_clusters (broadcast-centroid
+    # argmin assignment is the identical shape inside similarity_pq_adc
+    # and similarity_ivf's r05 row), zorder_roundtrip (write->swap->read
+    # layout path via layout_compaction_roundtrip + sink_partitioned_pruned)
+    "runner_model_versions",
+    "runner_grants_lifecycle",
+    "governance_erasure_cascade",
+    "similarity_pq_adc",
+    "sample_time_holdout",
+    "layout_compaction_roundtrip",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
     "metric_anomaly_daily",
     # (c) oldest surviving driver rows — r03
     "text_language_id",
-    "text_ngram_counts",
     "text_pii_pseudonymize",
     "text_repetition_stats",
     "text_token_stats",
@@ -113,21 +129,16 @@ _CHECK_FIRST = [
     "asof_click_attribution",
     "clone_zero_copy",
     "fmt_copy_into_history",
-    "fmt_csv_roundtrip",
     "fmt_orc_roundtrip",
     "fmt_schema_evolution",
-    "kmeans_clusters",
     "materialize_table_roundtrip",
-    "mm_byte_stats",
     "mm_decode",
     "mm_frame_sample",
     "pandas_group_vector_sums",
     "sample_hash_split",
-    "sample_mix_sources",
     "sample_pack_sequences",
     "sessionize_events",
     "sink_partitioned_pruned",
-    "zorder_roundtrip",
 ]
 
 

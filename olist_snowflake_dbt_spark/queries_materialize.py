@@ -223,3 +223,62 @@ def q_result_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache.get_or_compute(agg)  # compute + publish
     served, _hit = cache.get_or_compute(agg)  # served from cache
     return served
+
+
+_COMPACT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(64 AS BIGINT) AS n_files_before,
+       CAST(1 AS BIGINT) AS n_files_after,
+       TRUE AS rows_conserved
+FROM events
+GROUP BY 1
+"""
+
+
+@query("layout_compaction_roundtrip", _COMPACT_ORACLE)
+def q_layout_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION (plans/materialize.compact_table) — THE
+    recurring maintenance job of a lakehouse fed by streaming and
+    incremental writers: the events table is first written as 64
+    deliberately tiny files (the pathology), compacted into
+    ceil(bytes/target)=1 evenly-sized file via round-robin repartition
+    + atomic swap, and read back. File counts before/after are measured
+    from the actual directory (input_file_name cardinality), the row
+    multiset must be conserved across the rewrite, and the aggregate of
+    the POST-compaction read must hash-match the oracle computed from
+    the original table — the whole fragment → compact → publish → read
+    cycle sits inside the correctness gate."""
+    import shutil as _sh
+
+    from .plans.materialize import compact_table
+
+    ev = _t(spark, sf_dir, "events")
+    path = FMT.scratch_dir("compaction", "events_small_files")
+    _sh.rmtree(path, ignore_errors=True)
+    ev.repartition(64).write.mode("overwrite").parquet(path)
+
+    before = spark.read.parquet(path)
+    n_before = (
+        before.select(F.input_file_name().alias("__f"))
+        .dropDuplicates()
+        .count()
+    )
+    rows_before = before.count()
+
+    n_after_files = compact_table(spark, path, target_file_bytes=1 << 30)
+    after = spark.read.parquet(path)
+    n_after = (
+        after.select(F.input_file_name().alias("__f")).dropDuplicates().count()
+    )
+    if n_after != n_after_files:
+        raise AssertionError(f"directory says {n_after_files} files, scan saw {n_after}")
+    conserved = after.count() == rows_before
+    return after.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.lit(n_before).cast("bigint").alias("n_files_before"),
+        F.lit(n_after).cast("bigint").alias("n_files_after"),
+        F.lit(conserved).alias("rows_conserved"),
+    )
