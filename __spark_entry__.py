@@ -111,7 +111,11 @@ _CHECK_FIRST = [
     # argmin assignment is the identical shape inside similarity_pq_adc
     # and similarity_ivf's r05 row), zorder_roundtrip (write->swap->read
     # layout path via layout_compaction_roundtrip + sink_partitioned_pruned)
+    # runner_observed_metrics joins the batch below; pandas_group_vector_sums
+    # yields its slot (its Arrow applyInPandas machinery stays in-window via
+    # mm_decode / mm_frame_sample and the r07 cogroup_conversion_stats row)
     "runner_model_versions",
+    "runner_observed_metrics",
     "runner_grants_lifecycle",
     "governance_erasure_cascade",
     "similarity_pq_adc",
@@ -134,7 +138,6 @@ _CHECK_FIRST = [
     "materialize_table_roundtrip",
     "mm_decode",
     "mm_frame_sample",
-    "pandas_group_vector_sums",
     "sample_hash_split",
     "sample_pack_sequences",
     "sessionize_events",

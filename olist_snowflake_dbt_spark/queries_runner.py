@@ -704,3 +704,62 @@ def q_runner_grants_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(blocked).alias("revoked_role_blocked"),
         F.lit(True).alias("granted_role_readable"),
     )
+
+
+_OBSERVE_ORACLE = """
+SELECT 'mart_order_stats' AS model, 'n_rows' AS metric,
+       CAST(COUNT(*) AS DOUBLE) AS value
+FROM orders
+UNION ALL
+SELECT 'mart_order_stats', 'n_open',
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'mart_order_stats', 'sum_price',
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS DOUBLE)
+FROM orders
+"""
+
+
+@query("runner_observed_metrics", _OBSERVE_ORACLE)
+def q_runner_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline instrumentation via Spark's Observation API (model
+    config ``observe``): declared audit metrics — row count, a
+    conditional count, a decimal-exact money sum — are collected by
+    accumulators DURING the table node's own write action, so a 100 TB
+    materialization yields its audit numbers with zero additional scan
+    (dbt shops typically re-query the built relation for these). The
+    oracle recomputes every metric independently from the source table;
+    a hash match proves the observed values equal a full recomputation.
+    The projection below keeps the row passthrough untouched — observe
+    adds no shuffle and no plan barrier."""
+    from .runner import Engine
+
+    wh = tempfile.mkdtemp(prefix="olist_observe_")
+    eng = Engine(spark, wh)
+    eng.registry.register_source("raw_orders", _t(spark, sf_dir, "orders"))
+
+    @eng.registry.model(
+        name="mart_order_stats",
+        materialized="table",
+        observe={
+            "n_rows": F.count(F.lit(1)),
+            "n_open": F.count(F.when(F.col("o_orderstatus") == "O", 1)),
+            "sum_price": F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "decimal(38,2)"
+            ),
+        },
+    )
+    def mart_order_stats(ctx) -> DataFrame:  # noqa: ANN001
+        return ctx.ref("raw_orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+
+    eng.run(select="mart_order_stats")
+    got = eng.run_metrics["mart_order_stats"]
+    rows = [
+        ("mart_order_stats", k, float(got[k]))
+        for k in ("n_rows", "n_open", "sum_price")
+    ]
+    return spark.createDataFrame(rows, "model string, metric string, value double")

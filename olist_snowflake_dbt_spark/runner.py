@@ -83,6 +83,9 @@ class Engine:
         # would show in its access-history view)
         self.grants_state: dict[str, dict[str, set[str]]] = {}
         self.grants_log: list[tuple[str, str, str, str]] = []
+        # Observation-API metrics captured during each table node's own
+        # write action (model config ``observe``): name → {metric: value}
+        self.run_metrics: dict[str, dict] = {}
 
     # -- exposures (dbt exposures: downstream consumers declared in the
     # DAG so `what breaks if I change X?` is answerable) ----------------
@@ -279,6 +282,24 @@ class Engine:
         contract = model.config.get("contract")
         if contract:
             self._enforce_contract(name, df, contract)
+        observation = None
+        observe_spec = model.config.get("observe")
+        if observe_spec and model.materialized == "table":
+            # Pipeline instrumentation via Spark's Observation API: the
+            # declared metrics are computed AS A SIDE EFFECT of the
+            # materialization's own write action — accumulator-backed,
+            # so a 100 TB model gets row counts / sums / null tallies
+            # with ZERO additional scan (vs dbt shops re-querying the
+            # built relation for audit counts). Only table-like nodes
+            # observe: a view has no action of its own to piggyback.
+            from pyspark.sql import Observation
+
+            import uuid as _uuid
+
+            observation = Observation(f"__obs_{name}_{_uuid.uuid4().hex[:8]}")
+            df = df.observe(
+                observation, *[c.alias(k) for k, c in observe_spec.items()]
+            )
         if model.materialized == "table":
             rel = materialize_table(
                 self.spark,
@@ -336,6 +357,9 @@ class Engine:
             rel = MaterializedRelation(name, "ephemeral", None, df)
         else:
             rel = materialize_view(name, df)
+        if observation is not None:
+            # the write above was the action; get() returns immediately
+            self.run_metrics[name] = dict(observation.get)
         self._run_hooks(model.config.get("post_hook"))
         self._apply_grants(name, model.config.get("grants"))
         return rel

@@ -168,3 +168,55 @@ class TestGrants:
         assert [(r.seq, r.model, r.action, r.privilege, r.role) for r in rows] == [
             (0, "m", "grant", "select", "a")
         ]
+
+
+class TestObservedMetrics:
+    def test_observe_collected_during_write(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        eng = Engine(spark, str(tmp_path / "wh"))
+        eng.registry.register_source(
+            "src", spark.createDataFrame([(1, 5.0), (2, None), (3, 7.0)], "k int, v double")
+        )
+
+        @eng.registry.model(
+            name="m",
+            materialized="table",
+            observe={
+                "n_rows": F.count(F.lit(1)),
+                "n_null_v": F.count(F.when(F.col("v").isNull(), 1)),
+            },
+        )
+        def m(ctx):
+            return ctx.ref("src")
+
+        eng.run()
+        assert eng.run_metrics["m"] == {"n_rows": 3, "n_null_v": 1}
+
+    def test_view_nodes_do_not_observe(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        eng = Engine(spark, str(tmp_path / "wh"))
+        eng.registry.register_source("src", spark.range(3))
+        eng.registry.register(
+            "v", "select * from {{ ref('src') }}",
+            observe={"n": F.count(F.lit(1))},
+        )
+        eng.run()
+        assert "v" not in eng.run_metrics  # a view has no action to piggyback
+
+    def test_rerun_refreshes_metrics(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        eng = Engine(spark, str(tmp_path / "wh"))
+        holder = {"df": spark.range(4)}
+        eng.registry.register_source("src", lambda s: holder["df"])
+
+        @eng.registry.model(
+            name="m", materialized="table", observe={"n": F.count(F.lit(1))}
+        )
+        def m(ctx):
+            return ctx.ref("src")
+
+        eng.run()
+        assert eng.run_metrics["m"] == {"n": 4}
