@@ -114,8 +114,12 @@ _CHECK_FIRST = [
     # runner_observed_metrics joins the batch below; pandas_group_vector_sums
     # yields its slot (its Arrow applyInPandas machinery stays in-window via
     # mm_decode / mm_frame_sample and the r07 cogroup_conversion_stats row)
+    # er_golden_records also joins; sample_pack_sequences yields its slot
+    # (greedy cumsum-window packing machinery stays in-window via
+    # rag_context_pack and sample_chunk_windows, both r08 rows)
     "runner_model_versions",
     "runner_observed_metrics",
+    "er_golden_records",
     "runner_grants_lifecycle",
     "governance_erasure_cascade",
     "similarity_pq_adc",
@@ -139,7 +143,6 @@ _CHECK_FIRST = [
     "mm_decode",
     "mm_frame_sample",
     "sample_hash_split",
-    "sample_pack_sequences",
     "sessionize_events",
     "sink_partitioned_pruned",
 ]

@@ -2466,3 +2466,100 @@ def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 8), k=10,
         n_subspaces=_PQ_M, n_codes=_PQ_K,
     )
+
+
+_ER_ORACLE = """
+WITH recs AS (
+    SELECT c_custkey AS id, c_name AS name,
+           CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+           c_mktsegment AS seg
+    FROM customer WHERE c_custkey < 600
+    UNION ALL
+    SELECT c_custkey + 1000000,
+           regexp_replace(c_name, '^Customer#', 'Custmer#'),
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 10.00 AS DECIMAL(18,2)),
+           c_mktsegment
+    FROM customer WHERE c_custkey < 600 AND c_custkey % 5 = 0
+),
+sides AS (
+    SELECT id,
+           regexp_replace(lower(trim(name)), '\\s+', ' ', 'g') AS nm,
+           substr(name, length(name) - 5, 6) AS blk
+    FROM recs
+),
+pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM sides a JOIN sides b ON a.blk = b.blk AND a.id < b.id
+    WHERE abs(length(a.nm) - length(b.nm)) <= 2
+      AND levenshtein(a.nm, b.nm) <= 2
+),
+labeled AS (
+    SELECT r.*,
+           COALESCE((SELECT MIN(p.id_a) FROM pairs p WHERE p.id_b = r.id),
+                    r.id) AS entity_id
+    FROM recs r
+),
+golden AS (
+    SELECT entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(bal) AS DOUBLE) AS max_acctbal
+    FROM labeled GROUP BY 1
+)
+SELECT g.entity_id, g.n_members, c.name AS canonical_name,
+       c.seg AS canonical_segment, g.max_acctbal
+FROM golden g JOIN recs c ON c.id = g.entity_id
+"""
+
+
+@query("er_golden_records", _ER_ORACLE)
+def q_er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION end to end (operators/entity_resolution.
+    resolve_entities): a second 'source system' is planted by corrupting
+    every 5th customer — key offset, a 1-edit name typo
+    (Customer#→Custmer#), a drifted balance. The pipeline blocks on the
+    typo-robust digit suffix, matches with the thresholded banded
+    levenshtein, clusters transitively via exact connected components,
+    and consolidates golden records (canonical name/segment from the
+    smallest member id, max balance survivorship). The oracle replays
+    blocking/matching in SQL and resolves clusters by direct pair
+    lookup — valid because every planted cluster is a pair, while the
+    Spark side runs the general transitive machinery that would also
+    close longer chains. 120 merged entities (n_members=2) + 480
+    singletons must match exactly."""
+    from .operators.entity_resolution import resolve_entities
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    variants = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("id"),
+        F.regexp_replace("c_name", "^Customer#", "Custmer#").alias("name"),
+        (F.col("c_acctbal").cast("decimal(18,2)") + F.lit(10.00))
+        .cast("decimal(18,2)")
+        .alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    recs = base.unionByName(variants)
+    out = resolve_entities(
+        recs,
+        "id",
+        "name",
+        F.substring(F.col("name"), -6, 6),
+        {
+            "canonical_name": ("name", "canonical"),
+            "canonical_segment": ("seg", "canonical"),
+            "max_acctbal": ("bal", "max"),
+        },
+        max_dist=2,
+    )
+    return out.select(
+        "entity_id",
+        "n_members",
+        "canonical_name",
+        "canonical_segment",
+        F.col("max_acctbal").cast("double").alias("max_acctbal"),
+    )
