@@ -117,8 +117,12 @@ _CHECK_FIRST = [
     # er_golden_records also joins; sample_pack_sequences yields its slot
     # (greedy cumsum-window packing machinery stays in-window via
     # rag_context_pack and sample_chunk_windows, both r08 rows)
+    # runner_unit_test_fixtures also joins; text_repetition_stats yields
+    # its slot (gram-explode frequency machinery stays in-window via
+    # text_bigram_lm_score and text_token_stats)
     "runner_model_versions",
     "runner_observed_metrics",
+    "runner_unit_test_fixtures",
     "er_golden_records",
     "runner_grants_lifecycle",
     "governance_erasure_cascade",
@@ -131,7 +135,6 @@ _CHECK_FIRST = [
     # (c) oldest surviving driver rows — r03
     "text_language_id",
     "text_pii_pseudonymize",
-    "text_repetition_stats",
     "text_token_stats",
     # (c) oldest surviving driver rows — r04
     "asof_click_attribution",

@@ -544,6 +544,42 @@ class ModelRegistry:
         self._built[name] = df
         return df
 
+    def build_with_mocks(
+        self, name: str, mocks: dict[str, DataFrame]
+    ) -> DataFrame:
+        """Compile ``name`` with some of its inputs REPLACED by fixture
+        frames — the execution core of dbt 1.8 unit tests
+        (``unit_tests:`` with ``given:`` inputs): the model's own logic
+        runs unchanged, but every ref/source named in ``mocks`` resolves
+        to the fixture instead of real data, so the test exercises the
+        transformation in isolation at fixture scale (milliseconds,
+        regardless of warehouse size).
+
+        Mechanics: the mocks seed a TEMPORARY build memo (both model
+        refs and sources resolve through it), the target compiles
+        against them, and the real memo is restored afterwards — no
+        fixture ever leaks into a production build. Mock keys use
+        concrete node names (``m_v2`` for versioned models). Unmocked
+        parents build normally, matching dbt (inputs default to empty
+        only if you pass them explicitly as empty fixtures)."""
+        unknown = [
+            m
+            for m in mocks
+            if m not in self._models and m not in self._sources
+        ]
+        if unknown:
+            raise RefNotFoundError(
+                f"unit-test mocks for unknown nodes: {unknown}"
+            )
+        saved_built, saved_sources = self._built, self._sources
+        self._built = dict(mocks)
+        self._sources = {**saved_sources, **mocks}
+        try:
+            return self.build(name)
+        finally:
+            self._built = saved_built
+            self._sources = saved_sources
+
     def set_defer(
         self,
         defer_dir: str,

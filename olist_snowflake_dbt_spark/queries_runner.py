@@ -763,3 +763,82 @@ def q_runner_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in ("n_rows", "n_open", "sum_price")
     ]
     return spark.createDataFrame(rows, "model string, metric string, value double")
+
+
+_UNIT_TEST_ORACLE = """
+SELECT o_orderstatus AS status,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       TRUE AS unit_passed,
+       CAST(0 AS BIGINT) AS unit_failures,
+       TRUE AS wrong_fixture_detected
+FROM orders GROUP BY 1
+"""
+
+
+@query("runner_unit_test_fixtures", _UNIT_TEST_ORACLE)
+def q_runner_unit_test_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt 1.8 UNIT TESTS (Engine.unit_test / registry.build_with_mocks;
+    dbt-core ``unit_tests:`` given/expect schema): the margin model is
+    compiled against 4 FIXTURE rows mocking its staging input and its
+    output must equal the ``expect`` rows exactly (symmetric multiset
+    diff = 0); a deliberately wrong expectation must be DETECTED
+    (failures > 0) — both verdicts asserted in-driver. The model is
+    then built for real over the actual warehouse and returned: a hash
+    match on real data proves the fixtures did not leak into the
+    production build (mock memo fully restored). Unit tests run at
+    fixture scale — milliseconds regardless of warehouse size."""
+    from .runner import Engine
+
+    wh = tempfile.mkdtemp(prefix="olist_unit_test_")
+    eng = Engine(spark, wh)
+    eng.registry.register_source("raw_orders", _t(spark, sf_dir, "orders"))
+    eng.registry.register(
+        "stg_o",
+        """
+        select o_orderkey as order_id, o_orderstatus as status,
+               cast(o_totalprice as decimal(18,2)) as price
+        from {{ ref('raw_orders') }}
+        """,
+    )
+    eng.registry.register(
+        "margin_by_status",
+        """
+        select status,
+               cast(sum(price) as decimal(38,2)) as revenue,
+               cast(count(*) as bigint) as n_orders
+        from {{ ref('stg_o') }} group by status
+        """,
+    )
+
+    given = {
+        "stg_o": spark.createDataFrame(
+            [(1, "O", "10.00"), (2, "O", "5.50"), (3, "F", "7.25"), (4, "F", "7.25")],
+            "order_id bigint, status string, price string",
+        ).withColumn("price", F.col("price").cast("decimal(18,2)"))
+    }
+    expect = spark.createDataFrame(
+        [("O", "15.50", 2), ("F", "14.50", 2)],
+        "status string, revenue string, n_orders bigint",
+    ).withColumn("revenue", F.col("revenue").cast("decimal(38,2)"))
+    res = eng.unit_test("margin_by_status", given, expect)
+    if not res.passed or res.failures != 0:
+        raise AssertionError(f"unit test should pass, got {res}")
+
+    wrong = expect.withColumn(
+        "revenue", F.col("revenue") + F.lit(1).cast("decimal(38,2)")
+    )
+    res_wrong = eng.unit_test("margin_by_status", given, wrong)
+    if res_wrong.passed or res_wrong.failures == 0:
+        raise AssertionError("wrong fixture expectation was not detected")
+
+    out = eng.run(select="margin_by_status")["margin_by_status"].df
+    return out.select(
+        "status",
+        F.col("revenue").cast("double").alias("revenue"),
+        "n_orders",
+        F.lit(res.passed).alias("unit_passed"),
+        F.lit(res.failures).cast("bigint").alias("unit_failures"),
+        F.lit(not res_wrong.passed).alias("wrong_fixture_detected"),
+    )

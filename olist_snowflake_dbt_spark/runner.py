@@ -560,6 +560,27 @@ class Engine:
         return out
 
     # -- tests (dbt test) ---------------------------------------------
+    def unit_test(
+        self,
+        model: str,
+        given: dict[str, DataFrame],
+        expect: DataFrame,
+        name: str | None = None,
+    ) -> "TestResult":
+        """dbt 1.8 unit test (``unit_tests:`` schema: ``given`` fixture
+        inputs + ``expect`` output rows): compile ``model`` with its
+        inputs mocked by the fixtures
+        (:meth:`~..plans.registry.ModelRegistry.build_with_mocks`),
+        then verdict via the B6 symmetric multiset diff — pass iff the
+        model's output over the fixtures equals ``expect`` EXACTLY
+        (duplicates counted). Runs at fixture scale in milliseconds no
+        matter how large the real inputs are — the point of unit tests
+        vs data tests."""
+        from .operators.dq import evaluate_unit_test
+
+        actual = self.registry.build_with_mocks(model, given)
+        return evaluate_unit_test(name or f"unit_{model}", actual, expect)
+
     def add_test(self, spec: TestSpec) -> None:
         self.tests.append(spec)
 

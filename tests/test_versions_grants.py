@@ -220,3 +220,48 @@ class TestObservedMetrics:
 
         eng.run()
         assert eng.run_metrics["m"] == {"n": 4}
+
+
+class TestUnitTestFixtures:
+    def _engine(self, spark, tmp_path):
+        eng = Engine(spark, str(tmp_path / "wh"))
+        eng.registry.register_source("src", spark.range(100).withColumnRenamed("id", "k"))
+        eng.registry.register("stg", "select k, k * 2 as v from {{ ref('src') }}")
+        eng.registry.register(
+            "agg", "select k % 2 as b, sum(v) as total from {{ ref('stg') }} group by 1"
+        )
+        return eng
+
+    def test_given_expect_pass_and_fail(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        given = {"stg": spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k int, v int")}
+        expect = spark.createDataFrame([(1, 40), (0, 20)], "b int, total bigint")
+        res = eng.unit_test("agg", given, expect)
+        assert res.passed and res.failures == 0
+        bad = spark.createDataFrame([(1, 41), (0, 20)], "b int, total bigint")
+        res2 = eng.unit_test("agg", given, bad)
+        assert not res2.passed and res2.failures == 2  # one actual + one expected row
+
+    def test_mock_source_directly(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        given = {"src": spark.createDataFrame([(7,)], "k int")}
+        expect = spark.createDataFrame([(1, 14)], "b int, total bigint")
+        assert eng.unit_test("agg", given, expect).passed
+
+    def test_mocks_do_not_leak_into_real_build(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        given = {"stg": spark.createDataFrame([(1, 10)], "k int, v int")}
+        expect = spark.createDataFrame([(1, 10)], "b int, total bigint")
+        assert eng.unit_test("agg", given, expect).passed
+        real = eng.registry.build("agg")
+        # real build sees all 100 src rows, not the 1-row fixture
+        assert real.agg({"total": "sum"}).first()[0] == sum(2 * k for k in range(100))
+
+    def test_unknown_mock_raises(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        with pytest.raises(RefNotFoundError, match="unknown nodes"):
+            eng.unit_test(
+                "agg",
+                {"nope": spark.range(1)},
+                spark.createDataFrame([(0, 0)], "b int, total bigint"),
+            )
