@@ -107,6 +107,23 @@ FLAGSHIPS = [
      "demotes the ObjectHashAggregate to a per-row SortAggregate under "
      "the distinct Expand (measured 62s vs 5s). Exact percentiles come "
      "from a value-counts distribution, not a value-buffering UDAF."),
+    ("similarity_pq_adc", "Product quantization + ADC: codebook and "
+     "per-query distance tables are broadcast (two "
+     "BroadcastHashJoins); the encode argmin is a per-(vector,subspace) "
+     "window over the broadcast-joined distances; ADC is one "
+     "partially-aggregated bigint sum per (query, candidate) — the "
+     "corpus never shuffles except the final (query,candidate) "
+     "aggregate of 4 small ints per vector."),
+    ("governance_erasure_cascade", "Right-to-be-forgotten: the erasure "
+     "batch broadcasts into every referencing table — LEFT ANTI for "
+     "delete, LEFT OUTER + conditional projection for pseudonymize, "
+     "LEFT SEMI for the residual audit; no standing-table shuffle "
+     "anywhere in the cascade."),
+    ("er_golden_records", "Entity resolution: candidates meet in ONE "
+     "equi-join on the block key with the length band and thresholded "
+     "levenshtein as residuals (never a cartesian); min-label CC joins "
+     "per round on the node id; survivorship is a single "
+     "map-side-combinable struct-min/max aggregate per entity."),
 ]
 
 

@@ -83,6 +83,16 @@ SCALE_QUERIES = [
     "cdc_stream_apply",
     "sketch_rollup_merge",
     "table_stats_profile",
+    # round-8 continuation: PQ's exhaustive-ADC scan is the most
+    # data-proportional new op (encode + code-table scan both grow),
+    # ER's block join and the erasure rewrite are the new shuffle/
+    # broadcast claims, the compaction row prices its inherent full
+    # repartition, and the holdout split must stay scan-bound
+    "similarity_pq_adc",
+    "er_golden_records",
+    "governance_erasure_cascade",
+    "layout_compaction_roundtrip",
+    "sample_time_holdout",
 ]
 
 SF_DIRS = {
