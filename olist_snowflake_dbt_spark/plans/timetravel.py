@@ -136,6 +136,43 @@ class VersionedTable:
             )
         return self.spark.read.parquet(by_v[version]["path"])
 
+    def restore(self, version: int | None = None, offset: int = 0) -> int:
+        """Snowflake RESTORE / time-travel rollback: republish a
+        retained PAST generation as a NEW current version. History is
+        append-only — the bad versions stay readable for forensics (and
+        vacuum-able later); nothing is rewritten in place, matching
+        Snowflake's ``CREATE TABLE .. CLONE .. AT(...)``-then-swap
+        recovery recipe and Delta's ``RESTORE TABLE ... VERSION AS OF``.
+
+        Metadata-only at any table size: the restored generation's
+        files are immutable, so the new manifest entry POINTS at the
+        existing directory — no data copy, no scan. Returns the new
+        current version number."""
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"{self.name}: no published version")
+        # resolve exactly like read() so AT(VERSION)/AT(OFFSET) agree
+        if version is None:
+            if not (-len(vs) < offset <= 0):
+                raise ValueError(
+                    f"{self.name}: offset {offset} outside retained "
+                    f"history ({len(vs)} versions)"
+                )
+            version = vs[-1 + offset]["version"]
+        by_v = {v["version"]: v for v in vs}
+        if version not in by_v:
+            raise FileNotFoundError(
+                f"{self.name}: version {version} not retained "
+                f"(have {sorted(by_v)})"
+            )
+        next_v = vs[-1]["version"] + 1
+        vs.append({"version": next_v, "path": by_v[version]["path"]})
+        mtmp = f"{self._manifest_path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(mtmp, "w") as f:
+            json.dump(vs, f)
+        os.replace(mtmp, self._manifest_path)
+        return next_v
+
     # -- retention -----------------------------------------------------
     def vacuum(self, retain: int) -> list[int]:
         """Drop all but the newest ``retain`` generations (Snowflake

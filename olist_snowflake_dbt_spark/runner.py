@@ -83,9 +83,51 @@ class Engine:
         # would show in its access-history view)
         self.grants_state: dict[str, dict[str, set[str]]] = {}
         self.grants_log: list[tuple[str, str, str, str]] = []
+        # dbt selectors.yml: named reusable selector definitions
+        self.selectors: dict[str, dict] = {}
+        self.default_selector: str | None = None
         # Observation-API metrics captured during each table node's own
         # write action (model config ``observe``): name → {metric: value}
         self.run_metrics: dict[str, dict] = {}
+
+    # -- named selectors (dbt selectors.yml) ---------------------------
+    def define_selector(
+        self, name: str, definition: str, exclude: str | None = None,
+        default: bool = False,
+    ) -> None:
+        """dbt ``selectors.yml``: a NAMED, reusable selector definition
+        (our definition is the same select/exclude grammar the YAML
+        compiles down to — unions, intersections, graph walks, tags,
+        ``state:``). ``default=True`` mirrors dbt's ``default: true``:
+        runs with NO explicit selection use this selector instead of
+        the whole project."""
+        self.selectors[name] = {"select": definition, "exclude": exclude}
+        if default:
+            self.default_selector = name
+
+    def _resolve_selection(
+        self, select: str | None, exclude: str | None, selector: str | None
+    ) -> tuple[str | None, str | None]:
+        """Apply dbt's precedence: ``--selector`` is mutually exclusive
+        with ``--select``/``--exclude``; with nothing given, the default
+        selector (if any) applies."""
+        if selector is not None:
+            if select is not None or exclude is not None:
+                raise ValueError(
+                    "selector= is mutually exclusive with select=/exclude= "
+                    "(dbt: cannot pass --selector with --select/--exclude)"
+                )
+            if selector not in self.selectors:
+                raise KeyError(
+                    f"unknown selector {selector!r} "
+                    f"(defined: {sorted(self.selectors)})"
+                )
+            d = self.selectors[selector]
+            return d["select"], d["exclude"]
+        if select is None and exclude is None and self.default_selector:
+            d = self.selectors[self.default_selector]
+            return d["select"], d["exclude"]
+        return select, exclude
 
     # -- exposures (dbt exposures: downstream consumers declared in the
     # DAG so `what breaks if I change X?` is answerable) ----------------
@@ -152,6 +194,7 @@ class Engine:
         state: dict | None = None,
         defer: str | None = None,
         favor_state: bool = False,
+        selector: str | None = None,
     ) -> dict[str, MaterializedRelation]:
         """Build the selected models in DAG order.
 
@@ -163,6 +206,7 @@ class Engine:
         warehouse's relation wins when one exists (dbt favor-local);
         ``favor_state=True`` (dbt ``--favor-state``) makes the deferred
         environment's artifact always win."""
+        select, exclude = self._resolve_selection(select, exclude, selector)
         selected = self.registry.select(select, exclude=exclude, state=state)
         self.registry.invalidate()
         order = self.registry.topological_order(
@@ -196,6 +240,7 @@ class Engine:
         state: dict | None = None,
         defer: str | None = None,
         favor_state: bool = False,
+        selector: str | None = None,
     ) -> dict[str, MaterializedRelation]:
         """:meth:`run` with dbt's node scheduling: independent DAG nodes
         materialize CONCURRENTLY on a bounded thread pool; a node is
@@ -222,6 +267,7 @@ class Engine:
         during the pass, so worker threads share it safely."""
         import concurrent.futures
 
+        select, exclude = self._resolve_selection(select, exclude, selector)
         selected = self.registry.select(select, exclude=exclude, state=state)
         self.registry.invalidate()
         if defer is not None:
@@ -612,7 +658,9 @@ class Engine:
         select: str | None = None,
         exclude: str | None = None,
         state: dict | None = None,
+        selector: str | None = None,
     ) -> list[TestResult]:
+        select, exclude = self._resolve_selection(select, exclude, selector)
         selected = self.registry.select(select, exclude=exclude, state=state)
         results = []
         for spec in self.tests:
@@ -714,11 +762,13 @@ class Engine:
         select: str | None = None,
         exclude: str | None = None,
         state: dict | None = None,
+        selector: str | None = None,
     ) -> list[str]:
         """``dbt ls``: resolve a selector to the sorted node list without
         building anything — the dry-run answer to "what would this
         selector touch?" (same grammar as run/test, including
         state:modified against a saved manifest)."""
+        select, exclude = self._resolve_selection(select, exclude, selector)
         return sorted(self.registry.select(select, exclude=exclude, state=state))
 
     # -- state artifacts (dbt --state / slim CI) ----------------------

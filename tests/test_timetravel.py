@@ -222,3 +222,55 @@ def test_ivm_maintained_equals_recompute_and_drops_empty_groups(spark):
         F.count("*").alias("n_rows"), F.sum("x").alias("sum_x")
     )
     assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want2.collect()))
+
+
+def test_restore_republishes_past_generation(spark, vt):
+    vt.publish(_df(spark, [(1, "good")]))
+    vt.publish(_df(spark, [(1, "bad"), (2, "worse")]))
+    new_v = vt.restore(version=1)
+    assert new_v == 3 and vt.current_version() == 3
+    assert [r.v for r in vt.read().collect()] == ["good"]
+    # history append-only: the bad generation stays readable for forensics
+    assert sorted(r.v for r in vt.read(version=2).collect()) == ["bad", "worse"]
+    # offset form agrees with read(): offset -2 from v3 is v1... and
+    # restoring the CURRENT version is a legal no-op new generation
+    assert vt.restore(offset=0) == 4
+    assert [r.v for r in vt.read().collect()] == ["good"]
+
+
+def test_restore_is_metadata_only_no_data_copy(spark, vt):
+    vt.publish(_df(spark, [(1, "a")]))
+    vt.publish(_df(spark, [(1, "b")]))
+    vt.restore(version=1)
+    vs = {v["version"]: v["path"] for v in vt.versions()}
+    assert vs[3] == vs[1]  # the new manifest entry aliases the old files
+
+
+def test_restore_then_vacuum_keeps_aliased_files(spark, vt):
+    vt.publish(_df(spark, [(1, "keepme")]))
+    vt.publish(_df(spark, [(1, "bad")]))
+    vt.restore(version=1)           # v3 aliases v1's directory
+    dropped = vt.vacuum(retain=1)   # drops entries v1 and v2
+    assert dropped == [1, 2]
+    # v1's directory survives because the CURRENT version points at it
+    assert [r.v for r in vt.read().collect()] == ["keepme"]
+    assert os.path.isdir(vt.versions()[-1]["path"])
+
+
+def test_restore_unretained_version_raises(spark, vt):
+    vt.publish(_df(spark, [(1, "a")]))
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        vt.restore(version=9)
+    with pytest.raises(ValueError, match="outside retained"):
+        vt.restore(offset=-5)
+
+
+def test_changes_across_restore_boundary(spark, vt):
+    from olist_snowflake_dbt_spark.plans.timetravel import table_changes
+
+    vt.publish(_df(spark, [(1, "a"), (2, "b")]))
+    vt.publish(_df(spark, [(1, "a")]))          # v2 deletes k=2
+    vt.restore(version=1)                        # v3 == v1 content
+    ch = table_changes(vt.read(version=2), vt.read(version=3), ["k"]).collect()
+    # the restore re-INSERTS what v2 deleted
+    assert [(r.k, r.metadata_action) for r in ch] == [(2, "INSERT")]

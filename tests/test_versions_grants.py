@@ -265,3 +265,46 @@ class TestUnitTestFixtures:
                 {"nope": spark.range(1)},
                 spark.createDataFrame([(0, 0)], "b int, total bigint"),
             )
+
+
+class TestNamedSelectors:
+    def _engine(self, spark, tmp_path):
+        eng = Engine(spark, str(tmp_path / "wh"))
+        eng.registry.register_source("src", spark.range(5).withColumnRenamed("id", "k"))
+        eng.registry.register("stg", "select k from {{ ref('src') }}", tags=("core",))
+        eng.registry.register("mart_a", "select k from {{ ref('stg') }}", tags=("core",))
+        eng.registry.register("mart_b", "select k from {{ ref('stg') }}")
+        return eng
+
+    def test_selector_resolves_definition(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        eng.define_selector("core_models", "tag:core")
+        assert eng.ls(selector="core_models") == ["mart_a", "stg"]
+
+    def test_selector_with_exclude(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        eng.define_selector("marts_only", "stg+", exclude="stg")
+        assert eng.ls(selector="marts_only") == ["mart_a", "mart_b"]
+
+    def test_default_selector_applies_when_no_selection(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        eng.define_selector("core_models", "tag:core", default=True)
+        assert eng.ls() == ["mart_a", "stg"]
+        # explicit selection overrides the default
+        assert eng.ls(select="mart_b") == ["mart_b"]
+        out = eng.run()
+        assert set(out) == {"mart_a", "stg"}
+
+    def test_selector_mutually_exclusive_and_unknown(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        eng.define_selector("s", "stg")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            eng.ls(select="stg", selector="s")
+        with pytest.raises(KeyError, match="unknown selector"):
+            eng.ls(selector="nope")
+
+    def test_selector_on_concurrent_run(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        eng.define_selector("core_models", "tag:core")
+        out = eng.run_concurrent(selector="core_models", threads=2)
+        assert set(out) == {"mart_a", "stg"}
