@@ -274,3 +274,26 @@ def test_changes_across_restore_boundary(spark, vt):
     ch = table_changes(vt.read(version=2), vt.read(version=3), ["k"]).collect()
     # the restore re-INSERTS what v2 deleted
     assert [(r.k, r.metadata_action) for r in ch] == [(2, "INSERT")]
+
+
+def test_crash_at_restore_commit_changes_nothing(spark, vt, monkeypatch):
+    import olist_snowflake_dbt_spark.plans.timetravel as tt
+
+    vt.publish(_df(spark, [(1, "good")]))
+    vt.publish(_df(spark, [(1, "bad")]))
+
+    def boom(*a, **kw):
+        raise OSError("crash at commit point")
+
+    monkeypatch.setattr(tt.os, "replace", boom)
+    with pytest.raises(OSError):
+        vt.restore(version=1)
+    monkeypatch.undo()
+    # restore is manifest-only, so a crashed restore leaves the table
+    # EXACTLY as it was — current version, content, and history
+    assert vt.current_version() == 2
+    assert [r.v for r in vt.read().collect()] == ["bad"]
+    assert len(vt.versions()) == 2
+    # and a retried restore lands cleanly
+    assert vt.restore(version=1) == 3
+    assert [r.v for r in vt.read().collect()] == ["good"]
