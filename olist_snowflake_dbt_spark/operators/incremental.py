@@ -229,6 +229,7 @@ class IncrementalTable:
         bucket: str = "1 day",
         full_refresh: bool = False,
         on_schema_change: str = "ignore",
+        incremental_predicates: Sequence[str] = (),
     ) -> DataFrame:
         # dbt --full-refresh: discard the standing table and rebuild from
         # this batch alone, whatever the configured strategy
@@ -258,10 +259,35 @@ class IncrementalTable:
                 w = w.partitionBy(*self.partition_by)
             w.parquet(self.path)
             return self.read()
+        out_of_scope = None
+        if incremental_predicates and strategy in ("merge", "delete+insert"):
+            # dbt ``incremental_predicates``: extra predicates scoping the
+            # MERGE's target-side match (docs: "limit the data scanned to
+            # improve performance"). Only the in-scope slice of the
+            # standing table participates in key matching; everything
+            # else is carried over UNTOUCHED — at 100 TB, predicates
+            # aligned with the partition layout turn a full-table merge
+            # scan into a recent-partitions scan. Faithful to dbt's
+            # documented footgun too: a batch key that exists only
+            # OUTSIDE the scope does NOT match and is inserted (the user
+            # promises keys cannot exist outside the predicate window).
+            # NULL predicate rows do not match either (SQL MERGE
+            # semantics) and stay out of scope.
+            import functools
+            import operator as _op
+
+            pred = functools.reduce(
+                _op.and_, [F.expr(p) for p in incremental_predicates]
+            )
+            in_scope = existing.filter(F.coalesce(pred, F.lit(False)))
+            out_of_scope = existing.filter(~F.coalesce(pred, F.lit(False)))
+            merge_target = in_scope
+        else:
+            merge_target = existing
         if strategy == "merge":
-            out = incremental_merge(existing, batch, unique_key, dedupe_order)
+            out = incremental_merge(merge_target, batch, unique_key, dedupe_order)
         elif strategy == "delete+insert":
-            out = incremental_delete_insert(existing, batch, unique_key)
+            out = incremental_delete_insert(merge_target, batch, unique_key)
         elif strategy == "insert_overwrite":
             out = incremental_insert_overwrite(existing, batch, self.partition_by)
         elif strategy == "microbatch":
@@ -270,6 +296,11 @@ class IncrementalTable:
             out = incremental_microbatch(existing, batch, event_time, bucket)
         else:
             raise ValueError(f"unknown incremental strategy: {strategy!r}")
+        if out_of_scope is not None:
+            # carry the unscanned slice over untouched; the partition
+            # pruning below recomputes untouched rows from the FULL
+            # standing table, so the union here must happen first
+            out = out_of_scope.unionByName(out)
         if self.partition_by and strategy in ("merge", "delete+insert"):
             # prune the rewrite to touched partitions only
             parts = batch.select(*self.partition_by).dropDuplicates()

@@ -378,6 +378,9 @@ class Engine:
                 event_time=model.config.get("event_time"),
                 full_refresh=bool(getattr(self, "full_refresh", False)),
                 on_schema_change=model.config.get("on_schema_change", "ignore"),
+                incremental_predicates=model.config.get(
+                    "incremental_predicates", ()
+                ),
             )
             out_df.createOrReplaceTempView(name)
             rel = MaterializedRelation(name, "incremental", t.path, out_df)

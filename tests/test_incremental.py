@@ -310,3 +310,98 @@ def test_append_with_schema_change_rewrites_reconciled(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert files_before < files_after  # old files still present: pure append
+
+
+class TestIncrementalPredicates:
+    def _table(self, spark, tmp_path, partition_by=()):
+        from olist_snowflake_dbt_spark.operators.incremental import IncrementalTable
+
+        return IncrementalTable(spark, str(tmp_path / "t"), partition_by)
+
+    def test_scoped_merge_only_touches_in_scope_rows(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.apply(
+            spark.createDataFrame(
+                [(1, "2024-01-01", "old-jan"), (2, "2024-02-01", "old-feb"),
+                 (3, "2024-02-02", "old-feb2")],
+                "k int, d string, v string",
+            ),
+            strategy="merge", unique_key=("k",),
+        )
+        out = t.apply(
+            spark.createDataFrame([(2, "2024-02-01", "NEW")], "k int, d string, v string"),
+            strategy="merge", unique_key=("k",),
+            incremental_predicates=["d >= '2024-02-01'"],
+        )
+        got = {r.k: r.v for r in out.collect()}
+        assert got == {1: "old-jan", 2: "NEW", 3: "old-feb2"}
+
+    def test_key_outside_scope_is_not_matched_dbt_footgun(self, spark, tmp_path):
+        """dbt documents that incremental_predicates scope the match: a
+        batch key whose standing row lies OUTSIDE the predicate window
+        does not match and is inserted. Faithful = duplicate key."""
+        t = self._table(spark, tmp_path)
+        t.apply(
+            spark.createDataFrame([(1, "2024-01-01", "old")], "k int, d string, v string"),
+            strategy="merge", unique_key=("k",),
+        )
+        out = t.apply(
+            spark.createDataFrame([(1, "2024-02-01", "new")], "k int, d string, v string"),
+            strategy="merge", unique_key=("k",),
+            incremental_predicates=["d >= '2024-02-01'"],
+        )
+        assert sorted(r.v for r in out.collect()) == ["new", "old"]
+
+    def test_null_predicate_rows_stay_untouched(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.apply(
+            spark.createDataFrame([(1, None, "nullrow"), (2, "2024-02-01", "feb")],
+                                  "k int, d string, v string"),
+            strategy="merge", unique_key=("k",),
+        )
+        out = t.apply(
+            spark.createDataFrame([(2, "2024-02-01", "NEW")], "k int, d string, v string"),
+            strategy="merge", unique_key=("k",),
+            incremental_predicates=["d >= '2024-01-01'"],
+        )
+        got = {r.k: r.v for r in out.collect()}
+        assert got == {1: "nullrow", 2: "NEW"}
+
+    def test_predicates_compose_with_partition_pruning(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, partition_by=("d",))
+        t.apply(
+            spark.createDataFrame(
+                [(1, "a", "x1"), (2, "b", "x2"), (3, "c", "x3")],
+                "k int, d string, v string",
+            ),
+            strategy="merge", unique_key=("k",),
+        )
+        out = t.apply(
+            spark.createDataFrame([(2, "b", "X2")], "k int, d string, v string"),
+            strategy="merge", unique_key=("k",),
+            incremental_predicates=["d in ('b')"],
+        )
+        got = {r.k: r.v for r in out.collect()}
+        assert got == {1: "x1", 2: "X2", 3: "x3"}
+
+    def test_engine_config_passthrough(self, spark, tmp_path):
+        from olist_snowflake_dbt_spark.runner import Engine
+
+        eng = Engine(spark, str(tmp_path / "wh"))
+        holder = {"df": spark.createDataFrame(
+            [(1, "2024-01-05", 10.0), (2, "2024-02-05", 20.0)], "k int, d string, v double")}
+        eng.registry.register_source("src", lambda s: holder["df"])
+
+        @eng.registry.model(
+            name="inc", materialized="incremental", strategy="merge",
+            unique_key=("k",), incremental_predicates=["d >= '2024-02-01'"],
+        )
+        def inc(ctx):
+            return ctx.ref("src")
+
+        eng.run()
+        holder["df"] = spark.createDataFrame([(2, "2024-02-05", 99.0)], "k int, d string, v double")
+        eng.registry.register_source("src", lambda s: holder["df"])
+        out = eng.run()["inc"].df
+        got = {r.k: r.v for r in out.collect()}
+        assert got == {1: 10.0, 2: 99.0}
