@@ -61,6 +61,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--select", default=None)
     ap.add_argument("--exclude", default=None)
     ap.add_argument(
+        "--selector",
+        default=None,
+        help="named selector defined by the project via "
+        "Engine.define_selector (dbt selectors.yml; mutually "
+        "exclusive with --select/--exclude)",
+    )
+    ap.add_argument(
         "--threads",
         type=int,
         default=1,
@@ -108,7 +115,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 0
 
     if args.command == "ls":
-        for name in eng.ls(args.select, exclude=args.exclude):
+        for name in eng.ls(args.select, exclude=args.exclude,
+                           selector=args.selector):
             print(name)
         return 0
 
@@ -134,12 +142,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             eng.run_concurrent(
                 args.select, exclude=args.exclude, threads=args.threads,
                 state=state, defer=args.defer_wh,
-                favor_state=args.favor_state,
+                favor_state=args.favor_state, selector=args.selector,
             )
             if args.threads > 1
             else eng.run(
                 args.select, exclude=args.exclude, state=state,
                 defer=args.defer_wh, favor_state=args.favor_state,
+                selector=args.selector,
             )
         )
         for name, rel in rels.items():

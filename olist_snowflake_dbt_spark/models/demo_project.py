@@ -44,3 +44,6 @@ def configure(engine) -> None:
             F.col("total_order_value") <= 0
         ),
     )
+    # the project's selectors.yml analogue: a named, reusable selector
+    # usable as `--selector marts` from the CLI
+    engine.define_selector("marts", "fct_orders")

@@ -62,3 +62,19 @@ def test_cli_run_threads_routes_through_concurrent_scheduler(
         for r in spark.table("fct_orders").collect()
     }
     assert conc == serial
+
+
+def test_cli_selector_flag(spark, tmp_path, capsys):
+    rc = main(
+        ["ls", "--selector", "marts", "--warehouse", str(tmp_path / "wh5")],
+        spark=spark,
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    assert out == ["fct_orders"]
+    rc = main(
+        ["run", "--selector", "marts", "--warehouse", str(tmp_path / "wh5")],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "built fct_orders" in out
