@@ -724,6 +724,70 @@ class Engine:
         self._last_run_results = dict(results)
         return results
 
+    def build(
+        self, select: str | None = None, exclude: str | None = None,
+        selector: str | None = None,
+    ) -> dict[str, "NodeResult"]:
+        """``dbt build``: INTERLEAVED materialize-then-test per node, in
+        DAG order — the key difference from :meth:`pipeline`'s
+        run-everything-then-test-everything: each node's tests run
+        IMMEDIATELY after it materializes, and a failure (build error OR
+        failing test) marks every transitive descendant ``skipped``
+        before it can consume bad data. Independent branches keep going.
+        This is dbt-core's build task semantics (tests as first-class
+        DAG nodes gating their model's children). Statuses: ``success``
+        / ``error`` (build raised) / ``fail`` (a test failed) /
+        ``skipped``."""
+        from .operators.dq import TestStatus
+
+        select, exclude = self._resolve_selection(select, exclude, selector)
+        selected = self.registry.select(select, exclude=exclude)
+        self.registry.invalidate()
+        order = self.registry.topological_order(
+            selected if (select or exclude) else None
+        )
+        graph = self.registry.graph()
+        tests_by_model: dict[str, list[TestSpec]] = {}
+        for spec in self.tests:
+            tests_by_model.setdefault(spec.model, []).append(spec)
+        self._run_hooks(getattr(self, "on_run_start", None))
+        results: dict[str, NodeResult] = {}
+        dead: set[str] = set()
+        for name in order:
+            if name not in selected:
+                continue
+            parents = [p for p in graph.get(name, ()) if p in selected]
+            if any(p in dead for p in parents):
+                results[name] = NodeResult(name, "skipped", None)
+                dead.add(name)
+                continue
+            try:
+                rel = self._materialize_node(name)
+                self.relations[name] = rel
+            except Exception as exc:
+                results[name] = NodeResult(
+                    name, "error", f"{type(exc).__name__}: {exc}"[:200]
+                )
+                dead.add(name)
+                continue
+            failed = []
+            for spec in tests_by_model.get(name, ()):
+                failing = spec.builder(rel.df, self)
+                res = evaluate_test(
+                    spec.name, failing,
+                    warn_if=spec.warn_if, error_if=spec.error_if,
+                )
+                if res.status == TestStatus.ERROR:
+                    failed.append(f"{spec.name} ({res.failures} failing rows)")
+            if failed:
+                results[name] = NodeResult(name, "fail", "; ".join(failed)[:200])
+                dead.add(name)
+            else:
+                results[name] = NodeResult(name, "success", None)
+        self._run_hooks(getattr(self, "on_run_end", None))
+        self._last_run_results = dict(results)
+        return results
+
     def retry(self) -> dict[str, "NodeResult"]:
         """``dbt retry``: re-run exactly the nodes the previous
         :meth:`run_keep_going` left ``error`` or ``skipped`` — completed

@@ -780,3 +780,46 @@ def test_defer_favor_local_vs_favor_state_precedence(spark, tmp_path):
     )
     got = {r.id: r.v2 for r in built["b"].df.collect()}
     assert got == {1: 30, 2: 60}  # favor-state: PROD 'a' (10/20) x3
+
+
+class TestInterleavedBuild:
+    def _engine(self, spark, tmp_path, bad_stg=False):
+        eng = Engine(spark, str(tmp_path / "wh"))
+        rows = [(1, "x"), (2, "y")] + ([(2, "dup")] if bad_stg else [])
+        eng.registry.register_source(
+            "src", spark.createDataFrame(rows, "k int, v string")
+        )
+        eng.registry.register("stg", "select k, v from {{ ref('src') }}",
+                              materialized="table")
+        eng.registry.register("mart", "select count(*) as n from {{ ref('stg') }}",
+                              materialized="table")
+        eng.registry.register("side", "select 1 as one", materialized="table")
+        eng.test_unique("stg", "k")
+        return eng
+
+    def test_green_build_runs_everything(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        res = eng.build()
+        assert {n: r.status for n, r in res.items()} == {
+            "stg": "success", "mart": "success", "side": "success",
+        }
+
+    def test_failing_test_skips_descendants_before_they_consume(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path, bad_stg=True)
+        res = eng.build()
+        assert res["stg"].status == "fail"
+        assert "unique" in res["stg"].error
+        # mart never materialized over the bad data...
+        assert res["mart"].status == "skipped"
+        assert "mart" not in eng.relations
+        # ...while the independent branch still built (dbt build semantics)
+        assert res["side"].status == "success"
+
+    def test_warn_threshold_does_not_block(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path, bad_stg=True)
+        # raise the duplicate into warn territory (dbt warn_if/error_if)
+        eng.tests[0].warn_if = 0
+        eng.tests[0].error_if = 5
+        res = eng.build()
+        assert res["stg"].status == "success"
+        assert res["mart"].status == "success"
