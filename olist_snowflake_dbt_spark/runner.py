@@ -951,6 +951,25 @@ class Engine:
                  "store_failures": t.store_failures}
                 for t in self.tests
             ],
+            # dbt 1.5 model versions: base name → latest + concrete nodes
+            "versions": {
+                base: {
+                    "latest": meta["latest"],
+                    "versions": dict(meta["versions"]),
+                    "deprecation": dict(meta["deprecation"]),
+                }
+                for base, meta in self.registry._versions.items()
+            },
+            # grants as currently applied (config-authoritative state)
+            "grants": {
+                m: {p: sorted(roles) for p, roles in acl.items()}
+                for m, acl in self.grants_state.items()
+            },
+            "selectors": {
+                **self.selectors,
+                **({"__default__": self.default_selector}
+                   if self.default_selector else {}),
+            },
         }
         if write:
             path = os.path.join(self.warehouse_dir, "docs.json")

@@ -308,3 +308,26 @@ class TestNamedSelectors:
         eng.define_selector("core_models", "tag:core")
         out = eng.run_concurrent(selector="core_models", threads=2)
         assert set(out) == {"mart_a", "stg"}
+
+
+def test_docs_manifest_includes_new_surfaces(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.registry.register_source("src", spark.range(3).withColumnRenamed("id", "k"))
+    eng.registry.register_versioned(
+        "m", {1: "select k from {{ ref('src') }}",
+              2: "select k, k*2 as v from {{ ref('src') }}"},
+        deprecation={1: "2026-12-31"},
+    )
+    eng.registry.register(
+        "mart", "select * from {{ ref('m') }}", materialized="table",
+        grants={"select": ["bi"]},
+    )
+    eng.define_selector("core", "mart", default=True)
+    eng.run(select="mart")
+    doc = eng.generate_docs(write=False)
+    assert doc["versions"]["m"]["latest"] == 2
+    assert doc["versions"]["m"]["versions"] == {1: "m_v1", 2: "m_v2"}
+    assert doc["versions"]["m"]["deprecation"] == {1: "2026-12-31"}
+    assert doc["grants"]["mart"] == {"select": ["bi"]}
+    assert doc["selectors"]["core"] == {"select": "mart", "exclude": None}
+    assert doc["selectors"]["__default__"] == "core"
