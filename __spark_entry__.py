@@ -129,6 +129,13 @@ _CHECK_FIRST = [
     "similarity_pq_adc",
     "sample_time_holdout",
     "layout_compaction_roundtrip",
+    # (a'') round-8 migration-surface batch (queries_migration.py):
+    # ordered LISTAGG, QUALIFY keep-latest, LATERAL FLATTEN w/ ordinality,
+    # deterministic discrete median/mode — brand-new, need first rows
+    "listagg_within_group",
+    "qualify_keep_latest",
+    "flatten_with_ordinality",
+    "median_mode_disc",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
     "metric_anomaly_daily",

@@ -823,3 +823,4 @@ from . import queries_runner  # noqa: E402,F401
 from . import queries_timetravel  # noqa: E402,F401
 from . import queries_governance  # noqa: E402,F401
 from . import queries_retrieval  # noqa: E402,F401
+from . import queries_migration  # noqa: E402,F401

@@ -1,0 +1,210 @@
+"""Snowflake→Spark migration SQL surface: the ordered/positional
+aggregation idioms every warehouse migration hits on day one and that
+neither the reference project nor the earlier breadth modules cover.
+
+The reference executes on Snowflake (`$DBT/dbt_snowflake-1.11.2.dist-info`),
+so a migrating user's model SQL is written in the Snowflake dialect.
+Four staples with no literal Spark builtin are re-expressed here as
+Catalyst-native plans (no UDF, no driver loop):
+
+- ``LISTAGG(x, sep) WITHIN GROUP (ORDER BY k)`` → sort-struct collect +
+  ``array_join`` (one hash-aggregate exchange; the ordering happens
+  inside the aggregate buffer, never as a global sort).
+- ``QUALIFY row_number() = 1`` (keep-latest dedup) → window + filter.
+  Spark has no QUALIFY clause; the rewrite is the documented migration
+  path and plans identically (one key-partitioned window, no extra
+  exchange).
+- ``LATERAL FLATTEN(input => arr)`` with ``INDEX`` → ``posexplode``.
+  Executor-side fan-out: row count multiplies AFTER the scan, so the
+  exchange (if any downstream) sees exploded rows but the scan stays
+  columnar and pruned.
+- deterministic discrete median / mode (``PERCENTILE_DISC`` /
+  ``MODE``) → rank-against-count windows with a TOTAL tie-break order,
+  because both engines' native ``mode()`` pick ties arbitrarily — an
+  oracle-hash trap this module sidesteps by construction.
+
+100-TB notes: listagg groups are bounded by order size (≤7 lineitems),
+so no group buffer can blow up; qualify/median/mode windows partition by
+the grouping key — per-partition state is O(group), and AQE handles key
+skew. FLATTEN multiplies rows 5× at most here; at scale, cap the slice
+(as done) or explode-then-filter never the reverse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .queries import _t, query
+
+
+@query(
+    "listagg_within_group",
+    """
+    SELECT l_orderkey,
+           string_agg(l_returnflag, ',' ORDER BY l_linenumber, l_returnflag)
+               AS flags_csv,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey % 8 = 0
+    GROUP BY l_orderkey
+    """,
+)
+def q_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake ``LISTAGG(...) WITHIN GROUP (ORDER BY ...)``.
+
+    Spark has no ordered string aggregate; the idiomatic plan is
+    collect_list of (order-key, value) structs, ``array_sort`` (struct
+    comparison orders lexicographically by (l_linenumber, value) — the
+    value tie-break makes the order TOTAL even where the synthetic data
+    repeats a linenumber within an order; the oracle orders by the same
+    pair), then project+join. Everything runs inside one hash
+    aggregate; no global sort, no window.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 8 == 0)
+    pair = F.struct(
+        F.col("l_linenumber").alias("o"), F.col("l_returnflag").alias("v")
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(pair)), lambda s: s["v"]
+            ),
+            ",",
+        ).alias("flags_csv"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "qualify_keep_latest",
+    """
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_qualify_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake/DuckDB ``QUALIFY row_number() = 1`` — the keep-latest
+    dedup every CDC/staging model uses. Spark lacks QUALIFY; the
+    standard rewrite is window + filter, which Catalyst plans as ONE
+    exchange on user_id + an in-partition sort (the same physical plan
+    QUALIFY compiles to). Tie-break is total (ts, then unique event_id),
+    so the survivor is deterministic across partitionings.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@query(
+    "flatten_with_ordinality",
+    """
+    SELECT doc_id, i AS pos, arr[i] AS word
+    FROM (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        WHERE doc_id % 16 = 0
+    ) t, LATERAL (SELECT unnest(range(1, least(len(arr), 5) + 1)) AS i)
+    """,
+)
+def q_flatten_with_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake ``LATERAL FLATTEN(input => arr)`` with its ``INDEX``
+    column → ``posexplode``. The fan-out happens executor-side after a
+    pruned scan (ReadSchema: doc_id, text only); the slice cap (first 5
+    words) bounds the multiplier, the pattern a 100-TB tokenization
+    fan-out needs to state explicitly. 1-based pos matches FLATTEN's
+    INDEX+1 convention used by the DuckDB twin's list indexing.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 16 == 0)
+    arr = F.slice(F.split(F.col("text"), " "), 1, 5)
+    return d.select(
+        "doc_id", F.posexplode(arr).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+
+
+@query(
+    "median_mode_disc",
+    """
+    WITH ranked AS (
+        SELECT event_type, value, event_id,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, value AS median_value
+        FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    p90 AS (
+        SELECT event_type, value AS p90_value
+        FROM ranked WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+    ),
+    freq AS (
+        SELECT event_type, value, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, value
+    ),
+    md AS (
+        SELECT event_type, value AS mode_value
+        FROM freq
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type ORDER BY cnt DESC, value ASC) = 1
+    )
+    SELECT med.event_type, med.median_value, p90.p90_value, md.mode_value
+    FROM med JOIN p90 USING (event_type) JOIN md USING (event_type)
+    """,
+)
+def q_median_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ``PERCENTILE_DISC(0.5/0.9)`` and ``MODE()``.
+
+    Native ``mode()`` on BOTH engines breaks ties arbitrarily and
+    ``quantile_disc`` definitions differ at even counts — so the
+    discrete statistics are pinned by construction: rank every row with
+    a TOTAL order (value, then unique event_id) and pick the
+    lower-median rank (n+1)//2 and rank ceil(0.9n); mode = highest
+    count, ties to the smallest value. Identical formulas both sides ⇒
+    hash-exact. One exchange on event_type serves both windows; the
+    mode branch is a pre-aggregated (event_type,value) rollup — tiny.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint")
+    ).select("event_type", F.col("value").alias("median_value"))
+    p90 = ranked.filter(
+        F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")).cast("bigint")
+    ).select("event_type", F.col("value").alias("p90_value"))
+    freq = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    wm = W.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("value").asc()
+    )
+    md = (
+        freq.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("value").alias("mode_value"))
+    )
+    return med.join(p90, "event_type").join(md, "event_type")
