@@ -136,6 +136,8 @@ _CHECK_FIRST = [
     "qualify_keep_latest",
     "flatten_with_ordinality",
     "median_mode_disc",
+    # (a'') dbt CLI depth: clone task + --empty dry run + env_var()
+    "runner_clone_empty_envvar",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
     "metric_anomaly_daily",

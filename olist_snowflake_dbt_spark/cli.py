@@ -49,7 +49,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     ap = argparse.ArgumentParser(prog="olist_snowflake_dbt_spark")
     ap.add_argument(
-        "command", choices=["seed", "run", "test", "build", "ls", "docs", "snapshot"]
+        "command",
+        choices=["seed", "run", "test", "build", "ls", "docs", "snapshot",
+                 "clone"],
     )
     ap.add_argument(
         "--project",
@@ -91,6 +93,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         action="store_true",
         help="with --defer: the deferred artifact wins even when the "
         "local warehouse has one (dbt --favor-state; default favors local)",
+    )
+    ap.add_argument(
+        "--empty",
+        action="store_true",
+        help="dbt --empty: build with LIMIT 0 inputs — full compile, "
+        "materialization, and contract checks, zero data volume",
+    )
+    ap.add_argument(
+        "--full-refresh",
+        dest="full_refresh",
+        action="store_true",
+        help="with clone: re-clone over existing local relations",
     )
     args = ap.parse_args(argv)
 
@@ -136,6 +150,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(f"snapshotted {name} -> {rel.path}")
         return 0
 
+    if args.command == "clone":
+        # dbt clone --state <artifacts>: here the other environment IS
+        # its warehouse dir, which --defer already names (same meaning
+        # as for slim-CI defer: "resolve relations from over there")
+        if not args.defer_wh:
+            print("clone requires --defer <other environment's warehouse dir>")
+            return 2
+        cloned = eng.clone(
+            args.defer_wh, select=args.select, exclude=args.exclude,
+            selector=args.selector, full_refresh=args.full_refresh,
+        )
+        if not cloned:
+            print("nothing cloned (no artifacts matched, or targets exist)")
+        for name, path in cloned.items():
+            print(f"cloned {name} -> {path}")
+        return 0
+
     if args.command == "run":
         state = eng.load_state(args.state) if args.state else None
         rels = (
@@ -143,12 +174,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 args.select, exclude=args.exclude, threads=args.threads,
                 state=state, defer=args.defer_wh,
                 favor_state=args.favor_state, selector=args.selector,
+                empty=args.empty,
             )
             if args.threads > 1
             else eng.run(
                 args.select, exclude=args.exclude, state=state,
                 defer=args.defer_wh, favor_state=args.favor_state,
-                selector=args.selector,
+                selector=args.selector, empty=args.empty,
             )
         )
         for name, rel in rels.items():

@@ -56,8 +56,19 @@ _REF_RE = re.compile(
 # small scanner (ModelRegistry._render_vars), not the regex — a quoted
 # default may contain ')' or ',' (e.g. {{ var('x', '(a)') }}), which no
 # paren-free capture group can delimit.
-_VAR_OPEN_RE = re.compile(r"\{\{\s*var\(\s*(['\"])([A-Za-z0-9_]+)\1\s*")
+_VAR_OPEN_RE = re.compile(
+    r"\{\{\s*(var|env_var)\(\s*(['\"])([A-Za-z0-9_]+)\2\s*"
+)
 _VAR_CLOSE_RE = re.compile(r"\s*\)\s*\}\}")
+# Bare env_var name scan for state checksums: a model whose SQL reads an
+# environment variable must change checksum when that variable's VALUE
+# changes (dbt-core tracks manifest.env_vars for exactly this —
+# state:modified picks up env drift, not just SQL edits)
+_ENV_NAME_RE = re.compile(r"env_var\(\s*['\"]([A-Za-z0-9_]+)['\"]")
+# dbt-core: DBT_ENV_SECRET_* values are allowed only in connection and
+# package config, NEVER in model SQL (they would leak into compiled
+# artifacts and logs); rendering one in a model is a compile-time error
+_ENV_SECRET_PREFIX = "DBT_ENV_SECRET_"
 
 
 @dataclass
@@ -107,7 +118,11 @@ class ModelContext:
         """``ctx.ref('m')`` (latest version when versioned) or
         ``ctx.ref('m', v=1)`` (dbt 1.5+ version pinning)."""
         resolved = self._registry.resolve_ref(name, v, _requester=self._consumer)
-        return self._registry.build(resolved, _requester=self._consumer)
+        df = self._registry.build(resolved, _requester=self._consumer)
+        if self._registry._empty_mode:
+            # dbt --empty: input edges are LIMIT 0 slices (see set_empty)
+            df = df.limit(0)
+        return df
 
     def source(self, name: str) -> DataFrame:
         """A raw (Bronze) input registered via ``register_source``."""
@@ -153,6 +168,16 @@ class ModelRegistry:
         # UnpinnedRefNewVersionAvailable / deprecation warnings; callers
         # read these after a build pass)
         self.version_warnings: list[str] = []
+        # env_var() audit: name → rendered value (dbt manifest.env_vars);
+        # populated as models compile, consumed by docs/state tooling
+        self.env_vars_used: dict[str, str] = {}
+        # dbt --empty (dbt-core 1.8 run/build flag): when armed, every
+        # ref()/source() INPUT edge resolves to a LIMIT 0 slice of the
+        # parent — the model's full plan compiles and materializes (so
+        # schemas and contracts are validated end-to-end) but no data
+        # volume moves. The dry-run a 100 TB deploy wants before the
+        # real backfill.
+        self._empty_mode: bool = False
 
     @property
     def _building(self) -> list:
@@ -353,6 +378,7 @@ class ModelRegistry:
         import hashlib
         import inspect
         import json as _json
+        import os as _os
 
         out: dict[str, str] = {}
         for name, m in self._models.items():
@@ -375,6 +401,20 @@ class ModelRegistry:
                     # nested dicts and non-JSON types alike
                     "config": dict(sorted(m.config.items())),
                     "tags": sorted(m.tags),
+                    # env_var drift participates (dbt manifest.env_vars):
+                    # a model reading env_var('K') changes checksum when
+                    # K's VALUE changes, so state:modified slim-CI picks
+                    # it up without any SQL edit. Secret-prefixed names
+                    # contribute presence only, never the value.
+                    "env": {
+                        k: (
+                            "<secret-set>"
+                            if k.startswith(_ENV_SECRET_PREFIX)
+                            and k in _os.environ
+                            else _os.environ.get(k)
+                        )
+                        for k in sorted(set(_ENV_NAME_RE.findall(body)))
+                    },
                 },
                 sort_keys=True,
                 default=str,
@@ -470,9 +510,11 @@ class ModelRegistry:
             raise RefNotFoundError(f"no source named {name!r}")
         loader = self._sources[name]
         if isinstance(loader, DataFrame):
-            return loader
+            return loader.limit(0) if self._empty_mode else loader
         df = loader(self.spark)
-        self._sources[name] = df  # memoize
+        self._sources[name] = df  # memoize (the raw frame, never the slice)
+        if self._empty_mode:
+            return df.limit(0)
         return df
 
     def build(self, name: str, _requester: str | None = None) -> DataFrame:
@@ -532,6 +574,8 @@ class ModelRegistry:
                         raw, int(pin) if pin else None, _requester=name
                     )
                     pdf = self.build(parent, _requester=name)
+                    if self._empty_mode:
+                        pdf = pdf.limit(0)
                     view = f"__model_{parent}"
                     pdf.createOrReplaceTempView(view)
                     return view
@@ -605,6 +649,18 @@ class ModelRegistry:
         self._defer_favor_state = False
         self._defer_local_dir = None
 
+    # -- dbt --empty (schema-only dry run) ------------------------------
+    def set_empty(self, flag: bool = True) -> None:
+        """Arm/disarm dbt's ``--empty`` mode: every ref()/source() INPUT
+        edge resolves to ``parent.limit(0)``. The consuming model's full
+        plan still compiles, materializes, and passes contract checks —
+        with zero data volume. Catalyst folds ``LIMIT 0`` into an empty
+        LocalRelation, so even the scans vanish from the physical plan."""
+        self._empty_mode = bool(flag)
+
+    def clear_empty(self) -> None:
+        self._empty_mode = False
+
     def _render_vars(self, sql: str) -> str:
         """Render every ``{{ var('k'[, default]) }}`` to a SQL literal
         (dbt-core context var() semantics): strings quote (with ''
@@ -625,7 +681,7 @@ class ModelRegistry:
                 out.append(sql[pos:])
                 return "".join(out)
             out.append(sql[pos : m.start()])
-            key = m.group(2)
+            fn, key = m.group(1), m.group(3)
             i = m.end()
             has_default = False
             default_str: str | None = None  # parsed quoted-string default
@@ -674,6 +730,37 @@ class ModelRegistry:
             tm = _VAR_CLOSE_RE.match(sql, i)
             if tm is None:
                 raise CompilationError(f"malformed var() call for {key!r}")
+            if fn == "env_var":
+                # dbt context env_var(): resolves from the process
+                # environment (always a string), default only when the
+                # variable is unset, required-but-missing is an error,
+                # and secret-prefixed names are banned from model SQL.
+                import os as _os
+
+                if key.startswith(_ENV_SECRET_PREFIX):
+                    raise CompilationError(
+                        f"secret env var {key!r} is not allowed in model "
+                        "SQL (dbt permits DBT_ENV_SECRET_* only in "
+                        "connection/package config, never in compiled "
+                        "artifacts)"
+                    )
+                if key in _os.environ:
+                    val = _os.environ[key]
+                    self.env_vars_used[key] = val
+                    out.append(self._render_literal(val))
+                elif has_default:
+                    if default_raw is not None:
+                        self.env_vars_used[key] = default_raw
+                        out.append(default_raw)
+                    else:
+                        self.env_vars_used[key] = default_str or ""
+                        out.append(self._render_literal(default_str))
+                else:
+                    raise CompilationError(
+                        f"env var required but not provided: {key!r}"
+                    )
+                pos = tm.end()
+                continue
             if key in self.variables:
                 out.append(self._render_literal(self.variables[key]))
             elif has_default:

@@ -842,3 +842,77 @@ def q_runner_unit_test_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(res.failures).cast("bigint").alias("unit_failures"),
         F.lit(not res_wrong.passed).alias("wrong_fixture_detected"),
     )
+
+
+_CLONE_EMPTY_ORACLE = """
+WITH rev AS (
+    SELECT o_orderstatus AS order_status,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT order_status, revenue,
+       'prod' AS tag,
+       CAST(0 AS BIGINT) AS n_dryrun_rows,
+       TRUE AS dryrun_schema_ok,
+       CAST(1 AS BIGINT) AS n_cloned
+FROM rev
+"""
+
+
+@query("runner_clone_empty_envvar", _CLONE_EMPTY_ORACLE)
+def q_runner_clone_empty_envvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt ``clone`` + ``--empty`` + ``env_var()`` in one lifecycle (the
+    dev-environment bootstrap every dbt shop runs): (1) the DEV
+    environment dry-runs the mart with ``--empty`` — full compile +
+    contract-grade schema, LIMIT 0 inputs, zero data volume; (2) PROD
+    builds the real table, its SQL rendering ``{{ env_var(...) }}``
+    with the documented default (dbt context env_var semantics);
+    (3) DEV seeds itself from prod via ``Engine.clone`` with
+    ``full_refresh=True`` — hardlinked zero-copy over the empty dry-run
+    artifact (Snowflake ``CREATE TABLE … CLONE`` pointer semantics).
+
+    Driver-checkable verdicts: ``n_dryrun_rows=0`` (the dry run moved no
+    data), ``dryrun_schema_ok`` (dry-run schema == cloned prod schema —
+    the point of --empty), ``n_cloned=1``, and the revenue grain itself
+    read from the CLONED relation, not from prod.
+    """
+    from .runner import Engine
+
+    # the env var must be UNSET so the oracle can pin the default path
+    os.environ.pop("SG_PIPELINE_TAG", None)
+    model_sql = """
+        select o_orderstatus as order_status,
+               cast(cast(sum(cast(o_totalprice as decimal(18,2)))
+                    as decimal(38,2)) as double) as revenue,
+               {{ env_var('SG_PIPELINE_TAG', 'prod') }} as tag
+        from {{ ref('raw_orders') }} group by 1, 3
+    """
+
+    def mk_engine(wh: str) -> Engine:
+        eng = Engine(spark, wh)
+        eng.registry.register_source("raw_orders", _t(spark, sf_dir, "orders"))
+        eng.registry.register("status_rev", model_sql, materialized="table")
+        return eng
+
+    prod = mk_engine(tempfile.mkdtemp(prefix="olist_clone_prod_"))
+    dev = mk_engine(tempfile.mkdtemp(prefix="olist_clone_dev_"))
+
+    dry = dev.run(empty=True)["status_rev"].df
+    n_dry = dry.count()
+    prod.run()
+    cloned = dev.clone(prod.warehouse_dir, full_refresh=True)
+    if set(cloned) != {"status_rev"}:
+        raise AssertionError(f"expected to clone status_rev, got {cloned}")
+    out = dev.relations["status_rev"].df
+    schema_ok = [f.name for f in dry.schema.fields] == [
+        f.name for f in out.schema.fields
+    ]
+    return out.select(
+        "order_status",
+        "revenue",
+        "tag",
+        F.lit(n_dry).cast("bigint").alias("n_dryrun_rows"),
+        F.lit(schema_ok).alias("dryrun_schema_ok"),
+        F.lit(len(cloned)).cast("bigint").alias("n_cloned"),
+    )

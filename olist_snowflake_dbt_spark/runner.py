@@ -35,6 +35,7 @@ from .operators.dq import (
 from .plans.materialize import (
     DynamicTable,
     MaterializedRelation,
+    clone_table,
     materialize_table,
     materialize_view,
 )
@@ -195,8 +196,16 @@ class Engine:
         defer: str | None = None,
         favor_state: bool = False,
         selector: str | None = None,
+        empty: bool = False,
     ) -> dict[str, MaterializedRelation]:
         """Build the selected models in DAG order.
+
+        ``empty`` is dbt 1.8's ``--empty``: every ref()/source() input
+        edge resolves to a LIMIT 0 slice, so each selected model
+        compiles, materializes, and contract-checks end-to-end with
+        zero data volume — the schema dry run to make before pointing
+        the DAG at 100 TB. Relations built this way are empty; rerun
+        without ``empty`` for the real backfill.
 
         ``defer`` is dbt's ``--defer``: a path to ANOTHER environment's
         warehouse (typically prod, alongside the ``state`` manifest used
@@ -217,6 +226,8 @@ class Engine:
                 defer, selected,
                 favor_state=favor_state, local_dir=self.warehouse_dir,
             )
+        if empty:
+            self.registry.set_empty(True)
         self._run_hooks(getattr(self, "on_run_start", None))
         out: dict[str, MaterializedRelation] = {}
         try:
@@ -229,6 +240,11 @@ class Engine:
         finally:
             if defer is not None:
                 self.registry.clear_defer()
+            if empty:
+                # disarm AND drop memoized empty frames — a later real
+                # run must rebuild, never consume a dry-run slice
+                self.registry.clear_empty()
+                self.registry.invalidate()
         self._run_hooks(getattr(self, "on_run_end", None))
         return out
 
@@ -241,6 +257,7 @@ class Engine:
         defer: str | None = None,
         favor_state: bool = False,
         selector: str | None = None,
+        empty: bool = False,
     ) -> dict[str, MaterializedRelation]:
         """:meth:`run` with dbt's node scheduling: independent DAG nodes
         materialize CONCURRENTLY on a bounded thread pool; a node is
@@ -275,6 +292,8 @@ class Engine:
                 defer, selected,
                 favor_state=favor_state, local_dir=self.warehouse_dir,
             )
+        if empty:
+            self.registry.set_empty(True)
         graph = self.registry.graph()
         deps = {n: {p for p in graph.get(n, ()) if p in selected} for n in selected}
         children: dict[str, set[str]] = {n: set() for n in selected}
@@ -313,10 +332,61 @@ class Engine:
         finally:
             if defer is not None:
                 self.registry.clear_defer()
+            if empty:
+                self.registry.clear_empty()
+                self.registry.invalidate()
         if failure is not None:
             raise failure
         self._run_hooks(getattr(self, "on_run_end", None))
         return out
+
+    def clone(
+        self,
+        state_warehouse: str,
+        select: str | None = None,
+        exclude: str | None = None,
+        selector: str | None = None,
+        full_refresh: bool = False,
+    ) -> dict[str, str]:
+        """dbt ``clone`` task (dbt-core 1.6, ``dbt/task/clone.py`` shape):
+        copy the selected relations from ANOTHER environment's warehouse
+        into this one WITHOUT executing any model SQL — each persisted
+        artifact is zero-copy cloned (hardlinked parquet, Snowflake
+        ``CREATE TABLE … CLONE`` pointer semantics via
+        :func:`clone_table`). The standard use is seeding a dev/CI
+        schema from prod in seconds: at 100 TB nothing moves but
+        directory entries.
+
+        dbt semantics kept faithfully: nodes with no artifact in the
+        state environment are skipped (views/ephemerals have nothing to
+        clone); an existing local relation is left untouched unless
+        ``full_refresh=True`` (dbt ``--full-refresh`` re-clones over it).
+        Returns ``{model: cloned_path}`` for what was actually cloned;
+        cloned relations register as refs for subsequent runs/tests.
+        """
+        import os
+        import shutil
+
+        select, exclude = self._resolve_selection(select, exclude, selector)
+        selected = self.registry.select(select, exclude=exclude)
+        cloned: dict[str, str] = {}
+        for name in sorted(selected):
+            src = os.path.join(state_warehouse, name)
+            if not os.path.isdir(src):
+                continue  # no persisted artifact in the state environment
+            dst = os.path.join(self.warehouse_dir, name)
+            if os.path.exists(dst):
+                if not full_refresh:
+                    continue  # dbt clone: existing relations win
+                shutil.rmtree(dst)
+            clone_table(src, dst)
+            df = self.spark.read.parquet(dst)
+            df.createOrReplaceTempView(name)
+            rel = MaterializedRelation(name, "table", dst, df)
+            self.relations[name] = rel
+            self.registry._built[name] = df
+            cloned[name] = dst
+        return cloned
 
     def _materialize_node(self, name: str) -> MaterializedRelation:
         """Build + materialize ONE model (pre-hook → build → write →
