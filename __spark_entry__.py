@@ -138,6 +138,8 @@ _CHECK_FIRST = [
     "median_mode_disc",
     # (a'') dbt CLI depth: clone task + --empty dry run + env_var()
     "runner_clone_empty_envvar",
+    # (a'') streaming: LEFT OUTER stream-stream join w/ null emission
+    "stream_stream_left_outer",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
     "metric_anomaly_daily",

@@ -458,3 +458,79 @@ def q_stream_file_ingest_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop_batch(2)
     drain()  # ingests ONLY batch 2
     return spark.read.schema(schema).parquet(out_dir)
+
+
+@query(
+    "stream_stream_left_outer",
+    """
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    errors AS (
+        SELECT user_id, event_id AS error_id, ts AS error_ts
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT c.user_id, c.click_id, e.error_id, c.click_ts, e.error_ts
+    FROM clicks c LEFT JOIN errors e
+      ON c.user_id = e.user_id
+     AND e.error_ts >= c.click_ts
+     AND e.error_ts < c.click_ts + INTERVAL '10 minutes'
+    """,
+)
+def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarked NULL emission
+    (streaming/events.clicks_left_outer_errors): unmatched clicks are
+    held in join state and emitted NULL-extended only once the
+    watermark proves no error can still match.
+
+    The bounded-replay harness makes eviction observable: the source is
+    staged as TWO files replayed in mtime order (maxFilesPerTrigger=1) —
+    the real events, then a far-future sentinel pair (one click + one
+    error on impossible user_ids, so both branch watermarks advance).
+    Batch 1 emits the inner matches; the sentinel batch (plus Spark's
+    no-data eviction batch) pushes the watermark 2 days past every
+    ``click_ts + horizon``, flushing every unmatched click with NULL
+    error columns. Sentinels are filtered from the sink, so the result
+    must equal the batch LEFT JOIN exactly — nulls and all.
+    """
+    import datetime as _dt
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .streaming import clicks_left_outer_errors, run_available_now
+
+    src = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    max_ts = src.agg(F.max("ts")).collect()[0][0]  # 1-row harness setup
+    sentinel_ts = max_ts + _dt.timedelta(days=2)
+    sentinels = spark.createDataFrame(
+        [(-1, sentinel_ts, -1, "click"), (-2, sentinel_ts, -2, "error")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+    root = _tempfile.mkdtemp(prefix="olist_sj_left_")
+    stage = _os.path.join(root, "stream")
+    _os.makedirs(stage)
+    for i, (df, tag) in enumerate([(src, "real"), (sentinels, "sentinel")]):
+        part_dir = _os.path.join(root, f"w{i}")
+        df.coalesce(1).write.parquet(part_dir)
+        [part] = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))
+        dst = _os.path.join(stage, f"{i:03d}_{tag}.parquet")
+        _shutil.move(part, dst)
+        _os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    joined = clicks_left_outer_errors(
+        stream, horizon="10 minutes", watermark="1 minute"
+    )
+    sink = run_available_now(joined, "append", state_partitions=8)
+    return sink.filter(F.col("user_id") >= 0)

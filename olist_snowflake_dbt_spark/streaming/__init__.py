@@ -23,6 +23,7 @@ Design for scale (1000 executors, unbounded input):
 from .events import (
     cdc_apply_stream,
     cdc_state,
+    clicks_left_outer_errors,
     clicks_to_errors_join,
     dedup_within_watermark,
     enrich_with_dim,
@@ -38,6 +39,7 @@ from .events import (
 __all__ = [
     "cdc_apply_stream",
     "cdc_state",
+    "clicks_left_outer_errors",
     "clicks_to_errors_join",
     "dedup_within_watermark",
     "enrich_with_dim",

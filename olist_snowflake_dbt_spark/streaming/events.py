@@ -189,6 +189,56 @@ def clicks_to_errors_join(
     )
 
 
+def clicks_left_outer_errors(
+    stream: DataFrame, horizon: str = "10 minutes", watermark: str = "1 minute"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click emits — joined to the
+    same user's errors within ``horizon`` after the click when a match
+    exists, with NULL error columns otherwise.
+
+    The outer side is the semantically hard part of streaming joins: a
+    "no match" verdict is only safe once the error-side watermark has
+    passed ``click_ts + horizon`` (any earlier, a matching error could
+    still arrive), so Spark holds unmatched clicks in state and emits
+    the NULL-extended row on watermark passage, not on arrival. Both
+    watermarks and the event-time bound are REQUIRED for outer
+    stream-stream joins — they are what make join state evictable
+    (bounded state on unbounded streams). Cite: reference has no
+    streaming at all (SURVEY.md §2.C); this is the Spark-native
+    attribution-with-nulls shape (funnel drop-off detection).
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return clicks.join(errors, cond, "left_outer").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "error_id",
+        "click_ts",
+        "error_ts",
+    )
+
+
 def enrich_with_dim(
     stream: DataFrame,
     dim: DataFrame,

@@ -439,3 +439,41 @@ def test_stream_events_reads_directory_layout(spark, sf_dir, tmp_path):
     assert got.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_stream_left_outer_emits_nulls_and_matches_batch(spark, sf_dir):
+    """The LEFT OUTER stream-stream join must (a) emit NULL-extended
+    rows for unmatched clicks after watermark passage — the eviction
+    path availableNow has to flush — and (b) equal the batch left join
+    exactly, sentinels excluded."""
+    from pyspark.sql import functions as F
+
+    from olist_snowflake_dbt_spark.queries import QUERIES
+    from olist_snowflake_dbt_spark.sources.readers import read_table
+
+    out = QUERIES["stream_stream_left_outer"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    unmatched = [r for r in rows if r.error_id is None]
+    assert unmatched, "watermark passage must flush NULL-extended clicks"
+    assert all(r.user_id >= 0 for r in rows), "sentinels must not leak"
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") < F.col("click_ts") + F.expr("INTERVAL 10 minutes"))
+    )
+    batch = clicks.join(errors, cond, "left_outer").select(
+        "user_id", "click_id", "error_id", "click_ts", "error_ts"
+    )
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
