@@ -140,6 +140,8 @@ _CHECK_FIRST = [
     "runner_clone_empty_envvar",
     # (a'') streaming: LEFT OUTER stream-stream join w/ null emission
     "stream_stream_left_outer",
+    # (a'') retrieval: MMR diversity re-rank (cogrouped integer greedy)
+    "retrieval_mmr_rerank",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
     "metric_anomaly_daily",

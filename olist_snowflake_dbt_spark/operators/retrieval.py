@@ -195,3 +195,88 @@ def context_pack(
     return ranked.withColumn("cum_tokens", cum).filter(
         F.col("cum_tokens") <= budget
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    pair_sims: DataFrame,
+    k: int = 3,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick ``k`` docs per query maximizing
+    ``λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)`` — the diversity
+    pass between ANN retrieval and RAG context packing that stops the
+    prompt filling up with near-duplicates of the top hit.
+
+    Inputs are POST-candidate-generation (compose with ann_lsh/ivf_topk
+    for the sub-linear corpus stage):
+
+    - ``candidates``: (query_id, doc_id, rel_nano) — relevance in
+      integer nanos (``floor(cosine * 1e9)``), computed Catalyst-side.
+    - ``pair_sims``: (query_id, doc_a, doc_b, sim_nano) — pairwise
+      candidate-candidate similarity, same integer encoding. With N
+      candidates per query this is O(N²) per query — bounded by the
+      candidate CAP, never by corpus size, which is what makes MMR
+      viable at 100 TB: the quadratic term is 144 rows for N=12.
+
+    The greedy argmax runs per query in a cogrouped Arrow kernel
+    (`cogroup().applyInPandas`): one co-partitioned shuffle per side,
+    then pure INTEGER arithmetic — ``lam_num·rel − (lam_den−lam_num)·
+    max_sim`` with ties to the smaller doc_id — so a SQL oracle can
+    replay the selection bit-exactly (λ as a rational, never a float).
+    Rank 1 is pure relevance (max_sim term is 0 by definition).
+
+    Returns (query_id, rank 1..k, doc_id, mmr_nano).
+    """
+    if not (0 < lam_num <= lam_den):
+        raise ValueError(f"need 0 < lam_num <= lam_den, got {lam_num}/{lam_den}")
+    mu = lam_den - lam_num
+
+    def kernel(cand_pdf, sim_pdf):
+        import pandas as pd
+
+        if cand_pdf.empty:
+            return pd.DataFrame(
+                columns=["query_id", "rank", "doc_id", "mmr_nano"]
+            )
+        qid = int(cand_pdf["query_id"].iloc[0])
+        rel = {
+            int(d): int(r)
+            for d, r in zip(cand_pdf["doc_id"], cand_pdf["rel_nano"])
+        }
+        sim = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(
+                sim_pdf["doc_a"], sim_pdf["doc_b"], sim_pdf["sim_nano"]
+            )
+        }
+        selected: list[int] = []
+        out = []
+        remaining = sorted(rel)
+        for rank in range(1, k + 1):
+            if not remaining:
+                break
+            best_doc, best_score = None, None
+            for d in remaining:  # ≤ candidate cap — O(N·k) integer ops
+                ms = max((sim.get((d, s), 0) for s in selected), default=0)
+                score = lam_num * rel[d] - mu * ms
+                if best_score is None or score > best_score:
+                    best_doc, best_score = d, score
+                # ties: remaining is sorted asc, so the first (smallest
+                # doc_id) wins and later equal scores never replace it
+            out.append((qid, rank, best_doc, best_score))
+            selected.append(best_doc)
+            remaining.remove(best_doc)
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "doc_id", "mmr_nano"]
+        )
+
+    return (
+        candidates.groupBy("query_id")
+        .cogroup(pair_sims.groupBy("query_id"))
+        .applyInPandas(
+            kernel, "query_id long, rank int, doc_id long, mmr_nano long"
+        )
+    )

@@ -222,3 +222,145 @@ def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         budget=300,
     )
+
+
+# Shared cosine→nano SQL (DuckDB): exact decimal-fold dot over aliases
+# a/b (same macro Spark's functions/vector.py mirrors), double norms,
+# floor(cos*1e9) to BIGINT — every step bit-identical to the Spark side.
+_COS_NANO = f"""CAST(floor(CAST({_DOT_DEC} AS DOUBLE)
+           / (SQRT(CAST((SELECT SUM(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,15)))
+                         FROM (SELECT UNNEST(a.embedding) AS x)) AS DOUBLE))
+              * SQRT(CAST((SELECT SUM(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,15)))
+                           FROM (SELECT UNNEST(b.embedding) AS y)) AS DOUBLE)))
+           * 1000000000.0) AS BIGINT)"""
+
+_MMR_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+),
+cos AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS doc_id, {_COS_NANO} AS rel_nano
+    FROM q a JOIN embeddings b ON a.vec_id != b.vec_id
+),
+cand AS (
+    SELECT query_id, doc_id, rel_nano FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rel_nano DESC, doc_id ASC) AS rn
+        FROM cos
+    ) WHERE rn <= 12
+),
+pair AS (
+    SELECT c1.query_id, c1.doc_id AS doc_a, c2.doc_id AS doc_b,
+           {_COS_NANO} AS sim_nano
+    FROM cand c1
+    JOIN cand c2 ON c1.query_id = c2.query_id AND c1.doc_id != c2.doc_id
+    JOIN embeddings a ON a.vec_id = c1.doc_id
+    JOIN embeddings b ON b.vec_id = c2.doc_id
+),
+s1 AS (
+    SELECT query_id, doc_id, 7 * rel_nano AS mmr_nano FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rel_nano DESC, doc_id ASC) AS rn
+        FROM cand
+    ) WHERE rn = 1
+),
+m2 AS (
+    SELECT c.query_id, c.doc_id,
+           7 * c.rel_nano - 3 * p.sim_nano AS mmr_nano
+    FROM cand c
+    JOIN s1 ON s1.query_id = c.query_id AND c.doc_id != s1.doc_id
+    JOIN pair p ON p.query_id = c.query_id
+               AND p.doc_a = c.doc_id AND p.doc_b = s1.doc_id
+),
+s2 AS (
+    SELECT query_id, doc_id, mmr_nano FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY mmr_nano DESC, doc_id ASC) AS rn
+        FROM m2
+    ) WHERE rn = 1
+),
+m3 AS (
+    SELECT c.query_id, c.doc_id,
+           7 * c.rel_nano - 3 * GREATEST(p1.sim_nano, p2.sim_nano) AS mmr_nano
+    FROM cand c
+    JOIN s1 ON s1.query_id = c.query_id
+    JOIN s2 ON s2.query_id = c.query_id
+    JOIN pair p1 ON p1.query_id = c.query_id
+                AND p1.doc_a = c.doc_id AND p1.doc_b = s1.doc_id
+    JOIN pair p2 ON p2.query_id = c.query_id
+                AND p2.doc_a = c.doc_id AND p2.doc_b = s2.doc_id
+    WHERE c.doc_id != s1.doc_id AND c.doc_id != s2.doc_id
+),
+s3 AS (
+    SELECT query_id, doc_id, mmr_nano FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY mmr_nano DESC, doc_id ASC) AS rn
+        FROM m3
+    ) WHERE rn = 1
+)
+SELECT query_id, CAST(1 AS INT) AS rank, doc_id, mmr_nano FROM s1
+UNION ALL
+SELECT query_id, CAST(2 AS INT) AS rank, doc_id, mmr_nano FROM s2
+UNION ALL
+SELECT query_id, CAST(3 AS INT) AS rank, doc_id, mmr_nano FROM s3
+"""
+
+
+@query("retrieval_mmr_rerank", _MMR_ORACLE)
+def q_retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (operators/retrieval.mmr_rerank): 5
+    query vectors (vec_id % 100 = 0), 12 brute-force cosine candidates
+    each (the documented exact baseline — production swaps in ann_lsh
+    for the candidate stage), pairwise candidate sims, then the greedy
+    λ=7/10 integer-nano selection of k=3 in a cogrouped Arrow kernel.
+    The oracle unrolls the 3 greedy steps in SQL — selection replayed
+    bit-exactly, not approximately."""
+    from .functions.vector import cosine_similarity
+    from .operators.retrieval import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    nano = lambda c: F.floor(c * F.lit(1_000_000_000.0)).cast("bigint")  # noqa: E731
+    cos = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            nano(cosine_similarity("q_emb", "embedding")).alias("rel_nano"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(
+            F.col("rel_nano").desc(), F.col("doc_id").asc()
+        )
+    )
+    cand = cos.withColumn("rn", rn).filter(F.col("rn") <= 12).drop("rn")
+    cande = cand.join(emb, cand.doc_id == emb.vec_id).select(
+        "query_id", "doc_id", "embedding"
+    )
+    ca = cande.select(
+        F.col("query_id").alias("qa"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    cb = cande.select(
+        F.col("query_id").alias("qb"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pair = (
+        ca.join(
+            cb,
+            (F.col("qa") == F.col("qb")) & (F.col("doc_a") != F.col("doc_b")),
+        )
+        .select(
+            F.col("qa").alias("query_id"), "doc_a", "doc_b",
+            nano(cosine_similarity("emb_a", "emb_b")).alias("sim_nano"),
+        )
+    )
+    return mmr_rerank(cand, pair, k=3, lam_num=7, lam_den=10)

@@ -84,3 +84,59 @@ def test_rrf_fusion_semantics(spark):
     assert out[10].rrf_nano == 10**9 // 61
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+class TestMmrRerank:
+    def _run(self, spark, cand_rows, pair_rows, **kw):
+        from olist_snowflake_dbt_spark.operators.retrieval import mmr_rerank
+
+        cand = spark.createDataFrame(
+            cand_rows, "query_id long, doc_id long, rel_nano long"
+        )
+        pair = spark.createDataFrame(
+            pair_rows, "query_id long, doc_a long, doc_b long, sim_nano long"
+        )
+        out = mmr_rerank(cand, pair, **kw).collect()
+        return {(r.query_id, r.rank): (r.doc_id, r.mmr_nano) for r in out}
+
+    def test_rank1_is_pure_relevance_and_diversity_demotes_neardup(self, spark):
+        # doc 2 is the near-duplicate of top hit 1 (sim .99); doc 3 is
+        # less relevant but diverse. Relevance order: 1, 2, 3 — MMR must
+        # pick 1, then 3 (7*900-3*990 < 7*800-3*100), then 2.
+        sym = lambda a, b, s: [(0, a, b, s), (0, b, a, s)]  # noqa: E731
+        got = self._run(
+            spark,
+            [(0, 1, 1000), (0, 2, 900), (0, 3, 800)],
+            sym(1, 2, 990) + sym(1, 3, 100) + sym(2, 3, 120),
+            k=3,
+        )
+        assert got[(0, 1)] == (1, 7000)
+        assert got[(0, 2)] == (3, 7 * 800 - 3 * 100)
+        assert got[(0, 3)][0] == 2
+
+    def test_truncates_when_fewer_candidates_than_k(self, spark):
+        got = self._run(spark, [(0, 5, 100)], [], k=3)
+        assert got == {(0, 1): (5, 700)}
+
+    def test_tiebreak_prefers_smaller_doc_id(self, spark):
+        got = self._run(
+            spark, [(0, 9, 500), (0, 4, 500)], [], k=1
+        )
+        assert got[(0, 1)][0] == 4
+
+    def test_lambda_one_is_relevance_order(self, spark):
+        sym = lambda a, b, s: [(0, a, b, s), (0, b, a, s)]  # noqa: E731
+        got = self._run(
+            spark,
+            [(0, 1, 1000), (0, 2, 900), (0, 3, 800)],
+            sym(1, 2, 999999999) + sym(1, 3, 999999999) + sym(2, 3, 999999999),
+            k=3, lam_num=10, lam_den=10,
+        )
+        assert [got[(0, r)][0] for r in (1, 2, 3)] == [1, 2, 3]
+
+    def test_rejects_bad_lambda(self, spark):
+        from olist_snowflake_dbt_spark.operators.retrieval import mmr_rerank
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            mmr_rerank(None, None, lam_num=0)
