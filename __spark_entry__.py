@@ -142,6 +142,8 @@ _CHECK_FIRST = [
     "stream_stream_left_outer",
     # (a'') retrieval: MMR diversity re-rank (cogrouped integer greedy)
     "retrieval_mmr_rerank",
+    # (a'') dbt merge column configs (WHEN MATCHED partial update)
+    "incremental_merge_update_columns",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
     "metric_anomaly_daily",

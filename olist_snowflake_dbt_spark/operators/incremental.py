@@ -40,15 +40,33 @@ def incremental_merge(
     batch: DataFrame,
     unique_key: Sequence[str],
     dedupe_order: str | None = None,
+    merge_update_columns: Sequence[str] = (),
+    merge_exclude_columns: Sequence[str] = (),
 ) -> DataFrame:
     """``merge``: upsert by ``unique_key`` (strategies.sql:1, snowflake
     incremental.sql:42-59). Batch rows replace existing rows with the same
     key; unmatched batch rows insert. If ``dedupe_order`` is given, the
     batch is first reduced to the latest row per key (descending on that
     column) — Snowflake's MERGE would error on duplicate source keys, so
-    dedupe is the caller's explicit choice, not silent behavior."""
+    dedupe is the caller's explicit choice, not silent behavior.
+
+    ``merge_update_columns`` / ``merge_exclude_columns`` are dbt's merge
+    config pair (get_merge_update_columns, dbt-adapters merge.sql;
+    mutually exclusive, like dbt): when set, a MATCHED row keeps its
+    existing values except the update columns, which take the batch's —
+    the standard shape for preserving audit columns (created_at,
+    first_seen) across upserts. Unmatched batch rows still insert ALL
+    columns. The partial update costs one extra key join (matched rows
+    rebuilt from existing+batch) but shuffles only key + update columns
+    from the batch side."""
     if not unique_key:
         raise ValueError("incremental_merge requires a non-empty unique_key")
+    if merge_update_columns and merge_exclude_columns:
+        raise ValueError(
+            "merge_update_columns and merge_exclude_columns are mutually "
+            "exclusive (dbt: 'Model cannot specify merge_update_columns "
+            "and merge_exclude_columns')"
+        )
     if dedupe_order is not None:
         from pyspark.sql import Window
 
@@ -60,7 +78,32 @@ def incremental_merge(
         )
     keys = batch.select(*unique_key).dropDuplicates()
     survivors = existing.join(keys, list(unique_key), "left_anti")
-    return survivors.unionByName(batch)
+    if not merge_update_columns and not merge_exclude_columns:
+        return survivors.unionByName(batch)
+    non_key = [c for c in batch.columns if c not in unique_key]
+    upd = (
+        [c for c in merge_update_columns]
+        if merge_update_columns
+        else [c for c in non_key if c not in set(merge_exclude_columns)]
+    )
+    bad = [c for c in upd if c in unique_key or c not in batch.columns]
+    if bad:
+        raise ValueError(f"invalid merge update columns: {bad}")
+    b = batch.select(
+        *unique_key, *[F.col(c).alias(f"__b_{c}") for c in upd]
+    )
+    updated = existing.join(b, list(unique_key), "inner").select(
+        *[
+            (F.col(f"__b_{c}") if c in set(upd) else F.col(c)).alias(c)
+            for c in existing.columns
+        ]
+    )
+    inserts = batch.join(
+        existing.select(*unique_key).dropDuplicates(),
+        list(unique_key),
+        "left_anti",
+    )
+    return survivors.unionByName(updated).unionByName(inserts)
 
 
 def incremental_delete_insert(
@@ -230,6 +273,8 @@ class IncrementalTable:
         full_refresh: bool = False,
         on_schema_change: str = "ignore",
         incremental_predicates: Sequence[str] = (),
+        merge_update_columns: Sequence[str] = (),
+        merge_exclude_columns: Sequence[str] = (),
     ) -> DataFrame:
         # dbt --full-refresh: discard the standing table and rebuild from
         # this batch alone, whatever the configured strategy
@@ -285,7 +330,11 @@ class IncrementalTable:
         else:
             merge_target = existing
         if strategy == "merge":
-            out = incremental_merge(merge_target, batch, unique_key, dedupe_order)
+            out = incremental_merge(
+                merge_target, batch, unique_key, dedupe_order,
+                merge_update_columns=merge_update_columns,
+                merge_exclude_columns=merge_exclude_columns,
+            )
         elif strategy == "delete+insert":
             out = incremental_delete_insert(merge_target, batch, unique_key)
         elif strategy == "insert_overwrite":

@@ -208,3 +208,69 @@ def q_median_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("value").alias("mode_value"))
     )
     return med.join(p90, "event_type").join(md, "event_type")
+
+
+@query(
+    "incremental_merge_update_columns",
+    """
+    WITH existing AS (
+        SELECT user_id, value, first_seen FROM (
+            SELECT user_id, value,
+                   MIN(ts) OVER (PARTITION BY user_id) AS first_seen,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-06-01'
+        ) WHERE rn = 1
+    ),
+    batch AS (
+        SELECT user_id, value, first_seen FROM (
+            SELECT user_id, value,
+                   MIN(ts) OVER (PARTITION BY user_id) AS first_seen,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '2024-06-01'
+        ) WHERE rn = 1
+    )
+    SELECT e.user_id,
+           CASE WHEN b.user_id IS NOT NULL THEN b.value ELSE e.value END
+               AS value,
+           e.first_seen
+    FROM existing e LEFT JOIN batch b ON e.user_id = b.user_id
+    UNION ALL
+    SELECT b.user_id, b.value, b.first_seen
+    FROM batch b
+    WHERE b.user_id NOT IN (SELECT user_id FROM existing)
+    """,
+)
+def q_incremental_merge_update_columns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dbt ``merge_update_columns`` (dbt-adapters get_merge_update_columns
+    / merge.sql WHEN MATCHED column list): the per-user latest-state
+    table upserted with a newer batch where MATCHED rows update ONLY
+    ``value`` — the audit column ``first_seen`` keeps its original
+    (pre-cutoff) timestamp, the canonical created_at-preservation shape.
+    New users insert all columns. The oracle replays the matched/
+    unmatched split with an explicit match flag, so an accidental
+    full-row replace (first_seen drift) cannot hash-match."""
+    from .operators.incremental import incremental_merge
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    cutoff = F.lit("2024-06-01").cast("timestamp")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest_state(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("first_seen", F.min("ts").over(W.partitionBy("user_id")))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "value", "first_seen")
+        )
+
+    existing = latest_state(e.filter(F.col("ts") < cutoff))
+    batch = latest_state(e.filter(F.col("ts") >= cutoff))
+    return incremental_merge(
+        existing, batch, ["user_id"], merge_update_columns=["value"]
+    )

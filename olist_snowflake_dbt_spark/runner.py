@@ -451,6 +451,12 @@ class Engine:
                 incremental_predicates=model.config.get(
                     "incremental_predicates", ()
                 ),
+                merge_update_columns=model.config.get(
+                    "merge_update_columns", ()
+                ),
+                merge_exclude_columns=model.config.get(
+                    "merge_exclude_columns", ()
+                ),
             )
             out_df.createOrReplaceTempView(name)
             rel = MaterializedRelation(name, "incremental", t.path, out_df)

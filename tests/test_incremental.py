@@ -405,3 +405,115 @@ class TestIncrementalPredicates:
         out = eng.run()["inc"].df
         got = {r.k: r.v for r in out.collect()}
         assert got == {1: 10.0, 2: 99.0}
+
+
+class TestMergeUpdateColumns:
+    """dbt merge_update_columns / merge_exclude_columns: matched rows
+    keep existing values outside the update set (audit-column
+    preservation); unmatched batch rows insert everything."""
+
+    def _frames(self, spark):
+        existing = spark.createDataFrame(
+            [(1, "a", 10.0, "2020-01-01"), (2, "b", 20.0, "2020-01-02")],
+            "id long, name string, amount double, created_at string",
+        )
+        batch = spark.createDataFrame(
+            [(2, "B2", 99.0, "2021-06-06"), (3, "c", 30.0, "2021-07-07")],
+            "id long, name string, amount double, created_at string",
+        )
+        return existing, batch
+
+    def test_update_columns_preserves_others(self, spark):
+        from olist_snowflake_dbt_spark.operators.incremental import (
+            incremental_merge,
+        )
+
+        existing, batch = self._frames(spark)
+        out = {
+            r.id: r
+            for r in incremental_merge(
+                existing, batch, ["id"], merge_update_columns=["amount"]
+            ).collect()
+        }
+        assert len(out) == 3
+        # matched row: amount from batch, name + created_at preserved
+        assert (out[2].amount, out[2].name, out[2].created_at) == (
+            99.0, "b", "2020-01-02",
+        )
+        # unmatched batch row inserts ALL columns
+        assert (out[3].name, out[3].created_at) == ("c", "2021-07-07")
+        # untouched row intact
+        assert out[1].amount == 10.0
+
+    def test_exclude_columns_is_the_complement(self, spark):
+        from olist_snowflake_dbt_spark.operators.incremental import (
+            incremental_merge,
+        )
+
+        existing, batch = self._frames(spark)
+        out = {
+            r.id: r
+            for r in incremental_merge(
+                existing, batch, ["id"], merge_exclude_columns=["created_at"]
+            ).collect()
+        }
+        assert (out[2].name, out[2].amount, out[2].created_at) == (
+            "B2", 99.0, "2020-01-02",
+        )
+
+    def test_both_configs_raise(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.incremental import (
+            incremental_merge,
+        )
+
+        existing, batch = self._frames(spark)
+        with _pytest.raises(ValueError, match="mutually exclusive"):
+            incremental_merge(
+                existing, batch, ["id"],
+                merge_update_columns=["amount"],
+                merge_exclude_columns=["name"],
+            )
+
+    def test_key_in_update_columns_raises(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.incremental import (
+            incremental_merge,
+        )
+
+        existing, batch = self._frames(spark)
+        with _pytest.raises(ValueError, match="invalid merge update"):
+            incremental_merge(
+                existing, batch, ["id"], merge_update_columns=["id", "name"]
+            )
+
+    def test_engine_config_passthrough(self, spark, tmp_path):
+        from olist_snowflake_dbt_spark.runner import Engine
+
+        eng = Engine(spark, str(tmp_path / "wh"))
+        batches = [
+            [(1, "a", 10.0, "day1")],
+            [(1, "A!", 77.0, "day2"), (2, "b", 20.0, "day2")],
+        ]
+        state = {"i": 0}
+
+        @eng.registry.model(
+            materialized="incremental",
+            unique_key=["id"],
+            strategy="merge",
+            merge_exclude_columns=["created_at"],
+        )
+        def audit_merge(ctx):
+            return ctx.spark.createDataFrame(
+                batches[state["i"]],
+                "id long, name string, amount double, created_at string",
+            )
+
+        eng.run(select="audit_merge")
+        state["i"] = 1
+        eng.registry.invalidate()
+        out = {r.id: r for r in eng.run(select="audit_merge")["audit_merge"].df.collect()}
+        assert (out[1].name, out[1].amount, out[1].created_at) == ("A!", 77.0, "day1")
+        assert out[2].created_at == "day2"
