@@ -51,7 +51,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument(
         "command",
         choices=["seed", "run", "test", "build", "ls", "docs", "snapshot",
-                 "clone"],
+                 "clone", "compile", "show"],
     )
     ap.add_argument(
         "--project",
@@ -106,6 +106,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         action="store_true",
         help="with clone: re-clone over existing local relations",
     )
+    ap.add_argument(
+        "--limit",
+        type=int,
+        default=5,
+        help="with show: number of preview rows (dbt show --limit)",
+    )
     args = ap.parse_args(argv)
 
     from .runner import Engine
@@ -148,6 +154,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print("no snapshots registered")
         for name, rel in rels.items():
             print(f"snapshotted {name} -> {rel.path}")
+        return 0
+
+    if args.command == "compile":
+        for name, sql in eng.compile(
+            args.select, exclude=args.exclude, selector=args.selector
+        ).items():
+            print(f"-- model: {name}")
+            print(sql if sql is not None else "-- (python model, no SQL)")
+        return 0
+
+    if args.command == "show":
+        if not args.select:
+            print("show requires --select <model>")
+            return 2
+        df = eng.show(args.select, limit=args.limit)
+        print(" | ".join(df.columns))
+        for r in df.collect():
+            print(" | ".join("NULL" if v is None else str(v) for v in r))
         return 0
 
     if args.command == "clone":

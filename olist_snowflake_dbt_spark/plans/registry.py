@@ -661,6 +661,30 @@ class ModelRegistry:
     def clear_empty(self) -> None:
         self._empty_mode = False
 
+    def compile_sql(self, name: str) -> str | None:
+        """dbt ``compile``: render a SQL model's body with ``ref()``
+        resolved to relation names (version-pinned refs resolve through
+        the version map, exactly as at build time) and ``var()`` /
+        ``env_var()`` rendered to literals — WITHOUT executing anything.
+        Python-function models have no SQL to compile; returns None
+        (dbt compiles them to their source, which ``generate_docs``
+        already captures)."""
+        if name in self._versions:
+            name = self.resolve_ref(name, None)
+        if name not in self._models:
+            raise RefNotFoundError(f"no model named {name!r}")
+        model = self._models[name]
+        if callable(model.builder):
+            return None
+
+        def _sub(m: re.Match[str]) -> str:
+            raw, pin = m.group(1), m.group(2)
+            return self.resolve_ref(
+                raw, int(pin) if pin else None, _requester=name
+            )
+
+        return self._render_vars(_REF_RE.sub(_sub, model.builder))
+
     def _render_vars(self, sql: str) -> str:
         """Render every ``{{ var('k'[, default]) }}`` to a SQL literal
         (dbt-core context var() semantics): strings quote (with ''

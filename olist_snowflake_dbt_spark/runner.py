@@ -340,6 +340,32 @@ class Engine:
         self._run_hooks(getattr(self, "on_run_end", None))
         return out
 
+    def compile(
+        self,
+        select: str | None = None,
+        exclude: str | None = None,
+        selector: str | None = None,
+    ) -> dict[str, str | None]:
+        """dbt ``compile``: the selected models' SQL with refs and vars
+        rendered, nothing executed. Python models map to None."""
+        select, exclude = self._resolve_selection(select, exclude, selector)
+        selected = self.registry.select(select, exclude=exclude)
+        order = self.registry.topological_order(
+            selected if (select or exclude) else None
+        )
+        return {
+            n: self.registry.compile_sql(n) for n in order if n in selected
+        }
+
+    def show(self, model: str, limit: int = 5) -> DataFrame:
+        """dbt ``show``: build (or reuse the memoized build of) one model
+        and return its first ``limit`` rows as a bounded DataFrame — the
+        preview surface; the LIMIT folds into the plan, so a preview of
+        a 100 TB model reads only what the limit needs."""
+        if limit <= 0:
+            raise ValueError(f"limit must be positive, got {limit}")
+        return self.registry.build(model).limit(limit)
+
     def clone(
         self,
         state_warehouse: str,

@@ -78,3 +78,79 @@ def test_cli_selector_flag(spark, tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert rc == 0 and "built fct_orders" in out
+
+
+def test_compile_renders_refs_and_vars(spark, tmp_path):
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    eng.registry.register_source("rawtab", src)
+    eng.registry = eng.registry  # no-op, keep flake quiet
+    eng.registry.variables["cutoff"] = 7
+    eng.registry.register(
+        "m1", "SELECT id, v FROM {{ ref('rawtab') }} WHERE id < {{ var('cutoff') }}"
+    )
+
+    @eng.registry.model()
+    def pymodel(ctx):
+        return ctx.ref("m1")
+
+    compiled = eng.compile()
+    assert compiled["m1"] == "SELECT id, v FROM rawtab WHERE id < 7"
+    assert compiled["pymodel"] is None
+
+
+def test_compile_resolves_version_pins(spark, tmp_path):
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = spark.createDataFrame([(1,)], "id long")
+    eng.registry.register_source("rawtab", src)
+    eng.registry.register_versioned(
+        "dim", {1: "SELECT id FROM {{ ref('rawtab') }}",
+                2: "SELECT id, id*2 AS id2 FROM {{ ref('rawtab') }}"},
+        latest=2,
+    )
+    eng.registry.register("usage", "SELECT * FROM {{ ref('dim', v=1) }}")
+    compiled = eng.compile(select="usage")
+    assert compiled["usage"] == "SELECT * FROM dim_v1"
+
+
+def test_show_previews_limited_rows(spark, tmp_path):
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = spark.createDataFrame([(i, float(i)) for i in range(20)], "id long, v double")
+    eng.registry.register_source("rawtab", src)
+    eng.registry.register("m1", "SELECT id, v FROM {{ ref('rawtab') }}")
+    out = eng.show("m1", limit=3)
+    assert out.count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.show("m1", limit=0)
+
+
+def test_cli_compile_and_show(spark, tmp_path, capsys):
+    from olist_snowflake_dbt_spark.cli import main as cli_main
+
+    rc = cli_main(
+        ["compile", "--warehouse", str(tmp_path / "w"), "--select", "fct_orders"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "-- model: fct_orders" in out and "{{ ref(" not in out
+
+    rc = cli_main(
+        ["show", "--warehouse", str(tmp_path / "w2"), "--select", "fct_orders",
+         "--limit", "2"],
+        spark=spark,
+    )
+    assert rc == 0
+    shown = capsys.readouterr().out.strip().splitlines()
+    assert len(shown) == 3  # header + 2 rows
+
+    rc = cli_main(["show", "--warehouse", str(tmp_path / "w3")], spark=spark)
+    assert rc == 2
