@@ -144,6 +144,8 @@ _CHECK_FIRST = [
     "retrieval_mmr_rerank",
     # (a'') dbt merge column configs (WHEN MATCHED partial update)
     "incremental_merge_update_columns",
+    # (a'') web curation: URL canonicalization + host rollup
+    "web_host_url_stats",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
     "metric_anomaly_daily",

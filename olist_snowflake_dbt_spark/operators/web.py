@@ -1,0 +1,122 @@
+"""Web-corpus curation: URL canonicalization + host-level rollups.
+
+Crawl-scale corpora (C4, RefinedWeb, FineWeb) dedup and filter BY URL
+before touching any text: the same page is fetched under scheme/www/
+tracking-param/fragment variants, and host-level statistics drive
+blocklists and per-domain caps. The reference has none of this
+(SURVEY.md §2.C); the north-star extension set calls for it.
+
+Everything here is PURE CATALYST string/array expressions — no UDF, no
+regex backtracking (only anchored LIKE prefixes and fixed-separator
+splits), so canonicalization runs inside whole-stage codegen and an
+oracle engine can replay it token-for-token. At 100 TB the operator is
+a map-only projection (zero shuffle); the host rollup is one hash
+aggregate on the canonical host — the natural partitioning key for
+per-domain caps downstream.
+
+Canonical form (documented contract, in order):
+1. strip scheme (``://`` split) and ``#fragment``;
+2. split ``?query`` off the path;
+3. host = lowercased authority up to the first ``/``; a single leading
+   ``www.`` label is dropped;
+4. tracking params removed (``utm_*``, ``fbclid``, ``gclid``), the
+   REST SORTED lexicographically (order never carries meaning for
+   dedup identity) and re-joined;
+5. one trailing ``/`` stripped from a non-root path.
+
+``domain`` is the last two host labels — a deliberate approximation of
+the registrable domain (a Public-Suffix-List lookup is a broadcast-dim
+join away and out of scope; documented, not hidden).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Return a struct column ``(canonical, host, domain, path, params)``
+    per the module-header contract. NULL-safe: a NULL url yields a
+    struct of NULLs (struct itself non-null, so downstream group keys
+    stay well-defined)."""
+    u = F.col(url) if isinstance(url, str) else url
+    # 1. scheme + fragment
+    no_scheme = F.when(
+        u.contains("://"), F.element_at(F.split(u, "://", 2), 2)
+    ).otherwise(u)
+    no_frag = F.element_at(F.split(no_scheme, "#", 2), 1)
+    # 2. query split
+    base = F.element_at(F.split(no_frag, r"\?", 2), 1)
+    query = F.when(
+        no_frag.contains("?"), F.element_at(F.split(no_frag, r"\?", 2), 2)
+    ).otherwise(F.lit(""))
+    # 3. host / path
+    slash = F.instr(base, "/")
+    host_raw = F.lower(
+        F.when(slash > 0, F.substring(base, F.lit(1), slash - 1)).otherwise(base)
+    )
+    host = F.when(
+        host_raw.startswith("www."), host_raw.substr(F.lit(5), F.length(host_raw))
+    ).otherwise(host_raw)
+    path_raw = F.when(slash > 0, base.substr(slash, F.length(base))).otherwise(
+        F.lit("")
+    )
+    # 4. params: drop tracking, sort the rest
+    import functools
+    import operator as _op
+
+    parts = F.split(query, "&")
+
+    def _keep(p: Column) -> Column:
+        is_tracking = functools.reduce(
+            _op.or_, [p.startswith(pref) for pref in _TRACKING_PREFIXES]
+        )
+        return (F.length(p) > 0) & ~is_tracking
+
+    kept = F.filter(parts, _keep)
+    params = F.array_join(F.array_sort(kept), "&")
+    # 5. trailing slash on a non-root path
+    path = F.when(
+        (F.length(path_raw) > 1) & path_raw.endswith("/"),
+        path_raw.substr(F.lit(1), F.length(path_raw) - 1),
+    ).otherwise(path_raw)
+    canonical = F.concat(
+        host, path, F.when(F.length(params) > 0, F.concat(F.lit("?"), params)).otherwise(F.lit(""))
+    )
+    labels = F.split(host, r"\.")
+    domain = F.when(
+        F.size(labels) >= 2,
+        F.concat(
+            F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1)
+        ),
+    ).otherwise(host)
+    return F.struct(
+        canonical.alias("canonical"),
+        host.alias("host"),
+        domain.alias("domain"),
+        path.alias("path"),
+        params.alias("params"),
+    )
+
+
+def host_url_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Host-level URL rollup: per (host, domain) — page count, distinct
+    canonical URLs (the URL-dedup denominator), and the lexicographic
+    min canonical as a stable exemplar. One map-side canonicalization +
+    one hash aggregate on host; at crawl scale this IS the per-domain
+    cap/blocklist input table, ~6 orders of magnitude smaller than the
+    corpus."""
+    c = canonicalize_url(url_col)
+    return (
+        df.select(c.alias("u"))
+        .select("u.host", "u.domain", "u.canonical")
+        .groupBy("host", "domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("canonical").alias("n_canonical"),
+            F.min("canonical").alias("sample_canonical"),
+        )
+    )

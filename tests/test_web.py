@@ -1,0 +1,95 @@
+"""Unit tests for operators/web.py URL canonicalization semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from olist_snowflake_dbt_spark.operators.web import (
+    canonicalize_url,
+    host_url_stats,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r.u.asDict() for r in df.select(canonicalize_url("url").alias("u")).collect()
+    ]
+
+
+def test_scheme_www_case_fragment_and_tracking_are_identity_free(spark):
+    variants = [
+        "https://WWW.News.Example.COM/a/b?utm_source=x&ref=1#top",
+        "http://news.example.com/a/b/?ref=1&utm_campaign=y",
+        "news.example.com/a/b?ref=1",
+    ]
+    out = _canon(spark, variants)
+    assert len({o["canonical"] for o in out}) == 1
+    assert out[0]["canonical"] == "news.example.com/a/b?ref=1"
+    assert out[0]["host"] == "news.example.com"
+    assert out[0]["domain"] == "example.com"
+
+
+def test_param_order_is_sorted_and_non_tracking_kept(spark):
+    a, b = _canon(
+        spark,
+        [
+            "http://h.example.com/p?b=2&a=1&utm_medium=m",
+            "http://h.example.com/p?a=1&b=2",
+        ],
+    )
+    assert a["canonical"] == b["canonical"] == "h.example.com/p?a=1&b=2"
+    assert a["params"] == "a=1&b=2"
+
+
+def test_root_path_and_no_query_edge_cases(spark):
+    out = _canon(spark, ["https://example.com/", "example.com", "www.example.com#f"])
+    # a root "/" is a single-char path and is KEPT (only non-root
+    # trailing slashes strip); bare hosts canonicalize to themselves
+    assert out[0]["canonical"] == "example.com/"
+    assert out[1]["canonical"] == "example.com"
+    assert out[2]["canonical"] == "example.com"
+    assert all(o["domain"] == "example.com" for o in out)
+
+
+def test_inner_www_label_not_stripped_and_single_label_host(spark):
+    out = _canon(spark, ["http://www.www.example.com/x", "http://localhost/x"])
+    assert out[0]["host"] == "www.example.com"
+    assert out[1]["host"] == "localhost"
+    assert out[1]["domain"] == "localhost"
+
+
+def test_null_url_yields_null_fields(spark):
+    df = spark.createDataFrame([(None,)], "url string")
+    row = df.select(canonicalize_url("url").alias("u")).collect()[0]
+    assert row.u.canonical is None and row.u.host is None
+
+
+def test_host_stats_counts_dedup_denominator(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://www.a.example.com/x?utm_source=1",),
+            ("http://A.example.com/x",),
+            ("http://a.example.com/y",),
+            ("http://b.example.com/z",),
+        ],
+        "url string",
+    )
+    got = {r.host: r for r in host_url_stats(df, "url").collect()}
+    assert got["a.example.com"].n_urls == 3
+    assert got["a.example.com"].n_canonical == 2
+    assert got["a.example.com"].sample_canonical == "a.example.com/x"
+    assert got["b.example.com"].n_urls == 1
+
+
+def test_canonicalization_is_whole_stage_codegen(spark):
+    """The operator must stay JVM-side: no BatchEvalPython / Python UDF
+    in the physical plan (pure Catalyst contract from the module header)."""
+    df = spark.createDataFrame([("http://x.example.com/a",)], "url string")
+    plan = (
+        df.select(canonicalize_url("url").alias("u"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
