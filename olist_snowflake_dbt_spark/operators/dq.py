@@ -129,22 +129,72 @@ def evaluate_unit_test(name: str, actual: DataFrame, expected: DataFrame) -> "Te
     return evaluate_test(name, unit_test_diff(actual, expected))
 
 
+def _threshold_hit(value: int, spec: "int | str") -> bool:
+    """dbt warn_if/error_if: an int N keeps the legacy ``> N`` reading;
+    a string is dbt's condition grammar (``"!=0"``, ``">10"``, ``">=5"``,
+    ``"<3"`` …) evaluated against the fail_calc value — the test fires
+    (warns/errors) when the condition is TRUE, exactly dbt's
+    ``{fail_calc} {warn_if}`` rendering
+    (materializations/tests/helpers.sql:5-13)."""
+    if isinstance(spec, int):
+        return value > spec
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(!=|>=|<=|>|<|=)\s*(-?\d+)\s*", spec)
+    if m is None:
+        raise ValueError(f"unsupported threshold expression: {spec!r}")
+    op, n = m.group(1), int(m.group(2))
+    return {
+        "!=": value != n,
+        ">=": value >= n,
+        "<=": value <= n,
+        ">": value > n,
+        "<": value < n,
+        "=": value == n,
+    }[op]
+
+
 def evaluate_test(
     name: str,
     failing_rows: DataFrame,
-    warn_if: int = 0,
-    error_if: int = 0,
+    warn_if: "int | str" = 0,
+    error_if: "int | str" = 0,
     store_failures_path: str | None = None,
+    fail_calc: str = "count(*)",
+    limit: int | None = None,
 ) -> TestResult:
-    """Count failing rows → pass/warn/error (pass iff count == 0 with the
-    dbt defaults). ``store_failures_path`` persists the failing rows
-    (B7, materializations/tests/test.sql:10-47)."""
+    """Failing rows → pass/warn/error verdict, the full dbt test config
+    surface (materializations/tests/test.sql + helpers.sql:5-13):
+
+    - ``fail_calc``: the aggregate measured over the failing rows —
+      default ``count(*)``; dbt allows e.g. ``sum(n_records)`` so a
+      rolled-up test weighs each failing group by its size.
+    - ``warn_if`` / ``error_if``: int N = legacy ``> N``; a string is
+      dbt's condition grammar applied to the fail_calc value.
+    - ``limit``: cap applied to the failing-row set BEFORE fail_calc
+      (dbt renders ``{{ "limit " ~ limit }}`` inside the failing-rows
+      subquery) — bounds the work a pathological test does at 100 TB.
+    - ``store_failures_path``: persists the (limited) failing rows (B7).
+
+    Pass iff neither condition fires (dbt defaults: both ``!= 0`` ⇒
+    pass only at zero failures; the int-0 default here is equivalent for
+    non-negative counts)."""
+    for _spec in (warn_if, error_if):
+        if isinstance(_spec, str):
+            _threshold_hit(0, _spec)  # validate grammar up front
+    if limit is not None:
+        failing_rows = failing_rows.limit(limit)
     if store_failures_path is not None:
         failing_rows.write.mode("overwrite").parquet(store_failures_path)
-    failures = failing_rows.count()
-    if failures > error_if:
+    if fail_calc.strip().lower() == "count(*)":
+        failures = failing_rows.count()
+    else:
+        row = failing_rows.selectExpr(f"{fail_calc} AS __fail_calc").collect()
+        raw = row[0][0] if row else 0
+        failures = int(raw) if raw is not None else 0
+    if _threshold_hit(failures, error_if):
         status = TestStatus.ERROR
-    elif failures > warn_if:
+    elif _threshold_hit(failures, warn_if):
         status = TestStatus.WARN
     else:
         status = TestStatus.PASS

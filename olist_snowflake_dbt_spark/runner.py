@@ -50,9 +50,12 @@ class TestSpec:
     name: str
     model: str
     builder: Callable[[DataFrame, "Engine"], DataFrame]  # → failing rows
-    warn_if: int = 0
-    error_if: int = 0
+    # int N = legacy "> N"; str = dbt condition grammar ("!=0", ">10" …)
+    warn_if: "int | str" = 0
+    error_if: "int | str" = 0
     store_failures: bool = False
+    fail_calc: str = "count(*)"  # dbt fail_calc config
+    limit: int | None = None  # dbt limit config (caps failing rows)
 
 
 @dataclass
@@ -779,7 +782,10 @@ class Engine:
                 else None
             )
             results.append(
-                evaluate_test(spec.name, failing, spec.warn_if, spec.error_if, store)
+                evaluate_test(
+                    spec.name, failing, spec.warn_if, spec.error_if, store,
+                    fail_calc=spec.fail_calc, limit=spec.limit,
+                )
             )
         return results
 
@@ -878,6 +884,7 @@ class Engine:
                 res = evaluate_test(
                     spec.name, failing,
                     warn_if=spec.warn_if, error_if=spec.error_if,
+                    fail_calc=spec.fail_calc, limit=spec.limit,
                 )
                 if res.status == TestStatus.ERROR:
                     failed.append(f"{spec.name} ({res.failures} failing rows)")

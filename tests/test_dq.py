@@ -100,3 +100,60 @@ def test_observe_quality_counts_in_single_pass(spark):
     assert got["n_rows"] == 4
     assert got["null_v"] == 2
     assert got["max_id"] == 4
+
+
+class TestThresholdGrammar:
+    """dbt test config surface: expression warn_if/error_if, fail_calc,
+    limit (materializations/tests/helpers.sql:5-13)."""
+
+    def _failing(self, spark, n=7, weight=10):
+        return spark.createDataFrame(
+            [(i, weight) for i in range(n)], "id long, n_records long"
+        )
+
+    def test_expression_thresholds(self, spark):
+        from olist_snowflake_dbt_spark.operators.dq import (
+            TestStatus,
+            evaluate_test,
+        )
+
+        f = self._failing(spark, n=7)
+        # 7 failures: warn over 5, error over 10 → WARN
+        r = evaluate_test("t", f, warn_if=">5", error_if=">10")
+        assert r.status == TestStatus.WARN and r.failures == 7
+        assert evaluate_test("t", f, warn_if=">5", error_if=">=7").status == TestStatus.ERROR
+        assert evaluate_test("t", f, warn_if="!=7", error_if=">10").status == TestStatus.PASS
+        # legacy int semantics unchanged: > N
+        assert evaluate_test("t", f, warn_if=7, error_if=7).status == TestStatus.PASS
+
+    def test_fail_calc_weighs_groups(self, spark):
+        from olist_snowflake_dbt_spark.operators.dq import (
+            TestStatus,
+            evaluate_test,
+        )
+
+        f = self._failing(spark, n=3, weight=50)  # sum = 150
+        r = evaluate_test(
+            "t", f, fail_calc="sum(n_records)", warn_if="!=0", error_if=">100"
+        )
+        assert r.failures == 150 and r.status == TestStatus.ERROR
+        # empty failing set with a sum fail_calc → 0 → PASS
+        empty = f.filter("id < 0")
+        r0 = evaluate_test(
+            "t", empty, fail_calc="sum(n_records)", warn_if="!=0", error_if="!=0"
+        )
+        assert r0.failures == 0 and r0.status == TestStatus.PASS
+
+    def test_limit_caps_failing_rows(self, spark):
+        from olist_snowflake_dbt_spark.operators.dq import evaluate_test
+
+        f = self._failing(spark, n=50)
+        assert evaluate_test("t", f, limit=5).failures == 5
+
+    def test_bad_expression_raises(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.dq import evaluate_test
+
+        with _pytest.raises(ValueError, match="unsupported threshold"):
+            evaluate_test("t", self._failing(spark), warn_if="~5")

@@ -93,6 +93,19 @@ SCALE_QUERIES = [
     "governance_erasure_cascade",
     "layout_compaction_roundtrip",
     "sample_time_holdout",
+    # round-8 second wave: the left-outer stream join prices join-state
+    # eviction, URL canonicalization must stay map-only scan-bound,
+    # listagg/qualify/median are the new one-exchange window/agg claims,
+    # MMR's candidate stage is the data-proportional part (the greedy
+    # kernel is bounded by the cap), and the partial-update merge adds
+    # one extra key join over plain merge
+    "stream_stream_left_outer",
+    "web_host_url_stats",
+    "listagg_within_group",
+    "qualify_keep_latest",
+    "median_mode_disc",
+    "retrieval_mmr_rerank",
+    "incremental_merge_update_columns",
 ]
 
 SF_DIRS = {
