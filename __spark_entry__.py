@@ -144,8 +144,11 @@ _CHECK_FIRST = [
     "retrieval_mmr_rerank",
     # (a'') dbt merge column configs (WHEN MATCHED partial update)
     "incremental_merge_update_columns",
-    # (a'') web curation: URL canonicalization + host rollup
+    # (a'') web curation: URL canonicalization + host rollup + cap
     "web_host_url_stats",
+    "web_cap_per_host",
+    # (a'') Snowflake OBJECT_AGG canonical serialization
+    "object_agg_canonical",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
     "metric_anomaly_daily",

@@ -120,3 +120,44 @@ def host_url_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.min("canonical").alias("sample_canonical"),
         )
     )
+
+
+def cap_per_host(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    cap: int = 100,
+    salt: str = "caphost",
+) -> DataFrame:
+    """Per-domain document cap (RefinedWeb/FineWeb recipe): keep at most
+    ``cap`` documents per canonical HOST, selected by a deterministic
+    salted-md5 rank — an unbiased per-host sample that is stable across
+    partitionings and reruns (no RNG, no first-seen order dependence).
+
+    Hot hosts are exactly the skew case: one window partitioned by host
+    does the job, and AQE skew-split handles a host holding 1% of a
+    100 TB crawl. Rank order is ``(md5(salt‖canonical‖id), id)`` — total
+    even when two docs share a canonical URL. Returns the input columns
+    + ``host`` + ``host_rank`` for the survivors.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    from pyspark.sql import Window
+
+    u = canonicalize_url(url_col)
+    with_host = df.withColumn("host", u["host"]).withColumn(
+        "__cap_key",
+        F.md5(
+            F.concat(
+                F.lit(salt), u["canonical"], F.col(id_col).cast("string")
+            )
+        ),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("__cap_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        with_host.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= cap)
+        .drop("__cap_key")
+    )

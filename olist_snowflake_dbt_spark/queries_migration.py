@@ -274,3 +274,54 @@ def q_incremental_merge_update_columns(
     return incremental_merge(
         existing, batch, ["user_id"], merge_update_columns=["value"]
     )
+
+
+@query(
+    "object_agg_canonical",
+    """
+    WITH cnts AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           '{' || string_agg('"' || o_orderstatus || '":' || CAST(cnt AS VARCHAR),
+                             ',' ORDER BY o_orderstatus) || '}'
+               AS status_counts_json,
+           COUNT(*) AS n_statuses
+    FROM cnts GROUP BY 1
+    """,
+)
+def q_object_agg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake ``OBJECT_AGG(key, value)`` — per-group key→value maps.
+
+    Spark CAN build a MapType (map_from_entries), but map cells are
+    unhashable through the driver's pandas compare and map key order is
+    engine-defined — so the canonical form here (and the documented
+    contract for parity) is the SORTED-KEY JSON string, built with the
+    same concat/sort pipeline on both engines. Construction is a
+    two-level aggregate: count to (group, key) grain first (map-side
+    combinable), then fold the small per-group key set into the object —
+    the grain that keeps aggregate buffers bounded by key cardinality,
+    not row count."""
+    o = _t(spark, sf_dir, "orders")
+    cnts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    kv = F.struct(
+        F.col("o_orderstatus").alias("k"),
+        F.concat(
+            F.lit('"'), F.col("o_orderstatus"), F.lit('":'),
+            F.col("cnt").cast("string"),
+        ).alias("s"),
+    )
+    return cnts.groupBy("o_orderpriority").agg(
+        F.concat(
+            F.lit("{"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kv)), lambda e: e["s"]),
+                ",",
+            ),
+            F.lit("}"),
+        ).alias("status_counts_json"),
+        F.count(F.lit(1)).alias("n_statuses"),
+    )

@@ -16,10 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.web import host_url_stats
+from .operators.web import cap_per_host, host_url_stats
 from .queries import _t, query
 
-_URL_ORACLE = """
+_SYNTH_AND_CANON = """
 WITH urls AS (
     SELECT doc_id,
            (CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END)
@@ -90,12 +90,18 @@ c7 AS (
                 ELSE host END AS domain
     FROM c6
 )
+"""
+
+_URL_ORACLE = (
+    _SYNTH_AND_CANON
+    + """
 SELECT host, domain,
        COUNT(*) AS n_urls,
        COUNT(DISTINCT canonical) AS n_canonical,
        MIN(canonical) AS sample_canonical
 FROM c7 GROUP BY 1, 2
 """
+)
 
 
 def synth_urls(df: DataFrame) -> DataFrame:
@@ -133,3 +139,32 @@ def q_web_host_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere cannot hash-match."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return host_url_stats(synth_urls(docs), "url")
+
+
+_CAP_ORACLE = (
+    _SYNTH_AND_CANON
+    + """
+SELECT host, doc_id, host_rank FROM (
+    SELECT host, doc_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY host
+               ORDER BY md5('caphost' || canonical || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS INT) AS host_rank
+    FROM c7
+) WHERE host_rank <= 3
+"""
+)
+
+
+@query("web_cap_per_host", _CAP_ORACLE)
+def q_web_cap_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (operators/web.cap_per_host): keep ≤3 docs per
+    canonical host via a deterministic salted-md5 rank. The oracle
+    replays canonicalization AND the exact md5 rank order, so the
+    surviving set (not just its size) is pinned — a biased or
+    order-dependent sample cannot hash-match."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = cap_per_host(synth_urls(docs), "url", "doc_id", cap=3)
+    return kept.select(
+        "host", "doc_id", F.col("host_rank").cast("int").alias("host_rank")
+    )

@@ -93,3 +93,27 @@ def test_canonicalization_is_whole_stage_codegen(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cap_per_host_is_deterministic_and_capped(spark):
+    from olist_snowflake_dbt_spark.operators.web import cap_per_host
+
+    rows = [(i, f"http://h{i % 3}.example.com/p{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = cap_per_host(df, "url", "doc_id", cap=4)
+    got = kept.collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append(r.doc_id)
+    assert set(by_host) == {"h0.example.com", "h1.example.com", "h2.example.com"}
+    assert all(len(v) == 4 for v in by_host.values())
+    assert all(1 <= r.host_rank <= 4 for r in got)
+    # determinism across partitionings: same survivor set
+    again = {
+        r.doc_id for r in cap_per_host(df.repartition(7), "url", "doc_id", cap=4).collect()
+    }
+    assert again == {r.doc_id for r in got}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cap_per_host(df, "url", "doc_id", cap=0)
