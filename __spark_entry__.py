@@ -149,6 +149,8 @@ _CHECK_FIRST = [
     "web_cap_per_host",
     # (a'') Snowflake OBJECT_AGG canonical serialization
     "object_agg_canonical",
+    # (a'') dbt-utils surrogate key (byte-compatible md5 + sentinel)
+    "dbt_utils_surrogate_key",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
     "metric_anomaly_daily",

@@ -325,3 +325,40 @@ def q_object_agg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("status_counts_json"),
         F.count(F.lit(1)).alias("n_statuses"),
     )
+
+
+@query(
+    "dbt_utils_surrogate_key",
+    """
+    SELECT o_orderkey,
+           md5(concat_ws('-',
+               coalesce(CAST(o_custkey AS VARCHAR),
+                        '_dbt_utils_surrogate_key_null_'),
+               coalesce(NULLIF(o_orderstatus, 'F'),
+                        '_dbt_utils_surrogate_key_null_'),
+               coalesce(CAST(o_orderdate AS VARCHAR),
+                        '_dbt_utils_surrogate_key_null_')))
+               AS surrogate_key
+    FROM orders
+    WHERE o_orderkey % 4 = 0
+    """,
+)
+def q_dbt_utils_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-utils ``generate_surrogate_key`` (functions/dbt_utils.py):
+    md5 over '-'-joined stringified columns with the dbt-utils NULL
+    sentinel — byte-compatible with keys minted by real dbt-utils
+    projects (the NULLIF branch exercises the sentinel path on both
+    engines). Map-only, codegen'd, zero shuffle."""
+    from .functions.dbt_utils import generate_surrogate_key
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    return o.select(
+        "o_orderkey",
+        generate_surrogate_key(
+            [
+                F.col("o_custkey"),
+                F.expr("nullif(o_orderstatus, 'F')"),
+                F.col("o_orderdate"),
+            ]
+        ).alias("surrogate_key"),
+    )
