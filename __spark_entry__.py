@@ -151,6 +151,8 @@ _CHECK_FIRST = [
     "object_agg_canonical",
     # (a'') dbt-utils surrogate key (byte-compatible md5 + sentinel)
     "dbt_utils_surrogate_key",
+    # (a'') Snowflake string-function parity row
+    "string_predicates_breadth",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
     "metric_anomaly_daily",

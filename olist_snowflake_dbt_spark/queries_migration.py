@@ -362,3 +362,44 @@ def q_dbt_utils_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("surrogate_key"),
     )
+
+
+@query(
+    "string_predicates_breadth",
+    """
+    SELECT o_orderkey,
+           split_part(o_orderpriority, '-', 1) AS prio_code,
+           split_part(o_orderpriority, '-', 2) AS prio_name,
+           (o_orderpriority ILIKE '%urgent%') AS is_urgent_ilike,
+           translate(o_orderstatus, 'OFP', 'ofp') AS status_translated,
+           lpad(CAST(o_custkey AS VARCHAR), 10, '0') AS custkey_padded,
+           repeat(o_orderstatus, 3) AS status_x3
+    FROM orders
+    WHERE o_orderkey % 16 = 0
+    """,
+)
+def q_string_predicates_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake string-function parity in one row: ``SPLIT_PART``
+    (1-based, Spark 3.5+ builtin), ``ILIKE`` (case-insensitive LIKE),
+    ``TRANSLATE``, ``LPAD``, ``REPEAT`` — the rename-level functions a
+    migration hits constantly. All map-only codegen expressions; the
+    value is the pinned cross-engine semantics (1-based part indexing,
+    ILIKE on mixed-case input, translate's char-for-char map)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 16 == 0)
+    return o.select(
+        "o_orderkey",
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).alias(
+            "prio_code"
+        ),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(2)).alias(
+            "prio_name"
+        ),
+        F.expr("o_orderpriority ILIKE '%urgent%'").alias("is_urgent_ilike"),
+        F.translate(F.col("o_orderstatus"), "OFP", "ofp").alias(
+            "status_translated"
+        ),
+        F.lpad(F.col("o_custkey").cast("string"), 10, "0").alias(
+            "custkey_padded"
+        ),
+        F.repeat(F.col("o_orderstatus"), 3).alias("status_x3"),
+    )
