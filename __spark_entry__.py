@@ -153,6 +153,8 @@ _CHECK_FIRST = [
     "dbt_utils_surrogate_key",
     # (a'') Snowflake string-function parity row
     "string_predicates_breadth",
+    # (a'') PySpark 4 polymorphic UDTF (analyze() dynamic schema)
+    "udtf_polymorphic_parse",
     # (b) implementation changed after the r07 driver run (31d91bb)
     "runner_slimci_retry",
     "metric_anomaly_daily",

@@ -94,3 +94,43 @@ def register_udfs(spark) -> None:
         "chunk_words",
         udtf(ChunkWords, returnType="chunk_idx int, chunk string, n_words int"),
     )
+    # polymorphic UDTF: NO returnType — the schema comes from analyze()
+    spark.udtf.register("parse_delimited", udtf(ParseDelimited))
+
+
+class ParseDelimited:
+    """POLYMORPHIC Python UDTF (PySpark 4 ``analyze()`` API): splits a
+    delimited string into named columns where the OUTPUT SCHEMA is
+    derived at plan time from the constant ``fields`` argument —
+    ``parse_delimited(col, '-', 'code,name')`` yields columns
+    ``(code string, name string)``; a different fields spec compiles to
+    a different schema with no code change. This is the dynamic-schema
+    table-function surface (Spark's AnalyzeResult contract): analyze()
+    runs ONCE on the driver with the literal arguments, eval() streams
+    rows on executors. Missing parts yield NULL; NULL input yields no
+    row (UNNEST(NULL) convention, same as ChunkWords)."""
+
+    @staticmethod
+    def analyze(*args):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import StringType, StructType
+
+        if len(args) != 3 or args[2].value is None:
+            raise ValueError(
+                "parse_delimited(text, delim, fields) needs a constant "
+                "fields argument"
+            )
+        schema = StructType()
+        for name in str(args[2].value).split(","):
+            schema = schema.add(name.strip(), StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text, delim, fields):
+        if text is None:
+            return
+        names = str(fields).split(",")
+        parts = str(text).split(str(delim))
+        row = tuple(
+            parts[i] if i < len(parts) else None for i in range(len(names))
+        )
+        yield row

@@ -88,3 +88,33 @@ def q_udf_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_distinct_chars"),
         ((r > F.lit(0.0)) & (r < F.lit(2.0))).alias("ratio_in_bounds"),
     )
+
+
+@query(
+    "udtf_polymorphic_parse",
+    """
+    SELECT o_orderkey,
+           split_part(o_orderpriority, '-', 1) AS code,
+           split_part(o_orderpriority, '-', 2) AS name
+    FROM orders WHERE o_orderkey % 32 = 0
+    """,
+)
+def q_udtf_polymorphic_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (PySpark 4 ``analyze()``): the output
+    schema (code, name) is not declared at registration — analyze()
+    derives it on the driver from the constant ``'code,name'`` argument
+    at plan time (AnalyzeResult contract), then eval() streams splits on
+    executors via LATERAL fan-out. The oracle is the split_part twin, so
+    the dynamic-schema plumbing (column naming, order, NULL fill) is
+    exactly what hash-matches."""
+    U.register_udfs(spark)
+    _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 32 == 0
+    ).createOrReplaceTempView("__orders_udtf")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, p.code, p.name
+        FROM __orders_udtf o,
+        LATERAL parse_delimited(o.o_orderpriority, '-', 'code,name') p
+        """
+    )

@@ -54,3 +54,22 @@ def test_chunk_words_udtf_fanout_and_nulls(spark):
     assert [r["chunk_idx"] for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])] == [1, 2]
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk"] == "solo"
     assert 3 not in by_doc              # NULL text -> no rows
+
+
+def test_polymorphic_udtf_schema_follows_fields_arg(spark):
+    """analyze() must derive different schemas from different constant
+    args, NULL-fill missing parts, and drop NULL-input rows."""
+    from olist_snowflake_dbt_spark.functions.udfs import register_udfs
+
+    register_udfs(spark)
+    wide = spark.sql("SELECT * FROM parse_delimited('a|b', '|', 'x,y,z')")
+    assert wide.columns == ["x", "y", "z"]
+    row = wide.collect()[0]
+    assert (row.x, row.y, row.z) == ("a", "b", None)
+    narrow = spark.sql("SELECT * FROM parse_delimited('a|b', '|', 'only')")
+    assert narrow.columns == ["only"] and narrow.collect()[0].only == "a"
+    none = spark.sql(
+        "SELECT * FROM VALUES (CAST(NULL AS STRING)) t(s), "
+        "LATERAL parse_delimited(t.s, '|', 'x') p"
+    )
+    assert none.count() == 0
