@@ -51,7 +51,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument(
         "command",
         choices=["seed", "run", "test", "build", "ls", "docs", "snapshot",
-                 "clone", "compile", "show"],
+                 "clone", "compile", "show", "run-operation"],
+    )
+    ap.add_argument(
+        "operation",
+        nargs="?",
+        default=None,
+        help="with run-operation: the registered operation name",
+    )
+    ap.add_argument(
+        "--args",
+        dest="op_args",
+        default="{}",
+        help="with run-operation: JSON dict of keyword arguments "
+        "(dbt run-operation --args)",
     )
     ap.add_argument(
         "--project",
@@ -104,7 +117,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--full-refresh",
         dest="full_refresh",
         action="store_true",
-        help="with clone: re-clone over existing local relations",
+        help="run: incremental models rebuild from scratch (dbt "
+        "--full-refresh); clone: re-clone over existing local relations",
     )
     ap.add_argument(
         "--limit",
@@ -156,6 +170,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(f"snapshotted {name} -> {rel.path}")
         return 0
 
+    if args.command == "run-operation":
+        if not args.operation:
+            print("run-operation requires an operation name")
+            return 2
+        import json as _json
+
+        try:
+            result = eng.run_operation(args.operation, **_json.loads(args.op_args))
+        except KeyError as exc:
+            print(str(exc))
+            return 2
+        if result is not None:
+            print(result)
+        return 0
+
     if args.command == "compile":
         for name, sql in eng.compile(
             args.select, exclude=args.exclude, selector=args.selector
@@ -193,6 +222,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     if args.command == "run":
         state = eng.load_state(args.state) if args.state else None
+        # dbt run --full-refresh: incremental models discard the standing
+        # table and rebuild from this run's batch (Engine reads the flag
+        # in _materialize_node's incremental branch)
+        eng.full_refresh = args.full_refresh
         rels = (
             eng.run_concurrent(
                 args.select, exclude=args.exclude, threads=args.threads,

@@ -343,6 +343,27 @@ class Engine:
         self._run_hooks(getattr(self, "on_run_end", None))
         return out
 
+    def register_operation(self, name: str, fn: Callable) -> None:
+        """Register a named operation (dbt macro analogue) invocable via
+        :meth:`run_operation` / CLI ``run-operation``. The callable
+        receives the Engine as its first argument plus the invocation's
+        keyword args — the shape dbt macros get via context."""
+        if not hasattr(self, "_operations"):
+            self._operations: dict[str, Callable] = {}
+        self._operations[name] = fn
+
+    def run_operation(self, name: str, **kwargs):
+        """dbt ``run-operation``: invoke a registered operation by name
+        with keyword args (dbt ``--args`` dict). Raises KeyError listing
+        the known operations when the name is unknown — the compile-time
+        error dbt gives for an unknown macro."""
+        ops = getattr(self, "_operations", {})
+        if name not in ops:
+            raise KeyError(
+                f"no operation named {name!r}; registered: {sorted(ops)}"
+            )
+        return ops[name](self, **kwargs)
+
     def compile(
         self,
         select: str | None = None,

@@ -154,3 +154,57 @@ def test_cli_compile_and_show(spark, tmp_path, capsys):
 
     rc = cli_main(["show", "--warehouse", str(tmp_path / "w3")], spark=spark)
     assert rc == 2
+
+
+def test_run_full_refresh_flag_reaches_incremental(spark, tmp_path):
+    """CLI `run --full-refresh` must rebuild incremental models from the
+    current batch alone (dbt --full-refresh), not merge."""
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    batches = [[(1, 10.0)], [(2, 20.0)]]
+    state = {"i": 0}
+
+    @eng.registry.model(materialized="incremental", unique_key=["id"])
+    def inc(ctx):
+        return ctx.spark.createDataFrame(batches[state["i"]], "id long, v double")
+
+    eng.full_refresh = False
+    eng.run(select="inc")
+    state["i"] = 1
+    eng.registry.invalidate()
+    eng.run(select="inc")
+    assert eng.relations["inc"].df.count() == 2  # merged
+    eng.registry.invalidate()
+    eng.full_refresh = True  # what the CLI flag sets
+    out = eng.run(select="inc")
+    assert {r.id for r in out["inc"].df.collect()} == {2}
+
+
+def test_run_operation_invokes_registered_macro(spark, tmp_path, capsys):
+    from olist_snowflake_dbt_spark.cli import main as cli_main
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    seen = {}
+
+    def grant_all(engine, role="analyst", n=1):
+        seen["args"] = (role, n)
+        return f"granted:{role}:{n}"
+
+    eng.register_operation("grant_all", grant_all)
+    assert eng.run_operation("grant_all", role="admin", n=3) == "granted:admin:3"
+    assert seen["args"] == ("admin", 3)
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="no operation named"):
+        eng.run_operation("nope")
+
+    # CLI surface: unknown op → exit 2 with the registered list
+    rc = cli_main(
+        ["run-operation", "missing_macro", "--warehouse", str(tmp_path / "w2")],
+        spark=spark,
+    )
+    assert rc == 2
+    rc = cli_main(["run-operation", "--warehouse", str(tmp_path / "w3")], spark=spark)
+    assert rc == 2

@@ -73,3 +73,23 @@ def test_polymorphic_udtf_schema_follows_fields_arg(spark):
         "LATERAL parse_delimited(t.s, '|', 'x') p"
     )
     assert none.count() == 0
+
+
+def test_map_in_arrow_surface(spark):
+    """PySpark 4 mapInArrow: the Arrow-native batch lane (RecordBatch in,
+    RecordBatch out) — the zero-copy sibling of mapInPandas used by the
+    multimodal kernels. Verifies batch shape and arithmetic parity."""
+    import pyarrow as pa
+
+    df = spark.range(100).withColumn("v", (F.col("id") % 7).cast("long"))
+
+    def double_v(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [b.column("id"), pa.compute.multiply(b.column("v"), 2)],
+                names=["id", "v2"],
+            )
+
+    out = df.mapInArrow(double_v, "id long, v2 long")
+    rows = {r.id: r.v2 for r in out.collect()}
+    assert rows == {i: (i % 7) * 2 for i in range(100)}
