@@ -103,9 +103,13 @@ _CHECK_FIRST = [
     "dbt_utils_surrogate_key",
     "string_predicates_breadth",
     "udtf_polymorphic_parse",
-    # rotation: implementation changed this session (threshold grammar)
-    "dq_verdict",
+    # wave 2, final addition: the composed web-curation funnel
+    "web_corpus_prep",
 ]
+# dq_verdict's evaluate_test gained the threshold grammar this round but
+# lost its rotation slot to the never-covered web_corpus_prep (novelty >
+# staleness when slots run out); its defaults are bit-compatible and it
+# stays gate.py-verified on current code every round.
 
 
 

@@ -168,3 +168,88 @@ def q_web_cap_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "host", "doc_id", F.col("host_rank").cast("int").alias("host_rank")
     )
+
+
+_PREP_ORACLE = (
+    _SYNTH_AND_CANON
+    + """
+, capped AS (
+    SELECT host, doc_id, canonical FROM (
+        SELECT host, doc_id, canonical,
+               ROW_NUMBER() OVER (
+                   PARTITION BY host
+                   ORDER BY md5('caphost' || canonical
+                                || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS host_rank
+        FROM c7
+    ) WHERE host_rank <= 20
+),
+dedup AS (
+    SELECT host, canonical, MIN(doc_id) AS doc_id
+    FROM capped GROUP BY 1, 2
+),
+gated AS (
+    SELECT d.host, d.doc_id, docs.n_chars
+    FROM dedup d JOIN documents docs ON docs.doc_id = d.doc_id
+    WHERE docs.n_chars >= 100
+),
+a AS (SELECT host, COUNT(*) AS n_after_cap FROM capped GROUP BY 1),
+b AS (SELECT host, COUNT(*) AS n_after_dedup FROM dedup GROUP BY 1),
+g AS (
+    SELECT host, COUNT(*) AS n_final,
+           CAST(SUM(n_chars) AS BIGINT) AS total_kept_chars
+    FROM gated GROUP BY 1
+)
+SELECT a.host, a.n_after_cap, b.n_after_dedup,
+       COALESCE(g.n_final, 0) AS n_final,
+       COALESCE(g.total_kept_chars, 0) AS total_kept_chars
+FROM a JOIN b ON a.host = b.host
+LEFT JOIN g ON g.host = a.host
+"""
+)
+
+
+@query("web_corpus_prep", _PREP_ORACLE)
+def q_web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web curation as ONE declarative plan (the crawl-side
+    sibling of corpus_prep_pipeline): canonicalize synthetic messy URLs
+    -> per-host cap (<=20, deterministic md5 rank) -> URL-level exact
+    dedup (keep min doc_id per canonical) -> length quality gate
+    (n_chars >= 100, the cheap-filter stand-in) -> per-host funnel
+    audit. Every stage's survivor count is pinned per host, so a drift
+    anywhere in the funnel (wrong cap order, dedup key, gate predicate)
+    cannot hash-match. Plan shape: map-only canonicalization feeding one
+    host window, one (host, canonical) aggregate, one id join to the
+    quality column, three per-host aggregates sharing the host
+    partitioning."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    capped = cap_per_host(
+        synth_urls(docs.select("doc_id", "source")), "url", "doc_id", cap=20
+    )
+    from .operators.web import canonicalize_url
+
+    capped = capped.withColumn("canonical", canonicalize_url("url")["canonical"])
+    dedup = capped.groupBy("host", "canonical").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    gated = dedup.join(docs.select("doc_id", "n_chars"), "doc_id").filter(
+        F.col("n_chars") >= 100
+    )
+    a = capped.groupBy("host").agg(F.count(F.lit(1)).alias("n_after_cap"))
+    b = dedup.groupBy("host").agg(F.count(F.lit(1)).alias("n_after_dedup"))
+    g = gated.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum("n_chars").cast("bigint").alias("total_kept_chars"),
+    )
+    return (
+        a.join(b, "host")
+        .join(g, "host", "left")
+        .select(
+            "host",
+            "n_after_cap",
+            "n_after_dedup",
+            F.coalesce(F.col("n_final"), F.lit(0)).alias("n_final"),
+            F.coalesce(F.col("total_kept_chars"), F.lit(0)).cast("bigint")
+            .alias("total_kept_chars"),
+        )
+    )

@@ -124,6 +124,22 @@ FLAGSHIPS = [
      "levenshtein as residuals (never a cartesian); min-label CC joins "
      "per round on the node id; survivorship is a single "
      "map-side-combinable struct-min/max aggregate per entity."),
+    ("web_host_url_stats", "URL canonicalization is a map-only codegen "
+     "projection (no UDF, no regex backtracking); the ONLY exchange is "
+     "the final host-keyed hash aggregate with map-side partials — the "
+     "crawl never shuffles for canonicalization itself."),
+    ("retrieval_mmr_rerank", "MMR: brute-force candidate stage is the "
+     "documented broadcast(queries)-vs-corpus baseline; pair sims "
+     "equi-join on query_id over the capped candidate set (N^2 bounded "
+     "by the cap); the greedy runs in ONE cogrouped Arrow exchange per "
+     "side."),
+    ("listagg_within_group", "Ordered LISTAGG: sort-struct collect "
+     "inside a single hash aggregate — one exchange on the group key, "
+     "no window, no global sort."),
+    ("incremental_merge_update_columns", "Partial-update MERGE: "
+     "survivors (anti), matched rebuild (inner), and inserts (anti) all "
+     "hash-join on the SAME unique-key partitioning; the batch ships "
+     "only key + update columns into the matched rebuild."),
 ]
 
 
