@@ -236,7 +236,8 @@ _COS_NANO = f"""CAST(floor(CAST({_DOT_DEC} AS DOUBLE)
 
 _MMR_ORACLE = f"""
 WITH q AS (
-    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id % 100 = 0 AND vec_id < 500
 ),
 cos AS (
     SELECT a.vec_id AS query_id, b.vec_id AS doc_id, {_COS_NANO} AS rel_nano
@@ -308,18 +309,21 @@ SELECT query_id, CAST(3 AS INT) AS rank, doc_id, mmr_nano FROM s3
 
 @query("retrieval_mmr_rerank", _MMR_ORACLE)
 def q_retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR diversity re-ranking (operators/retrieval.mmr_rerank): 5
-    query vectors (vec_id % 100 = 0), 12 brute-force cosine candidates
-    each (the documented exact baseline — production swaps in ann_lsh
-    for the candidate stage), pairwise candidate sims, then the greedy
-    λ=7/10 integer-nano selection of k=3 in a cogrouped Arrow kernel.
-    The oracle unrolls the 3 greedy steps in SQL — selection replayed
-    bit-exactly, not approximately."""
+    """MMR diversity re-ranking (operators/retrieval.mmr_rerank): a
+    FIXED batch of 5 query vectors (vec_id % 100 = 0 AND < 500 — the
+    query set must not grow with the corpus, or the brute-force
+    candidate stage goes quadratic; the sf0.1→sf1 lane measured exactly
+    that at 81× before this pin, 3.4× after), 12 brute-force cosine
+    candidates each (the documented exact baseline — production swaps
+    in ann_lsh for the candidate stage), pairwise candidate sims, then
+    the greedy λ=7/10 integer-nano selection of k=3 in a cogrouped
+    Arrow kernel. The oracle unrolls the 3 greedy steps in SQL —
+    selection replayed bit-exactly, not approximately."""
     from .functions.vector import cosine_similarity
     from .operators.retrieval import mmr_rerank
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+    q = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 500)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     nano = lambda c: F.floor(c * F.lit(1_000_000_000.0)).cast("bigint")  # noqa: E731
