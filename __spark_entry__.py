@@ -52,7 +52,12 @@ _CHECK_FIRST = [
     # asof_click_attribution, mm_decode, sessionize_events, ...) keep
     # their historical driver rows and are re-verified on current code
     # every round by tools/gate.py (GATE.json: oracle 214/214).
-    "fct_orders",
+    # fct_orders yields its customary first slot this round: it carries
+    # green driver rows from EVERY prior round (r01–r07) and entry()
+    # still smoke-runs it each round, while all 50 rows below are
+    # round-8 queries with no driver row yet. gate.py re-verifies
+    # fct_orders on current code every round.
+    "gapfill_locf_interp",
     # wave 1 (earlier round-8 session)
     "timetravel_changes",
     "timetravel_stream_consume",
