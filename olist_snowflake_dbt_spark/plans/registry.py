@@ -422,6 +422,53 @@ class ModelRegistry:
             out[name] = hashlib.md5(payload.encode()).hexdigest()
         return out
 
+    def checksums_detail(self) -> dict[str, dict[str, str]]:
+        """Per-ASPECT definition checksums — dbt's ``state:modified``
+        sub-selector granularity (dbt-core state methods): ``body`` (the
+        builder text, plus the CURRENT values of any env_var() it reads
+        — env drift is body drift), ``configs`` (config minus contract),
+        ``contract`` (the contract config alone), ``relation`` (the
+        materialization type), and ``all`` (the combined checksum, equal
+        to :meth:`checksums`)."""
+        import hashlib
+        import inspect
+        import json as _json
+        import os as _os
+
+        def h(obj) -> str:
+            return hashlib.md5(
+                _json.dumps(obj, sort_keys=True, default=str).encode()
+            ).hexdigest()
+
+        alls = self.checksums()
+        out: dict[str, dict[str, str]] = {}
+        for name, m in self._models.items():
+            if isinstance(m.builder, str):
+                body = m.builder
+            else:
+                try:
+                    body = inspect.getsource(m.builder)
+                except (OSError, TypeError):
+                    body = repr(m.builder)
+            env = {
+                k: (
+                    "<secret-set>"
+                    if k.startswith(_ENV_SECRET_PREFIX) and k in _os.environ
+                    else _os.environ.get(k)
+                )
+                for k in sorted(set(_ENV_NAME_RE.findall(body)))
+            }
+            cfg = {k: v for k, v in m.config.items() if k != "contract"}
+            out[name] = {
+                "all": alls[name],
+                "body": h({"body": body, "env": env}),
+                "configs": h({"config": dict(sorted(cfg.items())),
+                              "tags": sorted(m.tags)}),
+                "contract": h(m.config.get("contract")),
+                "relation": h(m.materialized),
+            }
+        return out
+
     def _select_atom(
         self,
         atom: str,
@@ -452,15 +499,46 @@ class ModelRegistry:
                     "(pass state=... / Engine state_path)"
                 )
             mode = core[6:]
-            current = self.checksums()
+
+            def _aspect_of(entry, aspect: str):
+                # state manifest compatibility: legacy files store a
+                # flat name→hash (the "all" checksum); detail files
+                # store name→{aspect: hash}
+                if isinstance(entry, dict):
+                    return entry.get(aspect)
+                return entry if aspect == "all" else None
+
             if mode == "new":
+                current = self.checksums()
                 cores = [n for n in current if n not in state]
-            elif mode == "modified":
-                # dbt state:modified includes new nodes (no prior state
-                # to match) plus any whose checksum changed
-                cores = [
-                    n for n, c in current.items() if state.get(n) != c
-                ]
+            elif mode == "modified" or mode.startswith("modified."):
+                # dbt state:modified[.<aspect>] — sub-selectors narrow
+                # the comparison to one definition aspect (body /
+                # configs / contract / relation); new nodes (absent
+                # from the saved state) count as modified under every
+                # aspect, matching dbt
+                aspect = mode[9:].lstrip(".") or "all"
+                if aspect not in (
+                    "all", "body", "configs", "contract", "relation"
+                ):
+                    raise CompilationError(
+                        f"unknown state:modified aspect {aspect!r} "
+                        "(body / configs / contract / relation)"
+                    )
+                detail = self.checksums_detail()
+                cores = []
+                for n, d in detail.items():
+                    saved = state.get(n)
+                    if saved is None:
+                        cores.append(n)  # new node: modified per dbt
+                    elif isinstance(saved, dict) and aspect in saved:
+                        if saved[aspect] != d[aspect]:
+                            cores.append(n)
+                    # legacy flat manifest: only the combined checksum
+                    # exists — fall back to comparing it (conservative:
+                    # any change selects, never a silent miss)
+                    elif _aspect_of(saved, "all") != d["all"]:
+                        cores.append(n)
             else:
                 raise CompilationError(
                     f"unknown state selector {core!r} (state:modified / state:new)"

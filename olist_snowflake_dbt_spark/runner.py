@@ -980,7 +980,13 @@ class Engine:
         path = path or os.path.join(self.warehouse_dir, "state.json")
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w", encoding="utf-8") as fh:
-            json.dump(self.registry.checksums(), fh, indent=1, sort_keys=True)
+            # per-aspect detail (body/configs/contract/relation/all) so a
+            # later run can use dbt's state:modified.<aspect>
+            # sub-selectors; legacy flat manifests still load (the
+            # selector falls back to the combined checksum)
+            json.dump(
+                self.registry.checksums_detail(), fh, indent=1, sort_keys=True
+            )
         return path
 
     def load_state(self, path: str | None = None) -> dict:

@@ -331,3 +331,92 @@ def test_docs_manifest_includes_new_surfaces(spark, tmp_path):
     assert doc["grants"]["mart"] == {"select": ["bi"]}
     assert doc["selectors"]["core"] == {"select": "mart", "exclude": None}
     assert doc["selectors"]["__default__"] == "core"
+
+
+class TestStateModifiedAspects:
+    """dbt state:modified.<aspect> sub-selectors over the per-aspect
+    state manifest (registry.checksums_detail / Engine.write_state)."""
+
+    def _eng(self, spark, tmp_path, cfg=None, sql=None):
+        from olist_snowflake_dbt_spark.runner import Engine
+
+        eng = Engine(spark, str(tmp_path / "wh"))
+        src = spark.createDataFrame([(1, 2.0)], "id long, v double")
+        eng.registry.register_source("rawtab", src)
+        eng.registry.register(
+            "m1",
+            sql or "SELECT id, v FROM {{ ref('rawtab') }}",
+            materialized="table",
+            **(cfg or {}),
+        )
+        return eng
+
+    def test_body_change_selects_only_under_body(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        state = __import__("json").load(open(eng.write_state()))
+        eng2 = self._eng(
+            spark, tmp_path, sql="SELECT id, v*2 AS v FROM {{ ref('rawtab') }}"
+        )
+        sel_body = eng2.registry.select("state:modified.body", state=state)
+        sel_cfg = eng2.registry.select("state:modified.configs", state=state)
+        assert "m1" in sel_body and "m1" not in sel_cfg
+
+    def test_config_change_selects_only_under_configs(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        state = __import__("json").load(open(eng.write_state()))
+        eng2 = self._eng(spark, tmp_path, cfg={"grants": {"select": ["x"]}})
+        assert "m1" in eng2.registry.select(
+            "state:modified.configs", state=state
+        )
+        assert "m1" not in eng2.registry.select(
+            "state:modified.body", state=state
+        )
+        # the combined selector sees it too
+        assert "m1" in eng2.registry.select("state:modified", state=state)
+
+    def test_contract_change_is_its_own_aspect(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        state = __import__("json").load(open(eng.write_state()))
+        eng2 = self._eng(
+            spark, tmp_path,
+            cfg={"contract": {"columns": {"id": "bigint", "v": "double"}}},
+        )
+        assert "m1" in eng2.registry.select(
+            "state:modified.contract", state=state
+        )
+        assert "m1" not in eng2.registry.select(
+            "state:modified.body", state=state
+        )
+
+    def test_new_node_modified_under_every_aspect(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        state = __import__("json").load(open(eng.write_state()))
+        eng.registry.register("m2", "SELECT 1 AS one")
+        for aspect in ("body", "configs", "contract", "relation"):
+            assert "m2" in eng.registry.select(
+                f"state:modified.{aspect}", state=state
+            )
+
+    def test_legacy_flat_manifest_falls_back_to_all(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        legacy = eng.registry.checksums()  # flat name -> hash
+        # unchanged: nothing selected under any aspect
+        assert eng.registry.select("state:modified.body", state=legacy) == set()
+        # changed body: selected via the conservative all-fallback
+        eng2 = self._eng(
+            spark, tmp_path, sql="SELECT id FROM {{ ref('rawtab') }}"
+        )
+        assert "m1" in eng2.registry.select(
+            "state:modified.body", state=legacy
+        )
+
+    def test_unknown_aspect_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.plans.registry import CompilationError
+
+        eng = self._eng(spark, tmp_path)
+        with _pytest.raises(CompilationError, match="unknown state:modified"):
+            eng.registry.select(
+                "state:modified.macros", state={}
+            )
