@@ -32,6 +32,7 @@ from .events import (
     session_stats,
     stream_events,
     user_running_totals,
+    user_sessions_tws,
     user_totals_tws,
     windowed_event_counts,
 )
@@ -48,6 +49,7 @@ __all__ = [
     "session_stats",
     "stream_events",
     "user_running_totals",
+    "user_sessions_tws",
     "user_totals_tws",
     "windowed_event_counts",
 ]

@@ -445,6 +445,112 @@ def user_totals_tws(stream: DataFrame) -> DataFrame:
     )
 
 
+def user_sessions_tws(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """EVENT-TIME TIMERS on the Spark 4 stateful API: gap-based session
+    CLOSE, emitted by ``handleExpiredTimer`` when the watermark proves
+    the session over — the surface ``session_window`` cannot express
+    custom per-session payloads through, and the part of
+    ``transformWithStateInPandas`` (timers) that ``user_totals_tws``'s
+    ValueState lane does not exercise.
+
+    Semantics per user key:
+
+    - events arriving in one batch are split on the gap locally;
+      sessions PROVEN closed inside the batch (a later in-batch event
+      more than ``gap_seconds`` after them) emit immediately;
+    - the trailing open session is held in a ValueState and a timer is
+      registered at ``last_event + gap``; when the EVENT-TIME watermark
+      passes that point, ``handleExpiredTimer`` emits the session and
+      clears state — no new event can extend it (that is the watermark
+      contract, the same reason stream-stream outer joins gate their
+      NULL rows);
+    - a timer made stale by a session extension is ignored on expiry
+      (the state's ``last + gap`` exceeds the fired expiry), so timer
+      re-registration needs no delete bookkeeping.
+
+    State per key is ONE (start, last, n) triple + pending timers —
+    O(keys), not O(events). Requires RocksDB state store + a watermark
+    on ``ts`` (event-time timeMode); Append output.
+    """
+    import pandas as pd  # noqa: F811 (worker-side import, like siblings)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_seconds * 1000
+
+    def _frame(key, start_ms, last_ms, n):
+        return pd.DataFrame(
+            {
+                "user_id": [key],
+                "session_start_ms": [start_ms],
+                "session_end_ms": [last_ms + gap_ms],
+                "n_events": [n],
+            }
+        )
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._open = handle.getValueState(
+                "open_session", "start_ms long, last_ms long, n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            times: list[int] = []
+            for pdf in rows:
+                times.extend(
+                    int(t)
+                    for t in pdf["ts"].values.astype("datetime64[ms]").astype("int64")
+                )
+            times.sort()
+            if self._open.exists():
+                start, last, n = self._open.get()
+            else:
+                start, last, n = None, None, 0
+            for t in times:
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last <= gap_ms:
+                    last, n = max(last, t), n + 1
+                else:
+                    # closed WITHIN the batch: a later event proves the gap
+                    yield _frame(key[0], start, last, n)
+                    start, last, n = t, t, 1
+            if start is not None:
+                self._open.update((start, last, n))
+                self._handle.registerTimer(last + gap_ms)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._open.exists():
+                return
+            start, last, n = self._open.get()
+            if expiredTimerInfo.getExpiryTimeInMs() < last + gap_ms:
+                return  # stale timer: the session was extended since
+            yield _frame(key[0], start, last, n)
+            self._open.clear()
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "ts")
+        .withWatermark("ts", "1 second")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _SessionProcessor(),
+            outputStructType=(
+                "user_id long, session_start_ms long, "
+                "session_end_ms long, n_events long"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 def cdc_apply_stream(
     changes_stream: DataFrame,
     state_path: str,

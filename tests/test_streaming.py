@@ -477,3 +477,115 @@ def test_stream_stream_left_outer_emits_nulls_and_matches_batch(spark, sf_dir):
     )
     assert out.exceptAll(batch).count() == 0
     assert batch.exceptAll(out).count() == 0
+
+
+def test_tws_event_time_timers_close_sessions(spark, sf_dir, tmp_path):
+    """transformWithState EVENT-TIME TIMERS: sessions close when the
+    watermark passes last_event + gap — emitted from handleExpiredTimer,
+    not from data arrival. Two-file mtime-ordered replay: real events,
+    then a far-future sentinel that advances the watermark past every
+    real session. The closed-session set must equal the batch
+    gaps-and-islands sessionization exactly."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from olist_snowflake_dbt_spark.compat import ensure_protobuf
+    from olist_snowflake_dbt_spark.sources.readers import read_table
+    from olist_snowflake_dbt_spark.streaming import (
+        run_available_now,
+        user_sessions_tws,
+    )
+
+    if not ensure_protobuf(spark):
+        import pytest as _pytest
+
+        _pytest.skip("protobuf unavailable for the tws state server")
+
+    gap_s = 1800
+    src = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 8)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    max_ts = src.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + dt.timedelta(days=3))], "user_id long, ts timestamp"
+    )
+    stage = str(tmp_path / "stream")
+    os.makedirs(stage)
+    for i, df in enumerate([src, sentinel]):
+        part_dir = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.parquet(part_dir)
+        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(stage, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        sink = run_available_now(
+            user_sessions_tws(stream, gap_seconds=gap_s),
+            "append",
+            state_partitions=8,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got = {
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events)
+        for r in sink.filter(F.col("user_id") >= 0).collect()
+    }
+    assert got, "timers must have fired and emitted sessions"
+
+    # batch twin: gaps-and-islands with the same gap
+    from pyspark.sql import Window as W
+
+    ms = F.unix_millis(F.col("ts"))  # same ms floor as the processor
+    w = W.partitionBy("user_id").orderBy("ms")
+    marked = src.withColumn("ms", ms).withColumn(
+        "new_sess",
+        F.when(
+            F.col("ms") - F.lag("ms").over(w) <= gap_s * 1000, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "sess_no",
+        F.sum("new_sess").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    batch = (
+        marked.groupBy("user_id", "sess_no")
+        .agg(
+            F.min("ms").alias("s"), F.max("ms").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "user_id",
+            F.col("s").alias("session_start_ms"),
+            (F.col("e") + gap_s * 1000).alias("session_end_ms"),
+            F.col("n").alias("n_events"),
+        )
+    )
+    want = {
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events)
+        for r in batch.collect()
+    }
+    assert got == want
