@@ -51,7 +51,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument(
         "command",
         choices=["seed", "run", "test", "build", "ls", "docs", "snapshot",
-                 "clone", "compile", "show", "run-operation"],
+                 "clone", "compile", "show", "run-operation",
+                 "source-freshness"],
     )
     ap.add_argument(
         "operation",
@@ -169,6 +170,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         for name, rel in rels.items():
             print(f"snapshotted {name} -> {rel.path}")
         return 0
+
+    if args.command == "source-freshness":
+        # dbt source freshness: evaluate every registered contract;
+        # exit 1 when any source errors (stale beyond error_after)
+        results = eng.check_source_freshness()
+        if not results:
+            print("no source freshness contracts registered")
+            return 0
+        worst_error = False
+        for name, res in results.items():
+            status = res.status.value if hasattr(res.status, "value") else str(res.status)
+            age = "n/a" if res.age_seconds is None else f"{res.age_seconds:.0f}s"
+            print(f"{status.upper():5s}  {name} (age {age})")
+            # dbt exit semantics: WARN prints but passes; ERROR fails
+            worst_error = worst_error or status.upper() == "ERROR"
+        return 1 if worst_error else 0
 
     if args.command == "run-operation":
         if not args.operation:

@@ -1000,6 +1000,39 @@ class Engine:
     # -- source freshness (dbt source freshness; dbt-core
     # dbt/task/freshness.py semantics: max(loaded_at) age vs
     # warn_after/error_after) --------------------------------------------
+    def register_source_freshness(
+        self,
+        source: str,
+        loaded_at_field: str,
+        warn_after_seconds: float,
+        error_after_seconds: float,
+    ) -> None:
+        """Declare a source's freshness contract (dbt sources-yml
+        ``freshness:`` + ``loaded_at_field``), consumed by
+        :meth:`check_source_freshness` / CLI ``source-freshness``."""
+        if not hasattr(self, "_freshness_specs"):
+            self._freshness_specs: dict[str, tuple] = {}
+        self._freshness_specs[source] = (
+            loaded_at_field, warn_after_seconds, error_after_seconds,
+        )
+
+    def check_source_freshness(self, as_of=None) -> dict[str, "FreshnessResult"]:
+        """dbt ``source freshness`` task: evaluate every registered
+        freshness contract. ``as_of`` defaults to now(UTC) — pass an
+        explicit anchor for deterministic tests."""
+        import datetime as _dt
+
+        if as_of is None:
+            as_of = _dt.datetime.now(tz=_dt.timezone.utc)
+        out: dict[str, FreshnessResult] = {}
+        for source, (field, warn_s, err_s) in sorted(
+            getattr(self, "_freshness_specs", {}).items()
+        ):
+            out[source] = self.source_freshness(
+                source, field, warn_s, err_s, as_of=as_of
+            )
+        return out
+
     def source_freshness(
         self,
         source: str,

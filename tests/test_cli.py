@@ -208,3 +208,36 @@ def test_run_operation_invokes_registered_macro(spark, tmp_path, capsys):
     assert rc == 2
     rc = cli_main(["run-operation", "--warehouse", str(tmp_path / "w3")], spark=spark)
     assert rc == 2
+
+
+def test_source_freshness_registry_and_cli(spark, tmp_path, capsys):
+    """Registered freshness contracts evaluated in bulk; dbt exit
+    semantics (WARN passes, ERROR fails)."""
+    import datetime as dt
+
+    from olist_snowflake_dbt_spark.cli import main as cli_main
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    fresh = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 0, 0))], "id long, loaded_at timestamp"
+    )
+    stale = spark.createDataFrame(
+        [(1, dt.datetime(2023, 1, 1, 0, 0, 0))], "id long, loaded_at timestamp"
+    )
+    eng.registry.register_source("src_fresh", fresh)
+    eng.registry.register_source("src_stale", stale)
+    eng.register_source_freshness("src_fresh", "loaded_at", 86400, 864000)
+    eng.register_source_freshness("src_stale", "loaded_at", 86400, 864000)
+    as_of = dt.datetime(2024, 1, 1, 13, 0, 0)
+    res = eng.check_source_freshness(as_of=as_of)
+    assert res["src_fresh"].fresh
+    assert not res["src_stale"].fresh
+    assert res["src_stale"].status.name == "ERROR"
+
+    # CLI with no contracts registered: informative, exit 0
+    rc = cli_main(
+        ["source-freshness", "--warehouse", str(tmp_path / "w2")], spark=spark
+    )
+    assert rc == 0
+    assert "no source freshness" in capsys.readouterr().out
