@@ -127,6 +127,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         default=5,
         help="with show: number of preview rows (dbt show --limit)",
     )
+    ap.add_argument(
+        "--vars",
+        dest="cli_vars",
+        default="{}",
+        help="JSON dict of project variables rendered by {{ var('k') }} "
+        "(dbt --vars; overrides project defaults)",
+    )
     args = ap.parse_args(argv)
 
     from .runner import Engine
@@ -136,6 +143,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         spark = get_spark("cli")
     eng = Engine(spark, args.warehouse)
+    if args.cli_vars and args.cli_vars != "{}":
+        # dbt --vars: CLI values override project defaults BEFORE any
+        # model compiles ({{ var('k') }} renders from this mapping)
+        import json as _json
+
+        parsed = _json.loads(args.cli_vars)
+        if not isinstance(parsed, dict):
+            print("--vars must be a JSON object")
+            return 2
+        eng.registry.variables.update(parsed)
 
     # sources first (every downstream command resolves refs against them),
     # then the project's model/test registrations

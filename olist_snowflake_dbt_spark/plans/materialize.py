@@ -173,10 +173,17 @@ def clone_table(src: str, dst: str) -> int:
     count; raises if ``dst`` exists (clone is create, not overwrite)."""
     if os.path.exists(dst):
         raise FileExistsError(f"clone target already exists: {dst}")
+    # crash safety: link into a staging sibling, publish with ONE atomic
+    # rename — a clone that dies mid-walk leaves only the staging dir
+    # (ignored and replaced by the next attempt), never a partial dst
+    # that a retry would mistake for a finished clone
+    stage = dst + ".__clone_tmp__"
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
     n = 0
     for root, _dirs, files in os.walk(src):
         rel = os.path.relpath(root, src)
-        target_root = os.path.join(dst, rel) if rel != "." else dst
+        target_root = os.path.join(stage, rel) if rel != "." else stage
         os.makedirs(target_root, exist_ok=True)
         for f in files:
             s, d = os.path.join(root, f), os.path.join(target_root, f)
@@ -185,6 +192,7 @@ def clone_table(src: str, dst: str) -> int:
             except OSError:  # cross-device / FS without hardlinks
                 shutil.copy2(s, d)
             n += 1
+    os.rename(stage, dst)
     return n
 
 

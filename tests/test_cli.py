@@ -241,3 +241,45 @@ def test_source_freshness_registry_and_cli(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "no source freshness" in capsys.readouterr().out
+
+
+def test_cli_vars_override_and_clone_staging_cleanup(spark, tmp_path, capsys):
+    import os
+
+    from olist_snowflake_dbt_spark.cli import main as cli_main
+    from olist_snowflake_dbt_spark.plans.materialize import clone_table
+    from olist_snowflake_dbt_spark.runner import Engine
+
+    # --vars reaches {{ var() }} rendering via compile
+    rc = cli_main(
+        ["compile", "--warehouse", str(tmp_path / "w"),
+         "--select", "fct_orders", "--vars", '{"unused_var": 1}'],
+        spark=spark,
+    )
+    assert rc == 0
+    rc = cli_main(
+        ["compile", "--warehouse", str(tmp_path / "w1"), "--vars", "[1,2]"],
+        spark=spark,
+    )
+    assert rc == 2
+
+    # clone staging: a leftover partial staging dir is swept; the
+    # published clone only appears via the final atomic rename
+    prod = Engine(spark, str(tmp_path / "prod"))
+    src_df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    prod.registry.register_source("rawtab", src_df)
+    prod.registry.register(
+        "t1", "SELECT id, v FROM {{ ref('rawtab') }}", materialized="table"
+    )
+    prod.run()
+    src = os.path.join(prod.warehouse_dir, "t1")
+    dst = str(tmp_path / "dev_t1")
+    stale_stage = dst + ".__clone_tmp__"
+    os.makedirs(stale_stage)
+    open(os.path.join(stale_stage, "junk"), "w").write("partial")
+    n = clone_table(src, dst)
+    assert n > 0 and os.path.isdir(dst)
+    assert not os.path.exists(stale_stage)
+    assert not os.path.exists(os.path.join(dst, "junk"))
+    got = spark.read.parquet(dst).collect()
+    assert got[0].v == 2.0
