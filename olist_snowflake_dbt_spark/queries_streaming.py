@@ -533,4 +533,6 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, horizon="10 minutes", watermark="1 minute"
     )
     sink = run_available_now(joined, "append", state_partitions=8)
+    # the memory sink holds the rows; the staged replay files are done
+    _shutil.rmtree(root, ignore_errors=True)
     return sink.filter(F.col("user_id") >= 0)
