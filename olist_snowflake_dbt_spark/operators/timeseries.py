@@ -21,11 +21,14 @@ ordinary exchanges:
 The island formulation is chosen over ``last_value(... IGNORE NULLS)``
 deliberately: it is expressible identically on any engine (the oracle
 replays it token-for-token) and never needs an unbounded-following
-scan. Cost: one exchange on the key serves bucketing, both island
-windows, and the fill — per-key state is O(key's span / step), which is
-the output size the caller asked for. Skewed keys (one user spanning
-years) are AQE-splittable only across keys, not within; at 100 TB cap
-the spine span per key upstream (documented, not hidden).
+scan. Measured cost (`.explain`, sf0.001): FOUR exchanges — the
+(key, bucket) keep-latest window, the per-key span aggregate, the
+spine⋈observations join, and the key-partitioned fill windows (fwd +
+rev + both island groups all share that last one). Each is on the
+operator's natural grain; per-key state is O(key's span / step), which
+is exactly the output size the caller asked for. Skewed keys (one user
+spanning years) are AQE-splittable only across keys, not within; at
+100 TB cap the spine span per key upstream (documented, not hidden).
 
 Before a key's first observation both fills are NULL (nothing to carry);
 after the last, ``locf`` holds and ``interpolate`` degrades to locf
