@@ -148,13 +148,13 @@ def q_flatten_with_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) OVER (PARTITION BY event_type) AS n
         FROM events
     ),
-    med AS (
-        SELECT event_type, value AS median_value
-        FROM ranked WHERE rn = (n + 1) // 2
-    ),
-    p90 AS (
-        SELECT event_type, value AS p90_value
-        FROM ranked WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+    pct AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN value END)
+                   AS median_value,
+               MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END)
+                   AS p90_value
+        FROM ranked GROUP BY event_type
     ),
     freq AS (
         SELECT event_type, value, COUNT(*) AS cnt
@@ -166,8 +166,8 @@ def q_flatten_with_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUALIFY row_number() OVER (
             PARTITION BY event_type ORDER BY cnt DESC, value ASC) = 1
     )
-    SELECT med.event_type, med.median_value, p90.p90_value, md.mode_value
-    FROM med JOIN p90 USING (event_type) JOIN md USING (event_type)
+    SELECT pct.event_type, pct.median_value, pct.p90_value, md.mode_value
+    FROM pct JOIN md USING (event_type)
     """,
 )
 def q_median_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,8 +179,11 @@ def q_median_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     a TOTAL order (value, then unique event_id) and pick the
     lower-median rank (n+1)//2 and rank ceil(0.9n); mode = highest
     count, ties to the smallest value. Identical formulas both sides ⇒
-    hash-exact. One exchange on event_type serves both windows; the
-    mode branch is a pre-aggregated (event_type,value) rollup — tiny.
+    hash-exact. Plan shape (audited): the percentile branch is ONE
+    ranked window pass folded by a conditional aggregate — no
+    med/p90 self-joins (the filter-then-join formulation costs two
+    extra exchanges; this is the plan you'd want at 100x); the mode
+    branch is a pre-aggregated (event_type,value) rollup — tiny.
     """
     e = _t(spark, sf_dir, "events")
     w = W.partitionBy("event_type").orderBy("value", "event_id")
@@ -188,16 +191,23 @@ def q_median_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = e.select(
         "event_type",
         "value",
-        "event_id",
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
-    med = ranked.filter(
-        F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint")
-    ).select("event_type", F.col("value").alias("median_value"))
-    p90 = ranked.filter(
-        F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")).cast("bigint")
-    ).select("event_type", F.col("value").alias("p90_value"))
+    pct = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("median_value"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("p90_value"),
+    )
     freq = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cnt"))
     wm = W.partitionBy("event_type").orderBy(
         F.col("cnt").desc(), F.col("value").asc()
@@ -207,7 +217,7 @@ def q_median_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", F.col("value").alias("mode_value"))
     )
-    return med.join(p90, "event_type").join(md, "event_type")
+    return pct.join(md, "event_type")
 
 
 @query(
