@@ -106,9 +106,12 @@ def host_url_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Host-level URL rollup: per (host, domain) — page count, distinct
     canonical URLs (the URL-dedup denominator), and the lexicographic
     min canonical as a stable exemplar. One map-side canonicalization +
-    one hash aggregate on host; at crawl scale this IS the per-domain
-    cap/blocklist input table, ~6 orders of magnitude smaller than the
-    corpus."""
+    TWO exchanges measured (`.explain`): the COUNT(DISTINCT canonical)
+    denominator pays the standard distinct-Expand second pass on top of
+    the host aggregate — inherent to an exact distinct count; swap in
+    approx_count_distinct to drop back to one. At crawl scale this IS
+    the per-domain cap/blocklist input table, ~6 orders of magnitude
+    smaller than the corpus."""
     c = canonicalize_url(url_col)
     return (
         df.select(c.alias("u"))
