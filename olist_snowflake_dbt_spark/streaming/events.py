@@ -514,7 +514,9 @@ def user_sessions_tws(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                 if start is None:
                     start, last, n = t, t, 1
                 elif t - last <= gap_ms:
-                    last, n = max(last, t), n + 1
+                    # a late-but-in-watermark arrival may precede the
+                    # open session's start (cross-batch, watermark slack)
+                    start, last, n = min(start, t), max(last, t), n + 1
                 else:
                     # closed WITHIN the batch: a later event proves the gap
                     yield _frame(key[0], start, last, n)
