@@ -122,3 +122,26 @@ def test_qualify_single_exchange_plan(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_second_wave_plan_shapes_are_pinned(spark, sf_dir):
+    """Exchange-count pins for the audited plans — a silent regression
+    to a join-heavier or shuffle-heavier formulation fails here before
+    it costs anything at scale."""
+    expected = {
+        "listagg_within_group": 1,   # one hash aggregate, no window
+        "web_cap_per_host": 1,       # map-only canon + one host window
+        "web_host_url_stats": 2,     # host agg + distinct-Expand pass
+        "median_mode_disc": 4,       # ranked window+fold, freq, mode, join
+    }
+    from olist_snowflake_dbt_spark.queries import QUERIES
+
+    for name, n in expected.items():
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") <= n, f"{name} grew: {plan}"
+        assert "CartesianProduct" not in plan
