@@ -106,6 +106,15 @@ SCALE_QUERIES = [
     "median_mode_disc",
     "retrieval_mmr_rerank",
     "incremental_merge_update_columns",
+    # round-8 closers: the composed web funnel (scan + window + dedup
+    # aggregate chain), the gap-fill spine (output ∝ key-spans, not
+    # input rows), the FLATTEN fan-out, the polymorphic-UDTF Python
+    # lane, and the map-only surrogate-key projection
+    "web_corpus_prep",
+    "gapfill_locf_interp",
+    "flatten_with_ordinality",
+    "udtf_polymorphic_parse",
+    "dbt_utils_surrogate_key",
 ]
 
 SF_DIRS = {
