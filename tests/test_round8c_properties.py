@@ -221,3 +221,69 @@ def test_gap_fill_spine_and_observation_preservation(spark, obs):
         # locf defined everywhere on the spine (first bucket IS an obs)
         assert r.locf is not None
     assert n_obs == len(obs)
+
+
+@given(
+    existing_ids=st.sets(st.integers(min_value=0, max_value=20), min_size=1),
+    batch_ids=st.sets(st.integers(min_value=0, max_value=20), min_size=1),
+    update_amount=st.booleans(),
+)
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_update_columns_conservation(
+    spark, existing_ids, batch_ids, update_amount
+):
+    """For ANY key overlap: result keys = existing ∪ batch; matched rows
+    take batch values ONLY in the update set; untouched and inserted
+    rows pass through whole."""
+    from olist_snowflake_dbt_spark.operators.incremental import (
+        incremental_merge,
+    )
+
+    existing = spark.createDataFrame(
+        [(i, float(i), f"e{i}") for i in sorted(existing_ids)],
+        "id long, amount double, audit string",
+    )
+    batch = spark.createDataFrame(
+        [(i, float(i) + 100.0, f"b{i}") for i in sorted(batch_ids)],
+        "id long, amount double, audit string",
+    )
+    cols = ["amount"] if update_amount else ["audit"]
+    out = {
+        r.id: r
+        for r in incremental_merge(
+            existing, batch, ["id"], merge_update_columns=cols
+        ).collect()
+    }
+    assert set(out) == existing_ids | batch_ids
+    for i in existing_ids | batch_ids:
+        r = out[i]
+        if i in existing_ids and i in batch_ids:
+            if update_amount:
+                assert (r.amount, r.audit) == (i + 100.0, f"e{i}")
+            else:
+                assert (r.amount, r.audit) == (float(i), f"b{i}")
+        elif i in existing_ids:
+            assert (r.amount, r.audit) == (float(i), f"e{i}")
+        else:
+            assert (r.amount, r.audit) == (i + 100.0, f"b{i}")
+
+
+def test_cap_per_host_bounds_the_hot_host(spark):
+    """Zipfian skew: one host holding ~90% of a corpus still yields at
+    most `cap` survivors — the per-domain cap IS the skew guard, and the
+    survivor count is exact, not approximate."""
+    from olist_snowflake_dbt_spark.operators.web import cap_per_host
+
+    rows = [(i, "http://hot.example.com/p%d" % i) for i in range(900)]
+    rows += [(1000 + i, f"http://cold{i % 10}.example.com/p") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, url string").repartition(16)
+    kept = cap_per_host(df, "url", "doc_id", cap=7).collect()
+    per_host = {}
+    for r in kept:
+        per_host[r.host] = per_host.get(r.host, 0) + 1
+    assert per_host["hot.example.com"] == 7
+    assert all(v <= 7 for v in per_host.values())
+    assert len(per_host) == 11
