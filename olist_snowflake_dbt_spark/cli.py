@@ -128,6 +128,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="with show: number of preview rows (dbt show --limit)",
     )
     ap.add_argument(
+        "--resource-type",
+        dest="resource_type",
+        choices=["model", "test", "source", "all"],
+        default="model",
+        help="with ls: which resource class to list (dbt ls --resource-type)",
+    )
+    ap.add_argument(
         "--vars",
         dest="cli_vars",
         default="{}",
@@ -157,6 +164,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     # sources first (every downstream command resolves refs against them),
     # then the project's model/test registrations
     seeds = _discover_seeds(args.seed_dir)
+    if args.command == "seed" and args.select:
+        # dbt seed --select: load only the named seeds (comma/space
+        # separated names — seeds have no graph edges to expand)
+        wanted = {s for tok in args.select.split() for s in tok.split(",") if s}
+        unknown = wanted - set(seeds)
+        if unknown:
+            print(f"unknown seeds: {sorted(unknown)}")
+            return 2
+        seeds = {k: v for k, v in seeds.items() if k in wanted}
     if seeds:
         eng.seed(seeds)
     _load_project(args.project)(eng)
@@ -167,8 +183,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 0
 
     if args.command == "ls":
-        for name in eng.ls(args.select, exclude=args.exclude,
-                           selector=args.selector):
+        names: list[str] = []
+        if args.resource_type in ("model", "all"):
+            names += eng.ls(args.select, exclude=args.exclude,
+                            selector=args.selector)
+        if args.resource_type in ("test", "all"):
+            names += sorted(
+                f"test:{spec.name}" if args.resource_type == "all" else spec.name
+                for spec in eng.tests
+            )
+        if args.resource_type in ("source", "all"):
+            names += sorted(
+                f"source:{s}" if args.resource_type == "all" else s
+                for s in eng.registry._sources
+            )
+        for name in names:
             print(name)
         return 0
 

@@ -283,3 +283,32 @@ def test_cli_vars_override_and_clone_staging_cleanup(spark, tmp_path, capsys):
     assert not os.path.exists(os.path.join(dst, "junk"))
     got = spark.read.parquet(dst).collect()
     assert got[0].v == 2.0
+
+
+def test_seed_select_and_ls_resource_types(spark, tmp_path, capsys):
+    from olist_snowflake_dbt_spark.cli import main as cli_main
+
+    # seed --select with an unknown name errors with exit 2
+    rc = cli_main(
+        ["seed", "--warehouse", str(tmp_path / "w0"), "--select", "nope_seed"],
+        spark=spark,
+    )
+    assert rc == 2
+    assert "unknown seeds" in capsys.readouterr().out
+
+    # ls resource types: sources and tests list; all prefixes kinds
+    rc = cli_main(
+        ["ls", "--warehouse", str(tmp_path / "w1"),
+         "--resource-type", "source"],
+        spark=spark,
+    )
+    assert rc == 0
+    sources = capsys.readouterr().out.split()
+    assert sources, "demo project must register sources"
+    rc = cli_main(
+        ["ls", "--warehouse", str(tmp_path / "w2"), "--resource-type", "all"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "source:" in out and "test:" in out
