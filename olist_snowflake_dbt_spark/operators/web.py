@@ -102,7 +102,9 @@ def canonicalize_url(url: Column | str) -> Column:
     )
 
 
-def host_url_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+def host_url_stats(
+    df: DataFrame, url_col: str = "url", exact: bool = True
+) -> DataFrame:
     """Host-level URL rollup: per (host, domain) — page count, distinct
     canonical URLs (the URL-dedup denominator), and the lexicographic
     min canonical as a stable exemplar. One map-side canonicalization +
@@ -113,13 +115,21 @@ def host_url_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     the per-domain cap/blocklist input table, ~6 orders of magnitude
     smaller than the corpus."""
     c = canonicalize_url(url_col)
+    ndv = (
+        F.countDistinct("canonical")
+        if exact
+        # production path at crawl scale: HLL keeps the rollup to ONE
+        # exchange (no distinct-Expand second pass); the denominator is
+        # an estimate, which per-domain caps and blocklists tolerate
+        else F.approx_count_distinct("canonical")
+    )
     return (
         df.select(c.alias("u"))
         .select("u.host", "u.domain", "u.canonical")
         .groupBy("host", "domain")
         .agg(
             F.count(F.lit(1)).alias("n_urls"),
-            F.countDistinct("canonical").alias("n_canonical"),
+            ndv.alias("n_canonical"),
             F.min("canonical").alias("sample_canonical"),
         )
     )
@@ -131,6 +141,7 @@ def cap_per_host(
     id_col: str = "doc_id",
     cap: int = 100,
     salt: str = "caphost",
+    level: str = "host",
 ) -> DataFrame:
     """Per-domain document cap (RefinedWeb/FineWeb recipe): keep at most
     ``cap`` documents per canonical HOST, selected by a deterministic
@@ -145,10 +156,12 @@ def cap_per_host(
     """
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
+    if level not in ("host", "domain"):
+        raise ValueError(f"level must be 'host' or 'domain', got {level!r}")
     from pyspark.sql import Window
 
     u = canonicalize_url(url_col)
-    with_host = df.withColumn("host", u["host"]).withColumn(
+    with_host = df.withColumn(level, u[level]).withColumn(
         "__cap_key",
         F.md5(
             F.concat(
@@ -156,11 +169,11 @@ def cap_per_host(
             )
         ),
     )
-    w = Window.partitionBy("host").orderBy(
+    w = Window.partitionBy(level).orderBy(
         F.col("__cap_key").asc(), F.col(id_col).asc()
     )
     return (
-        with_host.withColumn("host_rank", F.row_number().over(w))
-        .filter(F.col("host_rank") <= cap)
+        with_host.withColumn(f"{level}_rank", F.row_number().over(w))
+        .filter(F.col(f"{level}_rank") <= cap)
         .drop("__cap_key")
     )

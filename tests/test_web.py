@@ -117,3 +117,35 @@ def test_cap_per_host_is_deterministic_and_capped(spark):
 
     with _pytest.raises(ValueError):
         cap_per_host(df, "url", "doc_id", cap=0)
+
+
+def test_cap_at_domain_level_and_approx_stats(spark):
+    from olist_snowflake_dbt_spark.operators.web import (
+        cap_per_host,
+        host_url_stats,
+    )
+
+    rows = [
+        (i, f"http://sub{i % 5}.example.com/p{i}") for i in range(20)
+    ] + [(100 + i, f"http://other{i}.net/p") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    # domain-level cap: all 5 example.com subdomains share one budget
+    kept = cap_per_host(df, "url", "doc_id", cap=4, level="domain").collect()
+    by_dom = {}
+    for r in kept:
+        by_dom[r.domain] = by_dom.get(r.domain, 0) + 1
+    assert by_dom["example.com"] == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="level"):
+        cap_per_host(df, "url", "doc_id", cap=1, level="tld")
+
+    # approx mode: one-exchange plan (no distinct Expand), estimate sane
+    approx = host_url_stats(df, "url", exact=False)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    # stats are per (host, domain): sum the 5 example.com subdomain rows
+    total = sum(
+        r.n_canonical for r in approx.collect() if r.domain == "example.com"
+    )
+    assert total >= 15  # HLL estimate of 20 distinct canonicals
