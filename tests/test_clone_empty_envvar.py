@@ -184,3 +184,22 @@ def test_cli_clone_and_empty_flags(spark, tmp_path, capsys):
     assert rc == 2
     out = capsys.readouterr().out
     assert "requires --defer" in out
+
+
+def test_compile_renders_env_var_and_bans_secrets(spark, tmp_path, monkeypatch):
+    """compile_sql routes through the same renderer as build: env_var
+    values render to literals and DBT_ENV_SECRET_* raises — a secret can
+    never reach a compiled artifact (dbt's guarantee)."""
+    eng = _tiny(spark, str(tmp_path / "wh"))
+    monkeypatch.setenv("SG_TEST_CMP", "42")
+    eng.registry.register(
+        "cmp", "SELECT {{ env_var('SG_TEST_CMP') }} AS x FROM {{ ref('raw') }}"
+    )
+    assert eng.compile(select="cmp")["cmp"] == "SELECT '42' AS x FROM raw"
+    monkeypatch.setenv("DBT_ENV_SECRET_X", "s3cr3t")
+    eng.registry.register(
+        "leaky2",
+        "SELECT {{ env_var('DBT_ENV_SECRET_X') }} AS t FROM {{ ref('raw') }}",
+    )
+    with pytest.raises(CompilationError, match="secret env var"):
+        eng.compile(select="leaky2")
