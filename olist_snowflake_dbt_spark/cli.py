@@ -150,16 +150,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         spark = get_spark("cli")
     eng = Engine(spark, args.warehouse)
+    cli_vars: dict = {}
     if args.cli_vars and args.cli_vars != "{}":
-        # dbt --vars: CLI values override project defaults BEFORE any
-        # model compiles ({{ var('k') }} renders from this mapping)
         import json as _json
 
-        parsed = _json.loads(args.cli_vars)
-        if not isinstance(parsed, dict):
+        cli_vars = _json.loads(args.cli_vars)
+        if not isinstance(cli_vars, dict):
             print("--vars must be a JSON object")
             return 2
-        eng.registry.variables.update(parsed)
 
     # sources first (every downstream command resolves refs against them),
     # then the project's model/test registrations
@@ -176,6 +174,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if seeds:
         eng.seed(seeds)
     _load_project(args.project)(eng)
+    # dbt --vars precedence: CLI values override project defaults, so
+    # they must land AFTER the project's configure() (which may seed
+    # registry.variables with its own vars: block) but before any
+    # command compiles a model
+    if cli_vars:
+        eng.registry.variables.update(cli_vars)
 
     if args.command == "seed":
         for name in seeds:
@@ -184,18 +188,41 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     if args.command == "ls":
         names: list[str] = []
+        state = eng.load_state(args.state) if args.state else None
         if args.resource_type in ("model", "all"):
             names += eng.ls(args.select, exclude=args.exclude,
-                            selector=args.selector)
+                            selector=args.selector, state=state)
         if args.resource_type in ("test", "all"):
+            # dbt ls --resource-type test --select S: tests attached to
+            # the models S resolves to (tests hang off their model node)
+            selected_models = set(
+                eng.ls(args.select, exclude=args.exclude,
+                       selector=args.selector, state=state)
+            )
             names += sorted(
                 f"test:{spec.name}" if args.resource_type == "all" else spec.name
                 for spec in eng.tests
+                if spec.model in selected_models
             )
         if args.resource_type in ("source", "all"):
+            # sources sit outside the model graph; selection is by name
+            # token (dbt's `--select source:x` exact form)
+            src_sel = None
+            if args.select:
+                src_sel = {
+                    t.removeprefix("source:")
+                    for tok in args.select.split() for t in tok.split(",") if t
+                }
+            src_exc = set()
+            if args.exclude:
+                src_exc = {
+                    t.removeprefix("source:")
+                    for tok in args.exclude.split() for t in tok.split(",") if t
+                }
             names += sorted(
                 f"source:{s}" if args.resource_type == "all" else s
                 for s in eng.registry._sources
+                if (src_sel is None or s in src_sel) and s not in src_exc
             )
         for name in names:
             print(name)
@@ -308,8 +335,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 0
 
     # test / build: run models (build scope) then evaluate tests + gate,
-    # automate_pipeline.py's run→test→gate flow with dbt exit semantics
-    result = eng.pipeline(args.select, exclude=args.exclude)
+    # automate_pipeline.py's run→test→gate flow with dbt exit semantics.
+    # The full flag surface dbt build supports is forwarded — selection,
+    # --state/--defer/--favor-state, --empty, --threads, --full-refresh
+    result = eng.pipeline(
+        args.select, exclude=args.exclude, selector=args.selector,
+        state=eng.load_state(args.state) if args.state else None,
+        defer=args.defer_wh, favor_state=args.favor_state,
+        empty=args.empty, threads=args.threads,
+        full_refresh=args.full_refresh,
+    )
     for t in result.tests:
         status = "PASS" if t.passed else f"FAIL ({t.failures} failing rows)"
         print(f"{status}  {t.name}")

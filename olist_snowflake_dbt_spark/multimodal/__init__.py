@@ -17,6 +17,8 @@ from .media import (
     decode_media,
     extract_features,
     media_byte_stats,
+    perceptual_hash,
+    phash_pairs,
     sample_frames,
 )
 
@@ -26,5 +28,7 @@ __all__ = [
     "decode_media",
     "extract_features",
     "media_byte_stats",
+    "perceptual_hash",
+    "phash_pairs",
     "sample_frames",
 ]

@@ -181,6 +181,115 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(kernel, _FEATURES_SCHEMA)
 
 
+# -- perceptual-hash media dedup --------------------------------------
+
+_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+_PHASH_NBITS = 60  # 4 rows x 16 cols grid -> 4 x 15 horizontal compares
+_PHASH_ROWS, _PHASH_COLS = 4, 16
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """dHash-style perceptual fingerprint per media asset, packed into
+    ONE int64 (60 bits — 4×15-bit bands, the repo-standard banded-
+    Hamming width).
+
+    Web-scale image corpora dedup by perceptual hash BEFORE any
+    embedding work (near-identical images survive re-encoding, resizing
+    and metadata changes that break exact byte dedup). The classic
+    dHash recipe: downscale to a (rows × cols+?) grayscale grid, then
+    bit[r,c] = grid[r][c] < grid[r][c+1] — the gradient signs, robust
+    to global brightness/contrast shifts.
+
+    Here the "decoded grayscale grid" is resampled from the payload
+    bytes (the container ships no codecs — the decode front-end is the
+    same deterministic stand-in as :func:`decode_media`; swap in a real
+    decoder's luma plane in production, the grid→bits→pairs machinery
+    is unchanged). Grid cell k of an n-byte payload covers the bytes
+    ``{i : (i*64)//n == k}``; its value is the integer-scaled mean
+    ``(256*sum)//len`` — ALL-INTEGER arithmetic, so an oracle engine
+    replays the hash bit-exactly from hex(payload).
+
+    Plan shape: one Arrow-batched ``mapInPandas`` pass (payload in,
+    8-byte signature out) — map-only, zero shuffle; the corpus never
+    moves again, only the 16-byte (id, sig) table does. Greenfield vs
+    the reference ($REF has no media surface; SURVEY.md §2.C
+    multimodal extension set)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n_cells = _PHASH_ROWS * _PHASH_COLS
+        weights = 1 << np.arange(_PHASH_NBITS, dtype=np.uint64)
+        for pdf in batches:
+            sigs = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = arr.size
+                if n == 0:
+                    sigs.append(0)
+                    continue
+                k = (np.arange(n, dtype=np.int64) * n_cells) // n
+                sums = np.bincount(k, weights=arr, minlength=n_cells).astype(
+                    np.int64
+                )  # float64 sums are exact (< 2**53), cast back to int
+                lens = np.bincount(k, minlength=n_cells)
+                vals = np.where(
+                    lens > 0, (256 * sums) // np.maximum(lens, 1), 0
+                ).reshape(_PHASH_ROWS, _PHASH_COLS)
+                bits = (vals[:, :-1] < vals[:, 1:]).flatten()
+                sigs.append(int((bits * weights).sum()))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": sigs})
+
+    return media.select("media_id", "payload").mapInPandas(kernel, _PHASH_SCHEMA)
+
+
+def phash_pairs(
+    media: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup media pairs within Hamming distance ≤ ``max_hamming`` of
+    the 60-bit perceptual hash — the media member of the dedup family.
+
+    Banded pigeonhole join (the :func:`~..operators.dedup.simhash_pairs`
+    machinery, reused): pairs within distance < ``bands`` must share at
+    least one exact 15-bit chunk, so only band-colliding signatures are
+    compared — never all pairs. At 100 TB the self-join input is the
+    8-byte signature table (6 orders of magnitude smaller than the
+    payload bytes), the Hamming filter is a codegen'd
+    ``bit_count(a^b)``, and it runs BEFORE the pair distinct so the
+    final shuffle carries only true near-dups."""
+    from ..functions.hashing import hamming64, simhash_band_keys
+
+    sig = perceptual_hash(media)
+    banded = sig.select(
+        "media_id",
+        "phash",
+        F.explode(
+            simhash_band_keys(F.col("phash"), bands, _PHASH_NBITS)
+        ).alias("__band"),
+    ).persist()
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            hamming64(F.col("a.phash"), F.col("b.phash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 # -- frame sampling (fan-out) -----------------------------------------
 
 _FRAMES_SCHEMA = StructType(

@@ -182,6 +182,19 @@ def evaluate_test(
     for _spec in (warn_if, error_if):
         if isinstance(_spec, str):
             _threshold_hit(0, _spec)  # validate grammar up front
+    custom_calc = fail_calc.strip().lower() != "count(*)"
+    if custom_calc:
+        # dbt's default error_if/warn_if is "!= 0", which the legacy
+        # int-0 "> 0" reading only matches for non-negative values.
+        # count(*) is always non-negative, but a custom fail_calc (e.g.
+        # sum(balance_delta)) can go NEGATIVE — keep dbt's semantics by
+        # upgrading the default int-0 threshold to the "!=0" grammar so
+        # a negative fail_calc still fires. Explicit non-zero ints keep
+        # the documented legacy "> N" reading.
+        if warn_if == 0 and isinstance(warn_if, int):
+            warn_if = "!=0"
+        if error_if == 0 and isinstance(error_if, int):
+            error_if = "!=0"
     if limit is not None:
         failing_rows = failing_rows.limit(limit)
     if store_failures_path is not None:

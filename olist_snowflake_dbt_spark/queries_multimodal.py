@@ -19,6 +19,7 @@ from .multimodal import (
     decode_media,
     extract_features,
     media_byte_stats,
+    phash_pairs,
     sample_frames,
 )
 from .queries import _t, query
@@ -151,3 +152,115 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", F.posexplode("features").alias("dim_idx", "feature_value")
     )
+
+
+# Perceptual-hash dedup twin: bytes from hex(payload) → 64-cell grid of
+# integer-scaled means ((256*sum)//len) → 60 dHash gradient-sign bits →
+# packed BIGINT → 4×15-bit pigeonhole bands → bit_count Hamming ≤ 3.
+# Every step is integer arithmetic, so the replay is bit-exact.
+_PH_NBITS, _PH_BANDS, _PH_CELLS = 60, 4, 64
+_PH_WIDTH = _PH_NBITS // _PH_BANDS
+# Planted dup structure (both engines build it identically): every 50th
+# doc gets an EXACT byte copy (Hamming 0) and every 70th a NEAR copy —
+# first three characters uppercased, same length, so only grid cell 0's
+# value moves and the phash drifts by ≤ a couple of gradient bits.
+_PLANTED_MEDIA = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+    UNION ALL
+    SELECT doc_id + 2000000,
+           upper(substr(text, 1, 3)) || substr(text, 4)
+    FROM documents WHERE doc_id % 70 = 0
+"""
+_PHASH_ORACLE = f"""
+    WITH d2 AS ({_PLANTED_MEDIA}),
+    m AS (
+        SELECT doc_id AS media_id,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM d2
+    ),
+    bytes AS (  -- byte i (0-based) = 16*hex[2i+1] + hex[2i+2]
+        SELECT media_id, n,
+               ((strpos('0123456789ABCDEF',
+                        substr(hx, CAST(2 * i + 1 AS BIGINT), 1)) - 1) * 16
+                + strpos('0123456789ABCDEF',
+                         substr(hx, CAST(2 * i + 2 AS BIGINT), 1)) - 1) AS v,
+               (i * {_PH_CELLS}) // n AS k
+        FROM (SELECT media_id, n, hx, UNNEST(generate_series(0, n - 1)) AS i
+              FROM m WHERE n > 0)
+    ),
+    cells AS (
+        SELECT media_id, k, SUM(v) AS s, COUNT(*) AS c
+        FROM bytes GROUP BY media_id, k
+    ),
+    grid AS (  -- all 64 cells per asset; empty segments (tiny payloads)
+               -- and empty payloads contribute value 0, like the kernel
+        SELECT m.media_id, gs.k,
+               CAST(CASE WHEN c.c > 0 THEN (256 * c.s) // c.c
+                         ELSE 0 END AS BIGINT) AS val
+        FROM m
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {_PH_CELLS - 1})) AS k) gs
+        LEFT JOIN cells c ON c.media_id = m.media_id AND c.k = gs.k
+    ),
+    bits AS (  -- dHash: bit (row*15 + col) = cell < its right neighbor
+        SELECT a.media_id,
+               CAST((a.k // 16) * 15 + (a.k % 16) AS INT) AS b,
+               CASE WHEN a.val < r.val THEN 1 ELSE 0 END AS bit
+        FROM grid a
+        JOIN grid r ON r.media_id = a.media_id AND r.k = a.k + 1
+        WHERE a.k % 16 < 15
+    ),
+    sig AS (
+        SELECT media_id,
+               CAST(SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << b))
+                    AS BIGINT) AS phash
+        FROM bits GROUP BY media_id
+    ),
+    banded AS (
+        SELECT media_id, phash,
+               ((phash >> (bnd * {_PH_WIDTH})) & {(1 << _PH_WIDTH) - 1})
+                   | (bnd << {_PH_WIDTH}) AS band
+        FROM sig, (SELECT UNNEST(generate_series(0, {_PH_BANDS - 1})) AS bnd)
+    )
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+    FROM banded a JOIN banded b ON a.band = b.band AND a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
+def _planted_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The _PLANTED_MEDIA CTE, Spark-side: exact copies (%50) and
+    same-length 3-char-uppercase near copies (%70) of the documents,
+    run through the media synthesizer."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 70 == 0)
+        .withColumn(
+            "text",
+            F.concat(
+                F.upper(F.substring("text", 1, 3)),
+                F.expr("substring(text, 4)"),
+            ),
+        )
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+    )
+    return attach_fake_media(docs.unionByName(exact).unionByName(near))
+
+
+@query("mm_phash_dedup", _PHASH_ORACLE)
+def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup — the media member of the dedup
+    family (multimodal/media.perceptual_hash + phash_pairs): one
+    Arrow-batched map pass packs each payload's dHash gradient signs
+    into an int64, then the banded pigeonhole self-join (simhash
+    machinery reused) yields near-dup pairs at Hamming ≤ 3. All-integer
+    arithmetic end-to-end, so the DuckDB twin replays the hash and the
+    pair set bit-exactly from hex(payload). Planted exact + near
+    copies guarantee the result is non-vacuous at every sf."""
+    return phash_pairs(_planted_media(spark, sf_dir), max_hamming=3, bands=4)

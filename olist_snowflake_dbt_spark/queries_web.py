@@ -34,13 +34,19 @@ WITH urls AS (
                  WHEN doc_id % 6 = 3
                  THEN '?ref=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x'
                  ELSE '' END)
-        || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+        || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)
+        || (CASE WHEN doc_id % 11 = 0
+                 THEN '?next=https://t.example.net/a?b=1' ELSE '' END) AS url
     FROM documents
 ),
+-- each split below keeps the FULL remainder after the FIRST separator
+-- (substr from the first match), replaying Spark's limit-2 split —
+-- string_split(...)[2] would drop everything after a SECOND '://' or
+-- '?' (URLs embedding URLs, e.g. redirect links), silently diverging
 c1 AS (
     SELECT doc_id,
            CASE WHEN position('://' IN url) > 0
-                THEN string_split(url, '://')[2] ELSE url END AS ns
+                THEN substr(url, position('://' IN url) + 3) ELSE url END AS ns
     FROM urls
 ),
 c2 AS (SELECT doc_id, string_split(ns, '#')[1] AS nf FROM c1),
@@ -48,7 +54,7 @@ c3 AS (
     SELECT doc_id,
            string_split(nf, '?')[1] AS base,
            CASE WHEN position('?' IN nf) > 0
-                THEN string_split(nf, '?')[2] ELSE '' END AS query
+                THEN substr(nf, position('?' IN nf) + 1) ELSE '' END AS query
     FROM c2
 ),
 c4 AS (
@@ -125,6 +131,12 @@ def synth_urls(df: DataFrame) -> DataFrame:
         .when(did % 6 == 3, F.concat(F.lit("?ref="), s(did % 3), F.lit("&utm_campaign=x")))
         .otherwise(F.lit("")),
         F.when(did % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+        # nested-URL case: a redirect-style param embedding a second
+        # scheme and a second '?' — exercises the limit-2 split contract
+        # (everything after the FIRST '://' / '?' is kept intact)
+        F.when(
+            did % 11 == 0, F.lit("?next=https://t.example.net/a?b=1")
+        ).otherwise(F.lit("")),
     )
     return df.select("doc_id", url.alias("url"))
 

@@ -385,9 +385,22 @@ class Engine:
         """dbt ``show``: build (or reuse the memoized build of) one model
         and return its first ``limit`` rows as a bounded DataFrame — the
         preview surface; the LIMIT folds into the plan, so a preview of
-        a 100 TB model reads only what the limit needs."""
+        a 100 TB model reads only what the limit needs.
+
+        ``model`` accepts the same selection grammar as every other
+        command (``+model``, ``tag:x`` …) but must resolve to EXACTLY
+        one model — dbt show previews a single relation."""
         if limit <= 0:
             raise ValueError(f"limit must be positive, got {limit}")
+        if model not in self.registry._models:
+            # graph selector: resolve, then require a unique match
+            matched = sorted(self.registry.select(model))
+            if len(matched) != 1:
+                raise ValueError(
+                    f"show needs exactly one model; {model!r} matched "
+                    f"{len(matched)}: {matched[:10]}"
+                )
+            model = matched[0]
         return self.registry.build(model).limit(limit)
 
     def clone(
@@ -941,15 +954,37 @@ class Engine:
 
     # -- full pipeline with gating (automate_pipeline.py:10-26) -------
     def pipeline(
-        self, select: str | None = None, exclude: str | None = None
+        self,
+        select: str | None = None,
+        exclude: str | None = None,
+        selector: str | None = None,
+        state: dict | None = None,
+        defer: str | None = None,
+        favor_state: bool = False,
+        empty: bool = False,
+        threads: int = 1,
+        full_refresh: bool = False,
     ) -> PipelineResult:
+        """run-then-test with the full ``dbt build`` flag surface:
+        selection (incl. named selectors and state:modified), --defer/
+        --favor-state, --empty dry runs, --threads concurrency, and
+        --full-refresh — the same knobs :meth:`run` takes, so the CLI
+        build/test commands don't silently drop them."""
+        prev_fr = getattr(self, "full_refresh", False)
+        self.full_refresh = full_refresh or prev_fr
         try:
-            relations = self.run(select, exclude=exclude)
-        except Exception:
-            # build failure aborts before tests, like the reference's
-            # early `return` on dbt run failure
-            raise
-        tests = self.test(select, exclude=exclude)
+            kwargs = dict(
+                select=select, exclude=exclude, state=state, defer=defer,
+                favor_state=favor_state, selector=selector, empty=empty,
+            )
+            relations = (
+                self.run_concurrent(threads=threads, **kwargs)
+                if threads > 1
+                else self.run(**kwargs)
+            )
+        finally:
+            self.full_refresh = prev_fr
+        tests = self.test(select, exclude=exclude, state=state, selector=selector)
         tests_ok = all(t.status != TestStatus.ERROR for t in tests)
         return PipelineResult(relations, tests, built_ok=True, tests_ok=tests_ok)
 

@@ -90,3 +90,58 @@ def test_frame_counts(media):
         F.col("count") != F.col("expected")
     )
     assert mismatch.count() == 0
+
+
+class TestPerceptualHashDedup:
+    """Perceptual-hash (dHash-style) media dedup: near-identical
+    payloads must land within small Hamming distance; unrelated ones
+    must not collide."""
+
+    def test_planted_recall_and_precision(self, spark, sf_dir):
+        from olist_snowflake_dbt_spark.multimodal import phash_pairs
+        from olist_snowflake_dbt_spark.queries_multimodal import _planted_media
+
+        pairs = phash_pairs(_planted_media(spark, sf_dir), max_hamming=3).cache()
+        docs = read_table(spark, sf_dir, "documents")
+        n_exact = docs.filter(F.col("doc_id") % 50 == 0).count()
+        n_near = docs.filter(F.col("doc_id") % 70 == 0).count()
+        # every planted EXACT copy is recovered at Hamming 0
+        exact_found = pairs.filter(
+            (F.col("id_b") - F.col("id_a") == 1000000) & (F.col("hamming") == 0)
+        ).count()
+        assert exact_found >= n_exact
+        # every planted NEAR copy (3-char case flip, same length → only
+        # grid cell 0 moves) is recovered within the Hamming budget
+        near = pairs.filter(F.col("id_b") - F.col("id_a") == 2000000)
+        assert near.count() == n_near
+        # precision control: candidate pairs never exceed the Hamming cap
+        assert pairs.filter(F.col("hamming") > 3).count() == 0
+
+    def test_hash_is_brightness_invariant_but_content_sensitive(self, spark):
+        """dHash compares ADJACENT cells, so adding a constant to every
+        byte (global brightness shift) preserves the hash, while moving
+        a block of bytes (content change) flips gradient bits."""
+        from olist_snowflake_dbt_spark.multimodal.media import perceptual_hash
+
+        base = bytes(range(40, 140)) * 10
+        brighter = bytes(b + 40 for b in base)
+        shuffled = base[::-1]  # reversed sawtooth → gradient signs flip
+        df = spark.createDataFrame(
+            [(1, base), (2, brighter), (3, shuffled)],
+            "media_id long, payload binary",
+        )
+        sigs = {r.media_id: r.phash for r in perceptual_hash(df).collect()}
+        ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+        assert ham(sigs[1], sigs[2]) <= 3  # brightness shift ≈ invariant
+        assert ham(sigs[1], sigs[3]) > 3   # content move ≠ near-dup
+
+    def test_empty_and_tiny_payloads(self, spark):
+        from olist_snowflake_dbt_spark.multimodal.media import perceptual_hash
+
+        df = spark.createDataFrame(
+            [(1, b""), (2, b"ab"), (3, bytes(range(64)))],
+            "media_id long, payload binary",
+        )
+        sigs = {r.media_id: r.phash for r in perceptual_hash(df).collect()}
+        assert sigs[1] == 0                 # empty payload → zero hash
+        assert 0 <= sigs[3] < (1 << 60)     # packed 60-bit range
