@@ -135,6 +135,88 @@ def host_url_stats(
     )
 
 
+# -- public-suffix registrable domain ---------------------------------
+
+# Minimal checked-in subset of the Public Suffix List (publicsuffix.org,
+# public data) — the multi-label suffixes a naive "last two labels"
+# heuristic collapses wrong, which is exactly the ccTLD shape crawl
+# corpora are full of (every co.uk site would otherwise pool into one
+# "co.uk" domain and per-domain caps would throttle a whole country).
+# Production swaps in the full ~9k-rule list; the operator shape
+# (broadcast suffix dim + longest-match) is unchanged. Single-label
+# TLDs are deliberately ABSENT: PSL's implicit "*" wildcard makes any
+# unlisted TLD a 1-label suffix, so listing them changes nothing.
+# Exception rules ("!city.kawasaki.jp") are out of scope (documented).
+PUBLIC_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br",
+    "co.in", "org.in", "net.in", "firm.in",
+    "co.nz", "org.nz", "net.nz", "govt.nz",
+    "co.za", "org.za", "net.za", "gov.za",
+    "com.cn", "net.cn", "org.cn", "edu.cn",
+    "com.mx", "org.mx", "gob.mx",
+    "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "github.io", "gitlab.io", "blogspot.com",
+    "s3.amazonaws.com",
+)
+
+
+def public_suffixes(spark) -> DataFrame:
+    """The checked-in PSL subset as a broadcast-sized dim:
+    (suffix, n_labels)."""
+    return spark.createDataFrame(
+        [(s, s.count(".") + 1) for s in PUBLIC_SUFFIXES],
+        "suffix string, n_labels int",
+    )
+
+
+def with_registrable_domain(
+    df: DataFrame,
+    host_col: str = "host",
+    suffixes: DataFrame | None = None,
+    out_col: str = "registrable_domain",
+) -> DataFrame:
+    """Append the PSL registrable domain (eTLD+1) of ``host_col`` via
+    LONGEST-MATCH against the public-suffix dim.
+
+    Plan shape for 100 TB: one BROADCAST left join per suffix width
+    (3-label, then 2-label — the dim is tiny and pre-split by width),
+    zero shuffle, zero UDF; the longest match wins by coalesce priority
+    and any unmatched TLD falls back to PSL's implicit ``*`` wildcard
+    (suffix = last label → registrable = last two labels). A host that
+    IS a bare public suffix (no registrable label left) yields itself.
+    """
+    if suffixes is None:
+        suffixes = public_suffixes(df.sparkSession)
+    labels = F.split(F.col(host_col), r"\.")
+    nl = F.size(labels)
+
+    def tail(k: "Column | int") -> Column:
+        return F.array_join(F.slice(labels, -k, k), ".")
+
+    out = df
+    for k in (3, 2):
+        sfx_k = suffixes.filter(F.col("n_labels") == k).select(
+            F.col("suffix").alias(f"__sfx{k}")
+        )
+        # a registrable label must remain to the left of the suffix
+        cand = F.when(nl >= k + 1, tail(k))
+        out = out.join(
+            F.broadcast(sfx_k),
+            cand == F.col(f"__sfx{k}"),
+            "left",
+        )
+    reg = (
+        F.when(F.col("__sfx3").isNotNull(), tail(4))
+        .when(F.col("__sfx2").isNotNull(), tail(3))
+        .when(nl >= 2, tail(2))
+        .otherwise(F.col(host_col))
+    )
+    return out.withColumn(out_col, reg).drop("__sfx3", "__sfx2")
+
+
 def cap_per_host(
     df: DataFrame,
     url_col: str = "url",
@@ -142,6 +224,7 @@ def cap_per_host(
     cap: int = 100,
     salt: str = "caphost",
     level: str = "host",
+    suffixes: DataFrame | None = None,
 ) -> DataFrame:
     """Per-domain document cap (RefinedWeb/FineWeb recipe): keep at most
     ``cap`` documents per canonical HOST, selected by a deterministic
@@ -156,12 +239,25 @@ def cap_per_host(
     """
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
-    if level not in ("host", "domain"):
-        raise ValueError(f"level must be 'host' or 'domain', got {level!r}")
+    if level not in ("host", "domain", "registrable"):
+        raise ValueError(
+            f"level must be 'host', 'domain' or 'registrable', got {level!r}"
+        )
     from pyspark.sql import Window
 
     u = canonicalize_url(url_col)
-    with_host = df.withColumn(level, u[level]).withColumn(
+    if level == "registrable":
+        # PSL-correct grouping: broadcast longest-match join on the
+        # suffix dim (zero extra shuffle); the window key is eTLD+1
+        with_host = with_registrable_domain(
+            df.withColumn("__host", u["host"]),
+            "__host",
+            suffixes,
+            out_col="registrable",
+        ).drop("__host")
+    else:
+        with_host = df.withColumn(level, u[level])
+    with_host = with_host.withColumn(
         "__cap_key",
         F.md5(
             F.concat(
@@ -176,4 +272,43 @@ def cap_per_host(
         with_host.withColumn(f"{level}_rank", F.row_number().over(w))
         .filter(F.col(f"{level}_rank") <= cap)
         .drop("__cap_key")
+    )
+
+
+def apply_blocklist(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    suffixes: DataFrame | None = None,
+) -> DataFrame:
+    """Drop documents whose URL matches a curation blocklist — the
+    standard crawl-corpus hygiene stage (C4/RefinedWeb filter lists).
+
+    ``blocklist`` columns: ``domain`` (PSL registrable domain, required)
+    and ``path_prefix`` (nullable — NULL blocks the whole domain, a
+    value blocks only canonical paths starting with it).
+
+    Plan shape at 100 TB: canonicalization + the PSL longest-match are
+    map-only broadcast joins, and the blocklist itself is a BROADCAST
+    LEFT ANTI join — the corpus never shuffles; a blocklist of even a
+    few million rows is still dim-sized next to the crawl. Matching is
+    on the REGISTRABLE domain, so blocking ``tracker.co.uk`` does not
+    take down the rest of ``.co.uk`` the way a 2-label match would."""
+    u = canonicalize_url(url_col)
+    enriched = with_registrable_domain(
+        df.withColumn("__host", u["host"]).withColumn("__path", u["path"]),
+        "__host",
+        suffixes,
+        out_col="__reg",
+    )
+    bl = blocklist.select(
+        F.col("domain").alias("__bl_dom"),
+        F.col("path_prefix").alias("__bl_prefix"),
+    )
+    cond = (F.col("__reg") == F.col("__bl_dom")) & (
+        F.col("__bl_prefix").isNull()
+        | F.col("__path").startswith(F.col("__bl_prefix"))
+    )
+    return enriched.join(F.broadcast(bl), cond, "left_anti").drop(
+        "__host", "__path", "__reg"
     )

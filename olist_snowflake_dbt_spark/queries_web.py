@@ -86,7 +86,7 @@ c6 AS (
     FROM c5
 ),
 c7 AS (
-    SELECT doc_id, host,
+    SELECT doc_id, host, path,
            host || path
                 || (CASE WHEN length(params) > 0 THEN '?' || params ELSE '' END)
                AS canonical,
@@ -186,8 +186,8 @@ _PREP_ORACLE = (
     _SYNTH_AND_CANON
     + """
 , capped AS (
-    SELECT host, doc_id, canonical FROM (
-        SELECT host, doc_id, canonical,
+    SELECT host, doc_id, canonical, domain, path FROM (
+        SELECT host, doc_id, canonical, domain, path,
                ROW_NUMBER() OVER (
                    PARTITION BY host
                    ORDER BY md5('caphost' || canonical
@@ -196,9 +196,17 @@ _PREP_ORACLE = (
         FROM c7
     ) WHERE host_rank <= 20
 ),
+blocked AS (
+    -- blocklist anti-join replay (domain + path-prefix rule): every
+    -- synthesized host is src*.example.com with no multi-label PSL
+    -- match, so the registrable domain falls back to the last-2-label
+    -- wildcard rule — exactly c7.domain
+    SELECT host, doc_id, canonical FROM capped
+    WHERE NOT (domain = 'example.com' AND starts_with(path, '/docs/3'))
+),
 dedup AS (
     SELECT host, canonical, MIN(doc_id) AS doc_id
-    FROM capped GROUP BY 1, 2
+    FROM blocked GROUP BY 1, 2
 ),
 gated AS (
     SELECT d.host, d.doc_id, docs.n_chars
@@ -206,16 +214,21 @@ gated AS (
     WHERE docs.n_chars >= 100
 ),
 a AS (SELECT host, COUNT(*) AS n_after_cap FROM capped GROUP BY 1),
+nb AS (SELECT host, COUNT(*) AS n_after_block FROM blocked GROUP BY 1),
 b AS (SELECT host, COUNT(*) AS n_after_dedup FROM dedup GROUP BY 1),
 g AS (
     SELECT host, COUNT(*) AS n_final,
            CAST(SUM(n_chars) AS BIGINT) AS total_kept_chars
     FROM gated GROUP BY 1
 )
-SELECT a.host, a.n_after_cap, b.n_after_dedup,
+SELECT a.host, a.n_after_cap,
+       COALESCE(nb.n_after_block, 0) AS n_after_block,
+       COALESCE(b.n_after_dedup, 0) AS n_after_dedup,
        COALESCE(g.n_final, 0) AS n_final,
        COALESCE(g.total_kept_chars, 0) AS total_kept_chars
-FROM a JOIN b ON a.host = b.host
+FROM a
+LEFT JOIN nb ON nb.host = a.host
+LEFT JOIN b ON b.host = a.host
 LEFT JOIN g ON g.host = a.host
 """
 )
@@ -229,39 +242,165 @@ def q_web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (keep min doc_id per canonical) -> length quality gate
     (n_chars >= 100, the cheap-filter stand-in) -> per-host funnel
     audit. Every stage's survivor count is pinned per host, so a drift
-    anywhere in the funnel (wrong cap order, dedup key, gate predicate)
-    cannot hash-match. Plan shape: map-only canonicalization feeding one
-    host window, one (host, canonical) aggregate, one id join to the
-    quality column, three per-host aggregates sharing the host
+    anywhere in the funnel (wrong cap order, dedup key, gate predicate,
+    blocklist rule) cannot hash-match. Plan shape: map-only
+    canonicalization feeding one host window; the blocklist stage is a
+    BROADCAST anti-join (map-only, incl. its PSL registrable-domain
+    lookup); one (host, canonical) aggregate, one id join to the
+    quality column, four per-host audit aggregates sharing the host
     partitioning."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     capped = cap_per_host(
         synth_urls(docs.select("doc_id", "source")), "url", "doc_id", cap=20
     )
-    from .operators.web import canonicalize_url
+    from .operators.web import apply_blocklist, canonicalize_url
 
     capped = capped.withColumn("canonical", canonicalize_url("url")["canonical"])
-    dedup = capped.groupBy("host", "canonical").agg(
+    blocklist = spark.createDataFrame(
+        [("example.com", "/docs/3")], "domain string, path_prefix string"
+    )
+    blocked = apply_blocklist(capped, blocklist, "url")
+    dedup = blocked.groupBy("host", "canonical").agg(
         F.min("doc_id").alias("doc_id")
     )
     gated = dedup.join(docs.select("doc_id", "n_chars"), "doc_id").filter(
         F.col("n_chars") >= 100
     )
     a = capped.groupBy("host").agg(F.count(F.lit(1)).alias("n_after_cap"))
+    nb = blocked.groupBy("host").agg(F.count(F.lit(1)).alias("n_after_block"))
     b = dedup.groupBy("host").agg(F.count(F.lit(1)).alias("n_after_dedup"))
     g = gated.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_final"),
         F.sum("n_chars").cast("bigint").alias("total_kept_chars"),
     )
+    zero = lambda c: F.coalesce(F.col(c), F.lit(0)).alias(c)  # noqa: E731
     return (
-        a.join(b, "host")
+        a.join(nb, "host", "left")
+        .join(b, "host", "left")
         .join(g, "host", "left")
         .select(
             "host",
             "n_after_cap",
-            "n_after_dedup",
-            F.coalesce(F.col("n_final"), F.lit(0)).alias("n_final"),
+            zero("n_after_block"),
+            zero("n_after_dedup"),
+            zero("n_final"),
             F.coalesce(F.col("total_kept_chars"), F.lit(0)).cast("bigint")
             .alias("total_kept_chars"),
         )
+    )
+
+
+# -- PSL registrable domain (eTLD+1) ----------------------------------
+
+from .operators.web import PUBLIC_SUFFIXES  # noqa: E402
+
+# the same checked-in suffix subset, rendered as an inline dim for the
+# oracle — one source of truth (a drifted copy could not hash-match)
+_PSL_VALUES = ",\n        ".join(
+    f"('{s}', {s.count('.') + 1})" for s in PUBLIC_SUFFIXES
+)
+
+# ccTLD-diverse synthetic hosts: multi-label public suffixes (co.uk /
+# org.uk / github.io / s3.amazonaws.com) where "last two labels" pools
+# a whole country into one domain, plus a plain .com fallback case.
+_PSL_SYNTH = """
+    SELECT doc_id,
+           'http://'
+        || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+        || (CASE doc_id % 5
+            WHEN 0 THEN '.Shop.CO.UK'
+            WHEN 1 THEN '.example.com'
+            WHEN 2 THEN '.news.org.uk'
+            WHEN 3 THEN '.pages.github.io'
+            ELSE '.bucket.s3.amazonaws.com' END)
+        || '/p/' || CAST(doc_id % 20 AS VARCHAR) AS url
+    FROM documents
+"""
+
+_PSL_ORACLE = f"""
+    WITH psl(sfx, k) AS (VALUES
+        {_PSL_VALUES}
+    ),
+    urls AS ({_PSL_SYNTH}),
+    canon AS (  -- scheme strip, lowercase host, www strip, host||path
+        SELECT doc_id, host,
+               host || substr(ns, position('/' IN ns)) AS canonical
+        FROM (
+            SELECT doc_id, ns,
+                   CASE WHEN starts_with(lower(substr(ns, 1, position('/' IN ns) - 1)), 'www.')
+                        THEN substr(lower(substr(ns, 1, position('/' IN ns) - 1)), 5)
+                        ELSE lower(substr(ns, 1, position('/' IN ns) - 1)) END AS host
+            FROM (SELECT doc_id, substr(url, position('://' IN url) + 3) AS ns
+                  FROM urls)
+        )
+    ),
+    h AS (
+        SELECT doc_id, host, canonical,
+               string_split(host, '.') AS ls,
+               len(string_split(host, '.')) AS nl
+        FROM canon
+    ),
+    sel AS (  -- longest-match suffix width (NULL → implicit * wildcard)
+        SELECT h.*,
+               (SELECT MAX(p.k) FROM psl p
+                 WHERE h.nl >= p.k + 1
+                   AND array_to_string(h.ls[h.nl - p.k + 1 : h.nl], '.') = p.sfx
+               ) AS mk
+        FROM h
+    ),
+    reg AS (
+        SELECT doc_id, canonical,
+               CASE WHEN mk IS NOT NULL
+                    THEN array_to_string(ls[nl - mk : nl], '.')
+                    WHEN nl >= 2 THEN array_to_string(ls[nl - 1 : nl], '.')
+                    ELSE host END AS registrable
+        FROM sel
+    )
+    SELECT registrable, doc_id, registrable_rank FROM (
+        SELECT registrable, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY registrable
+                   ORDER BY md5('caphost' || canonical
+                                || CAST(doc_id AS VARCHAR)), doc_id)
+                    AS INT) AS registrable_rank
+        FROM reg
+    ) WHERE registrable_rank <= 3
+"""
+
+
+def synth_psl_urls(df: DataFrame) -> DataFrame:
+    """The _PSL_SYNTH expression, Spark-side (identical tokens)."""
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(did % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.when(did % 5 == 0, F.lit(".Shop.CO.UK"))
+        .when(did % 5 == 1, F.lit(".example.com"))
+        .when(did % 5 == 2, F.lit(".news.org.uk"))
+        .when(did % 5 == 3, F.lit(".pages.github.io"))
+        .otherwise(F.lit(".bucket.s3.amazonaws.com")),
+        F.lit("/p/"),
+        (did % 20).cast("string"),
+    )
+    return df.select("doc_id", url.alias("url"))
+
+
+@query("web_domain_psl", _PSL_ORACLE)
+def q_web_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-Suffix-List registrable domain (eTLD+1) feeding the
+    per-domain cap (operators/web.with_registrable_domain +
+    cap_per_host(level='registrable')): broadcast longest-match against
+    the checked-in PSL subset groups src0.shop.co.uk and
+    src1.shop.co.uk under shop.co.uk — NOT under a bogus 'co.uk'
+    country-wide domain the 2-label approximation produces. The oracle
+    replays canonicalization, the longest-match, the wildcard fallback,
+    and the exact md5 cap order, so both the grouping and the surviving
+    doc set are pinned."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = cap_per_host(
+        synth_psl_urls(docs), "url", "doc_id", cap=3, level="registrable"
+    )
+    return kept.select(
+        "registrable", "doc_id",
+        F.col("registrable_rank").cast("int").alias("registrable_rank"),
     )

@@ -149,3 +149,101 @@ def test_cap_at_domain_level_and_approx_stats(spark):
         r.n_canonical for r in approx.collect() if r.domain == "example.com"
     )
     assert total >= 15  # HLL estimate of 20 distinct canonicals
+
+
+class TestRegistrableDomainPSL:
+    """Public-suffix longest-match: the eTLD+1 machinery that replaces
+    the documented 2-label approximation for grouping/capping."""
+
+    def _reg(self, spark, hosts):
+        from olist_snowflake_dbt_spark.operators.web import (
+            with_registrable_domain,
+        )
+
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        out = with_registrable_domain(df, "host")
+        return {r.host: r.registrable_domain for r in out.collect()}
+
+    def test_cctld_grouping_and_longest_match(self, spark):
+        got = self._reg(
+            spark,
+            [
+                "a.shop.co.uk",          # 2-label suffix: co.uk
+                "b.shop.co.uk",          # same registrable as above
+                "deep.sub.shop.co.uk",   # extra labels don't change eTLD+1
+                "x.bucket.s3.amazonaws.com",  # 3-label suffix wins over com
+                "pages.github.io",       # io is NOT the suffix here
+                "plain.example.com",     # wildcard fallback: last 2 labels
+                "weird.example.zz",      # unknown TLD: same wildcard rule
+            ],
+        )
+        assert got["a.shop.co.uk"] == "shop.co.uk"
+        assert got["b.shop.co.uk"] == "shop.co.uk"
+        assert got["deep.sub.shop.co.uk"] == "shop.co.uk"
+        assert got["x.bucket.s3.amazonaws.com"] == "bucket.s3.amazonaws.com"
+        assert got["pages.github.io"] == "pages.github.io"
+        assert got["plain.example.com"] == "example.com"
+        assert got["weird.example.zz"] == "example.zz"
+
+    def test_bare_suffix_and_single_label_hosts(self, spark):
+        got = self._reg(spark, ["co.uk", "localhost"])
+        # a host that IS a public suffix has no registrable label left;
+        # the documented contract yields the host itself (via fallback)
+        assert got["co.uk"] == "co.uk"
+        assert got["localhost"] == "localhost"
+
+    def test_zero_shuffle_plan(self, spark):
+        """The PSL lookup must stay map-only: broadcast joins, no
+        Exchange in the plan."""
+        from olist_snowflake_dbt_spark.operators.web import (
+            with_registrable_domain,
+        )
+
+        df = spark.range(100).select(
+            F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".co.uk"))
+            .alias("host")
+        )
+        plan = with_registrable_domain(df, "host")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+
+class TestBlocklist:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "http://a.shop.co.uk/news/x"),
+                (2, "http://b.shop.co.uk/other/y"),
+                (3, "http://c.fine.co.uk/news/x"),
+                (4, "http://tracker.example.com/p"),
+                (5, "http://keep.example.org/p"),
+            ],
+            "doc_id long, url string",
+        )
+
+    def test_domain_and_path_prefix_rules(self, spark):
+        from olist_snowflake_dbt_spark.operators.web import apply_blocklist
+
+        bl = spark.createDataFrame(
+            [
+                ("shop.co.uk", "/news"),   # path-scoped block
+                ("example.com", None),     # whole registrable domain
+            ],
+            "domain string, path_prefix string",
+        )
+        kept = {r.doc_id for r in apply_blocklist(self._docs(spark), bl).collect()}
+        # 1 blocked (shop.co.uk + /news prefix); 2 survives (other path);
+        # 3 survives (fine.co.uk is a DIFFERENT registrable domain —
+        # a 2-label 'co.uk' match would wrongly kill it);
+        # 4 blocked (domain-wide); 5 survives
+        assert kept == {2, 3, 5}
+
+    def test_blocklist_is_broadcast_anti_join(self, spark):
+        from olist_snowflake_dbt_spark.operators.web import apply_blocklist
+
+        bl = spark.createDataFrame(
+            [("shop.co.uk", None)], "domain string, path_prefix string"
+        )
+        plan = apply_blocklist(self._docs(spark), bl)._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan and "Broadcast" in plan
+        assert "Exchange hashpartitioning" not in plan
