@@ -34,87 +34,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries
-# in dict order. Round-8 rotation policy (VERDICT r06 #2): NOVELTY wins
-# this round — 48 of the 214 registered queries were created in round 8
-# (two sub-waves) and have no driver row in any CORRECTNESS_r0*.json, so
-# they take 48 of the 50 slots; the other two are the flagship and one
-# modified-implementation rotation (dq_verdict). Older queries all have
-# r03–r07 driver rows AND are re-verified on current code every round by
-# tools/gate.py over the full catalog (GATE.json: oracle 214/214 green).
+# in dict order. Round-9 rotation policy (VERDICT r08 #2): STALENESS
+# wins — after two novelty rounds the oldest surviving driver rows are
+# r03/r04-era (5+ rounds old). The window takes: (a) everything NEW or
+# MODIFIED in round 9 — mm_phash_dedup + web_domain_psl (new),
+# web_corpus_prep (blocklist stage added, schema changed),
+# web_host_url_stats / web_cap_per_host (nested-URL synth case +
+# oracle limit-2 split fix), dq_verdict (custom-fail_calc "!=0"
+# default; count(*) defaults bit-compatible), runner_pipeline_gate
+# (pipeline() gained the full dbt-build flag surface) — then (b) all
+# 9 r03-era rows, all 21 r04-era rows, and the 13 oldest r05-era rows.
+# Every displaced query keeps its historical driver row and is
+# re-verified on current code each round by tools/gate.py over the full
+# catalog (GATE.json). After this round no query's newest driver row is
+# older than r05, and the remaining 30 r05-era rows are first in line
+# for round 10.
 _CHECK_FIRST = [
-    # The driver records the FIRST 50 queries() rows. Round-8 produced
-    # 48 queries that have never had a driver row (both sub-waves:
-    # time-travel/governance/retrieval/curation, then the migration-SQL/
-    # CLI-depth/streaming-outer/web-curation batch) — all 48 are here,
-    # plus the flagship and one rotation slot for dq_verdict, whose
-    # verdict wrapper (evaluate_test) gained the fail_calc/threshold
-    # grammar this round. Displaced r03/r04-era rows (text_language_id,
-    # asof_click_attribution, mm_decode, sessionize_events, ...) keep
-    # their historical driver rows and are re-verified on current code
-    # every round by tools/gate.py (GATE.json: oracle 214/214).
-    # fct_orders yields its customary first slot this round: it carries
-    # green driver rows from EVERY prior round (r01–r07) and entry()
-    # still smoke-runs it each round, while all 50 rows below are
-    # round-8 queries with no driver row yet. gate.py re-verifies
-    # fct_orders on current code every round.
-    "gapfill_locf_interp",
-    # wave 1 (earlier round-8 session)
-    "timetravel_changes",
-    "timetravel_stream_consume",
-    "timetravel_ivm_refresh",
-    "timetravel_schema_drift",
-    "stream_file_ingest_native",
-    "scd2_hard_delete",
-    "runner_snapshot_advance",
-    "governance_masked_view",
-    "governance_row_access",
-    "bm25_topk",
-    "hybrid_rrf_fusion",
-    "similarity_mrl_truncate_recall",
-    "dedup_cluster_representative",
-    "sample_reservoir_per_group",
-    "sample_mixture_weights",
-    "sample_chunk_windows",
-    "funnel_conversion",
-    "text_bigram_lm_score",
-    "drift_chi2_event_types",
-    "multi_table_insert_routes",
-    "result_cache_roundtrip",
-    "rag_context_pack",
-    "join_strategy_advisor",
-    "skew_key_stats",
-    "runner_model_versions",
-    "runner_observed_metrics",
-    "runner_unit_test_fixtures",
-    "er_golden_records",
-    "runner_grants_lifecycle",
-    "governance_erasure_cascade",
-    "similarity_pq_adc",
-    "sample_time_holdout",
-    "layout_compaction_roundtrip",
-    "fmt_copy_into_history",
-    # wave 2 (this session)
-    "listagg_within_group",
-    "qualify_keep_latest",
-    "flatten_with_ordinality",
-    "median_mode_disc",
-    "runner_clone_empty_envvar",
-    "stream_stream_left_outer",
-    "retrieval_mmr_rerank",
-    "incremental_merge_update_columns",
+    # new / modified in round 9
+    "mm_phash_dedup",
+    "web_domain_psl",
+    "web_corpus_prep",
     "web_host_url_stats",
     "web_cap_per_host",
-    "object_agg_canonical",
-    "dbt_utils_surrogate_key",
-    "string_predicates_breadth",
-    "udtf_polymorphic_parse",
-    # wave 2, final addition: the composed web-curation funnel
-    "web_corpus_prep",
+    "dq_verdict",
+    "runner_pipeline_gate",
+    # stalest: r03-era driver rows (all 9)
+    "window_running_agg",
+    "distinct_agg",
+    "asof_last_purchase",
+    "text_token_stats",
+    "text_language_id",
+    "text_fingerprint",
+    "text_repetition_stats",
+    "text_pii_pseudonymize",
+    "text_ngram_counts",
+    # stalest: r04-era driver rows (all 21)
+    "sessionize_events",
+    "mm_byte_stats",
+    "mm_frame_sample",
+    "kmeans_clusters",
+    "mm_decode",
+    "mm_features",
+    "fmt_jsonl_roundtrip",
+    "fmt_orc_roundtrip",
+    "fmt_csv_roundtrip",
+    "sink_partitioned_pruned",
+    "fmt_schema_evolution",
+    "sample_hash_split",
+    "sample_hash_fraction",
+    "sample_stratified_topn",
+    "pandas_group_vector_sums",
+    "sample_mix_sources",
+    "sample_pack_sequences",
+    "materialize_table_roundtrip",
+    "clone_zero_copy",
+    "zorder_roundtrip",
+    "asof_click_attribution",
+    # stalest: oldest r05-era driver rows (13 of 43, file order)
+    "dedup_embedding_cosine",
+    "similarity_ann_lsh",
+    "array_hof_stats",
+    "batch_session_window",
+    "corr_regression_agg",
+    "cube_aggregate",
+    "date_spine_gaps",
+    "doc_length_histogram",
+    "full_outer_reconcile",
+    "grouping_sets_mix",
+    "quality_quantile_filter",
+    "sample_importance_weighted",
+    "stream_sliding_window",
 ]
-# dq_verdict's evaluate_test gained the threshold grammar this round but
-# lost its rotation slot to the never-covered web_corpus_prep (novelty >
-# staleness when slots run out); its defaults are bit-compatible and it
-# stays gate.py-verified on current code every round.
+# fct_orders (green r01–r07) stays out of the window again: entry()
+# smoke-runs it every round and gate.py re-verifies it on current code.
 
 
 

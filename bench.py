@@ -38,6 +38,30 @@ def main() -> None:
         except Exception:
             pass
 
+    # Canary: a fixed synthetic probe (range → hash agg → noop) whose
+    # CODE never changes across rounds, interleaved every ~20 queries.
+    # Per-query times normalized by the nearest canary separate machine
+    # drift (uniform canary rise — the +20% r07→r08 question) from a
+    # real plan regression (one query's normalized time moves alone).
+    # It deliberately reads no catalog table, so data-layout changes
+    # can't touch it either.
+    def run_canary() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000)
+            .selectExpr("id % 997 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    run_canary()  # discard: first execution pays codegen compile (~5x)
+    canary_times: list[float] = [run_canary()]
+    _CANARY_EVERY = 20
+
     # min-of-N per query (default 2): a single run sits on a ~2.5x noise
     # floor from JVM GC pauses and codegen compilation landing inside one
     # measurement (r04: cube_aggregate 13.9 s in-sequence vs 1.8 s
@@ -51,7 +75,11 @@ def main() -> None:
     # min is noise; one whose EVERY run exceeds the old max changed plan
     raw_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for name, fn in QUERIES.items():
+    canary_of: dict[str, int] = {}  # query -> index into canary_times
+    for qi, (name, fn) in enumerate(QUERIES.items()):
+        if qi and qi % _CANARY_EVERY == 0:
+            canary_times.append(run_canary())
+        canary_of[name] = len(canary_times) - 1
         best: float | None = None
         failed = False
         for _ in range(n_runs):
@@ -99,6 +127,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    out["canary"] = canary_times
     if errors:
         out["errors"] = errors
     # full-precision per-query detail survives in the repo regardless of
@@ -109,7 +138,16 @@ def main() -> None:
         detail = {
             **out,
             "queries": {
-                k: {"min": v, "runs": raw_runs.get(k, [])}
+                k: {
+                    "min": v,
+                    "runs": raw_runs.get(k, []),
+                    # wall time in units of the governing canary run —
+                    # compare THIS across rounds, not raw seconds
+                    "canary": canary_times[canary_of[k]],
+                    "normalized": round(v / canary_times[canary_of[k]], 3)
+                    if canary_times[canary_of[k]] > 0
+                    else None,
+                }
                 for k, v in timings.items()
             },
             "n_runs": n_runs,
