@@ -239,3 +239,106 @@ def test_dynamic_table_failed_refresh_keeps_table_then_retry_converges(
     assert {r.k: r.total for r in dt.read().collect()} == {
         k: 28 for k in range(5)
     }
+
+
+class TestMultiTableInsertPromotion:
+    """multi_table_insert's per-target promote loop (plans/materialize
+    .multi_table_insert): a crash between target promotions must leave
+    already-promoted targets on their NEW generation and every
+    not-yet-promoted target on its intact PREVIOUS generation — the
+    same backup-swap invariant materialize_table documents."""
+
+    def _run(self, spark, wh, lo, hi):
+        from olist_snowflake_dbt_spark.plans.materialize import (
+            multi_table_insert,
+        )
+
+        df = spark.range(lo, hi).select(
+            F.col("id"), (F.col("id") % 2).alias("band")
+        )
+        return multi_table_insert(
+            spark,
+            df,
+            "__route",
+            {"mti_even": F.col("band") == 0, "mti_odd": F.lit(True)},
+            wh,
+        )
+
+    def test_crash_mid_promotion_keeps_prior_generations(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import olist_snowflake_dbt_spark.plans.materialize as mat
+
+        wh = str(tmp_path / "wh")
+        self._run(spark, wh, 0, 100)  # generation 1 for both targets
+        gen1_even = {r.id for r in spark.read.parquet(f"{wh}/mti_even").collect()}
+        gen1_odd = {r.id for r in spark.read.parquet(f"{wh}/mti_odd").collect()}
+
+        real_swap = mat._atomic_swap
+        calls = {"n": 0}
+
+        def crashing_swap(final, tmp):
+            calls["n"] += 1
+            if calls["n"] == 2:  # first target promoted, second crashes
+                raise OSError("injected: crash before second promote")
+            real_swap(final, tmp)
+
+        monkeypatch.setattr(mat, "_atomic_swap", crashing_swap)
+        with pytest.raises(OSError, match="injected"):
+            self._run(spark, wh, 1000, 1100)
+        monkeypatch.setattr(mat, "_atomic_swap", real_swap)
+
+        # first target in route order (mti_even) was promoted → gen 2;
+        # the crashed target still serves gen 1, fully readable
+        even_now = {r.id for r in spark.read.parquet(f"{wh}/mti_even").collect()}
+        odd_now = {r.id for r in spark.read.parquet(f"{wh}/mti_odd").collect()}
+        assert even_now == {i for i in range(1000, 1100) if i % 2 == 0}
+        assert even_now != gen1_even
+        assert odd_now == gen1_odd
+        # the staging directory is cleaned up even on the crash path
+        assert not [d for d in os.listdir(wh) if d.startswith(".mti-stage-")]
+
+        # retry converges: both targets on generation 3
+        self._run(spark, wh, 2000, 2100)
+        assert {r.id for r in spark.read.parquet(f"{wh}/mti_odd").collect()} == {
+            i for i in range(2000, 2100) if i % 2 == 1
+        }
+
+
+class TestResultCachePublish:
+    """ResultCache.get_or_compute's publish (plans/result_cache.py):
+    a crash at the tmp→final rename must leave existing entries intact
+    and the failed entry ABSENT (no half-published directory a lookup
+    could see); a retry recomputes and publishes."""
+
+    def test_crash_at_publish_rename(self, spark, tmp_path, monkeypatch):
+        import olist_snowflake_dbt_spark.plans.result_cache as rc
+
+        cache = rc.ResultCache(spark, str(tmp_path / "rc"))
+        plan_a = spark.range(10).selectExpr("id", "id * 2 AS v")
+        plan_b = spark.range(20).selectExpr("id", "id * 3 AS v")
+        out_a, hit_a = cache.get_or_compute(plan_a)
+        assert not hit_a and out_a.count() == 10
+
+        real_rename = os.rename
+
+        def crashing_rename(src, dst):
+            if str(dst).startswith(cache.root):
+                raise OSError("injected: crash at cache publish")
+            real_rename(src, dst)
+
+        monkeypatch.setattr(rc.os, "rename", crashing_rename)
+        with pytest.raises(OSError, match="injected"):
+            cache.get_or_compute(plan_b)
+        monkeypatch.setattr(rc.os, "rename", real_rename)
+
+        # prior entry intact and still a HIT; failed entry invisible
+        assert cache.lookup(plan_b) is None
+        out_a2, hit_a2 = cache.get_or_compute(plan_a)
+        assert hit_a2 and {r.v for r in out_a2.collect()} == {2 * i for i in range(10)}
+
+        # retry publishes and the next call hits
+        out_b, hit_b = cache.get_or_compute(plan_b)
+        assert not hit_b and out_b.count() == 20
+        _, hit_b2 = cache.get_or_compute(plan_b)
+        assert hit_b2

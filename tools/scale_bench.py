@@ -7,7 +7,8 @@ Runs each query min-of-N at BOTH scale factors inside one session
 bench.py), then writes SCALING.json:
 
     {"data_ratio": 10, "queries": {name: {"sf0.1": s, "sf1": s,
-     "ratio": r}}, ...}
+     "ratio": r, "sf0.1_shuffle_mb": m, "sf1_shuffle_mb": m,
+     "bytes_ratio": r}}, ...}
 
 Reading the ratios: the data grows 10x, so a perfectly linear operator
 with zero fixed cost shows ratio 10; every query carries 0.3-2 s of
@@ -16,7 +17,22 @@ ratios land well under 10. A ratio >> 10 means super-linear work —
 each one must carry a named cause or a fix (SCALE.md records the
 adjudication).
 
-Usage: python tools/scale_bench.py [--runs 2] [--only q1,q2,...]
+Shuffle-bytes lane (VERDICT r08 #3): alongside wall seconds, each
+query records the SHUFFLE WRITE bytes its first run moved (delta of
+the executor-cumulative counters around the run — monotonic, immune
+to stage-store eviction) plus disk/memory spill. "Bytes moved grows
+linearly" is the 100-TB claim in its own units: ``bytes_ratio`` ≈ 10
+is a linear exchange, << 10 means the exchange carries something
+sub-linear (sketches, capped candidates, dimension tables), and > 10
+is super-linear data movement — adjudicated in SCALE.md even when
+fixed overhead hides it from the wall ratio.
+
+By default the lane covers EVERY registered query (full-catalog
+coverage, VERDICT r08 #5); SCALE_QUERIES below keeps the curated
+scale-critical core with its per-family rationale, and --core limits
+a run to it.
+
+Usage: python tools/scale_bench.py [--runs 2] [--only q1,q2,...] [--core]
 """
 
 from __future__ import annotations
@@ -123,20 +139,61 @@ SF_DIRS = {
 }
 
 
-def _time_query(spark, fn, sf_dir: str, runs: int) -> float:
+def _bytes_snapshot(spark) -> tuple[int, int, int]:
+    """(shuffle_write, disk_spill, mem_spill) cumulative totals.
+
+    Shuffle write comes from the executor-level counters (monotonic for
+    the JVM's lifetime — per-query deltas survive stage-store eviction,
+    unlike summing the stage list). Spill only exists per-stage, so it
+    uses the stage store (best effort: a run long enough to evict its
+    own stages would undercount; lane queries are seconds, retention is
+    1000 stages)."""
+    store = spark._jsc.sc().statusStore()
+    sw = 0
+    ex = store.executorList(False)
+    for i in range(ex.size()):
+        sw += ex.apply(i).totalShuffleWrite()
+    disk = mem = 0
+    try:
+        jvm = spark.sparkContext._jvm
+        args = [jvm.java.util.ArrayList()] + [
+            getattr(store, f"stageList$default${j}")() for j in range(2, 6)
+        ]
+        st = store.stageList(*args)
+        for i in range(st.size()):
+            s = st.apply(i)
+            disk += s.diskBytesSpilled()
+            mem += s.memoryBytesSpilled()
+    except Exception:
+        pass
+    return sw, disk, mem
+
+
+def _time_query(spark, fn, sf_dir: str, runs: int) -> tuple[float, dict]:
     best = None
-    for _ in range(runs):
+    metrics: dict[str, float] = {}
+    for r in range(runs):
+        if r == 0:
+            before = _bytes_snapshot(spark)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - t0
+        if r == 0:
+            after = _bytes_snapshot(spark)
+            mb = 1024.0 * 1024.0
+            metrics = {
+                "shuffle_mb": round((after[0] - before[0]) / mb, 2),
+                "spill_disk_mb": round((after[1] - before[1]) / mb, 2),
+                "spill_mem_mb": round((after[2] - before[2]) / mb, 2),
+            }
         best = elapsed if best is None else min(best, elapsed)
         spark.catalog.clearCache()
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
-    return best
+    return best, metrics
 
 
 def main() -> None:
@@ -148,8 +205,20 @@ def main() -> None:
         action="store_true",
         help="update existing SCALING.json entries instead of replacing the file",
     )
+    ap.add_argument(
+        "--core",
+        action="store_true",
+        help="limit to the curated SCALE_QUERIES core (default: full catalog)",
+    )
     args = ap.parse_args()
-    names = [n for n in args.only.split(",") if n] or SCALE_QUERIES
+    from olist_snowflake_dbt_spark.queries import QUERIES as _ALL
+
+    names = [n for n in args.only.split(",") if n] or (
+        SCALE_QUERIES if args.core
+        # full catalog: curated core first (canonical ordering for
+        # round-over-round diffs), then every remaining registered query
+        else SCALE_QUERIES + [q for q in _ALL if q not in SCALE_QUERIES]
+    )
 
     if not os.path.isdir(SF_DIRS["sf1"]):
         sys.exit("sf1 missing — run: python tools/gen_scale.py")
@@ -173,12 +242,24 @@ def main() -> None:
         row: dict[str, float] = {}
         for sf, sf_dir in SF_DIRS.items():
             try:
-                row[sf] = round(_time_query(spark, fn, sf_dir, args.runs), 3)
+                best, metrics = _time_query(spark, fn, sf_dir, args.runs)
+                row[sf] = round(best, 3)
+                row[f"{sf}_shuffle_mb"] = metrics.get("shuffle_mb", 0.0)
+                for k in ("spill_disk_mb", "spill_mem_mb"):
+                    if metrics.get(k):  # spill is rare — record only hits
+                        row[f"{sf}_{k}"] = metrics[k]
             except Exception as exc:
                 row[f"{sf}_error"] = f"{type(exc).__name__}: {exc}"[:200]
                 print(f"{name} @ {sf} FAILED: {row[f'{sf}_error']}", file=sys.stderr)
         if "sf0.1" in row and "sf1" in row:
             row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
+            # bytes moved through exchanges, sf1 vs sf0.1: ~10 = linear
+            # shuffle, <<10 = sub-linear (sketch/capped/broadcast), >10 =
+            # super-linear data movement (adjudicate in SCALE.md)
+            if row.get("sf0.1_shuffle_mb", 0) >= 0.5:
+                row["bytes_ratio"] = round(
+                    row["sf1_shuffle_mb"] / row["sf0.1_shuffle_mb"], 2
+                )
         out[name] = row
         print(name, row, flush=True)
 
@@ -196,7 +277,11 @@ def main() -> None:
             "min-of-N wall seconds per scale factor in one shared session; "
             "fixed per-query overhead (plan, Python worker, checkpoint "
             "setup) does not scale with data, so linear operators show "
-            "ratio << 10. Adjudication of outliers: SCALE.md §measured."
+            "ratio << 10. *_shuffle_mb = shuffle-write bytes moved by the "
+            "first run (executor-counter delta); bytes_ratio ~10 = linear "
+            "exchange, <<10 = sub-linear payload (sketch/cap/broadcast), "
+            ">10 = super-linear movement. Adjudication of outliers: "
+            "SCALE.md §measured."
         ),
     }
     with open(os.path.join(REPO, "SCALING.json"), "w") as fh:
