@@ -312,3 +312,26 @@ def test_seed_select_and_ls_resource_types(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "source:" in out and "test:" in out
+
+
+def test_cli_vars_override_project_defaults(spark, tmp_path, capsys):
+    """dbt --vars precedence: CLI values win over defaults a project's
+    configure() sets — i.e. they are applied AFTER project load (the
+    pre-load application silently inverted this)."""
+    args = [
+        "compile",
+        "--select", "vars_model",
+        "--project", "tests._vars_project:configure",
+        "--warehouse", str(tmp_path / "whv"),
+        "--vars", '{"cutoff": 2}',
+    ]
+    rc = main(args, spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "LIMIT 2" in out             # CLI value rendered
+    assert "LIMIT 5" not in out         # project default overridden
+
+    # without --vars the project default applies
+    rc = main(args[:-2], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0 and "LIMIT 5" in out
