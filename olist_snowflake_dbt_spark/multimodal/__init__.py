@@ -18,6 +18,7 @@ from .media import (
     extract_features,
     media_byte_stats,
     perceptual_hash,
+    phash_incremental_admit,
     phash_pairs,
     sample_frames,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "extract_features",
     "media_byte_stats",
     "perceptual_hash",
+    "phash_incremental_admit",
     "phash_pairs",
     "sample_frames",
 ]

@@ -290,6 +290,67 @@ def phash_pairs(
     )
 
 
+def phash_incremental_admit(
+    new_media: DataFrame,
+    standing_sigs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental media-corpus admission — the perceptual-hash sibling
+    of :func:`~..operators.dedup.incremental_dedup`: admit only batch
+    assets that are (a) no near-dup (Hamming ≤ ``max_hamming``) of the
+    STANDING corpus and (b) not blocked by a smaller-id near-dup within
+    the batch itself. Returns the admitted ``(media_id, phash)`` rows —
+    exactly what the caller appends to the standing index to keep the
+    invariant.
+
+    This is how a 100 TB media corpus grows without re-decoding itself:
+    the standing side is the 8-byte-signature table (~6 orders of
+    magnitude smaller than the payloads), the batch pays ONE Arrow
+    decode/hash pass, and both rejection joins are banded pigeonhole
+    joins (never all-pairs). At steady state the batch's banded side is
+    small — AQE broadcasts it against the standing index.
+
+    The batch-internal blocker rule is the RAW batch (a batch asset
+    rejected against standing still blocks its own batch near-dups) —
+    deterministic and conservative: of a dup group split across the
+    standing boundary, at most one copy is ever admitted."""
+    from ..functions.hashing import hamming64, simhash_band_keys
+
+    sig = perceptual_hash(new_media)
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "media_id",
+            "phash",
+            F.explode(
+                simhash_band_keys(F.col("phash"), bands, _PHASH_NBITS)
+            ).alias("__band"),
+        )
+
+    bn = banded(sig).persist()
+    bs = banded(standing_sigs).select(
+        F.col("__band"),
+        F.col("media_id").alias("__sid"),
+        F.col("phash").alias("__sph"),
+    )
+    rej_standing = (
+        bn.join(bs, "__band")
+        .filter(hamming64(F.col("phash"), F.col("__sph")) <= max_hamming)
+        .select("media_id")
+    )
+    a, b = bn.alias("a"), bn.alias("b")
+    rej_batch = a.join(
+        b,
+        (F.col("a.__band") == F.col("b.__band"))
+        & (F.col("a.media_id") < F.col("b.media_id")),
+    ).filter(
+        hamming64(F.col("a.phash"), F.col("b.phash")) <= max_hamming
+    ).select(F.col("b.media_id").alias("media_id"))
+    rejected = rej_standing.unionByName(rej_batch).dropDuplicates()
+    return sig.join(rejected, "media_id", "left_anti")
+
+
 # -- frame sampling (fan-out) -----------------------------------------
 
 _FRAMES_SCHEMA = StructType(

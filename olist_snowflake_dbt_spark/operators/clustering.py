@@ -90,14 +90,30 @@ def seed_centroids(df: DataFrame, vec_col: str, id_col: str, k: int) -> DataFram
 
 def assign_clusters(points: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the k-row centroid frame,
-    map-side argmin with (distance, cell) tie-break. Adds ``cell``."""
-    w = Window.partitionBy("__pid").orderBy(F.col("__d2").asc(), F.col("cell").asc())
+    map-side argmin with (distance, cell) tie-break. Adds ``cell``.
+
+    The argmin is ``min(struct(__d2, cell))`` under a ``groupBy`` —
+    lexicographic struct-min IS the (distance asc, cell asc) tie-break,
+    and unlike a per-point window it is MAP-SIDE COMBINABLE: the n·k
+    candidate rows (each dragging two dim-length arrays) collapse to n
+    rows before the exchange instead of all shuffling into per-point
+    sort groups. Measured at sf1 (n=20k, k=80): the window variant
+    moved the whole 1.6M-row cross product through the shuffle and
+    dominated the k-means wall; this shape shuffles n rows. The
+    ``first()`` carries are exact — every candidate row of a point
+    holds the same point payload."""
+    joined = points.crossJoin(F.broadcast(centroids)).withColumn(
+        "__d2", _sq_l2(F.col("__x"), F.col("c"))
+    )
+    carry = [c for c in points.columns if c != "__pid"]
     return (
-        points.crossJoin(F.broadcast(centroids))
-        .withColumn("__d2", _sq_l2(F.col("__x"), F.col("c")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__d2", "c")
+        joined.groupBy("__pid")
+        .agg(
+            F.min(F.struct(F.col("__d2"), F.col("cell"))).alias("__best"),
+            *[F.first(c).alias(c) for c in carry],
+        )
+        .withColumn("cell", F.col("__best")["cell"])
+        .drop("__best")
     )
 
 

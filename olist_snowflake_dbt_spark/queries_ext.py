@@ -1065,6 +1065,12 @@ def q_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 _KM_K, _KM_DIM = 8, 64
+# SemDeDup cluster count scales with the corpus (k ∝ n, the paper's
+# tractability argument and this repo's documented anti-pattern fix:
+# fixed k makes within-cluster pairs n²/k — the sf1 lane measured it at
+# 12.5× wall for 10× data before this landed). One cluster per ~250
+# vectors; the floor keeps driver-sf results (n≈2020 → k=8) unchanged.
+_KM_PER = 250
 
 
 def _d2(a: str, c: str, dim: int = _KM_DIM) -> str:
@@ -1430,7 +1436,7 @@ _SEMANTIC_ORACLE = f"""
                list_transform(xq, v -> CAST(v AS DOUBLE) / 1000000.0) AS c
         FROM (SELECT vec_id, xq,
                      substr(md5(CAST(vec_id AS VARCHAR)), 1, 16) AS h
-              FROM pts ORDER BY h LIMIT {_KM_K})
+              FROM pts ORDER BY h LIMIT greatest({_KM_K}, (SELECT COUNT(*) FROM pts) // {_KM_PER}))
     ),
     a0 AS (
         SELECT vec_id, xq, cell FROM (
@@ -1498,8 +1504,21 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark import StorageLevel
 
-    emb = _planted_emb(spark, sf_dir)
-    assign = kmeans_lloyd(emb, "embedding", "vec_id", k=_KM_K, iters=2)
+    # Repartition to the session's parallelism BEFORE the O(n·k)
+    # assignment: a compact parquet layout (sf1: one file → 2 splits)
+    # otherwise runs the compute-heavy distance stage on 2 of 32 cores
+    # — the sf1 lane measured k-means at 35 s that way, ~3 s wide. At
+    # 100 TB this is the standard "CPU-bound stage needs cores, not
+    # input splits" repartition; the 10 MB vector shuffle is noise.
+    emb = _planted_emb(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # k ∝ n (one cluster per ~250 vectors, floor _KM_K): bounds the
+    # within-cluster quadratic to a constant per-cluster cost — the sf1
+    # lane measured the fixed-k version at 12.5× wall for 10× data.
+    # The count() is a single 1-row job over the planted frame.
+    k = max(_KM_K, emb.count() // _KM_PER)
+    assign = kmeans_lloyd(emb, "embedding", "vec_id", k=k, iters=2)
     # persist the clustered corpus: BOTH sides of the within-cluster
     # self-join (and the final anti-join) reuse it — without this the
     # whole iterative k-means lineage re-executes once per consumer

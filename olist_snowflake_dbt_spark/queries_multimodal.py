@@ -173,8 +173,7 @@ _PLANTED_MEDIA = """
            upper(substr(text, 1, 3)) || substr(text, 4)
     FROM documents WHERE doc_id % 70 = 0
 """
-_PHASH_ORACLE = f"""
-    WITH d2 AS ({_PLANTED_MEDIA}),
+_PHASH_SIG_TAIL = f"""
     m AS (
         SELECT doc_id AS media_id,
                hex(encode(text)) AS hx,
@@ -224,11 +223,25 @@ _PHASH_ORACLE = f"""
                    | (bnd << {_PH_WIDTH}) AS band
         FROM sig, (SELECT UNNEST(generate_series(0, {_PH_BANDS - 1})) AS bnd)
     )
+"""
+
+
+def _phash_sig_sql(docs_sql: str) -> str:
+    """WITH-prefix computing ``sig(media_id, phash)`` + ``banded`` from
+    any docs CTE body — shared by the pair and incremental oracles so
+    the hash replay has ONE source of truth."""
+    return f"WITH d2 AS ({docs_sql}),{_PHASH_SIG_TAIL}"
+
+
+_PHASH_ORACLE = (
+    _phash_sig_sql(_PLANTED_MEDIA)
+    + f"""
     SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
            bit_count(xor(a.phash, b.phash)) AS hamming
     FROM banded a JOIN banded b ON a.band = b.band AND a.media_id < b.media_id
     WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
+)
 
 
 def _planted_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,3 +277,91 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set bit-exactly from hex(payload). Planted exact + near
     copies guarantee the result is non-vacuous at every sf."""
     return phash_pairs(_planted_media(spark, sf_dir), max_hamming=3, bands=4)
+
+
+# Incremental admission twin: standing corpus = even doc_ids (< 1e6);
+# the batch = odd originals + planted re-submissions of standing assets
+# (+1e6 exact, +2e6 near for %70 even bases — both must be REJECTED
+# against the standing index) + planted within-batch exact dups (+3e6,
+# only the smaller id survives). The union runs through the shared sig
+# pipeline once; sides are split by id predicate in the tail.
+_INCR_MEDIA = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+    UNION ALL
+    SELECT doc_id + 2000000,
+           upper(substr(text, 1, 3)) || substr(text, 4)
+    FROM documents WHERE doc_id % 70 = 0
+    UNION ALL
+    SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 90 = 1
+"""
+_PHASH_INCR_ORACLE = (
+    _phash_sig_sql(_INCR_MEDIA)
+    + """
+    , std AS (
+        SELECT * FROM banded WHERE media_id % 2 = 0 AND media_id < 1000000
+    ),
+    bat AS (
+        SELECT * FROM banded
+        WHERE NOT (media_id % 2 = 0 AND media_id < 1000000)
+    ),
+    rej AS (
+        SELECT DISTINCT b.media_id
+        FROM bat b JOIN std s
+          ON b.band = s.band AND bit_count(xor(b.phash, s.phash)) <= 3
+        UNION
+        SELECT DISTINCT b.media_id
+        FROM bat b JOIN bat a
+          ON a.band = b.band AND a.media_id < b.media_id
+             AND bit_count(xor(a.phash, b.phash)) <= 3
+    )
+    SELECT media_id, phash FROM sig
+    WHERE NOT (media_id % 2 = 0 AND media_id < 1000000)
+      AND media_id NOT IN (SELECT media_id FROM rej)
+"""
+)
+
+
+@query("mm_phash_incremental", _PHASH_INCR_ORACLE)
+def q_mm_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental media-corpus admission
+    (multimodal/media.phash_incremental_admit): the standing corpus
+    (even doc_ids) exists ONLY as its 8-byte signature table; the
+    incoming batch — genuinely-new odd assets, planted re-submissions
+    of standing assets (exact and 3-char-case near copies, rejected by
+    the banded join against the index), and planted within-batch dups
+    (smaller id blocks) — pays one Arrow hash pass and two pigeonhole
+    joins. Returns the admitted (media_id, phash) rows, i.e. the index
+    append. The corpus is never re-decoded as it grows."""
+    from .multimodal import phash_incremental_admit
+    from .multimodal.media import perceptual_hash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    standing = perceptual_hash(
+        attach_fake_media(docs.filter(F.col("doc_id") % 2 == 0))
+    )
+    resub = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 70 == 0)
+        .withColumn(
+            "text",
+            F.concat(
+                F.upper(F.substring("text", 1, 3)),
+                F.expr("substring(text, 4)"),
+            ),
+        )
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+    )
+    batch_dup = docs.filter(F.col("doc_id") % 90 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 3000000
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(resub)
+        .unionByName(near)
+        .unionByName(batch_dup)
+    )
+    return phash_incremental_admit(attach_fake_media(batch), standing)

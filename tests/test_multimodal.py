@@ -145,3 +145,43 @@ class TestPerceptualHashDedup:
         sigs = {r.media_id: r.phash for r in perceptual_hash(df).collect()}
         assert sigs[1] == 0                 # empty payload → zero hash
         assert 0 <= sigs[3] < (1 << 60)     # packed 60-bit range
+
+    def test_incremental_admission(self, spark, sf_dir):
+        """phash_incremental_admit: standing near-dups and within-batch
+        smaller-id near-dups are rejected; genuinely new assets are
+        admitted with their signature (the index append)."""
+        from olist_snowflake_dbt_spark.multimodal import (
+            attach_fake_media,
+            phash_incremental_admit,
+        )
+        from olist_snowflake_dbt_spark.multimodal.media import perceptual_hash
+
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        standing = perceptual_hash(
+            attach_fake_media(docs.filter(F.col("doc_id") % 2 == 0))
+        )
+        resub = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+        dup_in_batch = docs.filter(F.col("doc_id") % 90 == 1).withColumn(
+            "doc_id", F.col("doc_id") + 3000000
+        )
+        batch = (
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .unionByName(resub)
+            .unionByName(dup_in_batch)
+        )
+        admitted = {
+            r.media_id
+            for r in phash_incremental_admit(
+                attach_fake_media(batch), standing
+            ).collect()
+        }
+        # every re-submission of a standing asset is rejected
+        assert not {r.doc_id + 1000000 for r in
+                    docs.filter(F.col("doc_id") % 50 == 0).collect()} & admitted
+        # every within-batch exact dup is blocked by its smaller-id twin
+        assert not {r.doc_id + 3000000 for r in
+                    docs.filter(F.col("doc_id") % 90 == 1).collect()} & admitted
+        # and genuinely new content IS admitted (non-vacuous)
+        assert admitted
