@@ -38,13 +38,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # wins — after two novelty rounds the oldest surviving driver rows are
 # r03/r04-era (5+ rounds old). The window takes: (a) everything NEW or
 # MODIFIED in round 9 — mm_phash_dedup + mm_phash_incremental +
-# web_domain_psl (new),
+# mm_video_phash_pairs + web_domain_psl (new),
 # web_corpus_prep (blocklist stage added, schema changed),
 # web_host_url_stats / web_cap_per_host (nested-URL synth case +
 # oracle limit-2 split fix), dq_verdict (custom-fail_calc "!=0"
 # default; count(*) defaults bit-compatible), runner_pipeline_gate
 # (pipeline() gained the full dbt-build flag surface) — then (b) all
-# 9 r03-era rows, all 21 r04-era rows, and the 12 oldest r05-era rows.
+# 9 r03-era rows, all 21 r04-era rows, and the 11 oldest r05-era rows.
 # Every displaced query keeps its historical driver row and is
 # re-verified on current code each round by tools/gate.py over the full
 # catalog (GATE.json). After this round no query's newest driver row is
@@ -54,6 +54,7 @@ _CHECK_FIRST = [
     # new / modified in round 9
     "mm_phash_dedup",
     "mm_phash_incremental",
+    "mm_video_phash_pairs",
     "web_domain_psl",
     "web_corpus_prep",
     "web_host_url_stats",
@@ -92,7 +93,7 @@ _CHECK_FIRST = [
     "clone_zero_copy",
     "zorder_roundtrip",
     "asof_click_attribution",
-    # stalest: oldest r05-era driver rows (12 of 43, file order)
+    # stalest: oldest r05-era driver rows (11 of 43, file order)
     "dedup_embedding_cosine",
     "similarity_ann_lsh",
     "array_hof_stats",
@@ -104,9 +105,9 @@ _CHECK_FIRST = [
     "full_outer_reconcile",
     "grouping_sets_mix",
     "quality_quantile_filter",
-    "sample_importance_weighted",
-    # (stream_sliding_window, next-oldest r05 row, yields its slot to
-    # the new mm_phash_incremental; first in line for round 10)
+    # (sample_importance_weighted and stream_sliding_window, the next-
+    # oldest r05 rows, yield their slots to the new mm_phash_incremental
+    # and mm_video_phash_pairs; first in line for round 10)
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.

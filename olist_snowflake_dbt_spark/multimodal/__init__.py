@@ -16,11 +16,13 @@ from .media import (
     attach_fake_media,
     decode_media,
     extract_features,
+    frame_phashes,
     media_byte_stats,
     perceptual_hash,
     phash_incremental_admit,
     phash_pairs,
     sample_frames,
+    video_phash_pairs,
 )
 
 __all__ = [
@@ -28,9 +30,11 @@ __all__ = [
     "attach_fake_media",
     "decode_media",
     "extract_features",
+    "frame_phashes",
     "media_byte_stats",
     "perceptual_hash",
     "phash_incremental_admit",
     "phash_pairs",
     "sample_frames",
+    "video_phash_pairs",
 ]

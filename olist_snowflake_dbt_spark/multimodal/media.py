@@ -222,31 +222,39 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
     multimodal extension set)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        n_cells = _PHASH_ROWS * _PHASH_COLS
-        weights = 1 << np.arange(_PHASH_NBITS, dtype=np.uint64)
         for pdf in batches:
-            sigs = []
-            for payload in pdf["payload"]:
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n = arr.size
-                if n == 0:
-                    sigs.append(0)
-                    continue
-                k = (np.arange(n, dtype=np.int64) * n_cells) // n
-                sums = np.bincount(k, weights=arr, minlength=n_cells).astype(
-                    np.int64
-                )  # float64 sums are exact (< 2**53), cast back to int
-                lens = np.bincount(k, minlength=n_cells)
-                vals = np.where(
-                    lens > 0, (256 * sums) // np.maximum(lens, 1), 0
-                ).reshape(_PHASH_ROWS, _PHASH_COLS)
-                bits = (vals[:, :-1] < vals[:, 1:]).flatten()
-                sigs.append(int((bits * weights).sum()))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": sigs})
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [_dhash60(bytes(p)) for p in pdf["payload"]],
+                }
+            )
 
     return media.select("media_id", "payload").mapInPandas(kernel, _PHASH_SCHEMA)
+
+
+def _dhash60(data: bytes) -> int:
+    """The 60-bit dHash of one byte payload — the single source of truth
+    for asset-level AND frame-level fingerprints (all-integer; the SQL
+    oracles replay it bit-exactly)."""
+    import numpy as np
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = arr.size
+    if n == 0:
+        return 0
+    n_cells = _PHASH_ROWS * _PHASH_COLS
+    k = (np.arange(n, dtype=np.int64) * n_cells) // n
+    sums = np.bincount(k, weights=arr, minlength=n_cells).astype(
+        np.int64
+    )  # float64 sums are exact (< 2**53), cast back to int
+    lens = np.bincount(k, minlength=n_cells)
+    vals = np.where(
+        lens > 0, (256 * sums) // np.maximum(lens, 1), 0
+    ).reshape(_PHASH_ROWS, _PHASH_COLS)
+    bits = (vals[:, :-1] < vals[:, 1:]).flatten()
+    weights = 1 << np.arange(_PHASH_NBITS, dtype=np.uint64)
+    return int((bits * weights).sum())
 
 
 def phash_pairs(
@@ -349,6 +357,104 @@ def phash_incremental_admit(
     ).select(F.col("b.media_id").alias("media_id"))
     rejected = rej_standing.unionByName(rej_batch).dropDuplicates()
     return sig.join(rejected, "media_id", "left_anti")
+
+
+_FRAME_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def frame_phashes(
+    media: DataFrame, frame_bytes: int = 1024, max_frames: int = 8
+) -> DataFrame:
+    """Per-FRAME perceptual fingerprints: the :func:`sample_frames`
+    slice geometry (fixed-stride byte windows standing in for decoded
+    frames — a real decoder's frame sampler drops into the same kernel)
+    with :func:`_dhash60` applied to each slice INSIDE the same Arrow
+    batch pass, so frame bytes never leave the executor — only
+    ``(media_id, frame_idx, 8-byte sig)`` rows do."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "frame_idx": [], "phash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = min(max_frames, max(1, len(data) // frame_bytes))
+                for i in range(n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["phash"].append(
+                        _dhash60(data[i * frame_bytes : (i + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, _FRAME_PHASH_SCHEMA
+    )
+
+
+def video_phash_pairs(
+    media: DataFrame,
+    frame_bytes: int = 1024,
+    max_frames: int = 8,
+    min_shared: int = 2,
+    max_sig_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-dup VIDEO pairs: two assets match when ≥ ``min_shared`` of
+    their sampled frames carry IDENTICAL perceptual hashes — the
+    standard video-dedup recipe (re-encoded/trimmed copies keep most
+    frame fingerprints; a threshold of shared frames rejects single
+    coincidental collisions).
+
+    Plan shape at 100 TB: one Arrow pass emits ≤ ``max_frames`` 8-byte
+    signatures per asset, then the pair generation is an INVERTED-INDEX
+    self-join on the exact signature value (the n-gram-Jaccard shape,
+    not banded Hamming — frame sigs of near-identical frames are
+    byte-equal here, and exact-match joins need no candidate
+    explosion), followed by one pair aggregate counting DISTINCT shared
+    signatures (distinct, so a still video repeating one frame eight
+    times cannot fake eight votes). Returns
+    ``(id_a, id_b, n_shared_frames)``.
+
+    ``max_sig_freq`` is the hot-frame guard — the video twin of the
+    n-gram index's ``max_doc_freq``: a signature carried by more than
+    this many assets (black frames, intros, test cards) is dropped from
+    the index BEFORE the self-join, since a sig in f assets contributes
+    f² candidate rows. Near-dup PAIRS don't need ubiquitous frames to
+    be found; the guard bounds the worst posting list at any corpus
+    size."""
+    fp = (
+        frame_phashes(media, frame_bytes, max_frames)
+        .select("media_id", "phash")
+        .dropDuplicates()
+        .persist()
+    )
+    if max_sig_freq is not None:
+        ok = (
+            fp.groupBy("phash")
+            .agg(F.count(F.lit(1)).alias("__sig_df"))
+            .filter(F.col("__sig_df") <= max_sig_freq)
+            .select("phash")
+        )
+        fp = fp.join(ok, "phash")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.phash") == F.col("b.phash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .agg(F.countDistinct(F.col("a.phash")).alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= min_shared)
+    )
 
 
 # -- frame sampling (fan-out) -----------------------------------------

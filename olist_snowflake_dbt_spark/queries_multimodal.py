@@ -365,3 +365,111 @@ def q_mm_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(batch_dup)
     )
     return phash_incremental_admit(attach_fake_media(batch), standing)
+
+
+# Video near-dup twin: per-FRAME dHash over 64-byte slices (the
+# sample_frames geometry), then an exact-signature inverted-index join
+# — pairs sharing >= 2 distinct frame hashes. Frame = 64 bytes with a
+# 64-cell grid, so each cell is one byte and the gradient bits compare
+# adjacent bytes; every step is integer arithmetic, replayed from
+# hex(payload). Planted copies append a tail ("trailing credits"), so
+# every full frame of the original survives verbatim in the copy.
+_VIDEO_MEDIA = """
+    SELECT doc_id, text FROM documents WHERE n_chars >= 256
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' trailing-credits'
+    FROM documents WHERE n_chars >= 256 AND doc_id % 3 = 0
+"""
+_VIDEO_PHASH_ORACLE = f"""
+    WITH d2 AS ({_VIDEO_MEDIA}),
+    m AS (
+        SELECT doc_id AS media_id,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM d2
+    ),
+    f AS (
+        SELECT media_id, hx, n, CAST(fi AS INT) AS frame_idx,
+               fi * 64 AS off, least(64, n - fi * 64) AS flen
+        FROM (SELECT media_id, hx, n,
+                     UNNEST(generate_series(
+                         0, CAST(least(8, greatest(1, n // 64)) AS INT) - 1))
+                         AS fi
+              FROM m)
+    ),
+    bytes AS (  -- frame-LOCAL byte i; global offset off+i into the hex
+        SELECT media_id, frame_idx, flen,
+               ((strpos('0123456789ABCDEF',
+                        substr(hx, CAST(2 * (off + i) + 1 AS BIGINT), 1)) - 1) * 16
+                + strpos('0123456789ABCDEF',
+                         substr(hx, CAST(2 * (off + i) + 2 AS BIGINT), 1)) - 1) AS v,
+               (i * 64) // flen AS k
+        FROM (SELECT media_id, frame_idx, off, flen, hx,
+                     UNNEST(generate_series(0, flen - 1)) AS i
+              FROM f WHERE flen > 0)
+    ),
+    cells AS (
+        SELECT media_id, frame_idx, k, SUM(v) AS s, COUNT(*) AS c
+        FROM bytes GROUP BY media_id, frame_idx, k
+    ),
+    grid AS (
+        SELECT f.media_id, f.frame_idx, gs.k,
+               CAST(CASE WHEN c.c > 0 THEN (256 * c.s) // c.c
+                         ELSE 0 END AS BIGINT) AS val
+        FROM f
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS k) gs
+        LEFT JOIN cells c ON c.media_id = f.media_id
+                         AND c.frame_idx = f.frame_idx AND c.k = gs.k
+    ),
+    bits AS (
+        SELECT a.media_id, a.frame_idx,
+               CAST((a.k // 16) * 15 + (a.k % 16) AS INT) AS b,
+               CASE WHEN a.val < r.val THEN 1 ELSE 0 END AS bit
+        FROM grid a
+        JOIN grid r ON r.media_id = a.media_id
+                   AND r.frame_idx = a.frame_idx AND r.k = a.k + 1
+        WHERE a.k % 16 < 15
+    ),
+    sig AS (
+        SELECT media_id, frame_idx,
+               CAST(SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << b))
+                    AS BIGINT) AS phash
+        FROM bits GROUP BY media_id, frame_idx
+    ),
+    fp0 AS (SELECT DISTINCT media_id, phash FROM sig),
+    fp AS (  -- hot-frame guard (max_sig_freq=50): drop ubiquitous sigs
+        SELECT fp0.media_id, fp0.phash
+        FROM fp0 JOIN (SELECT phash FROM fp0
+                       GROUP BY phash HAVING COUNT(*) <= 50) ok
+        USING (phash)
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           COUNT(DISTINCT a.phash) AS n_shared_frames
+    FROM fp a JOIN fp b ON a.phash = b.phash AND a.media_id < b.media_id
+    GROUP BY 1, 2 HAVING COUNT(DISTINCT a.phash) >= 2
+"""
+
+
+@query("mm_video_phash_pairs", _VIDEO_PHASH_ORACLE)
+def q_mm_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup detection (multimodal/media.frame_phashes +
+    video_phash_pairs): per-frame perceptual hashes computed inside ONE
+    Arrow pass (frame bytes never leave the executor — only 8-byte
+    signatures do), then an exact-signature inverted-index self-join
+    votes pairs sharing ≥ 2 DISTINCT frame hashes. Planted copies with
+    an appended tail keep every full frame verbatim, so recall is
+    guaranteed by construction; the distinct-count vote stops a
+    repeated still frame from faking the threshold."""
+    from .multimodal import video_phash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("n_chars") >= 256).select("doc_id", "text")
+    dup = (
+        base.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" trailing-credits")))
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    media = attach_fake_media(base.unionByName(dup))
+    return video_phash_pairs(
+        media, frame_bytes=64, max_frames=8, min_shared=2, max_sig_freq=50
+    )

@@ -185,3 +185,35 @@ class TestPerceptualHashDedup:
                     docs.filter(F.col("doc_id") % 90 == 1).collect()} & admitted
         # and genuinely new content IS admitted (non-vacuous)
         assert admitted
+
+    def test_video_frame_pairs_recall_and_still_frame_control(self, spark):
+        """video_phash_pairs: a tail-appended copy shares every full
+        frame (recovered); a still video repeating ONE frame cannot
+        pass the distinct-shared-frames threshold."""
+        from olist_snowflake_dbt_spark.multimodal import video_phash_pairs
+
+        base = bytes(range(64))
+        # rotate per frame: the wrap edge MOVES, so gradient-sign hashes
+        # differ frame-to-frame (a brightness shift would NOT — dHash is
+        # invariant to it by design, which an earlier draft tripped over)
+        moving = b"".join(
+            base[9 * i % 64:] + base[: 9 * i % 64] for i in range(6)
+        )
+        trimmed_copy = moving + b"tail"     # same 6 leading frames
+        still = base * 6                     # one repeated frame
+        other = bytes(reversed(moving))
+        df = spark.createDataFrame(
+            [(1, moving), (2, trimmed_copy), (3, still), (4, other)],
+            "media_id long, payload binary",
+        )
+        pairs = {
+            (r.id_a, r.id_b): r.n_shared_frames
+            for r in video_phash_pairs(
+                df, frame_bytes=64, max_frames=8, min_shared=2
+            ).collect()
+        }
+        assert pairs.get((1, 2), 0) >= 5   # the copy is found
+        # the still video shares at most ONE distinct signature with
+        # anything, so it never crosses the min_shared=2 vote
+        assert not any(3 in k for k in pairs)
+        assert (1, 4) not in pairs and (2, 4) not in pairs
