@@ -217,3 +217,35 @@ class TestPerceptualHashDedup:
         # anything, so it never crosses the min_shared=2 vote
         assert not any(3 in k for k in pairs)
         assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_round9_plan_shapes_are_pinned(spark, sf_dir):
+    """Exchange-count pins for the audited round-9 plans — a silent
+    regression to a shuffle-heavier formulation fails here before it
+    costs anything at scale."""
+    expected = {
+        # sig table + banded self-join (pair distinct rides the join key)
+        "mm_phash_dedup": 2,
+        # batch sigs + two banded rejection joins + admission anti-join
+        "mm_phash_incremental": 4,
+        # frame sigs, hot-frame guard agg+join, pair agg (+AQE reuse)
+        "mm_video_phash_pairs": 11,
+        # broadcast PSL longest-match is exchange-free; the exchanges
+        # are the cap window + output
+        "web_domain_psl": 3,
+        # cap window, blocklist (broadcast — free), dedup agg, gate
+        # join, four audit aggregates sharing the host partitioning
+        "web_corpus_prep": 14,
+    }
+    from olist_snowflake_dbt_spark.queries import QUERIES
+
+    for name, n in expected.items():
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") <= n, f"{name} grew: {plan}"
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
