@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle limit-2 split fix), dq_verdict (custom-fail_calc "!=0"
 # default; count(*) defaults bit-compatible), runner_pipeline_gate
 # (pipeline() gained the full dbt-build flag surface) — then (b) all
-# 9 r03-era rows, all 21 r04-era rows, and the 11 oldest r05-era rows.
+# 9 r03-era rows, all 21 r04-era rows, and the 10 oldest r05-era rows.
 # Every displaced query keeps its historical driver row and is
 # re-verified on current code each round by tools/gate.py over the full
 # catalog (GATE.json). After this round no query's newest driver row is
@@ -61,6 +61,7 @@ _CHECK_FIRST = [
     "web_cap_per_host",
     "dq_verdict",
     "runner_pipeline_gate",
+    "groupby_all_exclude",
     # stalest: r03-era driver rows (all 9)
     "window_running_agg",
     "distinct_agg",
@@ -93,7 +94,7 @@ _CHECK_FIRST = [
     "clone_zero_copy",
     "zorder_roundtrip",
     "asof_click_attribution",
-    # stalest: oldest r05-era driver rows (11 of 43, file order)
+    # stalest: oldest r05-era driver rows (10 of 43, file order)
     "dedup_embedding_cosine",
     "similarity_ann_lsh",
     "array_hof_stats",
@@ -104,10 +105,10 @@ _CHECK_FIRST = [
     "doc_length_histogram",
     "full_outer_reconcile",
     "grouping_sets_mix",
-    "quality_quantile_filter",
-    # (sample_importance_weighted and stream_sliding_window, the next-
-    # oldest r05 rows, yield their slots to the new mm_phash_incremental
-    # and mm_video_phash_pairs; first in line for round 10)
+    # (quality_quantile_filter, sample_importance_weighted and
+    # stream_sliding_window, the next-oldest r05 rows, yield their
+    # slots to the new mm_phash_incremental, mm_video_phash_pairs and
+    # groupby_all_exclude; first in line for round 10)
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.

@@ -413,3 +413,37 @@ def q_string_predicates_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.repeat(F.col("o_orderstatus"), 3).alias("status_x3"),
     )
+
+
+@query(
+    "groupby_all_exclude",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS DOUBLE) AS total_price
+    FROM (SELECT * EXCLUDE (o_orderkey, o_custkey, o_orderdate)
+          FROM orders)
+    GROUP BY ALL
+    """,
+)
+def q_groupby_all_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake/DuckDB ``GROUP BY ALL`` + ``SELECT * EXCLUDE`` — the
+    two ergonomic SQL idioms every warehouse migration hits first.
+    Spark 4 spells them ``GROUP BY ALL`` (identical: group on every
+    non-aggregate select item) and ``SELECT * EXCEPT (...)`` (DuckDB's
+    EXCLUDE); the projection narrowing happens in the analyzer, so the
+    scan still prunes to the 3 surviving columns — the idiom costs
+    nothing at 100 TB. Exact DECIMAL money math on both engines."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS DOUBLE) AS total_price
+        FROM (SELECT * EXCEPT (o_orderkey, o_custkey, o_orderdate)
+              FROM __gba_orders)
+        GROUP BY ALL
+        """
+    )
