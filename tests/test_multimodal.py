@@ -239,6 +239,10 @@ def test_round9_plan_shapes_are_pinned(spark, sf_dir):
     }
     from olist_snowflake_dbt_spark.queries import QUERIES
 
+    # earlier tests in this module cache() frames these queries share;
+    # InMemoryRelation substitution would reshape the measured plans,
+    # making the pins depend on test ORDER — measure the cold plan
+    spark.catalog.clearCache()
     for name, n in expected.items():
         plan = (
             QUERIES[name](spark, sf_dir)
