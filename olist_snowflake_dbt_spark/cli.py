@@ -205,20 +205,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 if spec.model in selected_models
             )
         if args.resource_type in ("source", "all"):
-            # sources sit outside the model graph; selection is by name
-            # token (dbt's `--select source:x` exact form)
-            src_sel = None
-            if args.select:
-                src_sel = {
+            # sources sit outside the model graph, so ONLY explicit
+            # `source:x` tokens match them (dbt's source: method) —
+            # graph-operator forms (`+model`, `tag:x`) and bare model
+            # names select models/tests, never sources. A --select with
+            # no source: token therefore lists no sources; no --select
+            # lists all of them.
+            def _source_tokens(arg: str | None) -> set[str] | None:
+                if not arg:
+                    return None
+                return {
                     t.removeprefix("source:")
-                    for tok in args.select.split() for t in tok.split(",") if t
+                    for tok in arg.split()
+                    for t in tok.split(",")
+                    if t.startswith("source:")
                 }
-            src_exc = set()
-            if args.exclude:
-                src_exc = {
-                    t.removeprefix("source:")
-                    for tok in args.exclude.split() for t in tok.split(",") if t
-                }
+
+            src_sel = _source_tokens(args.select)
+            src_exc = _source_tokens(args.exclude) or set()
             names += sorted(
                 f"source:{s}" if args.resource_type == "all" else s
                 for s in eng.registry._sources

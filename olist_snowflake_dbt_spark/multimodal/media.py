@@ -257,6 +257,42 @@ def _dhash60(data: bytes) -> int:
     return int((bits * weights).sum())
 
 
+# Signature frames persisted by the pair/admission operators below.
+# Their plans are lazy, so the operator cannot unpersist before the
+# caller's consuming action — the CALLER owns the cache lifetime:
+# either run release_signature_caches() after the action, or rely on
+# spark.catalog.clearCache() between queries (what bench/gate do).
+_PERSISTED_SIGS: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    _PERSISTED_SIGS.append(df.persist())
+    return df
+
+
+def release_signature_caches() -> None:
+    """Unpersist every signature frame cached by :func:`phash_pairs`,
+    :func:`phash_incremental_admit` and :func:`video_phash_pairs` in
+    this process. Safe to call at any time; frames still referenced by
+    un-executed plans simply recompute."""
+    while _PERSISTED_SIGS:
+        try:
+            _PERSISTED_SIGS.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
+def _check_banded_hamming(max_hamming: int, bands: int) -> None:
+    # The pigeonhole guarantee (see simhash_band_keys): signatures
+    # within Hamming distance d share a band chunk only when d < bands.
+    # A larger radius would silently return an incomplete pair set.
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"max_hamming must satisfy 0 <= max_hamming < bands for full "
+            f"candidate recall (got max_hamming={max_hamming}, bands={bands})"
+        )
+
+
 def phash_pairs(
     media: DataFrame, max_hamming: int = 3, bands: int = 4
 ) -> DataFrame:
@@ -266,21 +302,28 @@ def phash_pairs(
     Banded pigeonhole join (the :func:`~..operators.dedup.simhash_pairs`
     machinery, reused): pairs within distance < ``bands`` must share at
     least one exact 15-bit chunk, so only band-colliding signatures are
-    compared — never all pairs. At 100 TB the self-join input is the
-    8-byte signature table (6 orders of magnitude smaller than the
-    payload bytes), the Hamming filter is a codegen'd
-    ``bit_count(a^b)``, and it runs BEFORE the pair distinct so the
-    final shuffle carries only true near-dups."""
+    compared — never all pairs (``max_hamming >= bands`` is rejected —
+    the pigeonhole recall guarantee would not hold). At 100 TB the
+    self-join input is the 8-byte signature table (6 orders of
+    magnitude smaller than the payload bytes), the Hamming filter is a
+    codegen'd ``bit_count(a^b)``, and it runs BEFORE the pair distinct
+    so the final shuffle carries only true near-dups. The banded
+    signature frame is persisted for the self-join's two sides; the
+    caller owns the cache lifetime (:func:`release_signature_caches`).
+    """
+    _check_banded_hamming(max_hamming, bands)
     from ..functions.hashing import hamming64, simhash_band_keys
 
     sig = perceptual_hash(media)
-    banded = sig.select(
-        "media_id",
-        "phash",
-        F.explode(
-            simhash_band_keys(F.col("phash"), bands, _PHASH_NBITS)
-        ).alias("__band"),
-    ).persist()
+    banded = _track_persist(
+        sig.select(
+            "media_id",
+            "phash",
+            F.explode(
+                simhash_band_keys(F.col("phash"), bands, _PHASH_NBITS)
+            ).alias("__band"),
+        )
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -322,7 +365,12 @@ def phash_incremental_admit(
     The batch-internal blocker rule is the RAW batch (a batch asset
     rejected against standing still blocks its own batch near-dups) —
     deterministic and conservative: of a dup group split across the
-    standing boundary, at most one copy is ever admitted."""
+    standing boundary, at most one copy is ever admitted.
+
+    The batch's banded signature frame is persisted (it feeds both
+    rejection joins); the caller owns the cache lifetime
+    (:func:`release_signature_caches`)."""
+    _check_banded_hamming(max_hamming, bands)
     from ..functions.hashing import hamming64, simhash_band_keys
 
     sig = perceptual_hash(new_media)
@@ -336,7 +384,7 @@ def phash_incremental_admit(
             ).alias("__band"),
         )
 
-    bn = banded(sig).persist()
+    bn = _track_persist(banded(sig))
     bs = banded(standing_sigs).select(
         F.col("__band"),
         F.col("media_id").alias("__sid"),
@@ -426,12 +474,15 @@ def video_phash_pairs(
     the index BEFORE the self-join, since a sig in f assets contributes
     f² candidate rows. Near-dup PAIRS don't need ubiquitous frames to
     be found; the guard bounds the worst posting list at any corpus
-    size."""
-    fp = (
+    size.
+
+    The deduped frame-signature frame is persisted (hot-frame filter +
+    both self-join sides); the caller owns the cache lifetime
+    (:func:`release_signature_caches`)."""
+    fp = _track_persist(
         frame_phashes(media, frame_bytes, max_frames)
         .select("media_id", "phash")
         .dropDuplicates()
-        .persist()
     )
     if max_sig_freq is not None:
         ok = (

@@ -181,23 +181,43 @@ def with_registrable_domain(
     """Append the PSL registrable domain (eTLD+1) of ``host_col`` via
     LONGEST-MATCH against the public-suffix dim.
 
-    Plan shape for 100 TB: one BROADCAST left join per suffix width
-    (3-label, then 2-label — the dim is tiny and pre-split by width),
-    zero shuffle, zero UDF; the longest match wins by coalesce priority
-    and any unmatched TLD falls back to PSL's implicit ``*`` wildcard
-    (suffix = last label → registrable = last two labels). A host that
-    IS a bare public suffix (no registrable label left) yields itself.
+    Plan shape for 100 TB: one BROADCAST left join per suffix WIDTH
+    present in the dim (widths are read off the dim at plan time —
+    one driver round-trip over a broadcast-sized table, so 4-label PSL
+    rules in a caller-supplied dim join correctly rather than being
+    silently ignored), zero shuffle, zero UDF; the longest match wins
+    by coalesce priority and any unmatched TLD falls back to PSL's
+    implicit ``*`` wildcard (suffix = last label → registrable = last
+    two labels). Hosts are lowercased before splitting (DNS names are
+    case-insensitive — ``A.Shop.CO.UK`` matches ``co.uk``), so
+    ``out_col`` is always lowercase. The dim is deduplicated on
+    ``suffix`` (a duplicate rule row would otherwise fan out every
+    matching input row through the equality join). A host that IS a
+    bare public suffix (no registrable label left) yields itself.
     """
     if suffixes is None:
         suffixes = public_suffixes(df.sparkSession)
-    labels = F.split(F.col(host_col), r"\.")
+    # The dim is broadcast-sized by contract (full PSL ≈ 9k rules), so
+    # dedupe + width discovery happen in ONE driver round-trip over it —
+    # a distributed dropDuplicates would put an Exchange into an
+    # otherwise map-only plan for a table that fits in a driver page.
+    rules = {
+        r["suffix"]: r["n_labels"]
+        for r in suffixes.select("suffix", "n_labels").collect()
+        if r["suffix"] is not None and r["n_labels"] is not None
+    }
+    widths = sorted({n for n in rules.values() if n >= 2}, reverse=True)
+    suffixes = df.sparkSession.createDataFrame(
+        sorted(rules.items()), "suffix string, n_labels int"
+    )
+    labels = F.split(F.lower(F.col(host_col)), r"\.")
     nl = F.size(labels)
 
     def tail(k: "Column | int") -> Column:
         return F.array_join(F.slice(labels, -k, k), ".")
 
     out = df
-    for k in (3, 2):
+    for k in widths:
         sfx_k = suffixes.filter(F.col("n_labels") == k).select(
             F.col("suffix").alias(f"__sfx{k}")
         )
@@ -208,13 +228,16 @@ def with_registrable_domain(
             cand == F.col(f"__sfx{k}"),
             "left",
         )
-    reg = (
-        F.when(F.col("__sfx3").isNotNull(), tail(4))
-        .when(F.col("__sfx2").isNotNull(), tail(3))
-        .when(nl >= 2, tail(2))
-        .otherwise(F.col(host_col))
+    reg = F.coalesce(
+        *[
+            F.when(F.col(f"__sfx{k}").isNotNull(), tail(k + 1))
+            for k in widths
+        ],
+        F.when(nl >= 2, tail(2)).otherwise(F.lower(F.col(host_col))),
     )
-    return out.withColumn(out_col, reg).drop("__sfx3", "__sfx2")
+    return out.withColumn(out_col, reg).drop(
+        *[f"__sfx{k}" for k in widths]
+    )
 
 
 def cap_per_host(

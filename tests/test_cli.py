@@ -313,6 +313,23 @@ def test_seed_select_and_ls_resource_types(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "source:" in out and "test:" in out
 
+    # sources match ONLY explicit source: tokens — graph-operator forms
+    # select models/tests, never sources (dbt's source: method)
+    rc = cli_main(
+        ["ls", "--warehouse", str(tmp_path / "w3"),
+         "--resource-type", "source", "--select", "+fct_orders"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert not capsys.readouterr().out.split()
+    rc = cli_main(
+        ["ls", "--warehouse", str(tmp_path / "w4"),
+         "--resource-type", "source", "--select", f"source:{sources[0]}"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert capsys.readouterr().out.split() == [sources[0]]
+
 
 def test_cli_vars_override_project_defaults(spark, tmp_path, capsys):
     """dbt --vars precedence: CLI values win over defaults a project's

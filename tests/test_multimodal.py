@@ -186,6 +186,41 @@ class TestPerceptualHashDedup:
         # and genuinely new content IS admitted (non-vacuous)
         assert admitted
 
+    def test_banded_radius_guard_and_cache_release(self, spark):
+        """max_hamming >= bands breaks the pigeonhole recall guarantee —
+        both banded operators must reject it up front; and the
+        persisted signature frames are released by the documented
+        cache-lifetime hook."""
+        import pytest
+
+        from olist_snowflake_dbt_spark.multimodal import (
+            attach_fake_media,
+            phash_incremental_admit,
+            phash_pairs,
+        )
+        from olist_snowflake_dbt_spark.multimodal import media as media_mod
+
+        df = attach_fake_media(
+            spark.createDataFrame(
+                [(1, "alpha beta"), (2, "alpha beta")], "doc_id long, text string"
+            )
+        )
+        with pytest.raises(ValueError, match="max_hamming"):
+            phash_pairs(df, max_hamming=4, bands=4)
+        with pytest.raises(ValueError, match="max_hamming"):
+            phash_incremental_admit(
+                df, media_mod.perceptual_hash(df), max_hamming=7, bands=4
+            )
+
+        media_mod.release_signature_caches()  # drop strays from other tests
+        pairs = phash_pairs(df, max_hamming=3, bands=4)
+        assert pairs.count() == 1
+        tracked = list(media_mod._PERSISTED_SIGS)
+        assert tracked and all(t.storageLevel.useMemory for t in tracked)
+        media_mod.release_signature_caches()
+        assert not media_mod._PERSISTED_SIGS
+        assert not any(t.storageLevel.useMemory for t in tracked)
+
     def test_video_frame_pairs_recall_and_still_frame_control(self, spark):
         """video_phash_pairs: a tail-appended copy shares every full
         frame (recovered); a still video repeating ONE frame cannot

@@ -192,6 +192,40 @@ class TestRegistrableDomainPSL:
         assert got["co.uk"] == "co.uk"
         assert got["localhost"] == "localhost"
 
+    def test_mixed_case_hosts_match_case_insensitively(self, spark):
+        # DNS names are case-insensitive: a mixed-case host must hit
+        # the same suffix rules as its lowercase form, and the output
+        # registrable domain is always lowercase
+        got = self._reg(spark, ["A.Shop.CO.UK", "Plain.Example.COM"])
+        assert got["A.Shop.CO.UK"] == "shop.co.uk"
+        assert got["Plain.Example.COM"] == "example.com"
+
+    def test_caller_dim_widths_and_duplicates(self, spark):
+        """A caller-supplied dim with 4-label rules joins at width 4
+        (widths are derived from the dim, not hardcoded), and duplicate
+        suffix rows must not fan out input rows."""
+        from olist_snowflake_dbt_spark.operators.web import (
+            with_registrable_domain,
+        )
+
+        dim = spark.createDataFrame(
+            [
+                ("co.uk", 2),
+                ("co.uk", 2),  # duplicate rule row
+                ("pref.name.fj.cn", 4),  # synthetic 4-label rule
+            ],
+            "suffix string, n_labels int",
+        )
+        df = spark.createDataFrame(
+            [("x.pref.name.fj.cn",), ("a.shop.co.uk",), ("a.shop.co.uk",)],
+            "host string",
+        )
+        out = with_registrable_domain(df, "host", suffixes=dim).collect()
+        assert len(out) == 3  # duplicate dim row must not duplicate input
+        got = {(r.host, r.registrable_domain) for r in out}
+        assert ("x.pref.name.fj.cn", "x.pref.name.fj.cn") in got
+        assert ("a.shop.co.uk", "shop.co.uk") in got
+
     def test_zero_shuffle_plan(self, spark):
         """The PSL lookup must stay map-only: broadcast joins, no
         Exchange in the plan."""
