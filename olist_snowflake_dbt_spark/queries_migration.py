@@ -447,3 +447,106 @@ def q_groupby_all_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------
+# MATCH_RECOGNIZE (row-pattern matching) — Snowflake/ISO SQL:2016
+# ---------------------------------------------------------------------
+
+_MATCH_RECOGNIZE_ORACLE = """
+-- Replays PATTERN (S C+ P) / AFTER MATCH SKIP PAST LAST ROW with
+-- gaps-and-islands SQL. Sound here BECAUSE the defines are mutually
+-- exclusive event types: every candidate (signup, maximal click run,
+-- purchase right after it) is a realized greedy match, matches start
+-- at signup rows which can never sit inside another match, so the
+-- candidate set IS the non-overlapping leftmost match set.
+WITH e AS (
+    SELECT user_id, event_type, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+),
+click_runs AS (
+    SELECT user_id, MIN(rn) AS run_start, MAX(rn) AS run_end,
+           COUNT(*) AS n_clicks,
+           SUM(CAST(value AS DECIMAL(18,2))) AS click_sum
+    FROM (
+        SELECT user_id, rn, value,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY rn) AS grp
+        FROM e WHERE event_type = 'click'
+    )
+    GROUP BY user_id, grp
+),
+matches AS (
+    SELECT s.user_id, s.rn AS s_rn,
+           r.n_clicks, r.click_sum,
+           s.event_id AS signup_event_id,
+           p.event_id AS purchase_event_id
+    FROM e s
+    JOIN click_runs r
+      ON r.user_id = s.user_id AND r.run_start = s.rn + 1
+    JOIN e p
+      ON p.user_id = s.user_id AND p.rn = r.run_end + 1
+     AND p.event_type = 'purchase'
+    WHERE s.event_type = 'signup'
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s_rn)
+            AS BIGINT) AS match_num,
+       CAST(n_clicks + 2 AS BIGINT) AS n_rows,
+       CAST(n_clicks AS BIGINT) AS n_clicks,
+       signup_event_id, purchase_event_id,
+       CAST(click_sum AS DOUBLE) AS click_value_sum
+FROM matches
+"""
+
+
+@query("match_recognize_funnel", _MATCH_RECOGNIZE_ORACLE)
+def q_match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake ``MATCH_RECOGNIZE`` subset: strictly-CONSECUTIVE
+    funnel sessions ``PATTERN (S C+ P)`` per user over the event
+    sequence — signup, one-or-more clicks with nothing between, then a
+    purchase — with SKIP PAST LAST ROW and measures (click count,
+    bounding event ids, exact decimal click-value sum, presented as
+    DOUBLE). Consecutiveness is what the window-based funnel_conversion
+    query CANNOT express — this is the row-pattern operator's native
+    ground (operators/match_recognize.py: classification bitmask in
+    Catalyst, per-user NFA scan in one Arrow kernel, ONE shuffle).
+
+    The SQL oracle replays the same matches with gaps-and-islands
+    (valid because the defines are mutually exclusive — argument in the
+    oracle header); the operator itself is strictly more general
+    (overlapping DEFINEs + backtracking, pinned in
+    tests/test_match_recognize.py)."""
+    from .operators.match_recognize import match_recognize
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        pattern="S C+ P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        measures=[
+            ("count", "C", "", "n_clicks"),
+            ("first", "S", "event_id", "signup_event_id"),
+            ("last", "P", "event_id", "purchase_event_id"),
+            ("sum", "C", "value_dec", "click_value_sum"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.col("match_num").cast("long").alias("match_num"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_clicks").cast("long").alias("n_clicks"),
+        "signup_event_id",
+        "purchase_event_id",
+        F.col("click_value_sum").cast("double").alias("click_value_sum"),
+    )
