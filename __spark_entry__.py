@@ -34,81 +34,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries
-# in dict order. Round-9 rotation policy (VERDICT r08 #2): STALENESS
-# wins — after two novelty rounds the oldest surviving driver rows are
-# r03/r04-era (5+ rounds old). The window takes: (a) everything NEW or
-# MODIFIED in round 9 — mm_phash_dedup + mm_phash_incremental +
-# mm_video_phash_pairs + web_domain_psl (new),
-# web_corpus_prep (blocklist stage added, schema changed),
-# web_host_url_stats / web_cap_per_host (nested-URL synth case +
-# oracle limit-2 split fix), dq_verdict (custom-fail_calc "!=0"
-# default; count(*) defaults bit-compatible), runner_pipeline_gate
-# (pipeline() gained the full dbt-build flag surface) — then (b) all
-# 9 r03-era rows, all 21 r04-era rows, and the 10 oldest r05-era rows.
-# Every displaced query keeps its historical driver row and is
-# re-verified on current code each round by tools/gate.py over the full
-# catalog (GATE.json). After this round no query's newest driver row is
-# older than r05, and the remaining 30 r05-era rows are first in line
-# for round 10.
+# in dict order. Round-10 rotation policy (same staleness-wins rule as
+# r09): (a) everything NEW in round 10 — match_recognize_funnel (row-
+# pattern operator), tokenizer_pair_freqs + tokenizer_bpe_train (BPE
+# trainer with the unrolled-SQL oracle) — plus web_domain_psl, whose
+# operator changed (case-insensitive matching, widths derived from the
+# suffix dim); then (b) ALL 33 remaining r05-era rows (the oldest
+# surviving driver rows after r09 cleared r03/r04), and (c) the first
+# 13 r06-era rows in file order. Every displaced query keeps its
+# historical driver row and is re-verified on current code each round
+# by tools/gate.py over the full catalog (GATE.json). After this round
+# no query's newest driver row is older than r06, and the remaining 29
+# r06-era rows are first in line for round 11.
 _CHECK_FIRST = [
-    # new / modified in round 9
-    "mm_phash_dedup",
-    "mm_phash_incremental",
-    "mm_video_phash_pairs",
+    # new / modified in round 10
+    "match_recognize_funnel",
+    "tokenizer_pair_freqs",
+    "tokenizer_bpe_train",
     "web_domain_psl",
-    "web_corpus_prep",
-    "web_host_url_stats",
-    "web_cap_per_host",
-    "dq_verdict",
-    "runner_pipeline_gate",
-    "groupby_all_exclude",
-    # stalest: r03-era driver rows (all 9)
-    "window_running_agg",
-    "distinct_agg",
-    "asof_last_purchase",
-    "text_token_stats",
-    "text_language_id",
-    "text_fingerprint",
-    "text_repetition_stats",
-    "text_pii_pseudonymize",
-    "text_ngram_counts",
-    # stalest: r04-era driver rows (all 21)
-    "sessionize_events",
-    "mm_byte_stats",
-    "mm_frame_sample",
-    "kmeans_clusters",
-    "mm_decode",
-    "mm_features",
-    "fmt_jsonl_roundtrip",
-    "fmt_orc_roundtrip",
-    "fmt_csv_roundtrip",
-    "sink_partitioned_pruned",
-    "fmt_schema_evolution",
-    "sample_hash_split",
-    "sample_hash_fraction",
-    "sample_stratified_topn",
-    "pandas_group_vector_sums",
-    "sample_mix_sources",
-    "sample_pack_sequences",
-    "materialize_table_roundtrip",
-    "clone_zero_copy",
-    "zorder_roundtrip",
-    "asof_click_attribution",
-    # stalest: oldest r05-era driver rows (10 of 43, file order)
-    "dedup_embedding_cosine",
-    "similarity_ann_lsh",
-    "array_hof_stats",
-    "batch_session_window",
-    "corr_regression_agg",
-    "cube_aggregate",
-    "date_spine_gaps",
-    "doc_length_histogram",
-    "full_outer_reconcile",
-    "grouping_sets_mix",
-    # (quality_quantile_filter, sample_importance_weighted and
-    # stream_sliding_window, the next-oldest r05 rows, yield their
-    # slots to the new mm_phash_incremental, mm_video_phash_pairs and
-    # groupby_all_exclude; first in line for round 10)
+    # stalest: r05-era driver rows (all 33 that remain)
+    "quality_quantile_filter",
+    "sample_importance_weighted",
+    "stream_sliding_window",
+    "text_corpus_freq_score",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_priority_revenue",
+    "tpch_q4_late_orders",
+    "tpch_q5_region_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "try_safe_arithmetic",
+    "variant_shred_agg",
+    "window_range_interval",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_shares",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_accounts",
+    "dedup_subdoc_chunks",
+    "map_type_roundtrip",
+    "recursive_cte_hierarchy",
+    "hll_and_quantile_sketch",
+    "udf_compression_ratio",
+    # stalest: oldest r06-era driver rows (13 of 42, file order)
+    "stg_projection_rename",
+    "filter_predicate",
+    "groupby_sum_ordinal",
+    "left_join_null_fill",
+    "null_arithmetic",
+    "dq_unique",
+    "dq_not_null",
+    "dq_relationships",
+    "dq_accepted_values",
+    "dq_singular_revenue_positive",
+    "incremental_merge_sim",
+    "stream_window_counts",
+    "stream_session_stats",
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.

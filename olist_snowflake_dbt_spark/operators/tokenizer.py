@@ -1,0 +1,194 @@
+"""Distributed BPE tokenizer training over a document corpus.
+
+Byte-Pair Encoding (Sennrich, Haddow & Birch 2016, "Neural Machine
+Translation of Rare Words with Subword Units", ACL — public knowledge)
+is THE tokenizer-construction step of an LLM training-data pipeline:
+iteratively merge the most frequent adjacent symbol pair until the
+vocabulary budget is reached. The reference has no tokenizer surface
+($REF is dbt SQL); this is part of the north-star training-data
+extension set (SURVEY.md §2.C).
+
+**Scale design.** BPE trains on the *word-frequency table*, never the
+corpus: one corpus scan aggregates ``(word, freq)`` (Heaps' law — the
+distinct-word table is orders of magnitude smaller than 100 TB of
+text, and it is the classic Sennrich formulation), after which every
+iteration is (a) one map-side-combined aggregate over the vocab for
+pair counts, (b) a driver fetch of exactly ONE row (the argmax pair),
+(c) a map-only literal ``replace`` to apply the merge, followed by a
+``localCheckpoint`` so the plan stays constant-size across iterations
+(the PageRank recipe). No UDF anywhere — both the pair explode and the
+merge application are Catalyst expressions inside whole-stage codegen.
+
+**The symbol-sequence encoding** makes true leftmost BPE merging a
+LITERAL string replace (and therefore also replayable by any SQL
+engine, which is how the driver oracle verifies the whole iterative
+run):
+
+    symbols [s1, s2, ..., sn]  ⇔  "||s1||s2||...||sn||"
+
+i.e. every boundary is a DOUBLE pipe (words are ``[a-z0-9]+`` so ``|``
+never occurs in a symbol). Merging pair (x, y) is then
+
+    replace(enc, "|x||y|", "|xy|")
+
+which is exact because (1) the pattern consumes one pipe from each
+outer boundary, so a true symbol boundary always keeps one pipe on
+each side and the double-pipe invariant is restored by the
+replacement; (2) a false match inside a longer symbol is impossible —
+the pattern requires a pipe immediately after ``x`` and around ``y``;
+(3) ``replace`` scans leftmost non-overlapping, which IS the BPE merge
+order: for a run ``||a||a||a||a||a||`` with pair (a, a) the matches
+are positions 1 and 4 → ``||aa||aa||a||`` — exactly Sennrich's
+leftmost pairing (property-tested against a from-the-paper Python
+implementation in tests/test_tokenizer.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.text import words
+
+MERGES_SCHEMA = StructType(
+    [
+        StructField("merge_rank", IntegerType()),
+        StructField("lhs", StringType()),
+        StructField("rhs", StringType()),
+        StructField("merged", StringType()),
+        StructField("freq", LongType()),
+    ]
+)
+
+
+def encode_symbols(word: Column) -> Column:
+    """``'abc'`` → ``'||a||b||c||'`` — the double-pipe symbol encoding
+    (module docstring). One regexp_replace, fully codegen'd."""
+    return F.concat(F.lit("||"), F.regexp_replace(word, "(.)", "$1||"))
+
+
+def symbols_of(enc: Column) -> Column:
+    """Decode an encoding back to its symbol array."""
+    return F.filter(F.split(enc, r"\|\|"), lambda s: s != "")
+
+
+def merge_expr(enc: Column, lhs: str, rhs: str) -> Column:
+    """Apply ONE BPE merge to an encoded symbol sequence — a literal
+    leftmost non-overlapping replace (exactness argument in the module
+    docstring)."""
+    return F.replace(
+        enc, F.lit(f"|{lhs}||{rhs}|"), F.lit(f"|{lhs}{rhs}|")
+    )
+
+
+def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """ONE corpus scan → ``(word, freq, enc)``: the Sennrich training
+    table. freq counts occurrences (not documents); enc is the initial
+    single-character symbol encoding."""
+    return (
+        df.select(F.explode(words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("enc", encode_symbols(F.col("word")))
+    )
+
+
+def pair_freqs(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair frequencies over a ``(freq, enc)`` vocab
+    table, occurrence-weighted (a word with symbols ``[a,a,a]``
+    contributes the pair (a,a) twice per occurrence, as in the
+    reference algorithm). One explode + one map-side-combined hash
+    aggregate; output ``(lhs, rhs, freq)``."""
+    syms = symbols_of(F.col("enc"))
+    n = F.size(syms)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda k: F.struct(
+                F.element_at(syms, k).alias("lhs"),
+                F.element_at(syms, k + 1).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+    return (
+        vocab.select(F.col("freq"), F.explode(pairs).alias("pr"))
+        .groupBy(F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs"))
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    min_freq: int = 2,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from the corpus; returns the
+    merge table ``(merge_rank, lhs, rhs, merged, freq)`` in learning
+    order. Ties break deterministically by (freq DESC, lhs ASC, rhs
+    ASC) — identical on any engine. Stops early when the best remaining
+    pair falls under ``min_freq`` (or no pairs remain).
+
+    Driver involvement per iteration: ONE argmax row (TakeOrdered —
+    a global top-1, not a sort) plus issuing the next map-only merge;
+    the vocab table itself never leaves the executors and is
+    re-materialized per round via ``localCheckpoint`` to keep the plan
+    constant-size."""
+    if num_merges <= 0:
+        raise ValueError(f"num_merges must be positive, got {num_merges}")
+    spark = df.sparkSession
+    vocab = word_freq_table(df, text_col).select("freq", "enc").localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        best = (
+            pair_freqs(vocab)
+            .orderBy(F.desc("freq"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["freq"] < min_freq:
+            break
+        lhs, rhs, freq = best[0]["lhs"], best[0]["rhs"], int(best[0]["freq"])
+        merges.append((rank, lhs, rhs, lhs + rhs, freq))
+        vocab = vocab.withColumn(
+            "enc", merge_expr(F.col("enc"), lhs, rhs)
+        ).localCheckpoint()
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | DataFrame,
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize text with a learned merge table: per normalized word,
+    apply every merge in rank order (the standard BPE encoder), then
+    flatten the per-word token arrays. The merge chain compiles to
+    ``num_merges`` nested literal replaces inside ONE codegen'd
+    projection — map-only, no shuffle, no UDF. Appends ``out_col``
+    (array<string>) and ``n_{out_col}``."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("merge_rank").collect()
+        merge_list = [(r["lhs"], r["rhs"]) for r in rows]
+    else:
+        merge_list = list(merges)
+
+    def encode_word(w: Column) -> Column:
+        enc = encode_symbols(w)
+        for lhs, rhs in merge_list:
+            enc = merge_expr(enc, lhs, rhs)
+        return symbols_of(enc)
+
+    toks = F.flatten(F.transform(words(text_col), encode_word))
+    return df.withColumn(out_col, toks).withColumn(
+        f"n_{out_col}", F.size(F.col(out_col)).cast("long")
+    )

@@ -1,0 +1,120 @@
+"""Driver queries for the BPE tokenizer surface (operators/tokenizer).
+
+The headline trick: even the ITERATIVE trainer is oracle-checkable,
+because the double-pipe symbol encoding turns each BPE merge into a
+literal ``replace`` both engines execute identically — so the oracle
+below UNROLLS the full train loop as a WITH chain (built
+programmatically, one ``(pair-count → argmax → replace)`` stage per
+merge rank). Early stopping matches by construction: an empty argmax
+CTE empties every later stage, truncating both sides at the same rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _t, query
+
+_NUM_MERGES = 8
+_MIN_FREQ = 2
+
+# (word, freq) over the normalized [a-z0-9]+ word stream — shared stage
+# of both oracles; identical to functions.text.words + explode/count.
+_WORDS_SQL = """
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+          FROM documents)
+    GROUP BY word
+"""
+
+_PAIR_FREQS_ORACLE = f"""
+WITH w AS ({_WORDS_SQL}),
+p AS (
+    SELECT unnest(list_transform(range(1, length(word)), k -> word[k])) AS lhs,
+           unnest(list_transform(range(1, length(word)), k -> word[k+1])) AS rhs,
+           freq
+    FROM w WHERE length(word) >= 2
+)
+SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS freq
+FROM p GROUP BY 1, 2
+ORDER BY freq DESC, lhs, rhs
+LIMIT 20
+"""
+
+
+def _bpe_train_oracle(num_merges: int, min_freq: int) -> str:
+    """Unroll the Sennrich train loop as SQL: w0 is the encoded vocab;
+    stage i computes pair counts over w{i-1}, picks the argmax under
+    the (freq DESC, lhs, rhs) total order, and applies the literal
+    replace. Union of the argmax CTEs = the merge table."""
+    ctes = [
+        f"""w0 AS (
+    SELECT freq, '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS enc
+    FROM ({_WORDS_SQL})
+)"""
+    ]
+    for i in range(1, num_merges + 1):
+        ctes.append(f"""p{i} AS (
+    SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, length(syms)), k -> syms[k])) AS lhs,
+               unnest(list_transform(range(1, length(syms)), k -> syms[k+1])) AS rhs
+        FROM (SELECT freq,
+                     list_filter(string_split(enc, '||'), s -> s <> '') AS syms
+              FROM w{i - 1})
+        WHERE length(syms) >= 2
+    ) GROUP BY 1, 2
+)""")
+        ctes.append(f"""b{i} AS (
+    SELECT CAST({i} AS INTEGER) AS merge_rank, lhs, rhs,
+           lhs || rhs AS merged, freq
+    FROM p{i} WHERE freq >= {min_freq}
+    ORDER BY freq DESC, lhs, rhs LIMIT 1
+)""")
+        ctes.append(f"""w{i} AS (
+    SELECT w.freq,
+           replace(w.enc, '|' || b.lhs || '||' || b.rhs || '|',
+                          '|' || b.lhs || b.rhs || '|') AS enc
+    FROM w{i - 1} w, b{i} b
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM b{i}" for i in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+@query("tokenizer_pair_freqs", _PAIR_FREQS_ORACLE)
+def q_tokenizer_pair_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE stage 1 — occurrence-weighted adjacent character-pair
+    frequencies over the word-frequency table, top 20 under the
+    deterministic (freq DESC, lhs, rhs) total order. ONE corpus scan +
+    two map-side-combined aggregates; the pair explode runs over the
+    distinct-word table, not the corpus (Heaps' law — the whole point
+    of training BPE on word freqs)."""
+    from .operators.tokenizer import pair_freqs, word_freq_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        pair_freqs(word_freq_table(docs, "text"))
+        .orderBy(F.desc("freq"), F.asc("lhs"), F.asc("rhs"))
+        .limit(20)
+    )
+
+
+@query(
+    "tokenizer_bpe_train",
+    _bpe_train_oracle(_NUM_MERGES, _MIN_FREQ),
+)
+def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full iterative BPE trainer (8 merges, min pair freq 2) over
+    the documents corpus — merge table out, golden-tested against the
+    Sennrich reference implementation (tests/test_tokenizer.py) and
+    replayed end-to-end by the unrolled SQL oracle (module docstring).
+    Per-iteration data movement: one vocab-sized aggregate + a 1-row
+    argmax to the driver; merge application is a literal-replace
+    projection (no UDF, no corpus rescan)."""
+    from .operators.tokenizer import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", _NUM_MERGES, _MIN_FREQ)
