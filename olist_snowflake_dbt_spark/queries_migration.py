@@ -550,3 +550,89 @@ def q_match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_event_id",
         F.col("click_value_sum").cast("double").alias("click_value_sum"),
     )
+
+
+_VSHAPE_ORACLE = """
+-- Replays PATTERN (D+ U+) over the per-user value series (D: value <
+-- PREV, U: value > PREV; ties classify as neither and break runs).
+-- Sound for the same reason as the funnel oracle: D and U are mutually
+-- exclusive, so greedy matches are exactly (maximal D run)(immediately
+-- adjacent maximal U run) and can never overlap.
+WITH e AS (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER w AS rn,
+           LAG(value) OVER w AS pv
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+    SELECT user_id, rn, value,
+           CASE WHEN pv IS NOT NULL AND value < pv THEN 'D'
+                WHEN pv IS NOT NULL AND value > pv THEN 'U' END AS k
+    FROM e
+),
+runs AS (
+    SELECT user_id, k, MIN(rn) AS rs, MAX(rn) AS re,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS vmin, ARG_MAX(value, rn) AS vlast
+    FROM (
+        SELECT user_id, rn, value, k,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id, k
+                                       ORDER BY rn) AS grp
+        FROM c WHERE k IS NOT NULL
+    )
+    GROUP BY user_id, k, grp
+)
+SELECT d.user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY d.user_id ORDER BY d.rs)
+            AS BIGINT) AS match_num,
+       d.n + u.n AS n_rows,
+       d.n AS n_down, u.n AS n_up,
+       LEAST(d.vmin, u.vmin) AS trough_value,
+       u.vlast AS end_value
+FROM runs d
+JOIN runs u
+  ON u.user_id = d.user_id AND u.k = 'U' AND u.rs = d.re + 1
+WHERE d.k = 'D'
+"""
+
+
+@query("match_recognize_vshape", _VSHAPE_ORACLE)
+def q_match_recognize_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER canonical MATCH_RECOGNIZE shape (Snowflake's own docs
+    example): V-shaped excursions ``PATTERN (D+ U+)`` where DEFINE
+    navigates with PREV — expressed the documented way, a window ``lag``
+    column computed BEFORE the operator (same one-shuffle plan: the lag
+    window and the match partition share the user_id hash). Strict
+    down-run then up-run; ties break runs. Measures: leg lengths, the
+    trough, and the recovery value — comparisons only, no float
+    arithmetic, so doubles hash identically on both engines."""
+    from .operators.match_recognize import match_recognize
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events").withColumn("pv", F.lag("value").over(w))
+    out = match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        pattern="D+ U+",
+        define={
+            "D": F.col("pv").isNotNull() & (F.col("value") < F.col("pv")),
+            "U": F.col("pv").isNotNull() & (F.col("value") > F.col("pv")),
+        },
+        measures=[
+            ("count", "D", "", "n_down"),
+            ("count", "U", "", "n_up"),
+            ("min", "*", "value", "trough_value"),
+            ("last", "*", "value", "end_value"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.col("match_num").cast("long").alias("match_num"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_down").cast("long").alias("n_down"),
+        F.col("n_up").cast("long").alias("n_up"),
+        "trough_value",
+        "end_value",
+    )

@@ -118,3 +118,81 @@ def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return bpe_train(docs, "text", _NUM_MERGES, _MIN_FREQ)
+
+
+def _bpe_segment_oracle(num_merges: int, min_freq: int) -> str:
+    """Train (the unrolled chain from ``_bpe_train_oracle``) then ENCODE
+    the corpus with the learned merges: per document, word count, total
+    normalized chars, and the post-merge token count. Each merge stage
+    gets a no-op guard row (a chr(1) pattern that can never match the
+    ``[a-z0-9]`` symbol alphabet) so early-stopped ranks degrade to
+    identity instead of annihilating the cross join."""
+    train = _bpe_train_oracle(num_merges, min_freq)
+    # keep only the CTE chain; rebuild the tail for encoding
+    with_block = train[len("WITH "):train.index("\nSELECT * FROM b1")]
+    ctes = [with_block]
+    ctes.append("""e0 AS (
+    SELECT doc_id,
+           '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS enc
+    FROM (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+          FROM documents)
+)""")
+    for i in range(1, num_merges + 1):
+        ctes.append(f"""g{i} AS (
+    SELECT lhs, rhs FROM b{i}
+    UNION ALL
+    SELECT chr(1), chr(1) WHERE NOT EXISTS (SELECT 1 FROM b{i})
+)""")
+        ctes.append(f"""e{i} AS (
+    SELECT doc_id,
+           replace(enc, '|' || g.lhs || '||' || g.rhs || '|',
+                        '|' || g.lhs || g.rhs || '|') AS enc
+    FROM e{i - 1}, g{i} g
+)""")
+    tail = f"""
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(a.n_chars_norm, 0) AS BIGINT) AS n_chars_norm,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d
+LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n_words,
+           SUM(length(replace(enc, '|', ''))) AS n_chars_norm,
+           SUM(length(list_filter(string_split(enc, '||'),
+                                  s -> s <> ''))) AS n_tokens
+    FROM e{num_merges} GROUP BY doc_id
+) a ON d.doc_id = a.doc_id
+"""
+    return "WITH " + ",\n".join(ctes) + tail
+
+
+@query(
+    "tokenizer_bpe_segment",
+    _bpe_segment_oracle(_NUM_MERGES, _MIN_FREQ),
+)
+def q_tokenizer_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-tokenize accounting: learn the 8-merge BPE table, then
+    encode every document with it — per doc the word count, normalized
+    char count, and post-merge token count (the numbers a token-budget
+    planner actually needs). The encode leg is ONE codegen'd map-only
+    projection (the merge chain compiles to 8 nested literal replaces);
+    docs with zero normalized words keep a row with zeros. The oracle
+    replays training AND encoding in one unrolled statement."""
+    from .operators.tokenizer import bpe_segment, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", _NUM_MERGES, _MIN_FREQ)
+    seg = bpe_segment(docs, merges, "text")
+    return seg.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("long")
+        .alias("n_words"),
+        F.aggregate(
+            F.col("tokens"),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t).cast("long"),
+        ).alias("n_chars_norm"),
+        F.col("n_tokens"),
+    )
