@@ -62,6 +62,7 @@ from pyspark.sql.types import (
     DecimalType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -117,20 +118,35 @@ def match_recognize(
     pattern: str,
     define: dict[str, Column],
     measures: Iterable[tuple[str, str, str, str]] = (),
+    rows_per_match: str = "one",
 ) -> DataFrame:
-    """ONE-ROW-PER-MATCH row-pattern matching (module docstring has the
-    full subset contract).
+    """Row-pattern matching (module docstring has the full subset
+    contract).
 
     ``measures`` entries are ``(agg, var, col, alias)`` with ``agg`` in
     ``count | first | last | min | max | sum`` and ``var`` a DEFINE
     name or ``'*'``. ``first``/``last`` follow the partition's ORDER BY.
     ``sum`` requires an integral, decimal or double column (decimal
     recommended — exact and order-independent; kernel sums are
-    sequential over the deterministic row order either way). Output:
-    partition cols + ``match_num`` (1-based per partition, in start
-    order) + ``n_rows`` + one column per measure alias. Include a
-    unique tie-break column in ``order_by`` for fully deterministic
-    results."""
+    sequential over the deterministic row order either way). Output for
+    ``rows_per_match='one'`` (default): partition cols + ``match_num``
+    (1-based per partition, in start order) + ``n_rows`` + one column
+    per measure alias.
+
+    ``rows_per_match='all'`` is Snowflake's ``ALL ROWS PER MATCH``:
+    every matched row comes back with the partition cols, the ORDER BY
+    cols, ``match_num``, ``row_num`` (1-based within the match) and
+    ``classifier`` — the DEFINE variable the row satisfies, resolved by
+    define-truth in declaration order (exact pattern-position
+    attribution whenever the DEFINEs are mutually exclusive — the same
+    subset contract as measure attribution; measures are not emitted in
+    this mode). Unmatched rows are omitted, matching Snowflake's
+    default. Include a unique tie-break column in ``order_by`` for
+    fully deterministic results."""
+    if rows_per_match not in ("one", "all"):
+        raise ValueError(
+            f"rows_per_match must be 'one' or 'all', got {rows_per_match!r}"
+        )
     part_cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     variables = list(define)
@@ -142,6 +158,11 @@ def match_recognize(
             "(bitmask alphabet grows 2^n)"
         )
     measures = list(measures)
+    if rows_per_match == "all" and measures:
+        raise ValueError(
+            "measures are emitted only with rows_per_match='one' "
+            "(ALL ROWS PER MATCH returns the rows themselves)"
+        )
     regex = _compile_pattern(pattern, variables)
 
     # classification runs JVM-side: one small-int bitmask per row
@@ -165,6 +186,49 @@ def match_recognize(
     proj = df.select(
         *part_cols, *order_cols, *meas_cols, mask.alias("__mask")
     )
+
+    if rows_per_match == "all":
+        out_fields = [schema_by_name[c] for c in part_cols]
+        out_fields += [schema_by_name[c] for c in order_cols]
+        out_fields.append(StructField("match_num", LongType()))
+        out_fields.append(StructField("row_num", LongType()))
+        out_fields.append(StructField("classifier", StringType()))
+        out_schema = StructType(out_fields)
+
+        def all_rows_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(
+                drop=True
+            )
+            encoded = "".join(
+                chr(_MASK_BASE + int(m)) for m in pdf["__mask"]
+            )
+            masks = pdf["__mask"].to_numpy()
+            key = tuple(pdf.iloc[0][c] for c in part_cols)
+            rows: list[tuple] = []
+            match_num = 0
+            for m in regex.finditer(encoded):
+                lo, hi = m.span()
+                if hi == lo:
+                    continue
+                match_num += 1
+                for rn, i in enumerate(range(lo, hi), start=1):
+                    mk = int(masks[i])
+                    classifier = next(
+                        (v for b, v in enumerate(variables) if (mk >> b) & 1),
+                        None,
+                    )
+                    rows.append(
+                        key
+                        + tuple(pdf.at[i, c] for c in order_cols)
+                        + (match_num, rn, classifier)
+                    )
+            return pd.DataFrame(
+                rows, columns=[f.name for f in out_fields]
+            )
+
+        return proj.groupBy(*part_cols).applyInPandas(
+            all_rows_kernel, out_schema
+        )
 
     out_fields = [schema_by_name[c] for c in part_cols]
     out_fields.append(StructField("match_num", LongType()))

@@ -143,6 +143,55 @@ class TestNfaSemantics:
         assert out == []
 
 
+class TestAllRowsPerMatch:
+    def test_all_rows_emits_matched_rows_with_classifier(self, spark):
+        d = Decimal("1")
+        df = _events(
+            spark,
+            [
+                (1, 1, "signup", d),
+                (1, 2, "click", d),
+                (1, 3, "click", d),
+                (1, 4, "purchase", d),
+                (1, 5, "view", d),       # unmatched: omitted
+                (1, 6, "signup", d),     # S with no C+ P: omitted
+            ],
+        )
+        out = match_recognize(
+            df,
+            "user_id",
+            "seq",
+            "S C+ P",
+            define={
+                "S": F.col("event_type") == "signup",
+                "C": F.col("event_type") == "click",
+                "P": F.col("event_type") == "purchase",
+            },
+            rows_per_match="all",
+        ).collect()
+        got = sorted((r.seq, r.match_num, r.row_num, r.classifier) for r in out)
+        assert got == [
+            (1, 1, 1, "S"),
+            (2, 1, 2, "C"),
+            (3, 1, 3, "C"),
+            (4, 1, 4, "P"),
+        ]
+
+    def test_all_rows_rejects_measures_and_bad_mode(self, spark):
+        df = spark.createDataFrame([(1, 1)], "u long, seq long")
+        with pytest.raises(ValueError, match="rows_per_match"):
+            match_recognize(
+                df, "u", "seq", "A", define={"A": F.lit(True)},
+                rows_per_match="windowed",
+            )
+        with pytest.raises(ValueError, match="ALL ROWS PER MATCH"):
+            match_recognize(
+                df, "u", "seq", "A", define={"A": F.lit(True)},
+                measures=[("count", "A", "", "n")],
+                rows_per_match="all",
+            )
+
+
 class TestGuards:
     def test_pattern_must_use_defined_variables(self, spark):
         df = spark.createDataFrame([(1, 1, "x")], "u long, seq long, t string")
