@@ -38,20 +38,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # r09): (a) everything NEW in round 10 — match_recognize_funnel (row-
 # pattern operator) + match_recognize_vshape (PREV-navigation shape),
 # tokenizer_pair_freqs + tokenizer_bpe_train + tokenizer_bpe_segment
-# (BPE trainer/encoder with the unrolled-SQL oracle) — plus
+# (BPE trainer/encoder with the unrolled-SQL oracle),
+# window_conditional_events (conditional-event window trio) — plus
 # web_domain_psl, whose operator changed (case-insensitive matching,
 # widths derived from the suffix dim); then (b) ALL 33 remaining
 # r05-era rows (the oldest surviving driver rows after r09 cleared
-# r03/r04), and (c) the first 11 r06-era rows in file order. Every
+# r03/r04), and (c) the first 10 r06-era rows in file order. Every
 # displaced query keeps its historical driver row and is re-verified on
 # current code each round by tools/gate.py over the full catalog
 # (GATE.json). After this round no query's newest driver row is older
-# than r06, and the remaining 31 r06-era rows are first in line for
+# than r06, and the remaining 32 r06-era rows are first in line for
 # round 11.
 _CHECK_FIRST = [
     # new / modified in round 10
     "match_recognize_funnel",
     "match_recognize_vshape",
+    "window_conditional_events",
     "tokenizer_pair_freqs",
     "tokenizer_bpe_train",
     "tokenizer_bpe_segment",
@@ -90,7 +92,7 @@ _CHECK_FIRST = [
     "recursive_cte_hierarchy",
     "hll_and_quantile_sketch",
     "udf_compression_ratio",
-    # stalest: oldest r06-era driver rows (11 of 42, file order)
+    # stalest: oldest r06-era driver rows (10 of 42, file order)
     "stg_projection_rename",
     "filter_predicate",
     "groupby_sum_ordinal",
@@ -101,7 +103,6 @@ _CHECK_FIRST = [
     "dq_relationships",
     "dq_accepted_values",
     "dq_singular_revenue_positive",
-    "incremental_merge_sim",
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.

@@ -636,3 +636,86 @@ def q_match_recognize_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trough_value",
         "end_value",
     )
+
+
+_COND_EVENTS_ORACLE = """
+-- CONDITIONAL_TRUE_EVENT / CONDITIONAL_CHANGE_EVENT / RATIO_TO_REPORT
+-- re-expressed with ANSI windows. The ratio is published in integer
+-- parts-per-million over exact cents (values are non-negative here, so
+-- floor-div semantics agree across engines; double division would
+-- drift in the last ulp).
+WITH e AS (
+    SELECT user_id, event_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           LAG(event_type) OVER w AS prev_type,
+           ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            OVER wr AS BIGINT) AS cond_true_events,
+       CAST(SUM(CASE WHEN prev_type IS NOT NULL
+                      AND event_type <> prev_type THEN 1 ELSE 0 END)
+            OVER wr AS BIGINT) AS cond_change_events,
+       CAST((cents * 1000000) // (SUM(cents) OVER wp) AS BIGINT) AS value_ppm
+FROM e
+WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wp AS (PARTITION BY user_id)
+"""
+
+
+@query("window_conditional_events", _COND_EVENTS_ORACLE)
+def q_window_conditional_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake's conditional-event window trio, re-expressed as ANSI
+    running windows Catalyst plans natively:
+
+    - ``CONDITIONAL_TRUE_EVENT(e)`` → running SUM of the predicate;
+    - ``CONDITIONAL_CHANGE_EVENT(e)`` → running SUM over a lag-derived
+      change flag (first row of a partition counts 0, per Snowflake);
+    - ``RATIO_TO_REPORT(v)`` → share of the partition total, published
+      as integer parts-per-million over exact cents so both engines
+      hash bit-identically (a double ratio would drift; the events
+      table's strictly-positive values make the partition total
+      non-zero and the floor-div engine-identical — stated
+      precondition).
+
+    ONE exchange: the lag window, both running sums and the partition
+    total all share the user_id hash partitioning (the running windows
+    and lag also share the sort), so Catalyst plans a single shuffle —
+    the shape that survives 100 TB of events. Non-negative values are
+    a stated precondition for the floor-div ppm (holds for the events
+    table; Spark `div` truncates where DuckDB `//` floors on
+    negatives)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wp = W.partitionBy("user_id")
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return staged.select(
+        "user_id",
+        "event_id",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(wr).cast("long").alias("cond_true_events"),
+        F.sum(
+            F.when(
+                F.col("prev_type").isNotNull()
+                & (F.col("event_type") != F.col("prev_type")),
+                1,
+            ).otherwise(0)
+        ).over(wr).cast("long").alias("cond_change_events"),
+        F.expr(
+            "cents * 1000000 div sum(cents) over (partition by user_id)"
+        ).alias("value_ppm"),
+    )

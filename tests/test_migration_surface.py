@@ -145,3 +145,41 @@ def test_second_wave_plan_shapes_are_pinned(spark, sf_dir):
         )
         assert plan.count("Exchange") <= n, f"{name} grew: {plan}"
         assert "CartesianProduct" not in plan
+
+
+def test_conditional_events_semantics_and_single_exchange(spark, sf_dir):
+    """window_conditional_events: the change counter starts at 0 per
+    partition and increments exactly on type changes; the whole trio
+    (two running sums + lag + partition total) shares ONE exchange."""
+    df = QUERIES["window_conditional_events"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    ev = read_table(spark, sf_dir, "events")
+    one_user = (
+        ev.groupBy("user_id").count().orderBy(F.desc("count")).first().user_id
+    )
+    seq = [
+        (r.event_type, r.cond_true_events, r.cond_change_events, r.value_ppm)
+        for r in df.join(
+            ev.select("event_id", "event_type"), "event_id"
+        )
+        .filter(F.col("user_id") == one_user)
+        .join(ev.select("event_id", "ts"), "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    ]
+    assert seq[0][2] == 0  # first row of a partition: zero changes seen
+    # replay both counters in Python
+    truth_true = truth_chg = 0
+    prev = None
+    for et, ct, cc, _ in seq:
+        if et == "purchase":
+            truth_true += 1
+        if prev is not None and et != prev:
+            truth_chg += 1
+        assert (ct, cc) == (truth_true, truth_chg)
+        prev = et
+    # ppm shares sum to ~1e6 (floor-div remainder only)
+    total_ppm = sum(p for *_, p in seq)
+    assert 1_000_000 - len(seq) <= total_ppm <= 1_000_000
