@@ -140,6 +140,18 @@ FLAGSHIPS = [
      "survivors (anti), matched rebuild (inner), and inserts (anti) all "
      "hash-join on the SAME unique-key partitioning; the batch ships "
      "only key + update columns into the matched rebuild."),
+    ("match_recognize_funnel", "Row-pattern matching: DEFINE "
+     "classification is a codegen'd bitmask projection feeding ONE "
+     "user_id exchange into a FlatMapGroupsInPandas NFA kernel — the "
+     "sessionization shape; measure columns ride the same projection."),
+    ("tokenizer_bpe_segment", "BPE train + encode: the corpus scans "
+     "once into the vocab aggregate; the encode leg is one map-only "
+     "projection whose 8 learned merges compile to nested literal "
+     "replaces inside WholeStageCodegen — no Python, no extra "
+     "exchange."),
+    ("window_conditional_events", "Snowflake conditional-event trio: "
+     "lag flag, both running SUMs and the partition total share ONE "
+     "user_id Exchange + sort."),
 ]
 
 
