@@ -183,9 +183,8 @@ def match_recognize(
         if agg != "count" and col not in schema_by_name:
             raise ValueError(f"measure column {col!r} not in input")
 
-    proj = df.select(
-        *part_cols, *order_cols, *meas_cols, mask.alias("__mask")
-    )
+    carry = list(dict.fromkeys([*part_cols, *order_cols, *meas_cols]))
+    proj = df.select(*carry, mask.alias("__mask"))
 
     if rows_per_match == "all":
         out_fields = [schema_by_name[c] for c in part_cols]
