@@ -14,6 +14,8 @@ partitioning, UDF signatures, Arrow batch shapes, fan-out — is real.
 from .media import (
     MEDIA_META_SCHEMA,
     attach_fake_media,
+    audio_fingerprint,
+    audio_fp_pairs,
     decode_media,
     extract_features,
     frame_phashes,
@@ -28,6 +30,8 @@ from .media import (
 __all__ = [
     "MEDIA_META_SCHEMA",
     "attach_fake_media",
+    "audio_fingerprint",
+    "audio_fp_pairs",
     "decode_media",
     "extract_features",
     "frame_phashes",

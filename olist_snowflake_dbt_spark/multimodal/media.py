@@ -257,6 +257,113 @@ def _dhash60(data: bytes) -> int:
     return int((bits * weights).sum())
 
 
+_AFP_FRAMES, _AFP_BANDS = 13, 6  # 78 energy cells -> 12 x 5 = 60 bits
+_AFP_NBITS = (_AFP_FRAMES - 1) * (_AFP_BANDS - 1)
+_AFP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("afp", LongType()),
+    ]
+)
+
+
+def _afp60(data: bytes) -> int:
+    """60-bit audio fingerprint of one byte payload — the Haitsma &
+    Kalker (ICMIR 2002, "A Highly Robust Audio Fingerprinting System")
+    sub-fingerprint recipe: band energies per time frame, bit = sign of
+    the energy difference ACROSS bands differenced again ACROSS time
+    (F(t,b) = [E(t,b)-E(t,b+1)] - [E(t-1,b)-E(t-1,b+1)] > 0). The
+    double difference cancels any constant gain shift exactly: adding c
+    to every sample moves every cell's integer mean by exactly 256*c
+    ((256*(s+c*len))//len == (256*s)//len + 256*c), so all deltas — and
+    the fingerprint — are unchanged (pinned by test).
+
+    The "decoded PCM" front-end is the same deterministic byte stand-in
+    as :func:`_dhash60` (no codecs in the container): cell k of an
+    n-byte payload covers bytes {i : (i*78)//n == k}, 13 time frames ×
+    6 bands laid out time-major, cell energy = (256*sum)//len —
+    ALL-INTEGER, so an oracle engine replays the fingerprint bit-exactly
+    from hex(payload). Swap in a real FFT band-energy matrix in
+    production; the grid→bits→pairs machinery is unchanged."""
+    import numpy as np
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = arr.size
+    if n == 0:
+        return 0
+    n_cells = _AFP_FRAMES * _AFP_BANDS
+    k = (np.arange(n, dtype=np.int64) * n_cells) // n
+    sums = np.bincount(k, weights=arr, minlength=n_cells).astype(np.int64)
+    lens = np.bincount(k, minlength=n_cells)
+    e = np.where(lens > 0, (256 * sums) // np.maximum(lens, 1), 0).reshape(
+        _AFP_FRAMES, _AFP_BANDS
+    )
+    d = e[:, :-1] - e[:, 1:]          # band deltas per frame: 13 x 5
+    bits = (d[1:] - d[:-1] > 0).flatten()  # time deltas: 12 x 5
+    weights = 1 << np.arange(_AFP_NBITS, dtype=np.uint64)
+    return int((bits * weights).sum())
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Per-asset 60-bit audio fingerprint (:func:`_afp60`) — one
+    Arrow-batched ``mapInPandas`` pass, payload in / 8-byte signature
+    out, map-only with zero shuffle; downstream joins move only the
+    16-byte (id, sig) table, never the payload bytes again."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "afp": [_afp60(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, _AFP_SCHEMA)
+
+
+def audio_fp_pairs(
+    media: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup audio pairs within Hamming ≤ ``max_hamming`` of the
+    60-bit audio fingerprint — the audio member of the dedup family
+    (image: :func:`phash_pairs`, video: :func:`video_phash_pairs`).
+    Same banded pigeonhole machinery: only band-colliding signatures
+    are compared (``max_hamming >= bands`` rejected — recall guarantee),
+    the Hamming filter is a codegen'd ``bit_count(a^b)`` BEFORE the
+    pair distinct. The banded signature frame is persisted for the
+    self-join's two sides; the caller owns the cache lifetime
+    (:func:`release_signature_caches`)."""
+    _check_banded_hamming(max_hamming, bands)
+    from ..functions.hashing import hamming64, simhash_band_keys
+
+    sig = audio_fingerprint(media)
+    banded = _track_persist(
+        sig.select(
+            "media_id",
+            "afp",
+            F.explode(
+                simhash_band_keys(F.col("afp"), bands, _AFP_NBITS)
+            ).alias("__band"),
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            hamming64(F.col("a.afp"), F.col("b.afp")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 # Signature frames persisted by the pair/admission operators below.
 # Their plans are lazy, so the operator cannot unpersist before the
 # caller's consuming action — the CALLER owns the cache lifetime:

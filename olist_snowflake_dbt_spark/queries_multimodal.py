@@ -473,3 +473,115 @@ def q_mm_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_phash_pairs(
         media, frame_bytes=64, max_frames=8, min_shared=2, max_sig_freq=50
     )
+
+
+# Audio-fingerprint twin: bytes from hex(payload) → 78-cell (13 time
+# frames × 6 bands, time-major) grid of integer-scaled means → 60
+# Haitsma-Kalker double-difference sign bits (bit (t-1)*5+b =
+# [E(t,b)-E(t,b+1)] - [E(t-1,b)-E(t-1,b+1)] > 0) → packed BIGINT →
+# 4×15-bit pigeonhole bands → bit_count Hamming ≤ 3. All-integer, so
+# the replay is bit-exact. Planted structure: the audio assets
+# (doc_id % 3 = 1) get an EXACT copy every 20th (+3e6; Hamming 0) and
+# a 3-char-uppercase NEAR copy every ≡10 mod 30 (+6e6; both offsets
+# ≡ 0 mod 3, so every planted row stays an audio asset).
+_AUDIO_FP_ORACLE = """
+WITH d2 AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id + 3000000, text FROM documents
+    WHERE doc_id % 3 = 1 AND doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 6000000,
+           upper(substr(text, 1, 3)) || substr(text, 4)
+    FROM documents WHERE doc_id % 30 = 10
+),
+m AS (
+    SELECT doc_id AS media_id,
+           hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS n
+    FROM d2
+),
+bytes AS (  -- byte i (0-based) = 16*hex[2i+1] + hex[2i+2]
+    SELECT media_id, n,
+           ((strpos('0123456789ABCDEF',
+                    substr(hx, CAST(2 * i + 1 AS BIGINT), 1)) - 1) * 16
+            + strpos('0123456789ABCDEF',
+                     substr(hx, CAST(2 * i + 2 AS BIGINT), 1)) - 1) AS v,
+           (i * 78) // n AS k
+    FROM (SELECT media_id, n, hx, UNNEST(generate_series(0, n - 1)) AS i
+          FROM m WHERE n > 0)
+),
+cells AS (
+    SELECT media_id, k, SUM(v) AS s, COUNT(*) AS c
+    FROM bytes GROUP BY media_id, k
+),
+grid AS (  -- all 78 cells; empty segments contribute value 0
+    SELECT m.media_id, gs.k,
+           CAST(CASE WHEN c.c > 0 THEN (256 * c.s) // c.c
+                     ELSE 0 END AS BIGINT) AS val
+    FROM m
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 77)) AS k) gs
+    LEFT JOIN cells c ON c.media_id = m.media_id AND c.k = gs.k
+),
+bd AS (  -- band delta d(t,b) = E[t,b] - E[t,b+1]
+    SELECT a.media_id, a.k // 6 AS t, a.k % 6 AS b, a.val - r.val AS d
+    FROM grid a JOIN grid r ON r.media_id = a.media_id AND r.k = a.k + 1
+    WHERE a.k % 6 < 5
+),
+bits AS (  -- time double-difference sign, bit index (t-1)*5 + b
+    SELECT cur.media_id, CAST((cur.t - 1) * 5 + cur.b AS INT) AS bit_i,
+           CASE WHEN cur.d - prv.d > 0 THEN 1 ELSE 0 END AS bit
+    FROM bd cur
+    JOIN bd prv ON prv.media_id = cur.media_id
+               AND prv.t = cur.t - 1 AND prv.b = cur.b
+),
+sig AS (
+    SELECT media_id,
+           CAST(SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << bit_i))
+                AS BIGINT) AS afp
+    FROM bits GROUP BY media_id
+),
+banded AS (
+    SELECT media_id, afp,
+           ((afp >> (bnd * 15)) & 32767) | (bnd << 15) AS band
+    FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS bnd)
+)
+SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       bit_count(xor(a.afp, b.afp)) AS hamming
+FROM banded a JOIN banded b ON a.band = b.band AND a.media_id < b.media_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 3
+"""
+
+
+@query("mm_audio_fpdedup", _AUDIO_FP_ORACLE)
+def q_mm_audio_fpdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection — the audio member of the multimodal
+    dedup triad (image mm_phash_dedup, video mm_video_phash_pairs):
+    Haitsma-Kalker band-energy double-difference fingerprints
+    (multimodal/media.audio_fingerprint, gain-shift invariant by
+    construction) packed into int64, then the banded pigeonhole
+    self-join at Hamming ≤ 3. One Arrow map pass over the payloads;
+    every later stage moves only 16-byte signatures. All-integer
+    arithmetic end-to-end — the DuckDB twin replays fingerprints and
+    the pair set bit-exactly from hex(payload). Planted exact + near
+    copies keep the result non-vacuous at every sf."""
+    from .multimodal import audio_fp_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 == 1)
+    exact = base.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 3000000
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 30 == 10)
+        .withColumn(
+            "text",
+            F.concat(
+                F.upper(F.substring("text", 1, 3)),
+                F.expr("substring(text, 4)"),
+            ),
+        )
+        .withColumn("doc_id", F.col("doc_id") + 6000000)
+    )
+    media = attach_fake_media(base.unionByName(exact).unionByName(near))
+    return audio_fp_pairs(media, max_hamming=3, bands=4)

@@ -288,3 +288,61 @@ def test_round9_plan_shapes_are_pinned(spark, sf_dir):
         assert plan.count("Exchange") <= n, f"{name} grew: {plan}"
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestAudioFingerprintDedup:
+    """Haitsma-Kalker audio fingerprints: gain-invariance is EXACT (the
+    double difference cancels constant offsets in integer arithmetic),
+    planted copies are recovered, unrelated audio does not collide."""
+
+    def test_gain_shift_invariance_is_exact(self, spark):
+        """Adding a constant to every sample moves every cell mean by
+        exactly 256*c, so band/time deltas — and the fingerprint — are
+        bit-identical (not merely close, like dHash brightness)."""
+        from olist_snowflake_dbt_spark.multimodal.media import (
+            _afp60,
+            audio_fingerprint,
+        )
+
+        base = bytes((17 * i) % 200 for i in range(1000))
+        louder = bytes(b + 40 for b in base)      # +40 gain, no wrap
+        reversed_ = base[::-1]                    # different content
+        assert _afp60(base) == _afp60(louder)     # kernel-level, exact
+        df = spark.createDataFrame(
+            [(1, base), (2, louder), (3, reversed_)],
+            "media_id long, payload binary",
+        )
+        sigs = {r.media_id: r.afp for r in audio_fingerprint(df).collect()}
+        ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+        assert sigs[1] == sigs[2]                 # exact invariance
+        assert ham(sigs[1], sigs[3]) > 3          # content move ≠ near-dup
+        assert 0 <= sigs[1] < (1 << 60)           # packed 60-bit range
+        assert _afp60(b"") == 0
+
+    def test_planted_recall_and_radius_guard(self, spark, sf_dir):
+        from olist_snowflake_dbt_spark.multimodal import audio_fp_pairs
+        from olist_snowflake_dbt_spark.queries_multimodal import (
+            q_mm_audio_fpdedup,
+        )
+        import pytest as _pt
+
+        pairs = q_mm_audio_fpdedup(spark, sf_dir).cache()
+        docs = read_table(spark, sf_dir, "documents")
+        n_exact = docs.filter(
+            (F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 20 == 0)
+        ).count()
+        # every planted EXACT copy is recovered at Hamming 0
+        exact_found = pairs.filter(
+            (F.col("id_b") - F.col("id_a") == 3000000) & (F.col("hamming") == 0)
+        ).count()
+        assert exact_found >= n_exact > 0
+        # near copies (3-char case flip → one frame-0 band delta moves)
+        # appear within the Hamming budget; no pair exceeds the cap
+        assert pairs.filter(F.col("hamming") > 3).count() == 0
+        assert pairs.filter(F.col("id_b") - F.col("id_a") == 6000000).count() > 0
+        # pigeonhole recall guarantee: radius >= bands is rejected
+        media = spark.createDataFrame(
+            [(1, b"x" * 100)], "media_id long, payload binary"
+        )
+        with _pt.raises(ValueError, match="max_hamming"):
+            audio_fp_pairs(media, max_hamming=4, bands=4)
