@@ -1,0 +1,107 @@
+"""Geospatial distance joins via uniform grid blocking.
+
+The olist reference dataset ships a geolocation table (zip-code
+lat/lng) and its marts join customers to sellers spatially; this module
+is the Spark-first shape of that workload (the reference's dbt models
+have no custom engine for it — a warehouse does the join; SURVEY.md
+§2 extension set). The synthetic testdata has no coordinates, so the
+driver query derives deterministic integer coordinates from keys with
+public Lehmer/LCG multipliers (Park-Miller 16807/48271, L'Ecuyer
+40692/69621) — the geometry machinery is what's real.
+
+Scale design (the PBSM / spatial-hash-join shape, Patel & DeWitt,
+SIGMOD 1996): with cell size = eps, any pair within Euclidean distance
+eps is also within Chebyshev distance eps, so the right-side point
+lives in one of the left point's 3×3 neighbor cells — candidates are
+bounded by cell occupancy, never all pairs. Both sides hash-partition
+on the cell key (one ordinary equi-join exchange each); the exact
+integer refine (dx²+dy² ≤ eps²) runs inside whole-stage codegen before
+any pair leaves the join. No cartesian product at any scale; skew =
+max points per cell, tunable via eps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_NEIGHBOR_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def grid_epsilon_join(
+    left: DataFrame,
+    right: DataFrame,
+    eps: int,
+    left_id: str = "id",
+    right_id: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """All (left, right) pairs within Euclidean distance ``eps``
+    (inclusive: dist² ≤ eps²) of each other, by grid blocking.
+
+    Both inputs carry NON-NEGATIVE INTEGER coordinates in ``x_col`` /
+    ``y_col`` (fixed-point scale your lat/lng upstream — integer
+    arithmetic keeps the refine exact and engine-portable). The left
+    side expands to its 3×3 neighbor cell stencil (9 rows — a bounded,
+    shuffle-free explode); the right side is keyed by its own cell, so
+    every true pair is found exactly once (the right point's home cell
+    is unique) — no distinct pass needed. Recall is total: |dx| ≤ eps
+    and |dy| ≤ eps imply the cells differ by at most 1 per axis, even
+    when dx == eps exactly.
+
+    Returns ``(left_id, right_id, dist2)`` with dist² as an exact
+    BIGINT. Each output row costs one codegen'd multiply-add; only
+    candidate pairs within colliding cells are ever materialized.
+    """
+    if eps <= 0:
+        raise ValueError(f"eps must be positive (got {eps})")
+    if left_id == right_id:
+        raise ValueError(
+            f"left_id and right_id must differ in the output "
+            f"(both {left_id!r}) — alias one side upstream"
+        )
+
+    def cell(c: str) -> Column:
+        # BIGINT DIV: integer-exact at any magnitude (no double detour);
+        # truncation == floor for the non-negative coords required here.
+        return F.expr(f"CAST(`{c}` AS BIGINT) DIV {int(eps)}")
+
+    lx, ly = F.col(f"l.{x_col}"), F.col(f"l.{y_col}")
+    rx, ry = F.col(f"r.{x_col}"), F.col(f"r.{y_col}")
+    stencil = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in _NEIGHBOR_OFFSETS
+            ]
+        )
+    ).alias("__o")
+    l_cells = left.select(
+        F.col(left_id), F.col(x_col), F.col(y_col), stencil
+    ).select(
+        left_id,
+        x_col,
+        y_col,
+        (cell(x_col) + F.col("__o.dx")).alias("__cx"),
+        (cell(y_col) + F.col("__o.dy")).alias("__cy"),
+    )
+    r_cells = right.select(
+        F.col(right_id),
+        F.col(x_col),
+        F.col(y_col),
+        cell(x_col).alias("__cx"),
+        cell(y_col).alias("__cy"),
+    )
+    dx, dy = lx - rx, ly - ry
+    dist2 = (dx * dx + dy * dy).cast("long")
+    return (
+        l_cells.alias("l")
+        .join(r_cells.alias("r"), ["__cx", "__cy"])
+        .filter(dist2 <= eps * eps)
+        .select(
+            F.col(f"l.{left_id}").alias(left_id),
+            F.col(f"r.{right_id}").alias(right_id),
+            dist2.alias("dist2"),
+        )
+    )
