@@ -40,21 +40,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # tokenizer_pair_freqs + tokenizer_bpe_train + tokenizer_bpe_segment
 # (BPE trainer/encoder with the unrolled-SQL oracle),
 # window_conditional_events (conditional-event window trio),
-# mm_audio_fpdedup (audio member of the multimodal dedup triad) and
-# geo_grid_epsilon_join (grid-blocked spatial ε-join vs brute-force
-# oracle) — plus web_domain_psl, whose operator changed
+# mm_audio_fpdedup (audio member of the multimodal dedup triad),
+# geo_grid_epsilon_join + geo_nearest_within (grid-blocked spatial
+# ε-join / bounded kNN vs brute-force oracles) — plus web_domain_psl,
+# whose operator changed
 # (case-insensitive matching, widths derived from the suffix dim);
 # then (b) ALL 33 remaining r05-era rows (the oldest surviving driver
-# rows after r09 cleared r03/r04), and (c) the first 8 r06-era rows in
+# rows after r09 cleared r03/r04), and (c) the first 7 r06-era rows in
 # file order. Every displaced query keeps its historical driver row
 # and is re-verified on current code each round by tools/gate.py over
 # the full catalog (GATE.json). After this round no query's newest
-# driver row is older than r06, and the remaining 34 r06-era rows are
+# driver row is older than r06, and the remaining 35 r06-era rows are
 # first in line for round 11.
 _CHECK_FIRST = [
     # new / modified in round 10
     "mm_audio_fpdedup",
     "geo_grid_epsilon_join",
+    "geo_nearest_within",
     "match_recognize_funnel",
     "match_recognize_vshape",
     "window_conditional_events",
@@ -104,7 +106,6 @@ _CHECK_FIRST = [
     "null_arithmetic",
     "dq_unique",
     "dq_not_null",
-    "dq_relationships",
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.

@@ -99,3 +99,56 @@ class TestGridEpsilonJoin:
         assert "BatchEvalPython" not in plan
         # one grid equi-join, not an all-pairs anything
         assert "Join" in plan
+
+
+class TestGridNearestWithin:
+    def test_matches_brute_force_topk(self, spark, sf_dir):
+        from olist_snowflake_dbt_spark.queries_geo import q_geo_nearest_within
+        from pyspark.sql import Window as W
+
+        got = q_geo_nearest_within(spark, sf_dir)
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").alias("cust_id"),
+            ((F.col("c_custkey") * 48271) % 100000).alias("cx"),
+            ((F.col("c_custkey") * 69621) % 100000).alias("cy"),
+        )
+        supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+            F.col("s_suppkey").alias("supp_id"),
+            ((F.col("s_suppkey") * 16807) % 100000).alias("sx"),
+            ((F.col("s_suppkey") * 40692) % 100000).alias("sy"),
+        )
+        d2 = (
+            (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx"))
+            + (F.col("cy") - F.col("sy")) * (F.col("cy") - F.col("sy"))
+        ).cast("long")
+        w = W.partitionBy("cust_id").orderBy("dist2", "supp_id")
+        brute = (
+            cust.crossJoin(supp)
+            .withColumn("dist2", d2)
+            .filter(F.col("dist2") <= 5000 * 5000)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 2)
+            .select("cust_id", "supp_id", "dist2", "rank")
+        )
+        assert got.count() == brute.count() > 0
+        assert got.exceptAll(brute).count() == 0
+
+    def test_k_and_radius_semantics(self, spark):
+        from olist_snowflake_dbt_spark.operators.geo import grid_nearest_within
+
+        left = spark.createDataFrame([(1, 50, 50)], "id long, x long, y long")
+        right = spark.createDataFrame(
+            [(10, 51, 50), (11, 50, 53), (12, 47, 50), (13, 99, 99)],
+            "rid long, x long, y long",
+        )
+        rows = sorted(
+            grid_nearest_within(
+                left, right, eps=10, k=2, left_id="id", right_id="rid"
+            ).collect(),
+            key=lambda r: r.rank,
+        )
+        # 13 is out of range; nearest two of the remaining three win
+        assert [(r.rid, r.dist2, r.rank) for r in rows] == [
+            (10, 1, 1),
+            (11, 9, 2),
+        ]
