@@ -828,3 +828,4 @@ from . import queries_web  # noqa: E402,F401
 from . import queries_timeseries  # noqa: E402,F401
 from . import queries_tokenizer  # noqa: E402,F401
 from . import queries_geo  # noqa: E402,F401
+from . import queries_sequence  # noqa: E402,F401

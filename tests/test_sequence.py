@@ -1,0 +1,145 @@
+"""Sequence analytics: transition-matrix exactness and
+dialogue-turn-stats semantics on hand-built sequences."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_snowflake_dbt_spark.operators.sequence import (
+    dialogue_turn_stats,
+    transition_matrix,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "key long, ts timestamp_ntz, state string"
+    )
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+class TestTransitionMatrix:
+    def test_counts_and_probs_exact(self, spark):
+        """a→b twice, a→a once, b→a once within one key; counts and
+        row-normalized probabilities are exact."""
+        rows = [
+            (1, _ts(0), "a"),
+            (1, _ts(1), "b"),
+            (1, _ts(2), "a"),
+            (1, _ts(3), "a"),
+            (1, _ts(4), "b"),
+        ]
+        got = {
+            (r["src_state"], r["dst_state"]): (r["n_trans"], r["prob"])
+            for r in transition_matrix(
+                _events(spark, rows), "key", ["ts"], "state"
+            ).collect()
+        }
+        assert got == {
+            ("a", "b"): (2, round(2 / 3, 9)),
+            ("a", "a"): (1, round(1 / 3, 9)),
+            ("b", "a"): (1, 1.0),
+        }
+
+    def test_no_cross_key_transitions(self, spark):
+        """The last state of key 1 must not chain into key 2."""
+        rows = [(1, _ts(0), "a"), (2, _ts(1), "b")]
+        assert (
+            transition_matrix(_events(spark, rows), "key", ["ts"], "state")
+            .count()
+            == 0
+        )
+
+    def test_matrix_rows_bounded_by_states_squared(self, spark):
+        """The output is at most |states|² rows however many events."""
+        rows = [
+            (k, _ts(m), s)
+            for k in range(4)
+            for m, s in enumerate(["x", "y", "x", "y", "x"])
+        ]
+        out = transition_matrix(_events(spark, rows), "key", ["ts"], "state")
+        assert out.count() <= 4
+
+
+class TestDialogueTurnStats:
+    def _stats(self, spark, rows, gap=30):
+        df = spark.createDataFrame(
+            rows, "key long, ts timestamp_ntz, role string"
+        )
+        return {
+            (r["key"], r["session_no"]): r
+            for r in dialogue_turn_stats(
+                df, "key", "ts", "role", gap_minutes=gap
+            ).collect()
+        }
+
+    def test_strict_alternation_detected(self, spark):
+        rows = [
+            (1, _ts(0), "user"),
+            (1, _ts(1), "assistant"),
+            (1, _ts(2), "user"),
+        ]
+        r = self._stats(spark, rows)[(1, 1)]
+        assert r["n_msgs"] == 3
+        assert r["n_turns"] == 3
+        assert r["strict_alternation"] is True
+        assert r["starts_with_user"] is True
+        assert r["duration_us"] == 120_000_000
+
+    def test_same_role_run_collapses_turns(self, spark):
+        """user,user,assistant = 2 turns; alternation broken."""
+        rows = [
+            (1, _ts(0), "user"),
+            (1, _ts(1), "user"),
+            (1, _ts(2), "assistant"),
+        ]
+        r = self._stats(spark, rows)[(1, 1)]
+        assert r["n_turns"] == 2
+        assert r["strict_alternation"] is False
+
+    def test_gap_splits_sessions_and_resets_turns(self, spark):
+        """A >30-min gap opens session 2; its first message starts a
+        new turn even though the role matches the previous message."""
+        rows = [
+            (1, _ts(0), "user"),
+            (1, _ts(1), "user"),
+            (1, _ts(45), "user"),
+        ]
+        got = self._stats(spark, rows)
+        assert got[(1, 1)]["n_msgs"] == 2
+        assert got[(1, 1)]["n_turns"] == 1
+        assert got[(1, 2)]["n_msgs"] == 1
+        assert got[(1, 2)]["n_turns"] == 1
+        assert got[(1, 2)]["starts_with_user"] is True
+
+    def test_assistant_opener_flagged(self, spark):
+        rows = [(1, _ts(0), "assistant"), (1, _ts(1), "user")]
+        r = self._stats(spark, rows)[(1, 1)]
+        assert r["starts_with_user"] is False
+
+    def test_exact_gap_boundary_stays_in_session(self, spark):
+        """gap == 30 min exactly does NOT split (strictly-greater)."""
+        rows = [(1, _ts(0), "user"), (1, _ts(30), "assistant")]
+        got = self._stats(spark, rows)
+        assert list(got) == [(1, 1)]
+        assert got[(1, 1)]["n_msgs"] == 2
+
+    def test_one_exchange_plan(self, spark):
+        """The whole stats pipeline shuffles once (on the key)."""
+        rows = [(1, _ts(0), "user"), (1, _ts(1), "assistant")]
+        df = spark.createDataFrame(
+            rows, "key long, ts timestamp_ntz, role string"
+        )
+        plan = (
+            dialogue_turn_stats(df, "key", "ts", "role")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") <= 2  # key window + final agg
