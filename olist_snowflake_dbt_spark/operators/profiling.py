@@ -101,3 +101,85 @@ def schema_drift(
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    col: str,
+    lo,
+    hi,
+    n_buckets: int,
+    scale: int = 2,
+) -> DataFrame:
+    """Equi-width histogram with SQL WIDTH_BUCKET semantics, computed
+    in EXACT integer arithmetic (engine-portable: no double rounding
+    can move a value across a bucket edge).
+
+    Bucket ``b`` ∈ 1..n covers ``[lo + (b-1)·w, lo + b·w)`` for
+    ``w = (hi - lo) / n_buckets``; values below ``lo`` land in bucket
+    0, values ``>= hi`` in bucket ``n_buckets + 1`` (the WIDTH_BUCKET
+    under/overflow contract). The value, ``lo`` and ``hi`` are scaled
+    by ``10^scale`` to BIGINT (pick ``scale`` ≥ the column's decimal
+    scale — cents for money), so the bucket index is ONE integer
+    cross-multiplication: ``(v - lo)·n DIV (hi - lo) + 1``.
+
+    Returns ``(bucket, n_rows, min_val, max_val)`` for every bucket
+    0..n+1 INCLUDING empty ones (a histogram with silently-missing
+    bars misreads as a different distribution): the aggregate
+    left-joins onto a generated 0..n+1 spine — broadcast-sized at any
+    corpus size, like the aggregate itself (≤ n+2 rows through the
+    exchange). NULL values are excluded (profile_columns reports
+    them).
+
+    Scale design: one map-side-combinable aggregate on the bucket id
+    is the only data-sized work; everything else is expression math
+    inside codegen. At 100 TB this is a scan + one exchange of ≤ n+2
+    rows per task.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive (got {n_buckets})")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi (got lo={lo}, hi={hi})")
+    mult = 10 ** scale
+    lo_i, hi_i = round(lo * mult), round(hi * mult)
+    span = hi_i - lo_i
+    v = F.expr(
+        f"CAST(ROUND(CAST(`{col}` AS DECIMAL(38,{scale})) * {mult}, 0) "
+        f"AS BIGINT)"
+    )
+    # integer floor: (v-lo)·n and span are non-negative here, so DIV
+    # truncation == floor; expressed via expr to stay in BIGINT land.
+    bucket = (
+        F.when(v.isNull(), F.lit(None))
+        .when(v < lo_i, F.lit(0))
+        .when(v >= hi_i, F.lit(n_buckets + 1))
+        .otherwise(
+            F.expr(
+                f"(CAST(ROUND(CAST(`{col}` AS DECIMAL(38,{scale})) * {mult}, 0) "
+                f"AS BIGINT) - {lo_i}) * {n_buckets} DIV {span} + 1"
+            )
+        )
+        .cast("int")
+    )
+    agg = (
+        df.select(
+            bucket.alias("bucket"),
+            F.col(col).cast(f"decimal(38,{scale})").alias("__v"),
+        )
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__v").cast("string").alias("min_val"),
+            F.max("__v").cast("string").alias("max_val"),
+        )
+    )
+    spine = df.sparkSession.range(0, n_buckets + 2).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    return spine.join(F.broadcast(agg), "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        "min_val",
+        "max_val",
+    )

@@ -1830,3 +1830,48 @@ def q_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     }
     return table_size_advice(tables, broadcast_threshold_bytes=1048576)
+
+
+_HIST_ORACLE = """
+WITH v AS (
+    SELECT CAST(ROUND(CAST(o_totalprice AS DECIMAL(38,2)) * 100, 0)
+               AS BIGINT) AS v_i,
+           CAST(o_totalprice AS DECIMAL(38,2)) AS v_d
+    FROM orders WHERE o_totalprice IS NOT NULL
+),
+b AS (
+    SELECT CASE WHEN v_i < 0 THEN 0
+                WHEN v_i >= 50000000 THEN 26
+                ELSE (v_i * 25) // 50000000 + 1 END AS bucket, v_d
+    FROM v
+),
+agg AS (
+    SELECT bucket, COUNT(*) AS n_rows,
+           CAST(MIN(v_d) AS VARCHAR) AS min_val,
+           CAST(MAX(v_d) AS VARCHAR) AS max_val
+    FROM b GROUP BY bucket
+)
+SELECT CAST(s.bucket AS INT) AS bucket,
+       COALESCE(n_rows, 0) AS n_rows, min_val, max_val
+FROM (SELECT UNNEST(generate_series(0, 26)) AS bucket) s
+LEFT JOIN agg ON agg.bucket = s.bucket
+"""
+
+
+@query("histogram_width_bucket", _HIST_ORACLE)
+def q_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram with WIDTH_BUCKET semantics
+    (operators/profiling.equi_width_histogram): 25 buckets over
+    o_totalprice ∈ [0, 500000) plus under/overflow buckets 0 and 26,
+    EMPTY BUCKETS INCLUDED (silently-missing bars misread as a
+    different distribution). Bucket math is one integer
+    cross-multiplication over exact cents — no double can move a value
+    across an edge, so the DuckDB twin is bit-identical. One
+    map-side-combinable aggregate (≤27 rows through the exchange) +
+    a broadcast spine join; at 100 TB this is a scan and nothing else."""
+    from .operators.profiling import equi_width_histogram
+
+    o = _t(spark, sf_dir, "orders")
+    return equi_width_histogram(
+        o, "o_totalprice", lo=0, hi=500_000, n_buckets=25, scale=2
+    )
