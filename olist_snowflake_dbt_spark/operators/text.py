@@ -591,3 +591,45 @@ def bigram_lm_score(
             / F.col("n_bigrams"),
         ).alias("avg_p"),
     )
+
+
+# Normalization character classes, shared verbatim with the DuckDB
+# oracle twin (queries_sequence-style portability: literal characters,
+# no engine-specific escapes; \x0B/\x0C live here, NOT in the
+# whitespace class, because Java \s and RE2 \s disagree on them).
+_STRIP_CLASS = (
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f"  # C0 controls minus \t\n\r, DEL
+    "​‌‍﻿]"        # zero-width + BOM
+)
+_WS_RUN = "[ \t\n\r]+"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    lowercase: bool = False,
+) -> DataFrame:
+    """C4-style text normalization as a pure-Catalyst projection — the
+    first cleanup pass a web corpus gets before dedup/quality filters
+    (control bytes and zero-width characters defeat exact/fingerprint
+    dedup; whitespace variance defeats shingling):
+
+    1. strip C0 control characters (except tab/newline/CR), DEL,
+       zero-width (ZWSP/ZWNJ/ZWJ) and BOM;
+    2. collapse every whitespace run (space/tab/newline/CR) to one
+       space;
+    3. trim; optionally lowercase.
+
+    Appends ``out_col``; map-only (zero exchanges, zero Python rows) —
+    at 100 TB this fuses into whatever scan feeds it. The character
+    classes are literal-only so the same pattern strings run on any
+    RE2/Java regex engine (``\\s`` is NOT portable: Java includes
+    \\x0B, RE2 does not — \\x0B/\\x0C are stripped instead).
+    """
+    c = F.regexp_replace(F.col(text_col), _STRIP_CLASS, "")
+    c = F.regexp_replace(c, _WS_RUN, " ")
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out_col, c)

@@ -2582,3 +2582,53 @@ def q_er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_segment",
         F.col("max_acctbal").cast("double").alias("max_acctbal"),
     )
+
+
+_TN_STRIP = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{200b}-\x{200d}\x{feff}]"
+_TN_ORACLE = f"""
+WITH dirty AS (
+    SELECT doc_id, text,
+           ' ' || chr(1) || replace(text, ' ', chr(9) || '  ')
+               || chr(8203) || ' ' AS raw
+    FROM documents
+),
+norm AS (
+    SELECT doc_id, text, raw,
+           trim(regexp_replace(
+               regexp_replace(raw, '{_TN_STRIP}', '', 'g'),
+               '[ \t\n\r]+', ' ', 'g')) AS norm_text
+    FROM dirty
+)
+SELECT doc_id, norm_text,
+       length(raw) - length(norm_text) AS n_removed,
+       norm_text = text AS clean_roundtrip
+FROM norm
+"""
+
+
+@query("text_normalize", _TN_ORACLE)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style normalization (operators/text.normalize_text): strip
+    control/zero-width characters, collapse whitespace runs, trim —
+    the cleanup pass that runs BEFORE dedup/shingling (invisible bytes
+    defeat exact fingerprints). The testdata text is already clean, so
+    the query plants deterministic mess around and inside every
+    document (NUL-adjacent control, tabs, double spaces, a zero-width
+    space) with the SAME expression on both engines; clean_roundtrip
+    pins that normalization recovers the original text exactly.
+    Map-only — zero exchanges, zero Python rows."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.expr(
+            "concat(' ', char(1), replace(text, ' ', concat(char(9), '  ')), "
+            "'\u200b', ' ')"
+        ).alias("raw"),
+    )
+    n = TX.normalize_text(d, text_col="raw", out_col="norm_text")
+    return n.select(
+        "doc_id",
+        "norm_text",
+        (F.length("raw") - F.length("norm_text")).alias("n_removed"),
+        (F.col("norm_text") == F.col("text")).alias("clean_roundtrip"),
+    )

@@ -248,3 +248,47 @@ def test_gopher_rules_integer_thresholds_are_exact(spark):
     df2 = spark.createDataFrame([(1, at + " #")], "doc_id long, text string")
     r2 = gopher_rules(df2, "text").collect()[0]
     assert r2.n_symbols == 2 and not r2.ok_symbol_ratio
+
+
+class TestNormalizeText:
+    def _norm(self, spark, raw, **kw):
+        from olist_snowflake_dbt_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame([(raw,)], "text string")
+        return normalize_text(df, **kw).collect()[0]["norm_text"]
+
+    def test_strips_controls_and_zero_width(self, spark):
+        raw = "a\x01b\x00c​d‌‍﻿e"
+        assert self._norm(spark, raw) == "abcde"
+
+    def test_collapses_whitespace_runs_and_trims(self, spark):
+        raw = "  hello\t\t world \n\r again  "
+        assert self._norm(spark, raw) == "hello world again"
+
+    def test_keeps_tab_newline_as_separators_not_stripped(self, spark):
+        """Tab/newline are whitespace (become spaces), NOT stripped
+        like controls — 'a\\tb' must stay two words."""
+        assert self._norm(spark, "a\tb") == "a b"
+        assert self._norm(spark, "a\x01b") == "ab"
+
+    def test_lowercase_opt_in(self, spark):
+        assert self._norm(spark, "MiXeD", lowercase=True) == "mixed"
+        assert self._norm(spark, "MiXeD") == "MiXeD"
+
+    def test_idempotent(self, spark):
+        from olist_snowflake_dbt_spark.operators.text import normalize_text
+
+        raw = " x​  y\t"
+        df = spark.createDataFrame([(raw,)], "text string")
+        once = normalize_text(df, out_col="n1")
+        twice = normalize_text(once, text_col="n1", out_col="n2").collect()[0]
+        assert twice["n1"] == twice["n2"] == "x y"
+
+    def test_map_only_plan(self, spark):
+        from olist_snowflake_dbt_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame([("a",)], "text string")
+        plan = (
+            normalize_text(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan
