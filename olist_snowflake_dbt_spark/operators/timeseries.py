@@ -133,3 +133,89 @@ def gap_fill(
         prev_val.alias("locf"),
         interp.alias("interp"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bin_size: int,
+    left_id: str = "id",
+    right_id: str = "id",
+    start_col: str = "start",
+    end_col: str = "end",
+    partition_cols: tuple = (),
+) -> DataFrame:
+    """All (left, right) pairs whose CLOSED integer intervals
+    ``[start, end]`` overlap (``l.start <= r.end AND r.start <=
+    l.end``), by bin blocking — the temporal sibling of
+    ``geo.grid_epsilon_join`` (same PBSM shape over one dimension, and
+    the strategy behind warehouse range-join optimizations).
+
+    Both sides carry NON-NEGATIVE INTEGER ``start_col <= end_col``
+    (scale timestamps to days/seconds upstream — integer arithmetic
+    keeps the refine exact and DIV truncation == floor). Each interval
+    explodes to the bins it covers (``sequence(s DIV b, e DIV b)`` —
+    bounded by interval_length/bin_size + 1, so pick ``bin_size`` near
+    the typical interval length); candidates join on the bin (plus any
+    ``partition_cols``, e.g. a tenant key, which also localize skew).
+    A true pair shares every bin in its intersection, so emission is
+    deduplicated WITHOUT a distinct pass: the pair is kept only in the
+    first shared bin, ``GREATEST(l.start, r.start) DIV bin_size`` —
+    which both sides necessarily cover.
+
+    Returns ``(partition_cols..., left_id, right_id, overlap_start,
+    overlap_end, overlap_len)`` with ``overlap_len = end - start + 1``
+    (closed-interval day/second count). One ordinary equi-join exchange
+    pair; candidates bounded by bin occupancy — no inequality-join
+    cartesian fallback at any scale.
+    """
+    if bin_size <= 0:
+        raise ValueError(f"bin_size must be positive (got {bin_size})")
+    if left_id == right_id:
+        raise ValueError(
+            f"left_id and right_id must differ in the output "
+            f"(both {left_id!r}) — alias one side upstream"
+        )
+    pcols = list(partition_cols)
+
+    def binned(df: DataFrame, id_col: str) -> DataFrame:
+        return df.select(
+            *pcols,
+            F.col(id_col),
+            F.col(start_col),
+            F.col(end_col),
+            F.explode(
+                F.sequence(
+                    F.expr(f"CAST(`{start_col}` AS BIGINT) DIV {bin_size}"),
+                    F.expr(f"CAST(`{end_col}` AS BIGINT) DIV {bin_size}"),
+                )
+            ).alias("__bin"),
+        )
+
+    l = binned(left, left_id).alias("l")
+    r = binned(right, right_id).alias("r")
+    ls, le = F.col(f"l.{start_col}"), F.col(f"l.{end_col}")
+    rs, re_ = F.col(f"r.{start_col}"), F.col(f"r.{end_col}")
+    o_start = F.greatest(ls, rs)
+    o_end = F.least(le, re_)
+    keys = ["__bin", *pcols]
+    return (
+        l.join(r, keys)
+        .filter(ls <= re_)
+        .filter(rs <= le)
+        .filter(
+            F.col("__bin")
+            == F.expr(
+                f"CAST(GREATEST(l.`{start_col}`, r.`{start_col}`) AS BIGINT) "
+                f"DIV {bin_size}"
+            )
+        )
+        .select(
+            *pcols,
+            F.col(f"l.{left_id}").alias(left_id),
+            F.col(f"r.{right_id}").alias(right_id),
+            o_start.alias("overlap_start"),
+            o_end.alias("overlap_end"),
+            (o_end - o_start + F.lit(1)).cast("long").alias("overlap_len"),
+        )
+    )

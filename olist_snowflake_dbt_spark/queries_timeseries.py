@@ -88,3 +88,59 @@ def q_gapfill_locf_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, key="user_id", ts="ts", value="value",
         step_seconds=3600, order_tiebreak="event_id",
     )
+
+
+_OVERLAP_ORACLE = """
+WITH iv AS (
+    SELECT o_custkey AS custkey, o_orderkey AS okey,
+           date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS s,
+           date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               + o_orderkey % 20 AS e
+    FROM orders
+)
+SELECT a.custkey, a.okey AS okey_a, b.okey AS okey_b,
+       GREATEST(a.s, b.s) AS overlap_start,
+       LEAST(a.e, b.e) AS overlap_end,
+       LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1 AS overlap_len
+FROM iv a JOIN iv b
+  ON a.custkey = b.custkey AND a.okey < b.okey
+ AND a.s <= b.e AND b.s <= a.e
+"""
+
+
+@query("interval_overlap_pairs", _OVERLAP_ORACLE)
+def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (operators/timeseries.
+    interval_overlap_join): pairs of the same customer's orders whose
+    processing windows [orderdate, orderdate + orderkey%20 days]
+    overlap — the temporal-conflict query (double bookings, concurrent
+    sessions, SLA collisions). The operator bins intervals (bin=16
+    days ≈ interval length), joins on (custkey, bin), refines with the
+    exact closed-interval predicate, and emits each pair once in its
+    first shared bin — NO inequality-join cartesian fallback; the
+    DuckDB twin IS the brute inequality join, so the hash-match is a
+    total-recall + exact-precision proof. Pair growth is linear in
+    customers (orders-per-customer is bounded)."""
+    epoch_day = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1992-01-01"))
+    )
+    iv = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("okey"),
+        epoch_day.alias("s"),
+        (epoch_day + F.col("o_orderkey") % 20).alias("e"),
+    )
+    from .operators.timeseries import interval_overlap_join
+
+    pairs = interval_overlap_join(
+        iv.withColumnRenamed("okey", "okey_a"),
+        iv.withColumnRenamed("okey", "okey_b"),
+        bin_size=16,
+        left_id="okey_a",
+        right_id="okey_b",
+        start_col="s",
+        end_col="e",
+        partition_cols=("custkey",),
+    )
+    return pairs.filter(F.col("okey_a") < F.col("okey_b"))
