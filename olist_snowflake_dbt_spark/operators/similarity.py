@@ -713,3 +713,73 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist2", "rank")
     )
+
+
+def rp_signs(in_dims: int, out_dims: int, tag: str = "rp") -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix:
+    ``signs[j][i] = +1`` iff the first hex char of
+    ``md5(f"{tag}|{i}|{j}")`` is in 0-7 (an unbiased bit of a public
+    hash — Achlioptas 2001 showed ±1 entries satisfy the JL lemma).
+    Reproducible in ANY engine with an md5() (the oracle twin rebuilds
+    it in SQL); no RNG state to ship or version."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{tag}|{i}|{j}".encode()).hexdigest()[0]
+            in "01234567"
+            else -1
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    in_dims: int,
+    out_dims: int,
+    tag: str = "rp",
+    out_prefix: str = "p",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of an embedding column
+    to ``out_dims`` dimensions — the dimensionality-reduction stage a
+    100 TB ANN/clustering pipeline runs before indexing (JL: pairwise
+    distances are preserved within (1±ε) for k = O(log n / ε²);
+    Achlioptas-style ±1 entries, no dense Gaussian matrix needed).
+
+    Each output component ``{out_prefix}{j}`` is the signed sum
+    ``Σᵢ signs[j][i] · xᵢ`` accumulated in DECIMAL(28,15) (exact,
+    order-independent — double summation would drift in the last ulp
+    between engines) and emitted as DOUBLE. The accumulator is re-cast
+    to DECIMAL(28,15) at every fold step: Spark's decimal-addition
+    type widening would otherwise hit the precision-38 cap after ~10
+    terms and CLAMP THE SCALE TO 6 — a silent 1e-6 error this operator
+    exists to rule out. The sign matrix is the deterministic
+    :func:`rp_signs`, baked into the plan as a literal array, so the
+    whole operator is ONE map-only projection — zero exchanges, zero
+    Python rows, fuses into the scan that feeds it.
+    """
+    if in_dims <= 0 or out_dims <= 0:
+        raise ValueError(
+            f"dims must be positive (in={in_dims}, out={out_dims})"
+        )
+    signs = rp_signs(in_dims, out_dims, tag)
+    dec = "decimal(28,15)"
+    cols = []
+    for j in range(out_dims):
+        signs_j = F.array(*[F.lit(s) for s in signs[j]])
+        terms = F.zip_with(
+            F.col(vec_col),
+            signs_j,
+            lambda x, s: (x.cast("double") * s).cast(dec),
+        )
+        proj = F.aggregate(
+            terms,
+            F.lit(0).cast(dec),
+            lambda acc, t: (acc + t).cast(dec),
+        )
+        cols.append(proj.cast("double").alias(f"{out_prefix}{j}"))
+    return df.select("*", *cols)

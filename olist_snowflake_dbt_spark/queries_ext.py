@@ -2632,3 +2632,45 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("raw") - F.length("norm_text")).alias("n_removed"),
         (F.col("norm_text") == F.col("text")).alias("clean_roundtrip"),
     )
+
+
+_RP_ORACLE = """
+WITH flat AS (
+    SELECT vec_id,
+           CAST(CAST(x AS DOUBLE) AS DECIMAL(28,15)) AS d,
+           i
+    FROM (SELECT vec_id, UNNEST(embedding) AS x,
+                 UNNEST(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
+)
+SELECT vec_id,
+       ROUND(CAST(SUM(CASE WHEN substr(md5('rp|' || (i-1) || '|0'),1,1) IN ('0','1','2','3','4','5','6','7') THEN d ELSE -d END) AS DOUBLE), 9) AS p0,
+       ROUND(CAST(SUM(CASE WHEN substr(md5('rp|' || (i-1) || '|1'),1,1) IN ('0','1','2','3','4','5','6','7') THEN d ELSE -d END) AS DOUBLE), 9) AS p1,
+       ROUND(CAST(SUM(CASE WHEN substr(md5('rp|' || (i-1) || '|2'),1,1) IN ('0','1','2','3','4','5','6','7') THEN d ELSE -d END) AS DOUBLE), 9) AS p2,
+       ROUND(CAST(SUM(CASE WHEN substr(md5('rp|' || (i-1) || '|3'),1,1) IN ('0','1','2','3','4','5','6','7') THEN d ELSE -d END) AS DOUBLE), 9) AS p3,
+       ROUND(CAST(SUM(CASE WHEN substr(md5('rp|' || (i-1) || '|4'),1,1) IN ('0','1','2','3','4','5','6','7') THEN d ELSE -d END) AS DOUBLE), 9) AS p4,
+       ROUND(CAST(SUM(CASE WHEN substr(md5('rp|' || (i-1) || '|5'),1,1) IN ('0','1','2','3','4','5','6','7') THEN d ELSE -d END) AS DOUBLE), 9) AS p5,
+       ROUND(CAST(SUM(CASE WHEN substr(md5('rp|' || (i-1) || '|6'),1,1) IN ('0','1','2','3','4','5','6','7') THEN d ELSE -d END) AS DOUBLE), 9) AS p6,
+       ROUND(CAST(SUM(CASE WHEN substr(md5('rp|' || (i-1) || '|7'),1,1) IN ('0','1','2','3','4','5','6','7') THEN d ELSE -d END) AS DOUBLE), 9) AS p7
+FROM flat GROUP BY vec_id
+"""
+
+
+@query("embedding_random_projection", _RP_ORACLE)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64→8 dims
+    (operators/similarity.random_projection, Achlioptas 2001): the
+    dimensionality-reduction stage before ANN indexing / clustering at
+    scale. The sign matrix derives from md5 — the oracle REBUILDS it in
+    SQL from the same hash, so the hash-match proves both the math and
+    the matrix; sums accumulate in DECIMAL(28,15) (exact,
+    order-independent), output rounded to 9 decimals (DuckDB's
+    DECIMAL→DOUBLE cast is not correctly rounded). Map-only: zero
+    exchanges, zero Python rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    proj = SIM.random_projection(
+        e.select("vec_id", "embedding"), "embedding", in_dims=64, out_dims=8
+    )
+    return proj.select(
+        "vec_id", *[F.round(f"p{j}", 9).alias(f"p{j}") for j in range(8)]
+    )

@@ -196,3 +196,87 @@ class TestProductQuantization:
 
         with pytest.raises(ValueError, match="not divisible"):
             pq_topk(emb, emb, n_subspaces=5)
+
+
+class TestRandomProjection:
+    def test_projection_is_deterministic_and_balanced(self):
+        from olist_snowflake_dbt_spark.operators.similarity import rp_signs
+
+        a = rp_signs(64, 8)
+        b = rp_signs(64, 8)
+        assert a == b
+        flat = [s for row in a for s in row]
+        assert set(flat) == {1, -1}
+        # md5 first-hex-char is unbiased: expect ~50% +1
+        assert 0.35 < sum(1 for s in flat if s == 1) / len(flat) < 0.65
+
+    def test_identical_vectors_project_identically(self, spark):
+        from olist_snowflake_dbt_spark.operators.similarity import (
+            random_projection,
+        )
+
+        v = [0.1 * ((i % 7) - 3) for i in range(16)]
+        df = spark.createDataFrame(
+            [(1, v), (2, v)], "id long, vec array<float>"
+        )
+        out = random_projection(df, "vec", in_dims=16, out_dims=4).collect()
+        r1 = [r for r in out if r["id"] == 1][0]
+        r2 = [r for r in out if r["id"] == 2][0]
+        assert all(r1[f"p{j}"] == r2[f"p{j}"] for j in range(4))
+
+    def test_jl_distance_preservation(self, spark, sf_dir):
+        """Scaled projected distance² approximates original distance²:
+        E[dist²_proj / k] = dist²_orig for ±1 JL. Median relative
+        distortion over real embedding pairs must be modest at k=16."""
+        from olist_snowflake_dbt_spark.operators.similarity import (
+            random_projection,
+        )
+
+        k = 16
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+        rows = random_projection(
+            e, "embedding", in_dims=64, out_dims=k
+        ).collect()
+        import math
+
+        dists = []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                orig = sum(
+                    (x - y) ** 2
+                    for x, y in zip(a["embedding"], b["embedding"])
+                )
+                proj = sum(
+                    (a[f"p{d}"] - b[f"p{d}"]) ** 2 for d in range(k)
+                ) / k
+                if orig > 0:
+                    dists.append(proj / orig)
+        dists.sort()
+        med = dists[len(dists) // 2]
+        assert 0.5 < med < 2.0, f"median distortion {med}"
+
+    def test_map_only_plan(self, spark):
+        from olist_snowflake_dbt_spark.operators.similarity import (
+            random_projection,
+        )
+
+        df = spark.createDataFrame([(1, [0.5] * 8)], "id long, vec array<float>")
+        plan = (
+            random_projection(df, "vec", in_dims=8, out_dims=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.similarity import (
+            random_projection,
+        )
+
+        df = spark.createDataFrame([(1, [0.5])], "id long, vec array<float>")
+        with _pytest.raises(ValueError, match="dims"):
+            random_projection(df, "vec", in_dims=0, out_dims=2)
