@@ -148,3 +148,56 @@ def drift_chi2(
         F.floor(e * F.lit(1_000_000.0)).alias("expected_micro"),
         F.floor(diff * diff / e * F.lit(1_000_000.0)).alias("chi2_contrib_micro"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Median-absolute-deviation outlier flags per group — the robust
+    alternative to k-sigma (``metric_anomalies``) when the metric
+    itself is heavy-tailed: a single wild value inflates a standard
+    deviation enough to hide itself, but moves the median and the MAD
+    almost nothing (50% breakdown point vs 0%).
+
+    Flags row ``x`` when ``|x − median| > k · consistency · MAD`` with
+    ``MAD = median(|x − median|)``; ``consistency = 1.4826`` rescales
+    MAD to estimate σ under normality (Hampel's constant), so ``k``
+    reads in the familiar sigma units. Appends ``med``, ``mad`` and
+    ``is_outlier``; both medians are exact ``percentile(0.5)``
+    (interpolating) — the one non-integer step, the same single
+    expression on any engine.
+
+    Plan: two grouped exact-percentile aggregates (group cardinality
+    rows each) broadcast back onto the stream — the row-level pass
+    never shuffles. At 100 TB swap ``percentile`` for
+    ``approx_percentile`` if exactness is not contractual (same trade
+    as percentile_agg); groups are metric names — small and bounded.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile(CAST(`{value_col}` AS DOUBLE), 0.5)").alias(
+            "med"
+        )
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = (
+        with_med.groupBy(group_col)
+        .agg(
+            F.expr(
+                f"percentile(abs(CAST(`{value_col}` AS DOUBLE) - med), 0.5)"
+            ).alias("mad")
+        )
+    )
+    return (
+        with_med.join(F.broadcast(mad), group_col)
+        .withColumn(
+            "is_outlier",
+            F.abs(F.col(value_col).cast("double") - F.col("med"))
+            > F.lit(k) * F.lit(consistency) * F.col("mad"),
+        )
+    )

@@ -146,3 +146,74 @@ def dialogue_turn_stats(
             "duration_us"
         ),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    granularity: str = "month",
+) -> DataFrame:
+    """Cohort-retention matrix — the classic growth-analytics
+    triangle: users cohorted by the period (``month`` or ``day``) of
+    their FIRST event; for every (cohort period, period offset) cell,
+    how many distinct cohort members were active, and the retention
+    share.
+
+    Returns ``(cohort_period, period_offset, n_active, n_cohort,
+    retention_ppm)`` with ``retention_ppm = n_active · 1_000_000 DIV
+    n_cohort`` (integer-exact parts-per-million; offset 0 is the cohort
+    period itself, so its ppm is 1_000_000 by construction). Periods
+    compare as plain integers (``year·12 + month`` / days since epoch)
+    — no calendar arithmetic to disagree on; ``cohort_period`` is
+    rendered ``yyyy-MM-dd`` (first day of the period).
+
+    Plan: one aggregate keyed on ``key_col`` finds each key's first
+    period fused with its distinct active periods (collect_set bounded
+    by the horizon); the explode + (cohort, offset) count is a second
+    map-side-combinable aggregate. The matrix leaving the final
+    exchange is O(horizon²) cells at any corpus size.
+    """
+    if granularity == "month":
+        pnum = F.year(ts_col) * 12 + F.month(ts_col)
+        render = F.date_format(
+            F.make_date(
+                ((F.col("cohort_p") - 1) / 12).cast("int"),
+                ((F.col("cohort_p") - 1) % 12 + 1).cast("int"),
+                F.lit(1),
+            ),
+            "yyyy-MM-dd",
+        )
+    elif granularity == "day":
+        pnum = F.datediff(F.to_date(ts_col), F.to_date(F.lit("1970-01-01")))
+        render = F.date_format(
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("cohort_p")),
+            "yyyy-MM-dd",
+        )
+    else:
+        raise ValueError(
+            f"granularity must be 'month' or 'day' (got {granularity!r})"
+        )
+    per_key = df.groupBy(key_col).agg(
+        F.min(pnum).alias("cohort_p"),
+        F.collect_set(pnum).alias("active_ps"),
+    )
+    cells = per_key.select(
+        "cohort_p",
+        F.explode("active_ps").alias("active_p"),
+    ).groupBy("cohort_p", "active_p").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    cohort_sizes = per_key.groupBy("cohort_p").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        cells.join(F.broadcast(cohort_sizes), "cohort_p")
+        .select(
+            render.alias("cohort_period"),
+            (F.col("active_p") - F.col("cohort_p")).alias("period_offset"),
+            "n_active",
+            "n_cohort",
+            F.expr("n_active * 1000000 DIV n_cohort").alias("retention_ppm"),
+        )
+    )

@@ -157,3 +157,49 @@ def q_chat_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dialogue_turn_stats(
         ev, key_col="user_id", ts_col="ts", role_col="role", gap_minutes=30
     )
+
+
+_COHORT_ORACLE = """
+WITH dn AS (
+    SELECT user_id,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS p
+    FROM events
+),
+per_key AS (
+    SELECT user_id, MIN(p) AS cohort_p FROM dn GROUP BY user_id
+),
+active AS (
+    SELECT DISTINCT dn.user_id, k.cohort_p, dn.p AS active_p
+    FROM dn JOIN per_key k ON dn.user_id = k.user_id
+),
+cells AS (
+    SELECT cohort_p, active_p, COUNT(*) AS n_active
+    FROM active GROUP BY cohort_p, active_p
+),
+sizes AS (
+    SELECT cohort_p, COUNT(*) AS n_cohort FROM per_key GROUP BY cohort_p
+)
+SELECT strftime(DATE '1970-01-01' + INTERVAL (c.cohort_p) DAY,
+                '%Y-%m-%d') AS cohort_period,
+       c.active_p - c.cohort_p AS period_offset,
+       c.n_active, s.n_cohort,
+       c.n_active * 1000000 // s.n_cohort AS retention_ppm
+FROM cells c JOIN sizes s ON c.cohort_p = s.cohort_p
+"""
+
+
+@query("cohort_retention", _COHORT_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention triangle (operators/sequence.cohort_retention)
+    at DAILY grain (the testdata spans 30 days): users cohorted by
+    first-event day; per (cohort, day-offset) cell the distinct active
+    members and an integer-exact parts-per-million retention share.
+    Periods compare as days-since-epoch integers — no calendar
+    arithmetic to disagree on; the cohort-size side is broadcast
+    (≤ horizon-days rows)."""
+    ev = _t(spark, sf_dir, "events")
+    from .operators.sequence import cohort_retention
+
+    return cohort_retention(
+        ev, key_col="user_id", ts_col="ts", granularity="day"
+    )

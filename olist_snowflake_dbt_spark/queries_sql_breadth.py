@@ -1875,3 +1875,50 @@ def q_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_width_histogram(
         o, "o_totalprice", lo=0, hi=500_000, n_buckets=25, scale=2
     )
+
+
+_MAD_ORACLE = """
+WITH med AS (
+    SELECT event_type,
+           quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+    FROM events GROUP BY event_type
+),
+wm AS (
+    SELECT e.event_id, e.event_type, e.value, m.med
+    FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+    SELECT event_type,
+           quantile_cont(abs(CAST(value AS DOUBLE) - med), 0.5) AS mad
+    FROM wm GROUP BY event_type
+)
+SELECT wm.event_id, wm.event_type, wm.value,
+       ROUND(wm.med, 9) AS med, ROUND(d.mad, 9) AS mad,
+       abs(CAST(wm.value AS DOUBLE) - wm.med) > 3.0 * 1.4826 * d.mad
+           AS is_outlier
+FROM wm JOIN mad d ON wm.event_type = d.event_type
+"""
+
+
+@query("mad_outlier_flags", _MAD_ORACLE)
+def q_mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection (operators/monitoring.
+    mad_outliers): flag event values beyond 3·1.4826·MAD of their
+    event-type median — the 50%-breakdown-point alternative to k-sigma
+    for heavy-tailed metrics (one wild value inflates σ enough to hide
+    itself; it barely moves the MAD). Exact interpolating medians are
+    the single non-integer step, identical expression on both engines;
+    the two tiny grouped aggregates broadcast back onto the stream so
+    the row-level pass never shuffles."""
+    from .operators.monitoring import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = mad_outliers(ev, group_col="event_type", value_col="value", k=3.0)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("med", 9).alias("med"),
+        F.round("mad", 9).alias("mad"),
+        "is_outlier",
+    )

@@ -143,3 +143,104 @@ class TestDialogueTurnStats:
             .toString()
         )
         assert plan.count("Exchange") <= 2  # key window + final agg
+
+
+class TestCohortRetention:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "key long, ts timestamp_ntz")
+
+    def test_triangle_exact(self, spark):
+        from olist_snowflake_dbt_spark.operators.sequence import (
+            cohort_retention,
+        )
+
+        d = dt.datetime
+        rows = [
+            # users 1,2 join Jan; 1 returns Feb; 2 doesn't; 3 joins Feb
+            (1, d(2024, 1, 5)), (1, d(2024, 2, 9)),
+            (2, d(2024, 1, 20)),
+            (3, d(2024, 2, 1)),
+        ]
+        got = {
+            (r["cohort_period"], r["period_offset"]): r
+            for r in cohort_retention(
+                self._df(spark, rows), "key", "ts"
+            ).collect()
+        }
+        jan0 = got[("2024-01-01", 0)]
+        jan1 = got[("2024-01-01", 1)]
+        feb0 = got[("2024-02-01", 0)]
+        assert (jan0["n_active"], jan0["n_cohort"]) == (2, 2)
+        assert jan0["retention_ppm"] == 1_000_000
+        assert (jan1["n_active"], jan1["retention_ppm"]) == (1, 500_000)
+        assert (feb0["n_active"], feb0["n_cohort"]) == (1, 1)
+        assert len(got) == 3
+
+    def test_daily_granularity(self, spark):
+        from olist_snowflake_dbt_spark.operators.sequence import (
+            cohort_retention,
+        )
+
+        d = dt.datetime
+        rows = [(1, d(2024, 1, 1)), (1, d(2024, 1, 3))]
+        got = {
+            r["period_offset"]: r
+            for r in cohort_retention(
+                self._df(spark, rows), "key", "ts", granularity="day"
+            ).collect()
+        }
+        assert got[0]["cohort_period"] == "2024-01-01"
+        assert got[2]["n_active"] == 1
+
+    def test_bad_granularity_raises(self, spark):
+        from olist_snowflake_dbt_spark.operators.sequence import (
+            cohort_retention,
+        )
+
+        with pytest.raises(ValueError, match="granularity"):
+            cohort_retention(
+                self._df(spark, []), "key", "ts", granularity="week"
+            )
+
+
+class TestMadOutliers:
+    def test_planted_spike_flagged_sigma_blind(self, spark):
+        """A 1000x spike is flagged; the k-sigma trap (spike inflating
+        the spread enough to hide itself) does not occur with MAD."""
+        from olist_snowflake_dbt_spark.operators.monitoring import (
+            mad_outliers,
+        )
+
+        vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 10000.0]
+        df = spark.createDataFrame(
+            [("m", i, v) for i, v in enumerate(vals)],
+            "g string, i long, v double",
+        )
+        out = {r["i"]: r for r in mad_outliers(df, "g", "v").collect()}
+        assert out[6]["is_outlier"] is True
+        assert all(out[i]["is_outlier"] is False for i in range(6))
+        assert out[0]["med"] == 10.2  # median robust to the spike
+
+    def test_zero_mad_group_flags_any_deviation(self, spark):
+        """All-identical values: MAD=0, so any different value is an
+        outlier and the identical ones are not (0 > 0 is false)."""
+        from olist_snowflake_dbt_spark.operators.monitoring import (
+            mad_outliers,
+        )
+
+        df = spark.createDataFrame(
+            [("g", i, 5.0) for i in range(5)] + [("g", 9, 5.1)],
+            "g string, i long, v double",
+        )
+        out = {r["i"]: r for r in mad_outliers(df, "g", "v").collect()}
+        assert out[9]["is_outlier"] is True
+        assert out[0]["is_outlier"] is False
+
+    def test_guard(self, spark):
+        from olist_snowflake_dbt_spark.operators.monitoring import (
+            mad_outliers,
+        )
+
+        df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+        with pytest.raises(ValueError, match="k must be"):
+            mad_outliers(df, "g", "v", k=0)
