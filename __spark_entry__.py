@@ -35,25 +35,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # in dict order. Round-10 rotation policy (same staleness-wins rule as
-# r09): (a) everything NEW in round 10 — match_recognize_funnel (row-
-# pattern operator) + match_recognize_vshape (PREV-navigation shape),
-# tokenizer_pair_freqs + tokenizer_bpe_train + tokenizer_bpe_segment
-# (BPE trainer/encoder with the unrolled-SQL oracle),
-# window_conditional_events (conditional-event window trio),
-# mm_audio_fpdedup (audio member of the multimodal dedup triad),
-# geo_grid_epsilon_join + geo_nearest_within (grid-blocked spatial
-# ε-join / bounded kNN vs brute-force oracles) — plus web_domain_psl,
-# whose operator changed
-# (case-insensitive matching, widths derived from the suffix dim);
-# then (b) ALL 33 remaining r05-era rows (the oldest surviving driver
-# rows after r09 cleared r03/r04), and (c) the first 7 r06-era rows in
-# file order. Every displaced query keeps its historical driver row
-# and is re-verified on current code each round by tools/gate.py over
-# the full catalog (GATE.json). After this round no query's newest
-# driver row is older than r06, and the remaining 35 r06-era rows are
-# first in line for round 11.
+# r09): (a) everything NEW or modified in round 10 — 19 slots: the
+# sequence-analytics family (IGNORE NULLS navigation, Markov
+# transitions, dialogue-turn validation, cohort retention, MAD
+# outliers), WIDTH_BUCKET histogram, C4 text normalization, the
+# interval-overlap join, JL random projection, the multimodal/audio +
+# spatial + MATCH_RECOGNIZE + BPE-tokenizer + conditional-event rows,
+# and web_domain_psl whose operator changed (case-insensitive matching,
+# widths derived from the suffix dim); then (b) the 31 stalest r05-era
+# rows. The 2 remaining r05-era rows (hll_and_quantile_sketch,
+# udf_compression_ratio) and all r06-era rows are first in line for
+# round 11. Every displaced query keeps its historical driver row and
+# is re-verified on current code each round by tools/gate.py over the
+# full catalog (GATE.json).
 _CHECK_FIRST = [
     # new / modified in round 10
+    "window_nav_ignore_nulls",
+    "markov_transitions",
+    "chat_turn_stats",
+    "cohort_retention",
+    "mad_outlier_flags",
+    "histogram_width_bucket",
+    "text_normalize",
+    "interval_overlap_pairs",
+    "embedding_random_projection",
     "mm_audio_fpdedup",
     "geo_grid_epsilon_join",
     "geo_nearest_within",
@@ -96,16 +101,6 @@ _CHECK_FIRST = [
     "dedup_subdoc_chunks",
     "map_type_roundtrip",
     "recursive_cte_hierarchy",
-    "hll_and_quantile_sketch",
-    "udf_compression_ratio",
-    # stalest: oldest r06-era driver rows (10 of 42, file order)
-    "stg_projection_rename",
-    "filter_predicate",
-    "groupby_sum_ordinal",
-    "left_join_null_fill",
-    "null_arithmetic",
-    "dq_unique",
-    "dq_not_null",
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.
