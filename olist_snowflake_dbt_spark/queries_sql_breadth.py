@@ -1922,3 +1922,97 @@ def q_mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 9).alias("mad"),
         "is_outlier",
     )
+
+
+_SETALL_ORACLE = """
+WITH big AS (SELECT o_custkey AS customer_id FROM orders
+             WHERE o_totalprice > 200000),
+     rich AS (SELECT o_custkey AS customer_id FROM orders
+              WHERE o_totalprice > 300000)
+SELECT customer_id, 'intersect_all' AS bucket
+  FROM (SELECT * FROM big INTERSECT ALL SELECT * FROM rich)
+UNION ALL
+SELECT customer_id, 'except_all' AS bucket
+  FROM (SELECT * FROM big EXCEPT ALL SELECT * FROM rich)
+"""
+
+
+@query("set_ops_all", _SETALL_ORACLE)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the MULTISET set operations
+    (SQL:2003 / Snowflake parity; `set_ops` covers the DISTINCT
+    variants). A repeat-buyer key occurring 3× in `big` and 1× in
+    `rich` must survive exactly min(3,1)=1 time through INTERSECT ALL
+    and 3−1=2 times through EXCEPT ALL — bag arithmetic the DISTINCT
+    forms erase; Spark plans both as aggregate-counted joins, no
+    row-explosion tricks."""
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("customer_id")
+    )
+    rich = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("customer_id")
+    )
+    inter = big.intersectAll(rich).withColumn(
+        "bucket", F.lit("intersect_all")
+    )
+    exc = big.exceptAll(rich).withColumn("bucket", F.lit("except_all"))
+    return inter.unionByName(exc)
+
+
+_POP_ORACLE = """
+WITH monthly AS (
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+    FROM orders GROUP BY 1, 2
+)
+SELECT y, m, CAST(revenue AS DOUBLE) AS revenue,
+       CAST(lag(revenue) OVER (ORDER BY y, m) AS VARCHAR) AS prev_month,
+       CAST(lag(revenue, 12) OVER (ORDER BY y, m) AS VARCHAR) AS year_ago,
+       ROUND(CAST(revenue - lag(revenue) OVER (ORDER BY y, m) AS DOUBLE)
+             / CAST(lag(revenue) OVER (ORDER BY y, m) AS DOUBLE) * 100,
+             6) AS mom_pct,
+       ROUND(CAST(revenue - lag(revenue, 12) OVER (ORDER BY y, m) AS DOUBLE)
+             / CAST(lag(revenue, 12) OVER (ORDER BY y, m) AS DOUBLE) * 100,
+             6) AS yoy_pct
+FROM monthly
+"""
+
+
+@query("metric_period_over_period", _POP_ORACLE)
+def q_metric_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period metric deltas — the MoM/YoY growth columns
+    every revenue dashboard carries: monthly DECIMAL-exact revenue,
+    previous-month and 12-months-ago values via lag, and percentage
+    changes as ONE rounded double step from exact decimals. The
+    monthly series is tiny (one row per month through the exchange);
+    the unpartitioned lag window sorts ≤ horizon-months rows — never
+    the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    w = W.orderBy("y", "m")
+    prev = F.lag("revenue").over(w)
+    yago = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "y",
+        "m",
+        F.col("revenue").cast("double").alias("revenue"),
+        prev.cast("string").alias("prev_month"),
+        yago.cast("string").alias("year_ago"),
+        F.round(
+            (F.col("revenue") - prev).cast("double")
+            / prev.cast("double")
+            * 100,
+            6,
+        ).alias("mom_pct"),
+        F.round(
+            (F.col("revenue") - yago).cast("double")
+            / yago.cast("double")
+            * 100,
+            6,
+        ).alias("yoy_pct"),
+    )
