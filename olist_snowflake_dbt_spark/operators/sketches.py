@@ -84,3 +84,54 @@ def cms_estimate(
     return joined.groupBy(col).agg(
         F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("cms_est")
     )
+
+
+def bitmap_ndv_partials(
+    df: DataFrame,
+    group_cols: list,
+    id_col: str,
+) -> DataFrame:
+    """EXACT mergeable distinct-count partials as 64-bit bitmap words —
+    the Snowflake ``BITMAP_BUCKET_NUMBER``/``BITMAP_CONSTRUCT_AGG``
+    shape: per ``(group_cols…, word_idx)`` one BIGINT whose bit ``id %
+    64`` is set for every ``id DIV 64 == word_idx`` seen. Store these
+    once per fine grain (e.g. per day); any coarser rollup is
+    :func:`bitmap_ndv_rollup` over the partials — exact NDV without
+    EVER rescanning raw rows, the property approximate HLL partials
+    (sketch_rollup_merge) give up precision for.
+
+    Contract: ``id_col`` is a NON-NEGATIVE integer from a DENSE domain
+    (dictionary-encode upstream) — partial size is id_domain/64 rows
+    per group, which is the tradeoff that makes the merge exact; for
+    sparse 2^63 domains use HLL instead. ``bit_or`` partials combine
+    map-side; words through the exchange are bounded by the domain,
+    not the row count.
+    """
+    word = F.expr(f"CAST(`{id_col}` AS BIGINT) DIV 64")
+    bit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(`{id_col}` % 64 AS INT))"
+    )
+    return (
+        df.select(*group_cols, word.alias("word_idx"), bit.alias("__bit"))
+        .groupBy(*group_cols, "word_idx")
+        .agg(F.expr("bit_or(__bit)").alias("bitmap"))
+    )
+
+
+def bitmap_ndv_rollup(
+    partials: DataFrame,
+    group_cols: list,
+) -> DataFrame:
+    """Roll bitmap partials up to a coarser grain and count: bitmaps
+    union via ``bit_or`` per (subset keys, word), then ``ndv =
+    SUM(bit_count(word))`` — set union in integer arithmetic, so the
+    result is EXACTLY ``COUNT(DISTINCT id)`` at the rollup grain
+    (duplicate ids across merged partials collapse into the same bit;
+    pinned by the driver oracle, which IS ``COUNT(DISTINCT)``).
+    """
+    merged = partials.groupBy(*group_cols, "word_idx").agg(
+        F.expr("bit_or(bitmap)").alias("bitmap")
+    )
+    return merged.groupBy(*group_cols).agg(
+        F.expr("SUM(bit_count(bitmap))").cast("bigint").alias("ndv")
+    )

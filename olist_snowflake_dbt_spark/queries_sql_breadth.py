@@ -2016,3 +2016,46 @@ def q_metric_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_pct"),
     )
+
+
+_BITMAP_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS ndv,
+       COUNT(DISTINCT user_id || '|' || CAST(ts AS DATE)) AS user_days
+FROM events GROUP BY event_type
+"""
+
+
+@query("bitmap_ndv_rollup", _BITMAP_ORACLE)
+def q_bitmap_ndv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mergeable distinct counts via 64-bit bitmap words
+    (operators/sketches.bitmap_ndv_partials/_rollup — the Snowflake
+    BITMAP_CONSTRUCT_AGG shape): per-(event_type, day) bitmap partials
+    are stored ONCE, then rolled up to event_type grain by bit_or
+    union — exact NDV with no rescan of raw rows, where HLL partials
+    (sketch_rollup_merge) trade precision for unbounded domains. The
+    oracle IS COUNT(DISTINCT) at the rollup grain, so the hash-match
+    proves bitmap union == true set union; user_days cross-checks that
+    the fine-grain partials summed WITHOUT the union would overcount
+    (distinct user-day pairs > distinct users)."""
+    from .operators.sketches import bitmap_ndv_partials, bitmap_ndv_rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    # not persisted: in production the partials are a MATERIALIZED
+    # table (store once, roll up forever); here the double read of a
+    # tiny aggregate is cheaper than a cache entry outliving the query
+    partials = bitmap_ndv_partials(ev, ["event_type", "day"], "user_id")
+    rolled = bitmap_ndv_rollup(partials, ["event_type"])
+    # per-day word bitcounts sum to distinct (user, day) pairs — the
+    # partials are themselves exact at their own grain
+    user_days = (
+        partials.select(
+            "event_type", F.expr("bit_count(bitmap)").alias("bc")
+        )
+        .groupBy("event_type")
+        .agg(F.sum("bc").cast("bigint").alias("user_days"))
+    )
+    out = rolled.join(user_days, "event_type")
+    return out.select("event_type", "ndv", "user_days")

@@ -348,3 +348,57 @@ def test_profile_columns_empty_cols_raises(spark):
 
     with pytest.raises(ValueError):
         profile_columns(spark.range(1), [])
+
+
+class TestBitmapNdv:
+    def test_rollup_equals_count_distinct(self, spark, sf_dir):
+        from olist_snowflake_dbt_spark.operators.sketches import (
+            bitmap_ndv_partials,
+            bitmap_ndv_rollup,
+        )
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_type", "user_id", F.to_date("ts").alias("day")
+        )
+        partials = bitmap_ndv_partials(ev, ["event_type", "day"], "user_id")
+        rolled = {
+            r["event_type"]: r["ndv"]
+            for r in bitmap_ndv_rollup(partials, ["event_type"]).collect()
+        }
+        exact = {
+            r["event_type"]: r["x"]
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("x"))
+            .collect()
+        }
+        assert rolled == exact
+
+    def test_merge_collapses_duplicates_across_partials(self, spark):
+        """The same id on two days sets the same bit — union, not sum."""
+        from olist_snowflake_dbt_spark.operators.sketches import (
+            bitmap_ndv_partials,
+            bitmap_ndv_rollup,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1, 7), ("a", 2, 7), ("a", 2, 8)], "g string, d int, id long"
+        )
+        partials = bitmap_ndv_partials(df, ["g", "d"], "id")
+        assert partials.count() == 2  # one word per (g, day)
+        out = bitmap_ndv_rollup(partials, ["g"]).collect()
+        assert out[0]["ndv"] == 2  # ids {7, 8}, not 3 rows
+
+    def test_word_boundaries_and_sign_bit(self, spark):
+        """ids 0, 63 (sign bit), 64, 127 span two words; all counted."""
+        from olist_snowflake_dbt_spark.operators.sketches import (
+            bitmap_ndv_partials,
+            bitmap_ndv_rollup,
+        )
+
+        df = spark.createDataFrame(
+            [("g", i) for i in (0, 63, 64, 127, 63)], "g string, id long"
+        )
+        partials = bitmap_ndv_partials(df, ["g"], "id")
+        assert partials.count() == 2
+        assert bitmap_ndv_rollup(partials, ["g"]).collect()[0]["ndv"] == 4
