@@ -2674,3 +2674,44 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     return proj.select(
         "vec_id", *[F.round(f"p{j}", 9).alias(f"p{j}") for j in range(8)]
     )
+
+
+_REGEX_ORACLE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\btable\b')) AS n_table,
+       CASE WHEN regexp_matches(text, '\btable\b')
+            THEN length(regexp_replace(text, '\btable\b.*$', '', 's')) + 1
+            ELSE 0 END AS first_table_pos,
+       regexp_matches(text, '\bspark\b') AS has_spark,
+       regexp_replace(text, '^(\w+) (\w+)', '\2 \1') AS swapped_head,
+       COALESCE(array_to_string(regexp_extract_all(text, '\b[a-z]{4}\b'),
+                '|'), '') AS four_letter_words
+FROM documents
+"""
+
+
+@query("regex_function_breadth", _REGEX_ORACLE)
+def q_regex_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface parity (Snowflake REGEXP_COUNT / REGEXP_INSTR /
+    REGEXP_LIKE / REGEXP_REPLACE-with-backrefs / REGEXP_SUBSTR_ALL):
+    occurrence counts, 1-based first-match position, boolean match,
+    capture-group swap, and all-matches extraction joined to one
+    column. All five run in whole-stage codegen (map-only); the DuckDB
+    twin uses its own spellings (len(regexp_extract_all), a
+    prefix-length INSTR emulation, \\1 vs $1 backrefs) — same regex
+    dialect (word boundaries, capture groups), same values."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(r"regexp_count(text, '\\btable\\b')").alias("n_table"),
+        F.expr(r"regexp_instr(text, '\\btable\\b')").alias(
+            "first_table_pos"
+        ),
+        F.expr(r"regexp_like(text, '\\bspark\\b')").alias("has_spark"),
+        F.expr(
+            r"regexp_replace(text, '^(\\w+) (\\w+)', '$2 $1')"
+        ).alias("swapped_head"),
+        F.expr(
+            r"array_join(regexp_extract_all(text, '\\b[a-z]{4}\\b', 0), '|')"
+        ).alias("four_letter_words"),
+    )
