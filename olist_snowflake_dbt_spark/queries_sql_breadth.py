@@ -2059,3 +2059,30 @@ def q_bitmap_ndv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = rolled.join(user_days, "event_type")
     return out.select("event_type", "ndv", "user_days")
+
+
+_PIVOT_DYN_ORACLE = """
+PIVOT (SELECT year(o_orderdate) AS order_year, o_orderstatus
+       FROM orders)
+ON o_orderstatus USING COUNT(*) GROUP BY order_year
+"""
+
+
+@query("pivot_dynamic", _PIVOT_DYN_ORACLE)
+def q_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC pivot — the `PIVOT ... ON col` / Snowflake `PIVOT (...
+    FOR x IN (ANY))` shape where the output columns come from the DATA
+    (`pivot_status_by_year` covers the fixed-list form). Spark infers
+    the value set with one distinct pass then plans the same one-pass
+    conditional aggregation; column names are the bare values on both
+    engines. Missing combinations are zero-filled (`na.fill`) because
+    engines disagree on the hole value (Spark NULL, DuckDB 0). Fixed
+    lists stay preferable at 100 TB — the inference pass is an extra
+    scan — which is exactly the trade this row documents."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderstatus")
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.na.fill(0)
