@@ -77,6 +77,17 @@ FLAGSHIPS = [
      "both the shingle and packing branches, the benchmark side "
      "broadcasts, the anti-join drops contaminated docs, and packing "
      "is a sharded running-sum window."),
+    ("geo_grid_epsilon_join", "Spatial eps-join: 3x3 stencil explode, "
+     "equi-join on the cell key, integer dist2 refine inside codegen — "
+     "no cartesian at any scale."),
+    ("interval_overlap_pairs", "Interval overlap via bin blocking: "
+     "bounded sequence-explode, (custkey, bin) equi-join, "
+     "single-emission filter — no inequality-join fallback."),
+    ("bitmap_ndv_rollup", "Exact mergeable NDV: bit_or partials combine "
+     "map-side; words through the exchange bounded by the id domain."),
+    ("chat_turn_stats", "Dialogue validation: gap flag, session number "
+     "and turn flag share ONE key-partitioned window sort; the "
+     "per-session aggregate is map-side combinable."),
     ("tpch_q3_priority_revenue", "Star join: filtered customer dim "
      "broadcasts, date filters push into both fact scans, top-10 is "
      "TakeOrderedAndProject (per-partition top-k, driver merge — no "
