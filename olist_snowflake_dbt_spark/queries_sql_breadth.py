@@ -2086,3 +2086,33 @@ def q_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
     )
     return wide.na.fill(0)
+
+
+_HIST_DEPTH_ORACLE = """
+SELECT bucket, COUNT(*) AS n_rows,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(38,2))) AS VARCHAR) AS min_val,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(38,2))) AS VARCHAR) AS max_val
+FROM (SELECT o_totalprice,
+             ntile(20) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders WHERE o_totalprice IS NOT NULL)
+GROUP BY bucket
+"""
+
+
+@query("histogram_equi_depth", _HIST_DEPTH_ORACLE)
+def q_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (operators/profiling.equi_depth_histogram):
+    20 near-equal-count buckets over o_totalprice with exact DECIMAL
+    bounds — the selectivity shape optimizers keep for skewed columns,
+    where equal-width bars collapse into one hot bucket (its equi-width
+    sibling is histogram_width_bucket). o_orderkey tie-breaks the tile
+    order so bucket membership at repeated values is deterministic on
+    both engines. ntile's global sort is the stated cost; the 100-TB
+    path (approx edges + map-side bucketing) is documented in the
+    operator."""
+    from .operators.profiling import equi_depth_histogram
+
+    o = _t(spark, sf_dir, "orders")
+    return equi_depth_histogram(
+        o, "o_totalprice", n_buckets=20, order_tiebreak="o_orderkey"
+    )

@@ -53,3 +53,39 @@ class TestEquiWidthHistogram:
             equi_width_histogram(df, "x", lo=0, hi=1, n_buckets=0)
         with pytest.raises(ValueError, match="lo < hi"):
             equi_width_histogram(df, "x", lo=5, hi=5, n_buckets=2)
+
+
+class TestEquiDepthHistogram:
+    def test_near_equal_counts_and_ordered_ranges(self, spark):
+        from olist_snowflake_dbt_spark.operators.profiling import (
+            equi_depth_histogram,
+        )
+
+        df = spark.createDataFrame(
+            [(float(i), i) for i in range(103)], "x double, id long"
+        )
+        rows = sorted(
+            equi_depth_histogram(df, "x", 10, order_tiebreak="id").collect(),
+            key=lambda r: r["bucket"],
+        )
+        counts = [r["n_rows"] for r in rows]
+        # SQL ntile: first 103 % 10 = 3 tiles get 11, the rest 10
+        assert counts == [11, 11, 11] + [10] * 7
+        # ranges are contiguous and ordered
+        for a, b in zip(rows, rows[1:]):
+            assert float(a["max_val"]) <= float(b["min_val"])
+
+    def test_null_exclusion_and_guard(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.profiling import (
+            equi_depth_histogram,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, 1), (None, 2), (2.0, 3)], "x double, id long"
+        )
+        out = equi_depth_histogram(df, "x", 2, order_tiebreak="id")
+        assert sum(r["n_rows"] for r in out.collect()) == 2
+        with _pytest.raises(ValueError, match="n_buckets"):
+            equi_depth_histogram(df, "x", 0)
