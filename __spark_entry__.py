@@ -35,21 +35,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # in dict order. Round-10 rotation policy (same staleness-wins rule as
-# r09): (a) everything NEW or modified in round 10 — 19 slots: the
+# r09): (a) everything NEW or modified in round 10 — 25 slots: the
 # sequence-analytics family (IGNORE NULLS navigation, Markov
 # transitions, dialogue-turn validation, cohort retention, MAD
 # outliers), WIDTH_BUCKET histogram, C4 text normalization, the
 # interval-overlap join, JL random projection, the multimodal/audio +
 # spatial + MATCH_RECOGNIZE + BPE-tokenizer + conditional-event rows,
-# and web_domain_psl whose operator changed (case-insensitive matching,
-# widths derived from the suffix dim); then (b) the 31 stalest r05-era
-# rows. The 2 remaining r05-era rows (hll_and_quantile_sketch,
+# web_domain_psl whose operator changed (case-insensitive matching,
+# widths derived from the suffix dim), plus the second wave (multiset
+# set ops, PoP metrics, bitmap NDV, regex breadth, dynamic pivot,
+# equi-depth histogram); then (b) the 25 stalest r05-era rows. The 8
+# remaining r05-era rows (dedup_subdoc_chunks, map_type_roundtrip,
+# recursive_cte_hierarchy, tpch_q20/21/22, hll_and_quantile_sketch,
 # udf_compression_ratio) and all r06-era rows are first in line for
 # round 11. Every displaced query keeps its historical driver row and
 # is re-verified on current code each round by tools/gate.py over the
 # full catalog (GATE.json).
 _CHECK_FIRST = [
     # new / modified in round 10
+    "set_ops_all",
+    "metric_period_over_period",
+    "bitmap_ndv_rollup",
+    "regex_function_breadth",
+    "pivot_dynamic",
+    "histogram_equi_depth",
     "window_nav_ignore_nulls",
     "markov_transitions",
     "chat_turn_stats",
@@ -95,12 +104,6 @@ _CHECK_FIRST = [
     "tpch_q16_supplier_part_counts",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_accounts",
-    "dedup_subdoc_chunks",
-    "map_type_roundtrip",
-    "recursive_cte_hierarchy",
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.
