@@ -113,3 +113,62 @@ def integer_pagerank(
     if checkpoint:
         e.unpersist()
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected simple
+    graph — the clustering-coefficient numerator, and the classic
+    distributed-join graph workload (community density, spam/link-farm
+    detection in web-graph curation).
+
+    ``edges`` is an undirected edge list; it is canonicalized to
+    ``u < v``, dedup'd, and self-loops dropped. Triangles enumerate via
+    the ordered two-join: ``(u<v) ⋈ (v<w) ⋈ edge(u,w)`` — each triangle
+    found EXACTLY once as its sorted triple, then exploded to its three
+    member nodes for the per-node count. Returns ``(node, n_triangles)``
+    for nodes in ≥1 triangle; total triangles = SUM(n)/3.
+
+    Plan: two ordinary equi-join exchanges (on v, then (u,w)); the
+    ordering predicates make every candidate path unique, so there is
+    no distinct pass and no double counting to clean up. Skew = the
+    max-degree hub (candidate paths grow with d²) — the standard
+    mitigation at web scale is degree-ordered orientation (each edge
+    directed toward the HIGHER-degree endpoint bounds paths by
+    arboricity); stated here, not hidden, and AQE splits the hub
+    partitions meanwhile.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    e1 = canon.alias("e1")
+    e2 = canon.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    ).alias("e2")
+    e3 = canon.select(
+        F.col("u").alias("u3"), F.col("v").alias("w3")
+    ).alias("e3")
+    tris = (
+        e1.join(e2, "v")
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u3"))
+            & (F.col("e2.w") == F.col("e3.w3")),
+        )
+        .select(F.col("e1.u").alias("u"), "v", "w")
+    )
+    return (
+        tris.select(
+            F.explode(F.array("u", "v", "w")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

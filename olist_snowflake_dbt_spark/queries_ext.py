@@ -2715,3 +2715,45 @@ def q_regex_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
             r"array_join(regexp_extract_all(text, '\\b[a-z]{4}\\b', 0), '|')"
         ).alias("four_letter_words"),
     )
+
+
+_TRIANGLE_ORACLE = """
+WITH raw AS (
+    SELECT o_custkey % 500 AS a,
+           (o_orderkey * 48271) % 500 AS b
+    FROM orders
+),
+canon AS (
+    SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+    FROM raw WHERE a <> b
+),
+tris AS (
+    SELECT e1.u, e1.v, e2.v AS w
+    FROM canon e1
+    JOIN canon e2 ON e1.v = e2.u
+    JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM (SELECT UNNEST([u, v, w]) AS node FROM tris)
+GROUP BY node
+"""
+
+
+@query("graph_triangle_count", _TRIANGLE_ORACLE)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.triangle_counts) over
+    a deterministic synthetic graph derived from independent order/
+    customer keys (public Lehmer multiplier, same construction both
+    engines) — community
+    density / link-farm detection in web-graph curation. The ordered
+    two-join finds each triangle exactly once as its sorted triple (no
+    distinct cleanup); the oracle replays the same enumeration in SQL.
+    Skew mitigation at web scale (degree-ordered orientation) is
+    documented in the operator."""
+    from .operators.graph import triangle_counts
+
+    edges = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 500).alias("src"),
+        ((F.col("o_orderkey") * 48271) % 500).alias("dst"),
+    )
+    return triangle_counts(edges)

@@ -62,3 +62,35 @@ def test_pagerank_deterministic_across_partitionings(spark):
     r1 = {r.node: r.pagerank_points for r in integer_pagerank(e1, iterations=3).collect()}
     r2 = {r.node: r.pagerank_points for r in integer_pagerank(e2, iterations=3).collect()}
     assert r1 == r2
+
+
+class TestTriangleCounts:
+    def _tc(self, spark, edges):
+        from olist_snowflake_dbt_spark.operators.graph import triangle_counts
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(df).collect()
+        }
+
+    def test_single_triangle(self, spark):
+        got = self._tc(spark, [(1, 2), (2, 3), (1, 3)])
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_direction_duplicates_and_self_loops_ignored(self, spark):
+        """(2,1) duplicates (1,2); (3,3) is a self-loop: still 1."""
+        got = self._tc(
+            spark, [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3)]
+        )
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_k4_counts(self, spark):
+        """K4 has 4 triangles; every node sits in exactly 3."""
+        edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        got = self._tc(spark, edges)
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+        assert sum(got.values()) // 3 == 4
+
+    def test_path_has_no_triangle(self, spark):
+        assert self._tc(spark, [(1, 2), (2, 3), (3, 4)]) == {}
