@@ -142,3 +142,65 @@ def grid_nearest_within(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(
+    lat_col: str, lng_col: str, precision: int = 7
+) -> Column:
+    """Standard geohash (Niemeyer base32) of MICRODEGREE integer
+    coordinate COLUMNS — the spatial bucketing key the rest of the
+    world's geo tooling speaks, and a prefix-joinable alternative to
+    this module's raw grid cells (geohashes share prefixes with
+    containing cells, so ``substr(geohash, 1, k)`` IS the coarser
+    join key).
+
+    Fixed-point integer contract like the rest of the module:
+    ``lat_col ∈ [-90e6, 90e6]``, ``lng_col ∈ [-180e6, 180e6]``
+    microdegrees. Quantization is ONE integer cross-multiplication per
+    axis (``(v + offset) · 2^bits DIV span``, the exact [0,1) mapping,
+    with the single v == +edge value clamped into the last cell — no
+    double can move a point across a cell edge), the bit interleave (lng
+    first, MSB first, per the geohash spec) unrolls into shift-mask
+    terms inside codegen, and each output char is a substr into the
+    base32 alphabet literal — all trivially re-expressible in ANSI
+    SQL, which is what the oracle does. Map-only; fuses into the
+    feeding scan.
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in 1..12 (got {precision})")
+    total_bits = 5 * precision
+    lng_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    lat_q = F.expr(
+        f"LEAST((CAST(`{lat_col}` AS BIGINT) + 90000000) "
+        f"* {1 << lat_bits} DIV 180000000, {(1 << lat_bits) - 1})"
+    )
+    lng_q = F.expr(
+        f"LEAST((CAST(`{lng_col}` AS BIGINT) + 180000000) "
+        f"* {1 << lng_bits} DIV 360000000, {(1 << lng_bits) - 1})"
+    )
+    z = F.lit(0).cast("long")
+    for i in range(total_bits):
+        if i % 2 == 0:  # even interleave position: longitude, MSB first
+            src, src_bits = lng_q, lng_bits
+        else:
+            src, src_bits = lat_q, lat_bits
+        pos = i // 2
+        bit = F.shiftright(src, src_bits - 1 - pos).bitwiseAND(F.lit(1))
+        z = z + bit * F.lit(1 << (total_bits - 1 - i))
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH32),
+            (
+                F.shiftright(z, 5 * (precision - 1 - j))
+                .bitwiseAND(F.lit(31))
+                + F.lit(1)
+            ).cast("int"),
+            F.lit(1),
+        )
+        for j in range(precision)
+    ]
+    return F.concat(*chars)

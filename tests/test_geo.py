@@ -152,3 +152,36 @@ class TestGridNearestWithin:
             (10, 1, 1),
             (11, 9, 2),
         ]
+
+
+class TestGeohashEncode:
+    def _gh(self, spark, lat_u, lng_u, precision=11):
+        from olist_snowflake_dbt_spark.operators.geo import geohash_encode
+
+        df = spark.createDataFrame([(lat_u, lng_u)], "lat long, lng long")
+        return df.select(
+            geohash_encode("lat", "lng", precision).alias("gh")
+        ).collect()[0]["gh"]
+
+    def test_canonical_vector(self, spark):
+        """The textbook example: (57.64911, 10.40744) -> u4pruydqqvj."""
+        assert self._gh(spark, 57_649_110, 10_407_440) == "u4pruydqqvj"
+
+    def test_poles_and_antimeridian(self, spark):
+        assert self._gh(spark, 90_000_000, 180_000_000) == "z" * 11
+        assert self._gh(spark, -90_000_000, -180_000_000) == "0" * 11
+
+    def test_prefix_is_containment(self, spark):
+        """Nearby points share prefixes; the 11-char hash of a point
+        starts with its own lower-precision hash."""
+        full = self._gh(spark, 57_649_110, 10_407_440, 11)
+        for p in (1, 4, 7):
+            assert self._gh(spark, 57_649_110, 10_407_440, p) == full[:p]
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.geo import geohash_encode
+
+        with _pytest.raises(ValueError, match="precision"):
+            geohash_encode("a", "b", 13)
