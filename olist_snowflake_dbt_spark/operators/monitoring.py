@@ -201,3 +201,65 @@ def mad_outliers(
             > F.lit(k) * F.lit(consistency) * F.col("mad"),
         )
     )
+
+
+def ab_test_ztest(
+    df: DataFrame,
+    variant_col: str,
+    converted_col: str,
+    variant_a,
+    variant_b,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment — the ship/no-ship
+    readout: per-variant exposure and conversion counts, integer-exact
+    ppm conversion rates, the pooled z statistic, and the two-sided
+    5%-level verdict.
+
+    ``converted_col`` is a boolean (unit converted?); rows whose
+    variant is neither ``variant_a`` nor ``variant_b`` are ignored
+    (multi-arm experiments test pairwise). Counts aggregate exactly;
+    ``z = (p̂₁−p̂₂) / √(p̂(1−p̂)(1/n₁+1/n₂))`` with the pooled p̂ is the
+    single double expression, computed from exact integers in one
+    fixed order (engine-portable), rounded to 9. Zero-variance edges
+    (pooled rate 0 or 1) yield NULL z and a false verdict rather than
+    a division blow-up.
+
+    Plan: ONE map-side-combinable conditional aggregate — a single row
+    through the exchange at any experiment size.
+    """
+    is_a = F.col(variant_col) == F.lit(variant_a)
+    is_b = F.col(variant_col) == F.lit(variant_b)
+    conv = F.col(converted_col).cast("boolean")
+    agg = df.agg(
+        F.sum(is_a.cast("long")).alias("n_a"),
+        F.sum((is_a & conv).cast("long")).alias("conv_a"),
+        F.sum(is_b.cast("long")).alias("n_b"),
+        F.sum((is_b & conv).cast("long")).alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = F.when(se > 0, F.round((pa - pb) / se, 9))
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("conv_a * 1000000 DIV n_a").alias("cr_a_ppm"),
+        F.expr("conv_b * 1000000 DIV n_b").alias("cr_b_ppm"),
+        z.alias("z_stat"),
+        F.coalesce(F.abs(z) > F.lit(z_crit), F.lit(False)).alias(
+            "significant"
+        ),
+    )

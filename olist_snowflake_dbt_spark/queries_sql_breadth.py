@@ -2116,3 +2116,87 @@ def q_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_depth_histogram(
         o, "o_totalprice", n_buckets=20, order_tiebreak="o_orderkey"
     )
+
+
+_ABTEST_ORACLE = """
+WITH units AS (
+    SELECT user_id % 2 AS variant,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+               AS converted
+    FROM events GROUP BY user_id
+),
+agg AS (
+    SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+           CAST(SUM(CASE WHEN variant = 0 AND converted THEN 1 ELSE 0 END)
+               AS BIGINT) AS conv_a,
+           CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+           CAST(SUM(CASE WHEN variant = 1 AND converted THEN 1 ELSE 0 END)
+               AS BIGINT) AS conv_b
+    FROM units
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       conv_a * 1000000 // n_a AS cr_a_ppm,
+       conv_b * 1000000 // n_b AS cr_b_ppm,
+       CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 / CAST(n_a AS DOUBLE)
+                    + 1.0 / CAST(n_b AS DOUBLE))) > 0
+            THEN ROUND((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE)
+                      + 1.0 / CAST(n_b AS DOUBLE))), 9)
+       END AS z_stat,
+       COALESCE(abs(CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 / CAST(n_a AS DOUBLE)
+                    + 1.0 / CAST(n_b AS DOUBLE))) > 0
+            THEN ROUND((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE)
+                      + 1.0 / CAST(n_b AS DOUBLE))), 9)
+       END) > 1.96, FALSE) AS significant
+FROM agg
+"""
+
+
+@query("ab_test_ztest", _ABTEST_ORACLE)
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test (operators/monitoring.ab_test_ztest):
+    users split into variants by key parity, converted = at least 14
+    purchase events (a threshold that actually splits the synthetic
+    population); exact exposure/conversion counts, ppm rates, pooled z
+    and the 5%-level verdict — ONE conditional aggregate, a single row
+    through the exchange at any experiment size. The per-user
+    conversion rollup is the only data-sized pass."""
+    from .operators.monitoring import ab_test_ztest
+
+    units = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    (F.col("event_type") == "purchase").cast("int")
+                )
+                >= 14
+            ).alias("converted")
+        )
+        .select(
+            (F.col("user_id") % 2).alias("variant"), "converted"
+        )
+    )
+    return ab_test_ztest(units, "variant", "converted", 0, 1)

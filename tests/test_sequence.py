@@ -244,3 +244,46 @@ class TestMadOutliers:
         df = spark.createDataFrame([("g", 1.0)], "g string, v double")
         with pytest.raises(ValueError, match="k must be"):
             mad_outliers(df, "g", "v", k=0)
+
+
+class TestAbTestZtest:
+    def _run(self, spark, rows):
+        from olist_snowflake_dbt_spark.operators.monitoring import (
+            ab_test_ztest,
+        )
+
+        df = spark.createDataFrame(rows, "variant string, converted boolean")
+        return ab_test_ztest(df, "variant", "converted", "A", "B").collect()[
+            0
+        ]
+
+    def test_counts_rates_and_z_sign(self, spark):
+        rows = (
+            [("A", True)] * 30 + [("A", False)] * 70
+            + [("B", True)] * 10 + [("B", False)] * 90
+        )
+        r = self._run(spark, rows)
+        assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (
+            100, 30, 100, 10,
+        )
+        assert r["cr_a_ppm"] == 300_000 and r["cr_b_ppm"] == 100_000
+        # p=0.2 pooled: z = 0.2 / sqrt(0.16*0.02) ~ 3.54 -> significant
+        assert r["z_stat"] > 3.0 and r["significant"] is True
+
+    def test_no_difference_not_significant(self, spark):
+        rows = (
+            [("A", True)] * 20 + [("A", False)] * 80
+            + [("B", True)] * 20 + [("B", False)] * 80
+        )
+        r = self._run(spark, rows)
+        assert r["z_stat"] == 0.0 and r["significant"] is False
+
+    def test_degenerate_all_converted_null_z(self, spark):
+        rows = [("A", True)] * 5 + [("B", True)] * 5
+        r = self._run(spark, rows)
+        assert r["z_stat"] is None and r["significant"] is False
+
+    def test_other_variants_ignored(self, spark):
+        rows = [("A", True), ("B", False), ("C", True), ("C", True)]
+        r = self._run(spark, rows)
+        assert r["n_a"] == 1 and r["n_b"] == 1
