@@ -356,3 +356,79 @@ def temporal_holdout(
         .when(F.col("__in_test").isNotNull(), F.lit("leaked"))
         .otherwise(F.lit("train")),
     ).drop("__in_test")
+
+
+def negative_samples(
+    anchors: DataFrame,
+    pool: DataFrame,
+    k: int,
+    anchor_id: str = "anchor_id",
+    pool_id: str = "doc_id",
+    n_buckets: int = 32,
+    positives: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive / retrieval
+    training pairs: for every anchor, up to ``k`` pseudo-random pool
+    members that are NOT known positives — without ever forming
+    anchors × pool.
+
+    Plan (the bucket-rendezvous shape): pool docs land in
+    ``n_buckets`` via the engine-portable 60-bit md5 hash; each anchor
+    explodes to ``k`` slots whose target bucket is
+    ``hash(anchor | slot) % n_buckets``; one ordinary equi-join on the
+    bucket bounds candidates to pool/n_buckets per slot, and ONE
+    ``min_by`` per (anchor, slot) — keyed on ``hash(anchor|slot|doc)``
+    — picks the winner deterministically (stable under re-runs,
+    engines, repartitioning). ``positives`` (anchor_id, pool_id) pairs
+    are anti-joined out BEFORE the pick, so a known positive is never
+    selected (rather than selected-then-dropped). A slot whose bucket
+    is empty after exclusions yields no row — size ``n_buckets`` well
+    below pool_size so buckets stay populated; stated, not hidden.
+
+    Returns ``(anchor_id, slot, neg_id)``. Join + aggregate are both
+    on bounded keys; cost is anchors·k candidates of pool/n_buckets
+    each — linear in both inputs at any scale.
+    """
+    if k <= 0 or n_buckets <= 0:
+        raise ValueError(f"k and n_buckets must be positive ({k}, {n_buckets})")
+    from ..functions.hashing import portable_hash60
+
+    pool_b = pool.select(
+        F.col(pool_id).alias("neg_id"),
+        (
+            portable_hash60(F.col(pool_id).cast("string"))
+            % F.lit(n_buckets)
+        ).alias("__b"),
+    )
+    slots = anchors.select(
+        F.col(anchor_id),
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("slot"),
+    ).select(
+        anchor_id,
+        "slot",
+        (
+            portable_hash60(
+                F.concat_ws("|", F.col(anchor_id).cast("string"), F.col("slot").cast("string"))
+            )
+            % F.lit(n_buckets)
+        ).alias("__b"),
+    )
+    cand = slots.join(pool_b, "__b").drop("__b")
+    if positives is not None:
+        pos = positives.select(
+            F.col(anchor_id), F.col(pool_id).alias("neg_id")
+        )
+        cand = cand.join(pos, [anchor_id, "neg_id"], "left_anti")
+    pick_key = portable_hash60(
+        F.concat_ws(
+            "|",
+            F.col(anchor_id).cast("string"),
+            F.col("slot").cast("string"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    return (
+        cand.withColumn("__pk", pick_key)
+        .groupBy(anchor_id, "slot")
+        .agg(F.min_by("neg_id", "__pk").alias("neg_id"))
+    )

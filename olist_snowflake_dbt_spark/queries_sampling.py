@@ -375,3 +375,66 @@ def q_sample_time_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+_NEGSAMPLE_ORACLE = """
+WITH anchors AS (
+    SELECT doc_id AS anchor_id FROM documents WHERE doc_id < 100
+),
+pool AS (
+    SELECT doc_id AS neg_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 32 AS b
+    FROM documents
+),
+slots AS (
+    SELECT anchor_id, i.slot,
+           CAST('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '|'
+                || CAST(i.slot AS VARCHAR)), 1, 15) AS BIGINT) % 32 AS b
+    FROM anchors, (SELECT UNNEST([0, 1, 2, 3]) AS slot) i
+),
+cand AS (
+    SELECT s.anchor_id, s.slot, p.neg_id
+    FROM slots s JOIN pool p ON s.b = p.b
+    WHERE NOT (p.neg_id = s.anchor_id)
+)
+SELECT anchor_id, slot,
+       min_by(neg_id,
+              CAST('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '|'
+                   || CAST(slot AS VARCHAR) || '|'
+                   || CAST(neg_id AS VARCHAR)), 1, 15) AS BIGINT))
+           AS neg_id
+FROM cand GROUP BY anchor_id, slot
+"""
+
+
+@query("sample_negatives_contrastive", _NEGSAMPLE_ORACLE)
+def q_sample_negatives_contrastive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs
+    (operators/sampling.negative_samples): 4 pseudo-random non-self
+    documents per anchor via bucket rendezvous — pool hashed into 32
+    buckets, each (anchor, slot) targets one bucket, one equi-join +
+    one min_by pick; NEVER anchors × pool. Known positives (here the
+    identity pairs) are anti-joined out BEFORE the pick. Every hash is
+    the engine-portable 60-bit md5, so the oracle replays the exact
+    candidate set and the exact winner of every slot."""
+    from .operators.sampling import negative_samples
+
+    docs = _t(spark, sf_dir, "documents")
+    anchors = docs.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    positives = docs.select(
+        F.col("doc_id").alias("anchor_id"), F.col("doc_id")
+    )
+    return negative_samples(
+        anchors,
+        docs,
+        k=4,
+        anchor_id="anchor_id",
+        pool_id="doc_id",
+        n_buckets=32,
+        positives=positives,
+    )

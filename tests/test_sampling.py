@@ -236,3 +236,59 @@ class TestTemporalHoldout:
         out = temporal_holdout(self._events(spark), "ts", "2024-02-01 00:00:00")
         got = {r.eid: r.split for r in out.collect()}
         assert got == {1: "train", 2: "train", 3: "train", 4: "test", 5: "test"}
+
+
+class TestNegativeSamples:
+    def _run(self, spark, n_pool=200, k=3, positives=None, buckets=8):
+        from olist_snowflake_dbt_spark.operators.sampling import (
+            negative_samples,
+        )
+        from pyspark.sql import functions as F
+
+        pool = spark.range(n_pool).select(F.col("id").alias("doc_id"))
+        anchors = spark.range(10).select(F.col("id").alias("anchor_id"))
+        return negative_samples(
+            anchors, pool, k=k, n_buckets=buckets, positives=positives
+        )
+
+    def test_k_slots_and_determinism(self, spark):
+        a = {(r["anchor_id"], r["slot"]): r["neg_id"]
+             for r in self._run(spark).collect()}
+        b = {(r["anchor_id"], r["slot"]): r["neg_id"]
+             for r in self._run(spark).collect()}
+        assert a == b
+        assert len(a) == 30  # 10 anchors x 3 slots, buckets populated
+
+    def test_positives_never_selected(self, spark):
+        from pyspark.sql import functions as F
+
+        # mark EVERY even doc as a positive for every anchor
+        pool = spark.range(200).select(F.col("id").alias("doc_id"))
+        anchors = spark.range(10).select(F.col("id").alias("anchor_id"))
+        positives = anchors.crossJoin(
+            pool.filter(F.col("doc_id") % 2 == 0)
+        )
+        from olist_snowflake_dbt_spark.operators.sampling import (
+            negative_samples,
+        )
+
+        out = negative_samples(
+            anchors, pool, k=3, n_buckets=8, positives=positives
+        ).collect()
+        assert len(out) > 0
+        assert all(r["neg_id"] % 2 == 1 for r in out)
+
+    def test_no_cartesian_plan(self, spark):
+        plan = (
+            self._run(spark)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="positive"):
+            self._run(spark, k=0)
