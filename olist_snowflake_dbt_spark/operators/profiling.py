@@ -231,3 +231,41 @@ def equi_depth_histogram(
         .cast("string")
         .alias("max_val"),
     )
+
+
+def table_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Order-independent content checksum of a relation — the
+    cross-environment reconciliation primitive (did the migration /
+    replication / backfill produce the SAME table?) that compares two
+    warehouses with one number each, no row-level diff shuffle.
+
+    Each row hashes to the portable 60-bit md5 of its pipe-joined
+    column rendering (NULLs rendered as a sentinel so ('a', NULL)
+    differs from ('a', ''); columns are cast to string — fix exact
+    types upstream); the checksum is the plain SUM of those hashes in
+    DECIMAL(38,0) — commutative, so partition order, engine, and
+    parallelism cannot change it, and no 64-bit overflow at any row
+    count. Returns (n_rows, checksum) with the checksum as a string.
+
+    One map-side-combinable aggregate — a single row through the
+    exchange at any table size. A multiset difference of one row flips
+    the sum except on a ~1-in-2^60 hash collision per differing row;
+    this is the cheap screen, the row-level tool is
+    full_outer_reconcile.
+    """
+    if not cols:
+        raise ValueError("table_checksum requires at least one column")
+    from ..functions.hashing import portable_hash60
+
+    rendered = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+            for c in cols
+        ],
+    )
+    h = portable_hash60(rendered).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).cast("string").alias("checksum"),
+    )

@@ -2200,3 +2200,73 @@ def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ab_test_ztest(units, "variant", "converted", 0, 1)
+
+
+_CHECKSUM_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST('0x' || substr(md5(
+                COALESCE(CAST(o_orderkey AS VARCHAR), 'NULL') || '|' ||
+                COALESCE(CAST(o_custkey AS VARCHAR), 'NULL') || '|' ||
+                COALESCE(o_orderstatus, 'NULL')), 1, 15) AS BIGINT))
+            AS VARCHAR) AS checksum
+FROM orders
+"""
+
+
+@query("table_checksum_reconcile", _CHECKSUM_ORACLE)
+def q_table_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum (operators/profiling.
+    table_checksum): ONE commutative DECIMAL sum of portable 60-bit
+    row hashes — the cross-environment reconciliation screen (compare
+    two warehouses with one number each; the row-level tool is
+    full_outer_reconcile). The DuckDB twin computing the identical
+    number from the same parquet IS the cross-engine reconciliation
+    this operator exists for. Single row through the exchange at any
+    table size."""
+    from .operators.profiling import table_checksum
+
+    o = _t(spark, sf_dir, "orders")
+    return table_checksum(o, ["o_orderkey", "o_custkey", "o_orderstatus"])
+
+
+_ARRAY_BREADTH_ORACLE = """
+WITH arrs AS (
+    SELECT l_orderkey AS order_id,
+           list_sort(list(CAST(l_quantity AS INT))) AS q
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT order_id,
+       array_to_string(q, ',') AS all_qty,
+       array_to_string(list_sort(list_distinct(q)), ',') AS distinct_qty,
+       array_to_string(q[1:3], ',') AS first3,
+       CAST(COALESCE(list_position(q, 25), 0) AS BIGINT) AS pos_25,
+       list_contains(q, 50) AS has_50,
+       CAST(len(list_distinct(q)) AS INT) AS n_unique
+FROM arrs
+"""
+
+
+@query("array_functions_breadth", _ARRAY_BREADTH_ORACLE)
+def q_array_functions_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface parity (Snowflake ARRAY_* family): sort,
+    distinct, slice, position, contains, cardinality over per-order
+    quantity arrays (collect_list is order-nondeterministic, so the
+    array is sorted FIRST — the discipline any deterministic
+    array-column pipeline needs). Arrays render to joined strings
+    because the driver compares scalars; list_position/array_position
+    are both 1-based, 0/NULL-on-missing normalized via coalesce."""
+    li = _t(spark, sf_dir, "lineitem")
+    arrs = li.groupBy(F.col("l_orderkey").alias("order_id")).agg(
+        F.array_sort(
+            F.collect_list(F.col("l_quantity").cast("int"))
+        ).alias("q")
+    )
+    return arrs.select(
+        "order_id",
+        F.array_join("q", ",").alias("all_qty"),
+        F.array_join(F.array_distinct("q"), ",").alias("distinct_qty"),
+        F.array_join(F.slice("q", 1, 3), ",").alias("first3"),
+        F.expr("CAST(array_position(q, 25) AS BIGINT)").alias("pos_25"),
+        F.array_contains("q", F.lit(50)).alias("has_50"),
+        F.size(F.array_distinct("q")).alias("n_unique"),
+    )
