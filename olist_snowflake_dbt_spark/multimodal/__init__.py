@@ -23,6 +23,7 @@ from .media import (
     perceptual_hash,
     phash_incremental_admit,
     phash_pairs,
+    resize_media,
     sample_frames,
     video_phash_pairs,
 )
@@ -39,6 +40,7 @@ __all__ = [
     "perceptual_hash",
     "phash_incremental_admit",
     "phash_pairs",
+    "resize_media",
     "sample_frames",
     "video_phash_pairs",
 ]

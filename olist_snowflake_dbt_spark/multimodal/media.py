@@ -654,3 +654,63 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(kernel, _FRAMES_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("resized_hex", StringType()),
+    ]
+)
+
+
+def _resize_cells(data: bytes, out_cells: int) -> str:
+    """Block-mean resample of one payload to ``out_cells`` cells,
+    rendered as 2 uppercase hex chars per cell — all-integer (plain
+    floor mean), so SQL oracles replay it bit-exactly. Empty segments
+    (payload shorter than the grid) and empty payloads yield 00 cells,
+    like the other kernels."""
+    import numpy as np
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = arr.size
+    if n == 0:
+        return "00" * out_cells
+    k = (np.arange(n, dtype=np.int64) * out_cells) // n
+    sums = np.bincount(k, weights=arr, minlength=out_cells).astype(np.int64)
+    lens = np.bincount(k, minlength=out_cells)
+    vals = np.where(lens > 0, sums // np.maximum(lens, 1), 0)
+    return "".join(format(int(v), "02X") for v in vals)
+
+
+def resize_media(media: DataFrame, out_cells: int = 16) -> DataFrame:
+    """Batched RESIZE — the downsampling stage of a media training
+    pipeline (thumbnail/patch normalization before feature extraction
+    or phash). Resamples each decoded byte stream to ``out_cells``
+    block-mean cells in one Arrow ``mapInPandas`` pass; the synthetic
+    decode is 1-D, so this is 1-D pooling — a real decoder swaps in
+    2-D block pooling through the SAME plumbing (schema, batching,
+    partitioning), which is the part this container can prove.
+
+    Returns ``(media_id, n_bytes, resized_hex)`` with 2 hex chars per
+    cell — integer floor means, bit-replayable by the SQL oracle.
+    Executor-side, zero shuffle; fuses behind whatever scan feeds it.
+    """
+    if out_cells <= 0:
+        raise ValueError(f"out_cells must be positive (got {out_cells})")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "resized_hex": [
+                        _resize_cells(bytes(p), out_cells)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(kernel, _RESIZE_SCHEMA)

@@ -20,6 +20,7 @@ from .multimodal import (
     extract_features,
     media_byte_stats,
     phash_pairs,
+    resize_media,
     sample_frames,
 )
 from .queries import _t, query
@@ -585,3 +586,51 @@ def q_mm_audio_fpdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = attach_fake_media(base.unionByName(exact).unionByName(near))
     return audio_fp_pairs(media, max_hamming=3, bands=4)
+
+
+_RESIZE_ORACLE = """
+WITH m AS (
+    SELECT doc_id AS media_id,
+           hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS n
+    FROM documents
+),
+bytes AS (
+    SELECT media_id, n,
+           ((strpos('0123456789ABCDEF',
+                    substr(hx, CAST(2 * i + 1 AS BIGINT), 1)) - 1) * 16
+            + strpos('0123456789ABCDEF',
+                     substr(hx, CAST(2 * i + 2 AS BIGINT), 1)) - 1) AS v,
+           (i * 16) // n AS k
+    FROM (SELECT media_id, n, hx, UNNEST(generate_series(0, n - 1)) AS i
+          FROM m WHERE n > 0)
+),
+cells AS (
+    SELECT media_id, k, SUM(v) // COUNT(*) AS val
+    FROM bytes GROUP BY media_id, k
+),
+grid AS (
+    SELECT m.media_id, m.n, gs.k,
+           COALESCE(c.val, 0) AS val
+    FROM m
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS k) gs
+    LEFT JOIN cells c ON c.media_id = m.media_id AND c.k = gs.k
+)
+SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+       string_agg(lpad(hex(CAST(val AS BIGINT)), 2, '0'), ''
+                  ORDER BY k) AS resized_hex
+FROM grid GROUP BY media_id, n
+"""
+
+
+@query("mm_resize_grid", _RESIZE_ORACLE)
+def q_mm_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media RESIZE (multimodal/media.resize_media): every document's
+    synthetic payload block-mean-resampled to 16 cells in one Arrow
+    mapInPandas pass — the thumbnail/patch normalization stage before
+    features or phash, with the real-decoder swap point documented.
+    Integer floor means rendered as fixed-width hex, so the DuckDB
+    twin replays every cell bit-exactly from hex(payload). Executor-
+    side, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return resize_media(attach_fake_media(docs), out_cells=16)

@@ -346,3 +346,55 @@ class TestAudioFingerprintDedup:
         )
         with _pt.raises(ValueError, match="max_hamming"):
             audio_fp_pairs(media, max_hamming=4, bands=4)
+
+
+class TestResizeMedia:
+    def _resize(self, spark, payloads, out_cells=4):
+        from olist_snowflake_dbt_spark.multimodal import (
+            attach_fake_media,
+            resize_media,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(payloads)],
+            "doc_id long, text string",
+        )
+        return {
+            r["media_id"]: r
+            for r in resize_media(
+                attach_fake_media(docs), out_cells=out_cells
+            ).collect()
+        }
+
+    def test_block_means_exact(self, spark):
+        # "AAAAbbbb" -> cells of 2 bytes: (65,65),(65,65)... wait 8
+        # bytes over 4 cells = 2 each: 41,41 | 41,42? text 'AAAAbbbb'
+        got = self._resize(spark, ["AAAAbbbb"])[0]
+        # bytes: 65*4, 98*4 -> cells: [65,65,98,98] -> hex 41 41 62 62
+        assert got["resized_hex"] == "41416262"
+        assert got["n_bytes"] == 8
+
+    def test_short_payload_pads_with_zero_cells(self, spark):
+        got = self._resize(spark, ["AB"], out_cells=4)[0]
+        # 2 bytes over 4 cells: byte0 -> cell0, byte1 -> cell2
+        assert got["resized_hex"] == "41004200"
+
+    def test_empty_payload_all_zero(self, spark):
+        got = self._resize(spark, [""], out_cells=4)[0]
+        assert got["resized_hex"] == "00000000"
+
+    def test_identical_payloads_identical_grids(self, spark):
+        got = self._resize(spark, ["same text here", "same text here"])
+        assert got[0]["resized_hex"] == got[1]["resized_hex"]
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.multimodal import (
+            attach_fake_media,
+            resize_media,
+        )
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="out_cells"):
+            resize_media(attach_fake_media(docs), out_cells=0)
