@@ -209,3 +209,43 @@ def erasure_cascade(
         "n_distinct_surrogates bigint, n_residual_links bigint",
     )
     return transformed, audit
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier
+    combination — the re-identification risk check run BEFORE a
+    dataset ships (Sweeney's k-anonymity: every quasi-identifier group
+    must hide ≥ k individuals; Machanavajjhala's l-diversity: and show
+    ≥ l distinct sensitive values, or a k-large group still leaks when
+    everyone in it shares the secret).
+
+    Returns one row per quasi-identifier group: ``(quasi_cols…,
+    n_rows, n_sensitive, k_violation, l_violation)``. Publishing
+    guidance: suppress or generalize the violating groups — this audit
+    is the decision input, not the transform (pair with apply_masking
+    / erase_subjects for the fix).
+
+    Plan: ONE aggregate keyed on the quasi-identifier (count +
+    count_distinct fused); groups through the exchange are the QI
+    cardinality, not the row count.
+    """
+    if k <= 0 or l <= 0:
+        raise ValueError(f"k and l must be positive (got k={k}, l={l})")
+    if not quasi_cols:
+        raise ValueError("k_anonymity_audit requires quasi-identifier columns")
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"),
+    ).select(
+        *quasi_cols,
+        "n_rows",
+        "n_sensitive",
+        (F.col("n_rows") < k).alias("k_violation"),
+        (F.col("n_sensitive") < l).alias("l_violation"),
+    )

@@ -210,3 +210,38 @@ def q_governance_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return audit
+
+
+_KANON_ORACLE = """
+SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT c.c_acctbal) AS n_sensitive,
+       COUNT(*) < 25 AS k_violation,
+       COUNT(DISTINCT c.c_acctbal) < 3 AS l_violation
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, c.c_mktsegment
+"""
+
+
+@query("governance_k_anonymity", _KANON_ORACLE)
+def q_governance_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (operators/governance.
+    k_anonymity_audit): every (nation, market segment) quasi-identifier
+    group must hide ≥ 25 customers AND show ≥ 3 distinct account
+    balances — the re-identification risk readout a dataset release
+    gates on (violating groups get suppressed or generalized; the
+    transforms are apply_masking / erase_subjects). ONE fused
+    count + count-distinct aggregate; QI-cardinality rows through the
+    exchange."""
+    from .operators.governance import k_anonymity_audit
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        "c_acctbal",
+    )
+    return k_anonymity_audit(
+        joined, ["nation", "segment"], "c_acctbal", k=25, l=3
+    )

@@ -126,3 +126,50 @@ class TestErasureCascade:
         people, facts, subjects = self._frames(spark)
         with pytest.raises(ValueError, match="unknown erasure action"):
             erase_subjects(facts, subjects, "pid", "pid", action="shred")
+
+
+class TestKAnonymityAudit:
+    def _audit(self, spark, rows, **kw):
+        from olist_snowflake_dbt_spark.operators.governance import (
+            k_anonymity_audit,
+        )
+
+        df = spark.createDataFrame(rows, "zip string, age int, disease string")
+        return {
+            (r["zip"], r["age"]): r
+            for r in k_anonymity_audit(
+                df, ["zip", "age"], "disease", **kw
+            ).collect()
+        }
+
+    def test_small_group_flags_k(self, spark):
+        rows = [("02138", 30, "flu")] * 2 + [("02139", 40, "flu")] * 5
+        got = self._audit(spark, rows, k=3, l=1)
+        assert got[("02138", 30)]["k_violation"] is True
+        assert got[("02139", 40)]["k_violation"] is False
+
+    def test_homogeneous_group_flags_l(self, spark):
+        """k-large but everyone shares the secret: l-diversity fires —
+        the leak plain k-anonymity misses."""
+        rows = [("02138", 30, "flu")] * 10 + [
+            ("02139", 40, "flu"),
+            ("02139", 40, "cold"),
+        ]
+        got = self._audit(spark, rows, k=3, l=2)
+        a = got[("02138", 30)]
+        assert a["k_violation"] is False and a["l_violation"] is True
+        b = got[("02139", 40)]
+        assert b["l_violation"] is False
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.governance import (
+            k_anonymity_audit,
+        )
+
+        df = spark.createDataFrame([("a", 1, "x")], "zip string, age int, disease string")
+        with _pytest.raises(ValueError, match="positive"):
+            k_anonymity_audit(df, ["zip"], "disease", k=0)
+        with _pytest.raises(ValueError, match="quasi-identifier"):
+            k_anonymity_audit(df, [], "disease")
