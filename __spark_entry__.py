@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # in dict order. Round-10 rotation policy (same staleness-wins rule as
-# r09): (a) everything NEW or modified in round 10 — 33 slots: the
+# r09): (a) everything NEW or modified in round 10 — 35 slots: the
 # sequence-analytics family (IGNORE NULLS navigation, Markov
 # transitions, dialogue-turn validation, cohort retention, MAD
 # outliers), WIDTH_BUCKET histogram, C4 text normalization, the
@@ -46,15 +46,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # set ops, PoP metrics, bitmap NDV, regex breadth, dynamic pivot,
 # equi-depth histogram, triangle counting, geohash, A/B z-test,
 # negative sampling, table checksum, array breadth, media resize,
-# k-anonymity); then (b) the 17 stalest r05-era rows. The 16 remaining
-# r05-era rows (dedup_subdoc_chunks, map_type_roundtrip,
-# recursive_cte_hierarchy, tpch_q8/q9/q11/q13/q15/q16/q17/q19/q20/q21/
-# q22, hll_and_quantile_sketch, udf_compression_ratio) and all r06-era
-# rows are first in line for round 11. Every displaced query keeps its historical driver row and
+# k-anonymity, weighted percentile, full-sync MERGE); then (b) the 15
+# stalest r05-era rows. The 18 remaining r05-era rows
+# (dedup_subdoc_chunks, map_type_roundtrip, recursive_cte_hierarchy,
+# tpch_q2/q7/q8/q9/q11/q13/q15/q16/q17/q19/q20/q21/q22,
+# hll_and_quantile_sketch, udf_compression_ratio) and all r06-era rows
+# are first in line for round 11. Every displaced query keeps its historical driver row and
 # is re-verified on current code each round by tools/gate.py over the
 # full catalog (GATE.json).
 _CHECK_FIRST = [
     # new / modified in round 10
+    "sample_weighted_percentile",
+    "incremental_merge_full_sync",
     "governance_k_anonymity",
     "mm_resize_grid",
     "table_checksum_reconcile",
@@ -104,8 +107,6 @@ _CHECK_FIRST = [
     "try_safe_arithmetic",
     "variant_shred_agg",
     "window_range_interval",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_nation_volume",
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.

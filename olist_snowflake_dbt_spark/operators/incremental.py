@@ -483,3 +483,64 @@ def ivm_apply_changes(
         out_cols.append((base + d).cast(dtype).alias(dst))
     result = merged.select(*gk, *out_cols)
     return result.filter(F.col(count_col) > 0)
+
+
+def merge_full_sync(
+    existing: DataFrame,
+    source: DataFrame,
+    unique_key: Sequence[str],
+    soft_delete_col: str | None = None,
+) -> DataFrame:
+    """SQL:2023 full-synchronization MERGE — the three-clause form
+    ``WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT / WHEN NOT MATCHED
+    BY SOURCE DELETE`` that makes the target an exact mirror of the
+    source (the shape replication and dimension-sync jobs use;
+    :func:`incremental_merge` covers the upsert-only two-clause form,
+    which never deletes).
+
+    With ``soft_delete_col`` set, target-only rows are RETAINED with
+    that boolean column true instead of dropped (and live rows carry
+    false) — the warehouse-friendly tombstone variant.
+
+    Declaratively this is one full-outer join on the key: source rows
+    win wherever present (update+insert), target-only rows drop or
+    tombstone. ONE shuffle per side on the key; at 100 TB bucket both
+    sides on the key upstream and the exchange disappears
+    (materialize_bucketed_table).
+    """
+    if not unique_key:
+        raise ValueError("merge_full_sync requires a non-empty unique_key")
+    cols = source.columns
+    if set(existing.columns) != set(cols):
+        raise ValueError(
+            f"schemas must match (existing {sorted(existing.columns)} "
+            f"vs source {sorted(cols)})"
+        )
+    # presence is judged on an explicit marker column: join-merged key
+    # columns coalesce (never NULL on either side), and data columns
+    # may be legitimately NULL on present rows.
+    s = source.withColumn("__src", F.lit(1)).alias("s")
+    e = existing.withColumn("__tgt", F.lit(1)).alias("e")
+    joined = e.join(s, list(unique_key), "full_outer")
+    # row-wise pick by PRESENCE, not per-column coalesce: a present
+    # source row must win even where its data column is NULL (coalesce
+    # would resurrect the target's stale value).
+    pick = [
+        F.when(F.col("s.__src").isNotNull(), F.col(f"s.{c}"))
+        .otherwise(F.col(f"e.{c}"))
+        .alias(c)
+        for c in cols
+        if c not in unique_key
+    ]
+    out = joined.select(
+        *[F.col(c) for c in unique_key],
+        *pick,
+        F.col("__src").isNotNull().alias("__in_src"),
+    )
+    if soft_delete_col is None:
+        return out.filter(F.col("__in_src")).drop("__in_src")
+    return out.withColumnRenamed("__in_src", "__live").select(
+        *[F.col(c) for c in unique_key],
+        *[c for c in cols if c not in unique_key],
+        (~F.col("__live")).alias(soft_delete_col),
+    )

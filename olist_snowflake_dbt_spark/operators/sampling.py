@@ -432,3 +432,59 @@ def negative_samples(
         .groupBy(anchor_id, "slot")
         .agg(F.min_by("neg_id", "__pk").alias("neg_id"))
     )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    group_cols: list,
+    value_col: str,
+    weight_col: str,
+    p_num: int,
+    p_den: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """EXACT weighted percentile per group: the smallest value whose
+    running weight reaches ``p_num/p_den`` of the group's total weight
+    — the statistic importance-weighted corpora need (an unweighted
+    median over upsampled documents answers the wrong question).
+
+    The percentile is a RATIONAL (``p_num/p_den``, e.g. 1/2 for the
+    weighted median), so the boundary test is one integer
+    cross-multiplication — ``cum_w · p_den >= p_num · total_w`` — and
+    no floating-point threshold can disagree between engines. Weights
+    are non-negative integers (scale decimals upstream).
+
+    Plan: ONE window pass per group (running weight + total via the
+    same sort) and a min aggregate over qualifying rows — one key
+    exchange. ``tiebreak_col`` makes the sort total when values
+    repeat; the inflection row is value-unique anyway (duplicate
+    values share the qualifying side), but a total order keeps plans
+    deterministic.
+    """
+    if p_den <= 0 or not 0 < p_num <= p_den:
+        raise ValueError(
+            f"need 0 < p_num <= p_den (got {p_num}/{p_den})"
+        )
+    order = [F.col(value_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    cum = F.sum(F.col(weight_col).cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum(F.col(weight_col).cast("long")).over(
+        Window.partitionBy(*group_cols)
+    )
+    marked = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        cum.alias("__cum"),
+        tot.alias("__tot"),
+    )
+    return (
+        marked.filter(
+            F.col("__cum") * F.lit(p_den) >= F.lit(p_num) * F.col("__tot")
+        )
+        .groupBy(*group_cols)
+        .agg(F.min("__v").alias("weighted_percentile"))
+    )

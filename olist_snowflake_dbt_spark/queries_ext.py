@@ -2757,3 +2757,48 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o_orderkey") * 48271) % 500).alias("dst"),
     )
     return triangle_counts(edges)
+
+
+_FULLSYNC_ORACLE = """
+WITH existing AS (
+    SELECT o_orderkey AS order_id, 'STALE' AS order_status
+    FROM orders WHERE o_orderkey % 3 <> 2
+),
+src AS (
+    SELECT o_orderkey AS order_id, o_orderstatus AS order_status
+    FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT COALESCE(s.order_id, e.order_id) AS order_id,
+       CASE WHEN s.order_id IS NOT NULL THEN s.order_status
+            ELSE e.order_status END AS order_status,
+       s.order_id IS NULL AS is_deleted
+FROM existing e FULL OUTER JOIN src s ON e.order_id = s.order_id
+"""
+
+
+@query("incremental_merge_full_sync", _FULLSYNC_ORACLE)
+def q_incremental_merge_full_sync(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL:2023 three-clause MERGE (operators/incremental.
+    merge_full_sync): UPDATE matched, INSERT new, and — the clause the
+    upsert-only form lacks — WHEN NOT MATCHED BY SOURCE, here as the
+    soft-delete tombstone variant (target-only rows retained with
+    is_deleted=true). Existing rows carry a planted STALE status, so
+    the hash-match proves matched rows took the SOURCE value, inserts
+    landed, and only target-only keys tombstoned. One full-outer key
+    join; bucket both sides to erase the exchange at 100 TB."""
+    from .operators.incremental import merge_full_sync
+
+    o = _t(spark, sf_dir, "orders")
+    existing = o.filter(F.col("o_orderkey") % 3 != 2).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.lit("STALE").alias("order_status"),
+    )
+    src = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("order_status"),
+    )
+    return merge_full_sync(
+        existing, src, ["order_id"], soft_delete_col="is_deleted"
+    )

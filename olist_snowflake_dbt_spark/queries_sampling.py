@@ -438,3 +438,66 @@ def q_sample_negatives_contrastive(
         n_buckets=32,
         positives=positives,
     )
+
+
+_WPCT_ORACLE = """
+WITH marked AS (
+    SELECT l_returnflag AS rf,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+           SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)), l_orderkey,
+                        l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+           SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS tot_w
+    FROM lineitem
+)
+SELECT rf AS l_returnflag,
+       CAST(MIN(v) AS VARCHAR) AS weighted_median,
+       CAST(MIN(v) FILTER (WHERE cum_w * 10 >= 9 * tot_w) AS VARCHAR)
+           AS weighted_p90
+FROM marked WHERE cum_w * 2 >= tot_w
+GROUP BY rf
+"""
+
+
+@query("sample_weighted_percentile", _WPCT_ORACLE)
+def q_sample_weighted_percentile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact weighted median + p90 (operators/sampling.
+    weighted_percentile): the smallest price whose running QUANTITY
+    weight reaches 1/2 (resp. 9/10) of its return-flag group — the
+    statistic importance-weighted corpora need (unweighted medians
+    over upsampled rows answer the wrong question). The percentile is
+    a rational, so the boundary is one integer cross-multiplication —
+    no float threshold can disagree between engines. One window pass
+    per percentile, one key exchange."""
+    from .operators.sampling import weighted_percentile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    ).withColumn(
+        "tb",
+        F.concat_ws(
+            "|",
+            F.lpad(F.col("l_orderkey").cast("string"), 12, "0"),
+            F.lpad(F.col("l_linenumber").cast("string"), 2, "0"),
+        ),
+    )
+    med = weighted_percentile(
+        li, ["l_returnflag"], "price", "l_quantity", 1, 2, tiebreak_col="tb"
+    ).withColumnRenamed("weighted_percentile", "wm")
+    p90 = weighted_percentile(
+        li, ["l_returnflag"], "price", "l_quantity", 9, 10, tiebreak_col="tb"
+    ).withColumnRenamed("weighted_percentile", "wp")
+    return med.join(p90, "l_returnflag").select(
+        "l_returnflag",
+        F.col("wm").cast("string").alias("weighted_median"),
+        F.col("wp").cast("string").alias("weighted_p90"),
+    )

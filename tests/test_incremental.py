@@ -517,3 +517,53 @@ class TestMergeUpdateColumns:
         out = {r.id: r for r in eng.run(select="audit_merge")["audit_merge"].df.collect()}
         assert (out[1].name, out[1].amount, out[1].created_at) == ("A!", 77.0, "day1")
         assert out[2].created_at == "day2"
+
+
+class TestMergeFullSync:
+    def _dfs(self, spark):
+        existing = spark.createDataFrame(
+            [(1, "old"), (2, "old"), (3, "old")], "k long, v string"
+        )
+        source = spark.createDataFrame(
+            [(2, "new"), (3, None), (4, "new")], "k long, v string"
+        )
+        return existing, source
+
+    def test_hard_delete_mirrors_source(self, spark):
+        from olist_snowflake_dbt_spark.operators.incremental import (
+            merge_full_sync,
+        )
+
+        e, s = self._dfs(spark)
+        got = {r["k"]: r["v"] for r in merge_full_sync(e, s, ["k"]).collect()}
+        # 1 deleted; 2 updated; 3 updated TO NULL (presence wins, no
+        # coalesce resurrection); 4 inserted
+        assert got == {2: "new", 3: None, 4: "new"}
+
+    def test_soft_delete_tombstones(self, spark):
+        from olist_snowflake_dbt_spark.operators.incremental import (
+            merge_full_sync,
+        )
+
+        e, s = self._dfs(spark)
+        got = {
+            r["k"]: (r["v"], r["gone"])
+            for r in merge_full_sync(
+                e, s, ["k"], soft_delete_col="gone"
+            ).collect()
+        }
+        assert got[1] == ("old", True)
+        assert got[2] == ("new", False)
+        assert got[4] == ("new", False)
+
+    def test_schema_mismatch_raises(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.incremental import (
+            merge_full_sync,
+        )
+
+        e = spark.createDataFrame([(1, "x")], "k long, v string")
+        s = spark.createDataFrame([(1, "x", 2)], "k long, v string, extra long")
+        with _pytest.raises(ValueError, match="schemas must match"):
+            merge_full_sync(e, s, ["k"])

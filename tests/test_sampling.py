@@ -292,3 +292,46 @@ class TestNegativeSamples:
 
         with _pytest.raises(ValueError, match="positive"):
             self._run(spark, k=0)
+
+
+class TestWeightedPercentile:
+    def _wp(self, spark, rows, num, den):
+        from olist_snowflake_dbt_spark.operators.sampling import (
+            weighted_percentile,
+        )
+
+        df = spark.createDataFrame(rows, "g string, v long, w long, id long")
+        out = weighted_percentile(
+            df, ["g"], "v", "w", num, den, tiebreak_col="id"
+        ).collect()
+        return {r["g"]: r["weighted_percentile"] for r in out}
+
+    def test_weight_moves_the_median(self, spark):
+        """Values 1..4 with all weight on 4: weighted median is 4,
+        unweighted would be 2."""
+        rows = [("a", 1, 1, 1), ("a", 2, 1, 2), ("a", 3, 1, 3),
+                ("a", 4, 97, 4)]
+        assert self._wp(spark, rows, 1, 2) == {"a": 4}
+
+    def test_exact_boundary_inclusive(self, spark):
+        """cum·den == num·tot picks THAT row (>=, not >): weights 1,1
+        at values 10,20 — the 1/2 percentile is 10."""
+        rows = [("a", 10, 1, 1), ("a", 20, 1, 2)]
+        assert self._wp(spark, rows, 1, 2) == {"a": 10}
+
+    def test_p100_is_max(self, spark):
+        rows = [("a", 10, 3, 1), ("a", 99, 1, 2)]
+        assert self._wp(spark, rows, 1, 1) == {"a": 99}
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.sampling import (
+            weighted_percentile,
+        )
+
+        df = spark.createDataFrame([("a", 1, 1, 1)], "g string, v long, w long, id long")
+        with _pytest.raises(ValueError, match="p_num"):
+            weighted_percentile(df, ["g"], "v", "w", 0, 2)
+        with _pytest.raises(ValueError, match="p_num"):
+            weighted_percentile(df, ["g"], "v", "w", 3, 2)
