@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # in dict order. Round-10 rotation policy (same staleness-wins rule as
-# r09): (a) everything NEW or modified in round 10 — 35 slots: the
+# r09): (a) everything NEW or modified in round 10 — 38 slots: the
 # sequence-analytics family (IGNORE NULLS navigation, Markov
 # transitions, dialogue-turn validation, cohort retention, MAD
 # outliers), WIDTH_BUCKET histogram, C4 text normalization, the
@@ -46,9 +46,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # set ops, PoP metrics, bitmap NDV, regex breadth, dynamic pivot,
 # equi-depth histogram, triangle counting, geohash, A/B z-test,
 # negative sampling, table checksum, array breadth, media resize,
-# k-anonymity, weighted percentile, full-sync MERGE); then (b) the 15
-# stalest r05-era rows. The 18 remaining r05-era rows
-# (dedup_subdoc_chunks, map_type_roundtrip, recursive_cte_hierarchy,
+# k-anonymity, weighted percentile, full-sync MERGE, running-distinct
+# bitmap window, winsorize, CUSUM); then (b) the 12 stalest r05-era
+# rows. The 21 remaining r05-era rows (dedup_subdoc_chunks,
+# map_type_roundtrip, recursive_cte_hierarchy, try_safe_arithmetic,
+# variant_shred_agg, window_range_interval,
 # tpch_q2/q7/q8/q9/q11/q13/q15/q16/q17/q19/q20/q21/q22,
 # hll_and_quantile_sketch, udf_compression_ratio) and all r06-era rows
 # are first in line for round 11. Every displaced query keeps its historical driver row and
@@ -56,6 +58,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # full catalog (GATE.json).
 _CHECK_FIRST = [
     # new / modified in round 10
+    "window_running_distinct",
+    "winsorize_values",
+    "metric_cusum_changepoint",
     "sample_weighted_percentile",
     "incremental_merge_full_sync",
     "governance_k_anonymity",
@@ -104,9 +109,6 @@ _CHECK_FIRST = [
     "tpch_q10_returned_items",
     "tpch_q14_promo_share",
     "tpch_q18_large_orders",
-    "try_safe_arithmetic",
-    "variant_shred_agg",
-    "window_range_interval",
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.

@@ -263,3 +263,113 @@ def ab_test_ztest(
             "significant"
         ),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_pct: float = 0.01,
+    hi_pct: float = 0.99,
+) -> DataFrame:
+    """Winsorization per group: clip values to the [lo_pct, hi_pct]
+    exact percentile band — the tail-taming transform for metrics
+    where :func:`mad_outliers` would DROP rows but the pipeline must
+    keep them (revenue aggregates, training-feature scaling: deletion
+    biases, clipping bounds).
+
+    Appends ``lo_bound``, ``hi_bound`` and ``clipped`` (LEAST/GREATEST
+    of the value and the bounds — NULL values stay NULL). The exact
+    interpolating percentile is the single non-integer step, the same
+    expression on any engine.
+
+    Plan: one grouped percentile aggregate (group-cardinality rows)
+    broadcast back onto the stream — the row-level pass never
+    shuffles; the same shape and the same 100-TB note as
+    mad_outliers (swap in approx_percentile when exactness is not
+    contractual).
+    """
+    if not 0 <= lo_pct < hi_pct <= 1:
+        raise ValueError(
+            f"need 0 <= lo_pct < hi_pct <= 1 (got {lo_pct}, {hi_pct})"
+        )
+    bounds = df.groupBy(group_col).agg(
+        F.expr(
+            f"percentile(CAST(`{value_col}` AS DOUBLE), {lo_pct!r})"
+        ).alias("lo_bound"),
+        F.expr(
+            f"percentile(CAST(`{value_col}` AS DOUBLE), {hi_pct!r})"
+        ).alias("hi_bound"),
+    )
+    # LEAST/GREATEST skip NULLs on both engines (a NULL value would
+    # silently clip to lo_bound) — preserve NULL explicitly.
+    clipped = F.when(
+        F.col(value_col).isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.least(
+            F.greatest(F.col(value_col).cast("double"), F.col("lo_bound")),
+            F.col("hi_bound"),
+        )
+    )
+    return df.join(F.broadcast(bounds), group_col).withColumn(
+        "clipped", clipped
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM changepoint estimate per series — where did the level
+    shift? The classic statistic ``argmax_t |CUSUM_t|`` with
+    ``CUSUM_t = Σ_{i≤t}(x_i − x̄)``, evaluated in EXACT integer
+    arithmetic: multiplying through by n turns it into
+    ``|n·cum_t − t·total|`` (integers only — the mean never needs to
+    be materialized as a float, so no engine can disagree at the ulp).
+
+    Returns one row per key: ``(key, t_star, cusum_max_scaled, n)``
+    where ``t_star`` is the ORDER value at the maximizing prefix
+    (earliest wins ties — deterministic) and ``cusum_max_scaled`` is
+    the n-scaled statistic (divide by n for the classical units;
+    callers threshold against a permutation or Hinkley bound).
+    Values must be integers (counts; scale decimals upstream).
+
+    Plan: ONE window pass per key (running sum + row number off the
+    same sort) and one min_by aggregate — one key exchange; state per
+    row is O(1). The monitoring sibling of metric_anomalies (level
+    shift vs point anomaly).
+    """
+    renamed = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    ordered = W.partitionBy("key").orderBy("t")
+    run = ordered.rowsBetween(W.unboundedPreceding, W.currentRow)
+    whole = W.partitionBy("key")
+    marked = renamed.select(
+        "key",
+        "t",
+        F.sum("x").over(run).alias("cum"),
+        F.row_number().over(ordered).alias("rn"),
+        F.sum("x").over(whole).alias("total"),
+        F.count(F.lit(1)).over(whole).alias("n"),
+    )
+    stat = marked.withColumn(
+        "s", F.abs(F.col("n") * F.col("cum") - F.col("rn") * F.col("total"))
+    )
+    # earliest-t tiebreak: pack (−s, t) so min_by is (max s, min t)
+    return stat.groupBy("key").agg(
+        F.min_by(
+            F.struct(F.col("t").alias("t_star"), F.col("s")),
+            F.struct((-F.col("s")).alias("neg"), F.col("t")),
+        ).alias("__w"),
+        F.first("n").alias("n"),
+    ).select(
+        F.col("key"),
+        F.col("__w.t_star").alias("t_star"),
+        F.col("__w.s").cast("long").alias("cusum_max_scaled"),
+        F.col("n").cast("long").alias("n"),
+    )

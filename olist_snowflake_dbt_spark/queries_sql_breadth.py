@@ -2270,3 +2270,143 @@ def q_array_functions_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("q", F.lit(50)).alias("has_50"),
         F.size(F.array_distinct("q")).alias("n_unique"),
     )
+
+
+_RUNNING_DISTINCT_ORACLE = """
+SELECT event_id, user_id,
+       CAST(bit_count(bit_or(1 << CASE event_type
+                WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                ELSE 4 END) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS INT)
+           AS n_types_seen
+FROM events
+"""
+
+
+@query("window_running_distinct", _RUNNING_DISTINCT_ORACLE)
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING COUNT(DISTINCT) over a window — the operation SQL
+    windows famously cannot express directly (DISTINCT aggregates are
+    not allowed over frames) — via the bounded-domain bitmap trick:
+    each state maps to one bit, the running bit_or accumulates the set
+    seen so far, bit_count reads its size. Integer-exact, one window
+    sort per user, O(1) state per row; the domain bound (≤ 64 states
+    per word) is the stated contract, the same one bitmap_ndv_rollup
+    documents. The \"how many distinct behaviors has this user shown
+    yet\" progression is the activation-funnel readout."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__rd_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(bit_count(bit_or(shiftleft(CAST(1 AS BIGINT),
+                        CASE event_type
+                            WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                            WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                            ELSE 4 END)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                    AS INT) AS n_types_seen
+        FROM __rd_events
+        """
+    )
+
+
+_WINSOR_ORACLE = """
+WITH bounds AS (
+    SELECT event_type,
+           quantile_cont(CAST(value AS DOUBLE), 0.05) AS lo_bound,
+           quantile_cont(CAST(value AS DOUBLE), 0.95) AS hi_bound
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND(b.lo_bound, 9) AS lo_bound,
+       ROUND(b.hi_bound, 9) AS hi_bound,
+       ROUND(CASE WHEN e.value IS NULL THEN NULL
+                  ELSE LEAST(GREATEST(CAST(e.value AS DOUBLE), b.lo_bound),
+                             b.hi_bound) END, 9) AS clipped
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+"""
+
+
+@query("winsorize_values", _WINSOR_ORACLE)
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (operators/monitoring.winsorize): clip event
+    values to their event-type [5th, 95th] exact percentile band — the
+    tail-taming transform where outlier DELETION would bias
+    (mad_outliers flags, this clips). Grouped percentile bounds
+    broadcast back; the row-level pass never shuffles."""
+    from .operators.monitoring import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    out = winsorize(
+        ev, group_col="event_type", value_col="value",
+        lo_pct=0.05, hi_pct=0.95,
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("lo_bound", 9).alias("lo_bound"),
+        F.round("hi_bound", 9).alias("hi_bound"),
+        F.round("clipped", 9).alias("clipped"),
+    )
+
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT event_type AS key, CAST(ts AS DATE) AS t, COUNT(*) AS x
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+marked AS (
+    SELECT key, t,
+           SUM(x) OVER (PARTITION BY key ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           ROW_NUMBER() OVER (PARTITION BY key ORDER BY t) AS rn,
+           SUM(x) OVER (PARTITION BY key) AS total,
+           COUNT(*) OVER (PARTITION BY key) AS n
+    FROM daily
+),
+stat AS (
+    SELECT key, t, n, abs(n * cum - rn * total) AS s FROM marked
+),
+withmax AS (
+    SELECT key, t, n, s, MAX(s) OVER (PARTITION BY key) AS ms FROM stat
+)
+SELECT key,
+       strftime(MIN(CASE WHEN s = ms THEN t END), '%Y-%m-%d') AS t_star,
+       CAST(MAX(s) AS BIGINT) AS cusum_max_scaled,
+       CAST(MIN(n) AS BIGINT) AS n
+FROM withmax GROUP BY key
+"""
+
+
+@query("metric_cusum_changepoint", _CUSUM_ORACLE)
+def q_metric_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint estimate (operators/monitoring.
+    cusum_changepoint): where did each event type's daily volume shift
+    level? argmax_t |CUSUM_t| evaluated as |n·cum − t·total| — the
+    mean multiplied through so the statistic stays in INTEGERS and no
+    engine can disagree at the ulp; earliest-t tiebreak pinned. The
+    level-shift sibling of metric_anomalies (point anomalies) and the
+    decision input for retraining-window selection."""
+    from .operators.monitoring import cusum_changepoint
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"), F.to_date("ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    out = cusum_changepoint(
+        daily, key_col="event_type", order_col="day", value_col="x"
+    )
+    return out.select(
+        F.col("key"),
+        F.date_format("t_star", "yyyy-MM-dd").alias("t_star"),
+        "cusum_max_scaled",
+        "n",
+    )

@@ -287,3 +287,62 @@ class TestAbTestZtest:
         rows = [("A", True), ("B", False), ("C", True), ("C", True)]
         r = self._run(spark, rows)
         assert r["n_a"] == 1 and r["n_b"] == 1
+
+
+class TestCusumChangepoint:
+    def _run(self, spark, series):
+        from olist_snowflake_dbt_spark.operators.monitoring import (
+            cusum_changepoint,
+        )
+
+        df = spark.createDataFrame(
+            [("m", i, v) for i, v in enumerate(series)],
+            "key string, t int, x long",
+        )
+        return cusum_changepoint(df, "key", "t", "x").collect()[0]
+
+    def test_level_shift_found_at_the_step(self, spark):
+        """10 flat values then 10 elevated: CUSUM maximizes exactly at
+        the last pre-shift index."""
+        r = self._run(spark, [10] * 10 + [20] * 10)
+        assert r["t_star"] == 9
+        # |n*cum - rn*total| at rn=10: |20*100 - 10*300| = 1000
+        assert r["cusum_max_scaled"] == 1000
+        assert r["n"] == 20
+
+    def test_flat_series_stat_zero(self, spark):
+        r = self._run(spark, [5] * 8)
+        assert r["cusum_max_scaled"] == 0
+        assert r["t_star"] == 0  # earliest tie wins
+
+    def test_single_spike_maximizes_at_spike(self, spark):
+        r = self._run(spark, [0, 0, 100, 0, 0])
+        assert r["t_star"] in (1, 2)  # just before/at the spike
+        assert r["cusum_max_scaled"] > 0
+
+
+class TestWinsorize:
+    def test_clips_to_band_and_keeps_nulls(self, spark):
+        from olist_snowflake_dbt_spark.operators.monitoring import winsorize
+
+        vals = [float(v) for v in range(1, 101)]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals] + [("g", None)], "g string, v double"
+        )
+        out = winsorize(df, "g", "v", lo_pct=0.10, hi_pct=0.90)
+        rows = out.collect()
+        clipped = [r["clipped"] for r in rows if r["v"] is not None]
+        lo = rows[0]["lo_bound"]
+        hi = rows[0]["hi_bound"]
+        assert min(clipped) == lo and max(clipped) == hi
+        assert all(lo <= c <= hi for c in clipped)
+        assert [r["clipped"] for r in rows if r["v"] is None] == [None]
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.monitoring import winsorize
+
+        df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+        with _pytest.raises(ValueError, match="lo_pct"):
+            winsorize(df, "g", "v", lo_pct=0.9, hi_pct=0.1)
