@@ -33,6 +33,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+def _check_output_collisions(df: DataFrame, out_cols: tuple) -> None:
+    """Raise when appended output column names already exist on the
+    input — a silent duplicate/ambiguous column otherwise (same
+    contract as the ``__``-prefixed temporaries elsewhere in the repo:
+    operators never shadow caller columns)."""
+    clash = [c for c in out_cols if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {clash}; rename them before "
+            f"calling (operator appends {list(out_cols)})"
+        )
+
+
 def metric_anomalies(
     series: DataFrame,
     time_col: str,
@@ -179,6 +192,7 @@ def mad_outliers(
     """
     if k <= 0:
         raise ValueError(f"k must be positive (got {k})")
+    _check_output_collisions(df, ("med", "mad", "is_outlier"))
     med = df.groupBy(group_col).agg(
         F.expr(f"percentile(CAST(`{value_col}` AS DOUBLE), 0.5)").alias(
             "med"
@@ -221,9 +235,12 @@ def ab_test_ztest(
     (multi-arm experiments test pairwise). Counts aggregate exactly;
     ``z = (p̂₁−p̂₂) / √(p̂(1−p̂)(1/n₁+1/n₂))`` with the pooled p̂ is the
     single double expression, computed from exact integers in one
-    fixed order (engine-portable), rounded to 9. Zero-variance edges
-    (pooled rate 0 or 1) yield NULL z and a false verdict rather than
-    a division blow-up.
+    fixed order (engine-portable), rounded to 9. Degenerate edges —
+    zero variance (pooled rate 0 or 1) OR an EMPTY arm (a variant with
+    no rows: misconfigured assignment, a filter that ate one arm) —
+    yield NULL rate/z columns and a false verdict rather than a
+    division blow-up (the empty-arm case would otherwise divide by
+    zero, which raises under ANSI mode).
 
     Plan: ONE map-side-combinable conditional aggregate — a single row
     through the exchange at any experiment size.
@@ -237,6 +254,7 @@ def ab_test_ztest(
         F.sum(is_b.cast("long")).alias("n_b"),
         F.sum((is_b & conv).cast("long")).alias("conv_b"),
     )
+    both_arms = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
     pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
     pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
@@ -250,14 +268,18 @@ def ab_test_ztest(
             + F.lit(1.0) / F.col("n_b").cast("double")
         )
     )
-    z = F.when(se > 0, F.round((pa - pb) / se, 9))
+    z = F.when(both_arms & (se > 0), F.round((pa - pb) / se, 9))
     return agg.select(
         "n_a",
         "conv_a",
         "n_b",
         "conv_b",
-        F.expr("conv_a * 1000000 DIV n_a").alias("cr_a_ppm"),
-        F.expr("conv_b * 1000000 DIV n_b").alias("cr_b_ppm"),
+        F.when(
+            F.col("n_a") > 0, F.expr("conv_a * 1000000 DIV n_a")
+        ).alias("cr_a_ppm"),
+        F.when(
+            F.col("n_b") > 0, F.expr("conv_b * 1000000 DIV n_b")
+        ).alias("cr_b_ppm"),
         z.alias("z_stat"),
         F.coalesce(F.abs(z) > F.lit(z_crit), F.lit(False)).alias(
             "significant"
@@ -293,6 +315,7 @@ def winsorize(
         raise ValueError(
             f"need 0 <= lo_pct < hi_pct <= 1 (got {lo_pct}, {hi_pct})"
         )
+    _check_output_collisions(df, ("lo_bound", "hi_bound", "clipped"))
     bounds = df.groupBy(group_col).agg(
         F.expr(
             f"percentile(CAST(`{value_col}` AS DOUBLE), {lo_pct!r})"

@@ -240,18 +240,24 @@ def table_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     warehouses with one number each, no row-level diff shuffle.
 
     Each row hashes to the portable 60-bit md5 of its pipe-joined
-    column rendering (NULLs rendered as a sentinel so ('a', NULL)
-    differs from ('a', ''); columns are cast to string — fix exact
-    types upstream); the checksum is the plain SUM of those hashes in
-    DECIMAL(38,0) — commutative, so partition order, engine, and
-    parallelism cannot change it, and no 64-bit overflow at any row
-    count. Returns (n_rows, checksum) with the checksum as a string.
+    PER-COLUMN md5 renderings: every column is cast to string and
+    md5'd individually BEFORE joining, with NULL rendered as ``-``
+    (one char, not hex — no md5 digest can collide with it). Because
+    every joined token is a fixed-alphabet digest, a value containing
+    ``|`` or the literal string ``NULL`` cannot inject a field
+    boundary or impersonate the NULL sentinel — two distinct rows
+    render identically only on an md5 collision, so the 1-in-2^60
+    per-differing-row bound actually holds (the naive
+    ``concat_ws('|', ...)`` rendering this replaced was
+    delimiter-injectable). The checksum is the plain SUM of the row
+    hashes in DECIMAL(38,0) — commutative, so partition order, engine,
+    and parallelism cannot change it, and no 64-bit overflow at any
+    row count. Returns (n_rows, checksum) with the checksum as a
+    string.
 
     One map-side-combinable aggregate — a single row through the
-    exchange at any table size. A multiset difference of one row flips
-    the sum except on a ~1-in-2^60 hash collision per differing row;
-    this is the cheap screen, the row-level tool is
-    full_outer_reconcile.
+    exchange at any table size. This is the cheap screen, the
+    row-level tool is full_outer_reconcile.
     """
     if not cols:
         raise ValueError("table_checksum requires at least one column")
@@ -260,7 +266,9 @@ def table_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     rendered = F.concat_ws(
         "|",
         *[
-            F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+            F.coalesce(
+                F.md5(F.col(c).cast("string").cast("binary")), F.lit("-")
+            )
             for c in cols
         ],
     )

@@ -2137,9 +2137,10 @@ agg AS (
     FROM units
 )
 SELECT n_a, conv_a, n_b, conv_b,
-       conv_a * 1000000 // n_a AS cr_a_ppm,
-       conv_b * 1000000 // n_b AS cr_b_ppm,
-       CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE)
+       CASE WHEN n_a > 0 THEN conv_a * 1000000 // n_a END AS cr_a_ppm,
+       CASE WHEN n_b > 0 THEN conv_b * 1000000 // n_b END AS cr_b_ppm,
+       CASE WHEN n_a > 0 AND n_b > 0
+             AND sqrt((CAST(conv_a + conv_b AS DOUBLE)
                        / CAST(n_a + n_b AS DOUBLE))
                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
                        / CAST(n_a + n_b AS DOUBLE))
@@ -2154,7 +2155,8 @@ SELECT n_a, conv_a, n_b, conv_b,
                    * (1.0 / CAST(n_a AS DOUBLE)
                       + 1.0 / CAST(n_b AS DOUBLE))), 9)
        END AS z_stat,
-       COALESCE(abs(CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE)
+       COALESCE(abs(CASE WHEN n_a > 0 AND n_b > 0
+             AND sqrt((CAST(conv_a + conv_b AS DOUBLE)
                        / CAST(n_a + n_b AS DOUBLE))
                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
                        / CAST(n_a + n_b AS DOUBLE))
@@ -2205,9 +2207,9 @@ def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHECKSUM_ORACLE = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CAST('0x' || substr(md5(
-                COALESCE(CAST(o_orderkey AS VARCHAR), 'NULL') || '|' ||
-                COALESCE(CAST(o_custkey AS VARCHAR), 'NULL') || '|' ||
-                COALESCE(o_orderstatus, 'NULL')), 1, 15) AS BIGINT))
+                COALESCE(md5(CAST(o_orderkey AS VARCHAR)), '-') || '|' ||
+                COALESCE(md5(CAST(o_custkey AS VARCHAR)), '-') || '|' ||
+                COALESCE(md5(o_orderstatus), '-')), 1, 15) AS BIGINT))
             AS VARCHAR) AS checksum
 FROM orders
 """

@@ -346,3 +346,74 @@ class TestWinsorize:
         df = spark.createDataFrame([("g", 1.0)], "g string, v double")
         with _pytest.raises(ValueError, match="lo_pct"):
             winsorize(df, "g", "v", lo_pct=0.9, hi_pct=0.1)
+
+
+class TestAdviceGuards:
+    """Round-11 ADVICE.md fixes: empty-arm z-test, output-name
+    collisions, checksum delimiter injection."""
+
+    def test_ztest_empty_arm_yields_nulls_not_error(self, spark):
+        from olist_snowflake_dbt_spark.operators.monitoring import (
+            ab_test_ztest,
+        )
+
+        df = spark.createDataFrame(
+            [("A", True), ("A", False)], "variant string, converted boolean"
+        )
+        r = ab_test_ztest(df, "variant", "converted", "A", "B").collect()[0]
+        assert (r["n_a"], r["n_b"]) == (2, 0)
+        assert r["cr_a_ppm"] == 500_000
+        assert r["cr_b_ppm"] is None
+        assert r["z_stat"] is None
+        assert r["significant"] is False
+
+    def test_ztest_both_arms_empty(self, spark):
+        from olist_snowflake_dbt_spark.operators.monitoring import (
+            ab_test_ztest,
+        )
+
+        df = spark.createDataFrame(
+            [("C", True)], "variant string, converted boolean"
+        )
+        r = ab_test_ztest(df, "variant", "converted", "A", "B").collect()[0]
+        assert (r["n_a"], r["n_b"]) == (0, 0)
+        assert r["cr_a_ppm"] is None and r["cr_b_ppm"] is None
+        assert r["z_stat"] is None and r["significant"] is False
+
+    def test_mad_output_collision_raises(self, spark):
+        from olist_snowflake_dbt_spark.operators.monitoring import (
+            mad_outliers,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 0.0)], "g string, v double, mad double"
+        )
+        with pytest.raises(ValueError, match="mad"):
+            mad_outliers(df, "g", "v")
+
+    def test_winsorize_output_collision_raises(self, spark):
+        from olist_snowflake_dbt_spark.operators.monitoring import winsorize
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 0.0)], "g string, v double, clipped double"
+        )
+        with pytest.raises(ValueError, match="clipped"):
+            winsorize(df, "g", "v")
+
+    def test_checksum_delimiter_injection_distinct(self, spark):
+        """('a|b','c') vs ('a','b|c') and ('a',NULL) vs ('a','NULL')
+        must checksum differently — per-column md5 rendering kills the
+        concat_ws injection the old 'NULL'-sentinel rendering allowed."""
+        from olist_snowflake_dbt_spark.operators.profiling import (
+            table_checksum,
+        )
+
+        def ck(rows):
+            df = spark.createDataFrame(rows, "x string, y string")
+            return table_checksum(df, ["x", "y"]).collect()[0]["checksum"]
+
+        assert ck([("a|b", "c")]) != ck([("a", "b|c")])
+        assert ck([("a", None)]) != ck([("a", "NULL")])
+        assert ck([("a", None)]) != ck([("a", "-")])
+        # order-independence still holds
+        assert ck([("a", "b"), ("c", "d")]) == ck([("c", "d"), ("a", "b")])
