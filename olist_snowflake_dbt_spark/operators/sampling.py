@@ -434,6 +434,80 @@ def negative_samples(
     )
 
 
+def weighted_percentiles(
+    df: DataFrame,
+    group_cols: list,
+    value_col: str,
+    weight_col: str,
+    percentiles: list,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """EXACT weighted percentiles per group, ALL from one sorted frame:
+    for each ``(out_name, p_num, p_den)`` in ``percentiles``, the
+    smallest value whose running weight reaches ``p_num/p_den`` of the
+    group's total — the statistic importance-weighted corpora need (an
+    unweighted median over upsampled documents answers the wrong
+    question).
+
+    Each percentile is a RATIONAL, so every boundary test is one
+    integer cross-multiplication — ``cum_w · p_den >= p_num · total_w``
+    — and no floating-point threshold can disagree between engines.
+    Weights are non-negative integers (scale decimals upstream).
+
+    Plan (the round-11 fuse of the one-window-per-percentile shape):
+    running weight and group total are window functions over the SAME
+    (partition, order) spec — Spark folds same-spec frames into ONE
+    Window operator — and every percentile becomes a conditional MIN
+    in the single downstream aggregate. One key exchange, one sort,
+    one data pass for any number of percentiles; asserted by the plan
+    pin in tests/test_sampling.py. ``tiebreak_col`` makes the sort
+    total when values repeat; the inflection row is value-unique
+    anyway (duplicate values share the qualifying side), but a total
+    order keeps plans deterministic.
+    """
+    if not percentiles:
+        raise ValueError("percentiles must be non-empty")
+    names = [n for n, _, _ in percentiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate output names in {names}")
+    for name, p_num, p_den in percentiles:
+        if p_den <= 0 or not 0 < p_num <= p_den:
+            raise ValueError(
+                f"need 0 < p_num <= p_den (got {p_num}/{p_den} for {name!r})"
+            )
+    order = [F.col(value_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    cum = F.sum(F.col(weight_col).cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # total via the SAME ordered spec with an unbounded frame — same
+    # (partitionSpec, orderSpec) ⇒ Spark evaluates both in one Window
+    # operator (a partition-only spec would add a second one)
+    tot = F.sum(F.col(weight_col).cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    marked = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        cum.alias("__cum"),
+        tot.alias("__tot"),
+    )
+    return marked.groupBy(*group_cols).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum") * F.lit(p_den)
+                    >= F.lit(p_num) * F.col("__tot"),
+                    F.col("__v"),
+                )
+            ).alias(name)
+            for name, p_num, p_den in percentiles
+        ]
+    )
+
+
 def weighted_percentile(
     df: DataFrame,
     group_cols: list,
@@ -443,48 +517,13 @@ def weighted_percentile(
     p_den: int,
     tiebreak_col: str | None = None,
 ) -> DataFrame:
-    """EXACT weighted percentile per group: the smallest value whose
-    running weight reaches ``p_num/p_den`` of the group's total weight
-    — the statistic importance-weighted corpora need (an unweighted
-    median over upsampled documents answers the wrong question).
-
-    The percentile is a RATIONAL (``p_num/p_den``, e.g. 1/2 for the
-    weighted median), so the boundary test is one integer
-    cross-multiplication — ``cum_w · p_den >= p_num · total_w`` — and
-    no floating-point threshold can disagree between engines. Weights
-    are non-negative integers (scale decimals upstream).
-
-    Plan: ONE window pass per group (running weight + total via the
-    same sort) and a min aggregate over qualifying rows — one key
-    exchange. ``tiebreak_col`` makes the sort total when values
-    repeat; the inflection row is value-unique anyway (duplicate
-    values share the qualifying side), but a total order keeps plans
-    deterministic.
-    """
-    if p_den <= 0 or not 0 < p_num <= p_den:
-        raise ValueError(
-            f"need 0 < p_num <= p_den (got {p_num}/{p_den})"
-        )
-    order = [F.col(value_col)] + (
-        [F.col(tiebreak_col)] if tiebreak_col else []
-    )
-    w = Window.partitionBy(*group_cols).orderBy(*order)
-    cum = F.sum(F.col(weight_col).cast("long")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tot = F.sum(F.col(weight_col).cast("long")).over(
-        Window.partitionBy(*group_cols)
-    )
-    marked = df.select(
-        *group_cols,
-        F.col(value_col).alias("__v"),
-        cum.alias("__cum"),
-        tot.alias("__tot"),
-    )
-    return (
-        marked.filter(
-            F.col("__cum") * F.lit(p_den) >= F.lit(p_num) * F.col("__tot")
-        )
-        .groupBy(*group_cols)
-        .agg(F.min("__v").alias("weighted_percentile"))
+    """Single-percentile convenience wrapper over
+    :func:`weighted_percentiles` (column ``weighted_percentile``)."""
+    return weighted_percentiles(
+        df,
+        group_cols,
+        value_col,
+        weight_col,
+        [("weighted_percentile", p_num, p_den)],
+        tiebreak_col=tiebreak_col,
     )

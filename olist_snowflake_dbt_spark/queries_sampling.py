@@ -472,9 +472,12 @@ def q_sample_weighted_percentile(
     statistic importance-weighted corpora need (unweighted medians
     over upsampled rows answer the wrong question). The percentile is
     a rational, so the boundary is one integer cross-multiplication —
-    no float threshold can disagree between engines. One window pass
-    per percentile, one key exchange."""
-    from .operators.sampling import weighted_percentile
+    no float threshold can disagree between engines. BOTH percentiles
+    come off ONE sorted frame (same-spec window frames fold into one
+    Window operator; each percentile is a conditional MIN in the one
+    downstream aggregate) — one key exchange, one sort, one data pass,
+    the round-11 fuse of the old one-window-per-percentile shape."""
+    from .operators.sampling import weighted_percentiles
 
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag"),
@@ -490,13 +493,15 @@ def q_sample_weighted_percentile(
             F.lpad(F.col("l_linenumber").cast("string"), 2, "0"),
         ),
     )
-    med = weighted_percentile(
-        li, ["l_returnflag"], "price", "l_quantity", 1, 2, tiebreak_col="tb"
-    ).withColumnRenamed("weighted_percentile", "wm")
-    p90 = weighted_percentile(
-        li, ["l_returnflag"], "price", "l_quantity", 9, 10, tiebreak_col="tb"
-    ).withColumnRenamed("weighted_percentile", "wp")
-    return med.join(p90, "l_returnflag").select(
+    both = weighted_percentiles(
+        li,
+        ["l_returnflag"],
+        "price",
+        "l_quantity",
+        [("wm", 1, 2), ("wp", 9, 10)],
+        tiebreak_col="tb",
+    )
+    return both.select(
         "l_returnflag",
         F.col("wm").cast("string").alias("weighted_median"),
         F.col("wp").cast("string").alias("weighted_p90"),

@@ -335,3 +335,61 @@ class TestWeightedPercentile:
             weighted_percentile(df, ["g"], "v", "w", 0, 2)
         with _pytest.raises(ValueError, match="p_num"):
             weighted_percentile(df, ["g"], "v", "w", 3, 2)
+
+    def test_multi_percentile_fused_single_window(self, spark):
+        """weighted_percentiles computes N percentiles off ONE sorted
+        frame: exactly one Window operator and one shuffle Exchange in
+        the executed plan (same-spec frames fold; the downstream
+        aggregate reuses the window's partitioning)."""
+        from olist_snowflake_dbt_spark.operators.sampling import (
+            weighted_percentile,
+            weighted_percentiles,
+        )
+
+        rows = [("a", v, 1, v) for v in range(1, 11)] + [
+            ("b", v, v, v) for v in range(1, 5)
+        ]
+        df = spark.createDataFrame(rows, "g string, v long, w long, id long")
+        out = weighted_percentiles(
+            df, ["g"], "v", "w",
+            [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10)],
+            tiebreak_col="id",
+        )
+        got = {r["g"]: (r["p25"], r["p50"], r["p90"]) for r in out.collect()}
+        # group a: uniform weights over 1..10 -> p25=3, p50=5, p90=9
+        assert got["a"] == (3, 5, 9)
+        # group b: weights 1,2,3,4 (tot 10) -> cum 1,3,6,10:
+        # p25 -> first cum*4>=10 -> v=2; p50 -> cum*2>=10 -> v=3;
+        # p90 -> cum*10>=90 -> v=4
+        assert got["b"] == (2, 3, 4)
+        plan = (
+            out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]  # AQE prints the tree twice
+        )
+        assert plan.count("- Window") == 1
+        assert plan.count("- Exchange") <= 1
+        # parity with the single-percentile wrapper
+        single = {
+            r["g"]: r["weighted_percentile"]
+            for r in weighted_percentile(
+                df, ["g"], "v", "w", 1, 2, tiebreak_col="id"
+            ).collect()
+        }
+        assert single == {g: v[1] for g, v in got.items()}
+
+    def test_multi_percentile_guards(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.sampling import (
+            weighted_percentiles,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1, 1, 1)], "g string, v long, w long, id long"
+        )
+        with _pytest.raises(ValueError, match="non-empty"):
+            weighted_percentiles(df, ["g"], "v", "w", [])
+        with _pytest.raises(ValueError, match="duplicate"):
+            weighted_percentiles(
+                df, ["g"], "v", "w", [("p", 1, 2), ("p", 1, 4)]
+            )
