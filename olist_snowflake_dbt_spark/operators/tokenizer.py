@@ -164,6 +164,101 @@ def bpe_train(
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
+def bpe_train_batched(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    min_freq: int = 2,
+    batch: int = 4,
+    candidate_window: int | None = None,
+) -> DataFrame:
+    """Batched BPE trainer — the scale fix for :func:`bpe_train`'s
+    one-driver-round-trip-per-merge coordination cost (32k sequential
+    Spark jobs at a real vocab size). Per ROUND it takes the top
+    ``candidate_window`` pairs in ONE TakeOrdered, greedily accepts up
+    to ``batch`` of them that are pairwise SYMBOL-DISJOINT (no accepted
+    pair shares lhs or rhs with another — disjoint merges neither
+    change each other's pre-round counts nor overlap as patterns, so
+    applying them together is exact), and applies all accepted merges
+    as ONE fused literal-replace projection + ONE ``localCheckpoint``.
+    Driver rounds ≈ ``num_merges / batch`` instead of ``num_merges``;
+    per-round data movement is unchanged (one vocab-sized aggregate +
+    a ``candidate_window``-row TakeOrdered).
+
+    SEMANTICS vs sequential BPE (documented divergence): within a
+    round all selections score against the PRE-round pair counts, so
+    batched training diverges from Sennrich's sequential algorithm
+    exactly when a merge would have created or changed a pair that
+    outranks a later in-round selection (e.g. merging (a,b) creates
+    (ab,ab) pairs a sequential trainer might pick next). With
+    ``batch=1`` every round is a single argmax and the output is
+    IDENTICAL to :func:`bpe_train` (tested). The algorithm — greedy
+    disjoint selection over the top-``candidate_window`` candidates
+    under the (freq DESC, lhs, rhs) total order — is itself exactly
+    replayable in SQL, which is how the driver oracle verifies the
+    full batched run end-to-end.
+
+    Output schema matches :func:`bpe_train`; ``merge_rank`` numbers
+    accepted merges contiguously in (round, slot) order and the table
+    is trimmed to ``num_merges`` rows. ``freq`` is the selection-time
+    (pre-round) pair count. Training stops early when a round accepts
+    nothing (no candidate ≥ ``min_freq`` survives — a later round sees
+    the same vocab, so it could never accept either). The round count
+    is FIXED at ``ceil(num_merges / batch)`` — that bound IS the
+    coordination-cost contract — so when disjointness conflicts leave
+    round slots unfilled the table can come back with fewer than
+    ``num_merges`` rows (callers wanting an exact vocab size budget
+    extra rounds via a larger ``num_merges``).
+    """
+    if num_merges <= 0:
+        raise ValueError(f"num_merges must be positive, got {num_merges}")
+    if batch <= 0:
+        raise ValueError(f"batch must be positive, got {batch}")
+    window = candidate_window or max(4 * batch, 16)
+    if window < batch:
+        raise ValueError(
+            f"candidate_window must be >= batch ({window} < {batch})"
+        )
+    spark = df.sparkSession
+    rounds = -(-num_merges // batch)
+    vocab = word_freq_table(df, text_col).select("freq", "enc").localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for _ in range(rounds):
+        cand = (
+            pair_freqs(vocab)
+            .filter(F.col("freq") >= min_freq)
+            .orderBy(F.desc("freq"), F.asc("lhs"), F.asc("rhs"))
+            .limit(window)
+            .collect()
+        )
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for row in cand:
+            if len(accepted) == batch:
+                break
+            if row["lhs"] in used or row["rhs"] in used:
+                continue
+            accepted.append((row["lhs"], row["rhs"], int(row["freq"])))
+            used.add(row["lhs"])
+            used.add(row["rhs"])
+        if not accepted:
+            break
+        enc = F.col("enc")
+        for lhs, rhs, _f in accepted:
+            enc = merge_expr(enc, lhs, rhs)
+        vocab = vocab.withColumn("enc", enc).localCheckpoint()
+        merges.extend(
+            (len(merges) + i + 1, lhs, rhs, lhs + rhs, freq)
+            for i, (lhs, rhs, freq) in enumerate(accepted)
+        )
+    merges = merges[:num_merges]
+    merges = [
+        (i + 1, lhs, rhs, m, f)
+        for i, (_, lhs, rhs, m, f) in enumerate(merges)
+    ]
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str]] | DataFrame,

@@ -120,6 +120,129 @@ def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", _NUM_MERGES, _MIN_FREQ)
 
 
+def _pair_counts_sql(src: str) -> str:
+    """Pair-count subquery over an encoded vocab CTE ``src``."""
+    return f"""SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, length(syms)), k -> syms[k])) AS lhs,
+               unnest(list_transform(range(1, length(syms)), k -> syms[k+1])) AS rhs
+        FROM (SELECT freq,
+                     list_filter(string_split(enc, '||'), s -> s <> '') AS syms
+              FROM {src})
+        WHERE length(syms) >= 2
+    ) GROUP BY 1, 2"""
+
+
+def _bpe_train_batched_oracle(
+    num_merges: int, min_freq: int, batch: int, window: int
+) -> str:
+    """Unroll the BATCHED train loop (operators/tokenizer.
+    bpe_train_batched) as SQL: per round, the top-``window`` candidate
+    pairs under the (freq DESC, lhs, rhs) total order; per slot, the
+    best candidate symbol-disjoint from the round's earlier slots
+    (greedy = successive constrained argmax); all of a round's accepted
+    merges applied as one nested-replace projection with chr(1) no-op
+    guards for empty slots. Ranks = row_number over (round, slot),
+    trimmed to ``num_merges`` — token-for-token the batched trainer's
+    contract."""
+    rounds = -(-num_merges // batch)
+    ctes = [
+        f"""w0 AS (
+    SELECT freq, '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS enc
+    FROM ({_WORDS_SQL})
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""c{r} AS (
+    SELECT lhs, rhs, freq FROM ({_pair_counts_sql(f"w{r - 1}")})
+    WHERE freq >= {min_freq}
+    ORDER BY freq DESC, lhs, rhs LIMIT {window}
+)""")
+        for j in range(1, batch + 1):
+            if j == 1:
+                conflict = ""
+            else:
+                prior = "\n        UNION ALL ".join(
+                    f"SELECT lhs, rhs FROM s{r}_{i}" for i in range(1, j)
+                )
+                conflict = f"""
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ({prior}) a
+        WHERE a.lhs IN (c.lhs, c.rhs) OR a.rhs IN (c.lhs, c.rhs))"""
+            ctes.append(f"""s{r}_{j} AS (
+    SELECT lhs, rhs, freq FROM c{r} c{conflict}
+    ORDER BY freq DESC, lhs, rhs LIMIT 1
+)""")
+            ctes.append(f"""g{r}_{j} AS (
+    SELECT lhs, rhs FROM s{r}_{j}
+    UNION ALL
+    SELECT chr(1), chr(1) WHERE NOT EXISTS (SELECT 1 FROM s{r}_{j})
+)""")
+        rep = "w.enc"
+        for j in range(1, batch + 1):
+            rep = (
+                f"replace({rep}, '|' || g{j}.lhs || '||' || g{j}.rhs || '|',"
+                f" '|' || g{j}.lhs || g{j}.rhs || '|')"
+            )
+        srcs = ", ".join(f"g{r}_{j} g{j}" for j in range(1, batch + 1))
+        ctes.append(f"""w{r} AS (
+    SELECT w.freq, {rep} AS enc
+    FROM w{r - 1} w, {srcs}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rnd, {j} AS slot, lhs, rhs, freq FROM s{r}_{j}"
+        for r in range(1, rounds + 1)
+        for j in range(1, batch + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+allm AS (
+{union}
+)
+SELECT merge_rank, lhs, rhs, merged, freq FROM (
+    SELECT CAST(row_number() OVER (ORDER BY rnd, slot) AS INTEGER)
+               AS merge_rank,
+           lhs, rhs, lhs || rhs AS merged, CAST(freq AS BIGINT) AS freq
+    FROM allm
+) WHERE merge_rank <= {num_merges}"""
+    )
+
+
+_BATCH = 4
+_BATCH_WINDOW = 16
+
+
+@query(
+    "tokenizer_bpe_train_batched",
+    _bpe_train_batched_oracle(_NUM_MERGES, _MIN_FREQ, _BATCH, _BATCH_WINDOW),
+)
+def q_tokenizer_bpe_train_batched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCHED BPE trainer (operators/tokenizer.bpe_train_batched — the
+    round-11 fix for the sequential trainer's driver-coordination
+    bottleneck): 8 merges learned in 2 rounds of up to 4 pairwise
+    symbol-disjoint merges each, every round ONE vocab aggregate + ONE
+    16-row TakeOrdered + ONE fused literal-replace projection. Driver
+    rounds scale as merges/batch (a 32k-merge production vocab at
+    batch=256 is ~128 rounds, not 32k). The oracle replays the batched
+    algorithm exactly — candidate window, greedy disjoint selection,
+    fused application, rank assignment — as one unrolled statement."""
+    from .operators.tokenizer import bpe_train_batched
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train_batched(
+        docs,
+        "text",
+        _NUM_MERGES,
+        _MIN_FREQ,
+        batch=_BATCH,
+        candidate_window=_BATCH_WINDOW,
+    )
+
+
 def _bpe_segment_oracle(num_merges: int, min_freq: int) -> str:
     """Train (the unrolled chain from ``_bpe_train_oracle``) then ENCODE
     the corpus with the learned merges: per document, word count, total

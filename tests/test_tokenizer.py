@@ -158,3 +158,174 @@ def test_training_plan_has_no_python_rows(spark):
     for plan in (plan1, plan2):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+# --- batched trainer (round 11) ---------------------------------------
+
+def _ref_bpe_batched(
+    word_freqs: dict[str, int],
+    num_merges: int,
+    min_freq: int,
+    batch: int,
+    window: int,
+):
+    """Python reference of the BATCHED algorithm spec: per round, top-
+    ``window`` pairs of the PRE-round counts, greedy symbol-disjoint
+    acceptance of up to ``batch``, fused application."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges: list = []
+    rounds = -(-num_merges // batch)
+    for _ in range(rounds):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        cand = sorted(
+            ((p, c) for p, c in pairs.items() if c >= min_freq),
+            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+        )[:window]
+        accepted, used = [], set()
+        for (lhs, rhs), c in cand:
+            if len(accepted) == batch:
+                break
+            if lhs in used or rhs in used:
+                continue
+            accepted.append((lhs, rhs, c))
+            used |= {lhs, rhs}
+        if not accepted:
+            break
+        for lhs, rhs, c in accepted:
+            merges.append((len(merges) + 1, lhs, rhs, lhs + rhs, c))
+        for lhs, rhs, _c in accepted:
+            nxt: dict[tuple, int] = {}
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == lhs
+                        and syms[i + 1] == rhs
+                    ):
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                t = tuple(out)
+                nxt[t] = nxt.get(t, 0) + f
+            vocab = nxt
+    merges = merges[:num_merges]
+    return [(i + 1, l, r, m, f) for i, (_, l, r, m, f) in enumerate(merges)]
+
+
+def _train_batched(spark, corpus, num_merges, min_freq=2, batch=4, window=16):
+    from olist_snowflake_dbt_spark.operators.tokenizer import (
+        bpe_train_batched,
+    )
+
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.merged, r.freq)
+        for r in bpe_train_batched(
+            df, "text", num_merges, min_freq, batch, window
+        )
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    wf: Counter = Counter(w for t in corpus for w in t.lower().split() if w)
+    want = _ref_bpe_batched(dict(wf), num_merges, min_freq, batch, window)
+    return got, want
+
+
+class TestBpeBatched:
+    def test_batch1_identical_to_sequential(self, spark):
+        """batch=1 degenerates to one argmax per round — bit-identical
+        to the sequential trainer on any corpus."""
+        from olist_snowflake_dbt_spark.operators.tokenizer import (
+            bpe_train_batched,
+        )
+
+        corpus = ["low low low lower lower newest newest newest",
+                  "newest newest widest widest widest low",
+                  "abab abab abab cd cd"]
+        df = spark.createDataFrame([(t,) for t in corpus], "text string")
+        seq = [
+            tuple(r) for r in bpe_train(df, "text", 6, 1)
+            .orderBy("merge_rank").collect()
+        ]
+        b1 = [
+            tuple(r) for r in bpe_train_batched(df, "text", 6, 1, batch=1)
+            .orderBy("merge_rank").collect()
+        ]
+        assert b1 == seq and len(seq) == 6
+
+    def test_golden_parity_with_batched_reference(self, spark):
+        got, want = _train_batched(
+            spark,
+            ["low low low lower lower newest newest newest",
+             "newest newest widest widest widest low"],
+            8, min_freq=2, batch=4,
+        )
+        # round 2's slots partially conflict on this corpus, so fewer
+        # than 8 merges come back — per the fixed-round contract
+        assert got == want and 4 <= len(got) <= 8
+
+    def test_disjoint_corpus_matches_sequential(self, spark):
+        """When every round's accepted pairs never interact (symbol-
+        disjoint AND no created pair outranks later picks), batched ==
+        sequential — the exactness case the operator documents."""
+        corpus = ["ab ab ab ab cd cd cd ef ef gh"]
+        got, want = _train_batched(spark, corpus, 4, min_freq=1, batch=4)
+        got_seq, want_seq = _train_both(spark, corpus, 4, min_freq=1)
+        assert got == want
+        # same merge SET and same ranks here: (a,b),(c,d),(e,f),(g,h)
+        assert got == got_seq == want_seq
+
+    def test_documented_divergence_on_created_pairs(self, spark):
+        """abab-heavy corpus: sequential merge #2 is the CREATED pair
+        (ab,ab); batched batch=2 scores against pre-round counts and
+        picks (c,d) instead. Both match their own spec — the divergence
+        the operator docstring documents."""
+        corpus = ["abab abab abab cd cd"]
+        got_b, want_b = _train_batched(spark, corpus, 2, min_freq=1, batch=2)
+        got_s, want_s = _train_both(spark, corpus, 2, min_freq=1)
+        assert got_b == want_b and got_s == want_s
+        assert got_b[0][1:3] == ("a", "b") and got_s[0][1:3] == ("a", "b")
+        assert got_s[1][1:3] == ("ab", "ab")   # sequential: created pair
+        assert got_b[1][1:3] == ("c", "d")     # batched: pre-round pair
+        assert got_b != got_s
+
+    def test_driver_rounds_scale_as_merges_over_batch(self, spark, monkeypatch):
+        """8 merges at batch=4 touch the driver TWICE (one candidate
+        TakeOrdered per round) — the coordination-cost claim."""
+        import olist_snowflake_dbt_spark.operators.tokenizer as tok
+
+        calls = {"n": 0}
+        real = tok.pair_freqs
+
+        def counting(vocab):
+            calls["n"] += 1
+            return real(vocab)
+
+        monkeypatch.setattr(tok, "pair_freqs", counting)
+        corpus = ["low low low lower lower newest newest newest",
+                  "newest newest widest widest widest low"]
+        df = spark.createDataFrame([(t,) for t in corpus], "text string")
+        out = tok.bpe_train_batched(df, "text", 8, 2, batch=4)
+        assert out.count() >= 4
+        assert calls["n"] == 2
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.tokenizer import (
+            bpe_train_batched,
+        )
+
+        df = spark.createDataFrame([("ab",)], "text string")
+        with _pytest.raises(ValueError, match="batch"):
+            bpe_train_batched(df, "text", 4, 1, batch=0)
+        with _pytest.raises(ValueError, match="candidate_window"):
+            bpe_train_batched(df, "text", 4, 1, batch=8, candidate_window=2)
+        with _pytest.raises(ValueError, match="num_merges"):
+            bpe_train_batched(df, "text", 0, 1)
