@@ -137,38 +137,75 @@ def host_url_stats(
 
 # -- public-suffix registrable domain ---------------------------------
 
-# Minimal checked-in subset of the Public Suffix List (publicsuffix.org,
-# public data) — the multi-label suffixes a naive "last two labels"
-# heuristic collapses wrong, which is exactly the ccTLD shape crawl
-# corpora are full of (every co.uk site would otherwise pool into one
-# "co.uk" domain and per-domain caps would throttle a whole country).
-# Production swaps in the full ~9k-rule list; the operator shape
-# (broadcast suffix dim + longest-match) is unchanged. Single-label
-# TLDs are deliberately ABSENT: PSL's implicit "*" wildcard makes any
-# unlisted TLD a 1-label suffix, so listing them changes nothing.
-# Exception rules ("!city.kawasaki.jp") are out of scope (documented).
-PUBLIC_SUFFIXES = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
-    "com.br", "net.br", "org.br",
-    "co.in", "org.in", "net.in", "firm.in",
-    "co.nz", "org.nz", "net.nz", "govt.nz",
-    "co.za", "org.za", "net.za", "gov.za",
-    "com.cn", "net.cn", "org.cn", "edu.cn",
-    "com.mx", "org.mx", "gob.mx",
-    "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
-    "github.io", "gitlab.io", "blogspot.com",
-    "s3.amazonaws.com",
+import os as _os
+
+# Checked-in snapshot of the Public Suffix List (publicsuffix.org,
+# public data) in the OFFICIAL .dat format — exact rules, `*.` wildcard
+# rules, and `!` exception rules (resources/public_suffix_list.dat
+# documents the curation; the build container is offline, so it is a
+# hand-curated stable subset, and a verbatim download of the full
+# ~9k-rule file drops in with zero code changes). Without it every
+# co.uk site would pool into one "co.uk" domain and per-domain caps
+# would throttle a whole country.
+_PSL_SNAPSHOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "resources",
+    "public_suffix_list.dat",
 )
 
 
-def public_suffixes(spark) -> DataFrame:
-    """The checked-in PSL subset as a broadcast-sized dim:
-    (suffix, n_labels)."""
+def load_psl_rules(path: str | None = None) -> tuple:
+    """Parse an official-format PSL file into the raw rule strings
+    (lowercased; comments/blank lines dropped, first whitespace token
+    per line, both ICANN and PRIVATE sections — the standard parse per
+    the publicsuffix.org wiki's format spec)."""
+    rules = []
+    with open(path or _PSL_SNAPSHOT, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            rules.append(line.split()[0].lower())
+    return tuple(rules)
+
+
+#: raw snapshot rules ("co.uk", "*.ck", "!www.ck", ...) — one source of
+#: truth for the operator dim AND the driver oracle's inline replay
+PUBLIC_SUFFIXES = load_psl_rules()
+
+
+def _classify_rules(raw_rules) -> list:
+    """(suffix, n_labels, kind) triples from raw PSL rule strings.
+
+    kind ∈ {'rule', 'wildcard', 'exception'}; wildcard rows store the
+    FIXED TAIL after ``*.`` with its own label count (``*.ck`` →
+    ('ck', 1, 'wildcard') — effective suffix width is n_labels + 1).
+    Single-label EXACT rules are skipped: the implicit ``*`` fallback
+    (suffix = last label) produces the identical registrable domain,
+    so keeping them would only add a no-op broadcast join — same
+    optimization the pre-snapshot subset documented. Single-label
+    wildcard TAILS (``*.ck``) are of course kept."""
+    out = set()
+    for r in raw_rules:
+        if r.startswith("!"):
+            s = r[1:]
+            out.add((s, s.count(".") + 1, "exception"))
+        elif r.startswith("*."):
+            s = r[2:]
+            out.add((s, s.count(".") + 1, "wildcard"))
+        elif "." in r:
+            out.add((r, r.count(".") + 1, "rule"))
+    return sorted(out)
+
+
+def public_suffixes(spark, path: str | None = None) -> DataFrame:
+    """The checked-in PSL snapshot as a broadcast-sized dim:
+    (suffix, n_labels, kind)."""
+    rules = _classify_rules(
+        load_psl_rules(path) if path else PUBLIC_SUFFIXES
+    )
     return spark.createDataFrame(
-        [(s, s.count(".") + 1) for s in PUBLIC_SUFFIXES],
-        "suffix string, n_labels int",
+        rules, "suffix string, n_labels int, kind string"
     )
 
 
@@ -179,21 +216,38 @@ def with_registrable_domain(
     out_col: str = "registrable_domain",
 ) -> DataFrame:
     """Append the PSL registrable domain (eTLD+1) of ``host_col`` via
-    LONGEST-MATCH against the public-suffix dim.
+    the FULL Public Suffix List algorithm (publicsuffix.org/list):
+    exception rules win outright, then the longest matching rule
+    (wildcard rules counting their ``*`` label), then the implicit
+    ``*`` fallback (suffix = last label → registrable = last two).
 
-    Plan shape for 100 TB: one BROADCAST left join per suffix WIDTH
+    Rule semantics per kind (the loader stores wildcards by their
+    fixed TAIL):
+
+    - ``rule`` of width k: host tail(k) == suffix ⇒ registrable =
+      tail(k+1) (needs a registrable label left of the suffix);
+    - ``wildcard`` with tail t (``*.ck`` ⇒ tail 'ck', t=1): host
+      tail(t) == tail AND ≥ t+2 labels ⇒ the effective suffix is
+      t+1 labels wide, registrable = tail(t+2);
+    - ``exception`` of width k (``!www.ck``): host tail(k) == suffix
+      ⇒ the public suffix is the exception minus its leftmost label,
+      so registrable = tail(k) itself — for ``a.www.ck`` AND for
+      ``www.ck``, both ``www.ck``.
+
+    Plan shape for 100 TB: one BROADCAST left join per (kind, width)
     present in the dim (widths are read off the dim at plan time —
     one driver round-trip over a broadcast-sized table, so 4-label PSL
     rules in a caller-supplied dim join correctly rather than being
-    silently ignored), zero shuffle, zero UDF; the longest match wins
-    by coalesce priority and any unmatched TLD falls back to PSL's
-    implicit ``*`` wildcard (suffix = last label → registrable = last
-    two labels). Hosts are lowercased before splitting (DNS names are
-    case-insensitive — ``A.Shop.CO.UK`` matches ``co.uk``), so
-    ``out_col`` is always lowercase. The dim is deduplicated on
-    ``suffix`` (a duplicate rule row would otherwise fan out every
-    matching input row through the equality join). A host that IS a
-    bare public suffix (no registrable label left) yields itself.
+    silently ignored), zero shuffle, zero UDF; priority is one
+    coalesce (exceptions by width desc, then effective widths desc,
+    then the fallback). Hosts are lowercased before splitting (DNS
+    names are case-insensitive — ``A.Shop.CO.UK`` matches ``co.uk``),
+    so ``out_col`` is always lowercase. The dim is deduplicated (a
+    duplicate rule row would otherwise fan out every matching input
+    row through the equality join). A host that IS a bare public
+    suffix (no registrable label left) yields itself. Caller dims
+    without a ``kind`` column are treated as all-exact (the pre-
+    snapshot dim contract).
     """
     if suffixes is None:
         suffixes = public_suffixes(df.sparkSession)
@@ -201,43 +255,74 @@ def with_registrable_domain(
     # dedupe + width discovery happen in ONE driver round-trip over it —
     # a distributed dropDuplicates would put an Exchange into an
     # otherwise map-only plan for a table that fits in a driver page.
-    rules = {
-        r["suffix"]: r["n_labels"]
-        for r in suffixes.select("suffix", "n_labels").collect()
+    has_kind = "kind" in suffixes.columns
+    cols = ["suffix", "n_labels"] + (["kind"] if has_kind else [])
+    triples = {
+        (
+            r["suffix"],
+            r["n_labels"],
+            r["kind"] if has_kind else "rule",
+        )
+        for r in suffixes.select(*cols).collect()
         if r["suffix"] is not None and r["n_labels"] is not None
     }
-    widths = sorted({n for n in rules.values() if n >= 2}, reverse=True)
-    suffixes = df.sparkSession.createDataFrame(
-        sorted(rules.items()), "suffix string, n_labels int"
-    )
+    by_kind: dict[str, dict[int, list[str]]] = {}
+    for sfx, k, kind in triples:
+        if kind == "rule" and k < 2:
+            continue  # identical to the implicit fallback — no-op join
+        by_kind.setdefault(kind, {}).setdefault(k, []).append(sfx)
+
+    spark = df.sparkSession
     labels = F.split(F.lower(F.col(host_col)), r"\.")
     nl = F.size(labels)
 
-    def tail(k: "Column | int") -> Column:
+    def tail(k: int) -> Column:
         return F.array_join(F.slice(labels, -k, k), ".")
 
     out = df
-    for k in widths:
-        sfx_k = suffixes.filter(F.col("n_labels") == k).select(
-            F.col("suffix").alias(f"__sfx{k}")
+    tmp_cols: list[str] = []
+
+    def join_width(kind: str, k: int, min_nl: int, col_name: str) -> None:
+        nonlocal out
+        dim = spark.createDataFrame(
+            [(s,) for s in sorted(by_kind[kind][k])],
+            f"{col_name} string",
         )
-        # a registrable label must remain to the left of the suffix
-        cand = F.when(nl >= k + 1, tail(k))
         out = out.join(
-            F.broadcast(sfx_k),
-            cand == F.col(f"__sfx{k}"),
+            F.broadcast(dim),
+            F.when(nl >= min_nl, tail(k)) == F.col(col_name),
             "left",
         )
+        tmp_cols.append(col_name)
+
+    exc_widths = sorted(by_kind.get("exception", {}), reverse=True)
+    for k in exc_widths:
+        join_width("exception", k, k, f"__exc{k}")
+    rule_widths = sorted(by_kind.get("rule", {}), reverse=True)
+    for k in rule_widths:
+        join_width("rule", k, k + 1, f"__sfx{k}")
+    wild_tails = sorted(by_kind.get("wildcard", {}), reverse=True)
+    for t in wild_tails:
+        join_width("wildcard", t, t + 2, f"__wc{t}")
+
+    # priority: exceptions (width desc) > effective suffix width desc
+    # (exact k ⇒ eff k; wildcard tail t ⇒ eff t+1) > implicit fallback
+    branches: list[Column] = [
+        F.when(F.col(f"__exc{k}").isNotNull(), tail(k)) for k in exc_widths
+    ]
+    eff: list[tuple[int, Column]] = [
+        (k, F.when(F.col(f"__sfx{k}").isNotNull(), tail(k + 1)))
+        for k in rule_widths
+    ] + [
+        (t + 1, F.when(F.col(f"__wc{t}").isNotNull(), tail(t + 2)))
+        for t in wild_tails
+    ]
+    branches += [c for _, c in sorted(eff, key=lambda p: -p[0])]
     reg = F.coalesce(
-        *[
-            F.when(F.col(f"__sfx{k}").isNotNull(), tail(k + 1))
-            for k in widths
-        ],
+        *branches,
         F.when(nl >= 2, tail(2)).otherwise(F.lower(F.col(host_col))),
     )
-    return out.withColumn(out_col, reg).drop(
-        *[f"__sfx{k}" for k in widths]
-    )
+    return out.withColumn(out_col, reg).drop(*tmp_cols)
 
 
 def cap_per_host(

@@ -292,33 +292,44 @@ def q_web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- PSL registrable domain (eTLD+1) ----------------------------------
 
-from .operators.web import PUBLIC_SUFFIXES  # noqa: E402
+from .operators.web import PUBLIC_SUFFIXES, _classify_rules  # noqa: E402
 
-# the same checked-in suffix subset, rendered as an inline dim for the
-# oracle — one source of truth (a drifted copy could not hash-match)
+# the same checked-in snapshot rules, classified by the same loader and
+# rendered as an inline (suffix, width, kind) dim for the oracle — one
+# source of truth (a drifted copy could not hash-match). Wildcard rows
+# carry the fixed TAIL ('*.ck' → 'ck'); exceptions their full suffix.
 _PSL_VALUES = ",\n        ".join(
-    f"('{s}', {s.count('.') + 1})" for s in PUBLIC_SUFFIXES
+    f"('{s}', {k}, '{kind}')"
+    for s, k, kind in _classify_rules(PUBLIC_SUFFIXES)
 )
 
-# ccTLD-diverse synthetic hosts: multi-label public suffixes (co.uk /
-# org.uk / github.io / s3.amazonaws.com) where "last two labels" pools
-# a whole country into one domain, plus a plain .com fallback case.
+# ccTLD-diverse synthetic hosts exercising every rule kind: multi-label
+# exact suffixes (co.uk / org.uk / github.io / s3.amazonaws.com) where
+# "last two labels" pools a whole country into one domain, a plain .com
+# fallback, `*.ck` / `*.nagoya.jp` wildcard rules, and the `!www.ck` /
+# `!city.nagoya.jp` exceptions (which POOL across sources — the proof
+# the exception path fires).
 _PSL_SYNTH = """
     SELECT doc_id,
            'http://'
         || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
-        || (CASE doc_id % 5
+        || (CASE doc_id % 10
             WHEN 0 THEN '.Shop.CO.UK'
             WHEN 1 THEN '.example.com'
             WHEN 2 THEN '.news.org.uk'
             WHEN 3 THEN '.pages.github.io'
-            ELSE '.bucket.s3.amazonaws.com' END)
+            WHEN 4 THEN '.bucket.s3.amazonaws.com'
+            WHEN 5 THEN '.foo.CK'
+            WHEN 6 THEN '.WWW.ck'
+            WHEN 7 THEN '.city.Nagoya.JP'
+            WHEN 8 THEN '.naka.nagoya.jp'
+            ELSE '.pref.aichi.jp' END)
         || '/p/' || CAST(doc_id % 20 AS VARCHAR) AS url
     FROM documents
 """
 
 _PSL_ORACLE = f"""
-    WITH psl(sfx, k) AS (VALUES
+    WITH psl(sfx, k, kind) AS (VALUES
         {_PSL_VALUES}
     ),
     urls AS ({_PSL_SYNTH}),
@@ -340,17 +351,28 @@ _PSL_ORACLE = f"""
                len(string_split(host, '.')) AS nl
         FROM canon
     ),
-    sel AS (  -- longest-match suffix width (NULL → implicit * wildcard)
+    sel AS (  -- full PSL algorithm: exception width / best effective
+              -- suffix width (wildcards count their * label); NULL mk
+              -- falls to the implicit * rule
         SELECT h.*,
                (SELECT MAX(p.k) FROM psl p
-                 WHERE h.nl >= p.k + 1
+                 WHERE p.kind = 'exception' AND h.nl >= p.k
                    AND array_to_string(h.ls[h.nl - p.k + 1 : h.nl], '.') = p.sfx
+               ) AS ek,
+               (SELECT MAX(CASE WHEN p.kind = 'rule' THEN p.k
+                                ELSE p.k + 1 END) FROM psl p
+                 WHERE (p.kind = 'rule' AND h.nl >= p.k + 1
+                        AND array_to_string(h.ls[h.nl - p.k + 1 : h.nl], '.') = p.sfx)
+                    OR (p.kind = 'wildcard' AND h.nl >= p.k + 2
+                        AND array_to_string(h.ls[h.nl - p.k + 1 : h.nl], '.') = p.sfx)
                ) AS mk
         FROM h
     ),
     reg AS (
         SELECT doc_id, canonical,
-               CASE WHEN mk IS NOT NULL
+               CASE WHEN ek IS NOT NULL
+                    THEN array_to_string(ls[nl - ek + 1 : nl], '.')
+                    WHEN mk IS NOT NULL
                     THEN array_to_string(ls[nl - mk : nl], '.')
                     WHEN nl >= 2 THEN array_to_string(ls[nl - 1 : nl], '.')
                     ELSE host END AS registrable
@@ -374,11 +396,16 @@ def synth_psl_urls(df: DataFrame) -> DataFrame:
     url = F.concat(
         F.lit("http://"),
         F.when(did % 2 == 0, F.upper("source")).otherwise(F.col("source")),
-        F.when(did % 5 == 0, F.lit(".Shop.CO.UK"))
-        .when(did % 5 == 1, F.lit(".example.com"))
-        .when(did % 5 == 2, F.lit(".news.org.uk"))
-        .when(did % 5 == 3, F.lit(".pages.github.io"))
-        .otherwise(F.lit(".bucket.s3.amazonaws.com")),
+        F.when(did % 10 == 0, F.lit(".Shop.CO.UK"))
+        .when(did % 10 == 1, F.lit(".example.com"))
+        .when(did % 10 == 2, F.lit(".news.org.uk"))
+        .when(did % 10 == 3, F.lit(".pages.github.io"))
+        .when(did % 10 == 4, F.lit(".bucket.s3.amazonaws.com"))
+        .when(did % 10 == 5, F.lit(".foo.CK"))
+        .when(did % 10 == 6, F.lit(".WWW.ck"))
+        .when(did % 10 == 7, F.lit(".city.Nagoya.JP"))
+        .when(did % 10 == 8, F.lit(".naka.nagoya.jp"))
+        .otherwise(F.lit(".pref.aichi.jp")),
         F.lit("/p/"),
         (did % 20).cast("string"),
     )
@@ -389,11 +416,13 @@ def synth_psl_urls(df: DataFrame) -> DataFrame:
 def q_web_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Public-Suffix-List registrable domain (eTLD+1) feeding the
     per-domain cap (operators/web.with_registrable_domain +
-    cap_per_host(level='registrable')): broadcast longest-match against
-    the checked-in PSL subset groups src0.shop.co.uk and
-    src1.shop.co.uk under shop.co.uk — NOT under a bogus 'co.uk'
-    country-wide domain the 2-label approximation produces. The oracle
-    replays canonicalization, the longest-match, the wildcard fallback,
+    cap_per_host(level='registrable')): the FULL PSL algorithm over the
+    official-format snapshot — exact longest-match (src0.shop.co.uk and
+    src1.shop.co.uk group under shop.co.uk, NOT a bogus country-wide
+    'co.uk'), `*.ck` / `*.nagoya.jp` wildcard rules, and the `!www.ck`
+    / `!city.nagoya.jp` exceptions (whose hosts POOL across sources —
+    the proof the exception branch fires). The oracle replays
+    canonicalization, the rule-kind priority, the implicit-* fallback,
     and the exact md5 cap order, so both the grouping and the surviving
     doc set are pinned."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")

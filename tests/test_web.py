@@ -281,3 +281,100 @@ class TestBlocklist:
         plan = apply_blocklist(self._docs(spark), bl)._jdf.queryExecution().executedPlan().toString()
         assert "LeftAnti" in plan and "Broadcast" in plan
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestPslWildcardException:
+    """Round-11 full-PSL-algorithm rules: `*.` wildcards and `!`
+    exceptions from the official-format snapshot."""
+
+    def _reg(self, spark, hosts):
+        from olist_snowflake_dbt_spark.operators.web import (
+            with_registrable_domain,
+        )
+
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        out = with_registrable_domain(df, "host")
+        return {r.host: r.registrable_domain for r in out.collect()}
+
+    def test_wildcard_ck(self, spark):
+        got = self._reg(
+            spark, ["a.foo.ck", "b.a.foo.ck", "foo.ck", "ck"]
+        )
+        # *.ck: every 2nd-level is a public suffix -> eTLD+1 is 3 labels
+        assert got["a.foo.ck"] == "a.foo.ck"
+        assert got["b.a.foo.ck"] == "a.foo.ck"
+        # a bare wildcard suffix yields itself (fallback contract)
+        assert got["foo.ck"] == "foo.ck"
+        assert got["ck"] == "ck"
+
+    def test_exception_www_ck_beats_wildcard(self, spark):
+        got = self._reg(spark, ["www.ck", "sub.www.ck", "d.sub.www.ck"])
+        # !www.ck: www.ck IS registrable (public suffix falls to 'ck')
+        assert got["www.ck"] == "www.ck"
+        assert got["sub.www.ck"] == "www.ck"
+        assert got["d.sub.www.ck"] == "www.ck"
+
+    def test_japanese_geographic_rules(self, spark):
+        got = self._reg(
+            spark,
+            [
+                "x.city.nagoya.jp",        # !city.nagoya.jp exception
+                "city.nagoya.jp",
+                "shop.naka.nagoya.jp",     # *.nagoya.jp wildcard
+                "x.shop.naka.nagoya.jp",
+                "site.pref.aichi.jp",      # plain 2-label rule aichi.jp
+                "example.co.jp",           # organizational 2nd-level
+            ],
+        )
+        assert got["x.city.nagoya.jp"] == "city.nagoya.jp"
+        assert got["city.nagoya.jp"] == "city.nagoya.jp"
+        assert got["shop.naka.nagoya.jp"] == "shop.naka.nagoya.jp"
+        assert got["x.shop.naka.nagoya.jp"] == "shop.naka.nagoya.jp"
+        assert got["site.pref.aichi.jp"] == "pref.aichi.jp"
+        assert got["example.co.jp"] == "example.co.jp"
+
+    def test_mixed_case_wildcard_exception(self, spark):
+        got = self._reg(spark, ["WWW.CK", "Shop.Naka.NAGOYA.JP"])
+        assert got["WWW.CK"] == "www.ck"
+        assert got["Shop.Naka.NAGOYA.JP"] == "shop.naka.nagoya.jp"
+
+    def test_snapshot_loader_roundtrip(self, spark):
+        """The official-format parser: comments and sections dropped,
+        all three rule kinds classified, single-label exact rules
+        elided from the dim (identical to the implicit fallback)."""
+        from olist_snowflake_dbt_spark.operators.web import (
+            PUBLIC_SUFFIXES,
+            _classify_rules,
+            public_suffixes,
+        )
+
+        assert "co.uk" in PUBLIC_SUFFIXES
+        assert "*.ck" in PUBLIC_SUFFIXES
+        assert "!www.ck" in PUBLIC_SUFFIXES
+        assert not any(r.startswith("//") for r in PUBLIC_SUFFIXES)
+        kinds = {k for _, _, k in _classify_rules(PUBLIC_SUFFIXES)}
+        assert kinds == {"rule", "wildcard", "exception"}
+        dim = public_suffixes(spark)
+        rows = {(r.suffix, r.kind) for r in dim.collect()}
+        assert ("ck", "wildcard") in rows
+        assert ("www.ck", "exception") in rows
+        assert ("nagoya.jp", "wildcard") in rows
+        assert ("city.nagoya.jp", "exception") in rows
+        # 1-label exact rules elided; wildcard TAILS of 1 label kept
+        assert ("com", "rule") not in rows
+
+    def test_zero_shuffle_plan_with_full_snapshot(self, spark):
+        from olist_snowflake_dbt_spark.operators.web import (
+            with_registrable_domain,
+        )
+
+        df = spark.range(50).select(
+            F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".www.ck"))
+            .alias("host")
+        )
+        plan = (
+            with_registrable_domain(df, "host")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
