@@ -34,81 +34,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries
-# in dict order. Round-10 rotation policy (same staleness-wins rule as
-# r09): (a) everything NEW or modified in round 10 — 38 slots: the
-# sequence-analytics family (IGNORE NULLS navigation, Markov
-# transitions, dialogue-turn validation, cohort retention, MAD
-# outliers), WIDTH_BUCKET histogram, C4 text normalization, the
-# interval-overlap join, JL random projection, the multimodal/audio +
-# spatial + MATCH_RECOGNIZE + BPE-tokenizer + conditional-event rows,
-# web_domain_psl whose operator changed (case-insensitive matching,
-# widths derived from the suffix dim), plus the second wave (multiset
-# set ops, PoP metrics, bitmap NDV, regex breadth, dynamic pivot,
-# equi-depth histogram, triangle counting, geohash, A/B z-test,
-# negative sampling, table checksum, array breadth, media resize,
-# k-anonymity, weighted percentile, full-sync MERGE, running-distinct
-# bitmap window, winsorize, CUSUM); then (b) the 12 stalest r05-era
-# rows. The 21 remaining r05-era rows (dedup_subdoc_chunks,
-# map_type_roundtrip, recursive_cte_hierarchy, try_safe_arithmetic,
-# variant_shred_agg, window_range_interval,
-# tpch_q2/q7/q8/q9/q11/q13/q15/q16/q17/q19/q20/q21/q22,
-# hll_and_quantile_sketch, udf_compression_ratio) and all r06-era rows
-# are first in line for round 11. Every displaced query keeps its historical driver row and
+# in dict order. Round-11 rotation policy (same staleness-wins rule as
+# r09/r10): (a) everything NEW or modified in round 11 — 7 slots: the
+# batched BPE trainer (new), web_domain_psl (full PSL algorithm:
+# official-format snapshot, wildcard + exception rules, new synth
+# hosts), sample_weighted_percentile (fused single-window rewrite),
+# ab_test_ztest (empty-arm guards), table_checksum_reconcile
+# (injection-proof per-column md5 rendering — checksum VALUES changed),
+# mad_outlier_flags + winsorize_values (output-collision guards); then
+# (b) the 43 stalest rows: all 21 r05-era rows plus the alphabetical
+# first 22 of the 42 r06-era rows. After this round no query's newest
+# driver row is older than r06, and the remaining 20 r06-era rows
+# (pyds_*, range_join_bucketed, salted_skew_join, seed_csv_inference,
+# stg_projection_rename, stream_* family, string_funcs,
+# tpch_q12_shipmode_priority, two_phase_distinct_skew, udaf_decimal_sum,
+# udtf_chunk_words, unpivot_stack, window_frames) are first in line for
+# round 12. Every displaced query keeps its historical driver row and
 # is re-verified on current code each round by tools/gate.py over the
 # full catalog (GATE.json).
 _CHECK_FIRST = [
-    # new / modified in round 10
-    "window_running_distinct",
-    "winsorize_values",
-    "metric_cusum_changepoint",
-    "sample_weighted_percentile",
-    "incremental_merge_full_sync",
-    "governance_k_anonymity",
-    "mm_resize_grid",
-    "table_checksum_reconcile",
-    "array_functions_breadth",
-    "graph_triangle_count",
-    "geo_geohash_encode",
-    "ab_test_ztest",
-    "sample_negatives_contrastive",
-    "set_ops_all",
-    "metric_period_over_period",
-    "bitmap_ndv_rollup",
-    "regex_function_breadth",
-    "pivot_dynamic",
-    "histogram_equi_depth",
-    "window_nav_ignore_nulls",
-    "markov_transitions",
-    "chat_turn_stats",
-    "cohort_retention",
-    "mad_outlier_flags",
-    "histogram_width_bucket",
-    "text_normalize",
-    "interval_overlap_pairs",
-    "embedding_random_projection",
-    "mm_audio_fpdedup",
-    "geo_grid_epsilon_join",
-    "geo_nearest_within",
-    "match_recognize_funnel",
-    "match_recognize_vshape",
-    "window_conditional_events",
-    "tokenizer_pair_freqs",
-    "tokenizer_bpe_train",
-    "tokenizer_bpe_segment",
+    # new / modified in round 11
+    "tokenizer_bpe_train_batched",
     "web_domain_psl",
-    # stalest: r05-era driver rows (all 33 that remain)
-    "quality_quantile_filter",
-    "sample_importance_weighted",
-    "stream_sliding_window",
-    "text_corpus_freq_score",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_priority_revenue",
-    "tpch_q4_late_orders",
-    "tpch_q5_region_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
+    "sample_weighted_percentile",
+    "ab_test_ztest",
+    "table_checksum_reconcile",
+    "mad_outlier_flags",
+    "winsorize_values",
+    # stalest: all 21 r05-era driver rows
+    "dedup_subdoc_chunks",
+    "hll_and_quantile_sketch",
+    "map_type_roundtrip",
+    "recursive_cte_hierarchy",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_shares",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_accounts",
+    "try_safe_arithmetic",
+    "udf_compression_ratio",
+    "variant_shred_agg",
+    "window_range_interval",
+    # stalest: alphabetical first 22 of the 42 r06-era rows
+    "array_agg_ops",
+    "conditional_agg_filter",
+    "correlated_scalar_subquery",
+    "dedup_incremental_corpus",
+    "dedup_semantic",
+    "dq_accepted_values",
+    "dq_not_null",
+    "dq_relationships",
+    "dq_singular_revenue_positive",
+    "dq_unique",
+    "filter_predicate",
+    "groupby_sum_ordinal",
+    "incremental_delete_insert_sim",
+    "incremental_insert_overwrite_sim",
+    "incremental_merge_sim",
+    "lateral_explode",
+    "left_join_null_fill",
+    "minmax_by_agg",
+    "moment_stats",
+    "null_arithmetic",
+    "null_safe_join",
+    "percentile_agg",
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.
