@@ -192,19 +192,17 @@ def containment_pairs(
 # -- MinHash + LSH ----------------------------------------------------
 
 
-def minhash_banded(
+def minhash_signatures(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n: int = 3,
     num_hashes: int = 64,
-    bands: int = 16,
 ) -> DataFrame:
-    """The banding stage of :func:`minhash_lsh_pairs`, exposed so tests
-    can assert bucket-size bounds on the OPERATOR'S OWN buckets (the
-    skew-stress suite) rather than a parallel re-derivation. Returns
-    one row per (document, band): ``__id, __sig, __band``."""
-    rows = bands and num_hashes // bands
+    """The signature stage of MinHash LSH: ``(__id, __sig)`` — one row
+    per document, ``__sig`` an array of ``num_hashes`` longs. Factored
+    out (round 11) so the pair stage can route signatures through the
+    exchanges ONCE, keyed by id, instead of once per band."""
     sh = df.select(
         F.col(id_col).alias("__id"), words(text_col).alias("__ws")
     ).select("__id", shingle_strings_from_words(F.col("__ws"), n).alias("__shingles"))
@@ -218,7 +216,7 @@ def minhash_banded(
         F.pmod(md5_part60(F.col("__md"), 1), F.lit(HASH_MOD)).alias("__b"),
     )
     comps = minhash_components(F.col("__a"), F.col("__b"), num_hashes)
-    sigs = (
+    return (
         ex.groupBy("__id")
         .agg(*[F.min(c).alias(f"__h{i}") for i, c in enumerate(comps, start=1)])
         .select(
@@ -226,7 +224,22 @@ def minhash_banded(
             F.array(*[f"__h{i}" for i in range(1, num_hashes + 1)]).alias("__sig"),
         )
     )
-    return sigs.select(
+
+
+def minhash_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The banding stage of :func:`minhash_lsh_pairs`, exposed so tests
+    can assert bucket-size bounds on the OPERATOR'S OWN buckets (the
+    skew-stress suite) rather than a parallel re-derivation. Returns
+    one row per (document, band): ``__id, __sig, __band``."""
+    rows = bands and num_hashes // bands
+    return minhash_signatures(df, text_col, id_col, n, num_hashes).select(
         "__id",
         "__sig",
         F.explode_outer(
@@ -248,40 +261,57 @@ def minhash_lsh_pairs(
     """Candidate pairs whose banded MinHash collides, verified by the
     signature-level Jaccard estimate ≥ threshold.
 
-    Plan shape: scan → explode shingles → hash-aggregate per doc taking
-    the k mins (codegen'd, map-side partial — the shuffle is one 64-long
-    row per document) → explode band keys → groupBy band → pairs within
-    buckets → estimate+filter. ``max_bucket`` drops pathologically hot
-    buckets (boilerplate). The per-row ``minhash_signature`` fold exists
-    for single-pass uses, but Spark evaluates higher-order array
-    functions interpreted per element, so the explode/agg formulation
-    here is ~20x faster at corpus scale.
+    Plan shape (restructured round 11 after the two-decade lane caught
+    the original carrying 512-byte signatures through EVERY band
+    exchange — bytes_ratio 81 at 100x data): scan → explode shingles →
+    hash-aggregate per doc taking the k mins (codegen'd, map-side
+    partial — ONE 64-long row per document, persisted) → explode band
+    keys into a SLIM ``(band, id)`` frame (~50 B/row — signatures never
+    ride the band exchanges) → drop hot buckets by broadcast LEFT ANTI
+    against the ``> max_bucket`` bucket list (bounded by the SKEW
+    count, never corpus-sized — the old inner join against the COLD
+    list flipped from broadcast to sort-merge between decades and
+    re-shuffled the signature-bearing frame) → slim self-join within
+    buckets → dedup (id, id) pairs while they are 16 B rows → attach
+    both signatures by id joins against the persisted signature table
+    (signatures cross an exchange exactly twice, keyed by id, linear at
+    any scale) → estimate+filter. ``max_bucket`` drops pathologically
+    hot buckets (boilerplate; documented recall tradeoff, not silent).
 
     Hashing is ENGINE-PORTABLE: each shingle string is md5'd once and
     the digest's two 60-bit halves (mod p) seed the Kirsch-Mitzenmacher
     family — a DuckDB oracle recomputes the exact same signatures,
     bands, and pairs (see queries_ext dedup_minhash_lsh). Costs one md5
-    per shingle in the scan stage instead of two xxhash64; every
-    shuffle (the only scale-relevant cost) is unchanged."""
-    banded = minhash_banded(df, text_col, id_col, n, num_hashes, bands)
-    # banded feeds the bucket-size scan AND both self-join sides: persist
-    # so the signature fold runs once per document, not three times
-    banded = banded.persist()
-    # cap hot buckets (documented recall tradeoff, not silent: count first)
-    bucket_sizes = banded.groupBy("__band").agg(F.count(F.lit(1)).alias("__bn"))
-    banded = banded.join(
-        bucket_sizes.filter(F.col("__bn") <= max_bucket).select("__band"), "__band"
+    per shingle in the scan stage instead of two xxhash64."""
+    rows = bands and num_hashes // bands
+    # sigs feed band keys AND both verify joins: persist so the
+    # signature fold runs once per document
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
+    slim = sigs.select(
+        "__id",
+        F.explode_outer(
+            lsh_band_keys_portable(F.col("__sig"), bands, rows)
+        ).alias("__band"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
+    hot = (
+        slim.groupBy("__band")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > max_bucket)
+        .select("__band")
+    )
+    cold = slim.join(F.broadcast(hot), "__band", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    cand_ids = (
         a.join(b, (F.col("a.__band") == F.col("b.__band")) & (F.col("a.__id") < F.col("b.__id")))
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sig").alias("__sig_a"),
-            F.col("b.__sig").alias("__sig_b"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cands = cand_ids.join(
+        sigs.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a")),
+        "id_a",
+    ).join(
+        sigs.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b")),
+        "id_b",
     )
     return (
         cands.withColumn("est_jaccard", signature_jaccard(F.col("__sig_a"), F.col("__sig_b")))
@@ -451,7 +481,17 @@ def embedding_cosine_pairs(
     a, b = side("a"), side("b")
     cond = F.col("id_a") < F.col("id_b")
     if block_col:
-        joined = a.join(b, (F.col("__blka") == F.col("__blkb")) & cond)
+        # Pin the probe side's parallelism to the BLOCK key before the
+        # join (round-11 fix from the two-decade lane): when the build
+        # side fits the broadcast threshold, the quadratic within-block
+        # screen otherwise runs at the STREAM side's input-split count —
+        # a mid-size parquet of 1-2 splits put millions of pair screens
+        # on two cores (sf1 measured 3x SLOWER than sf10, which had
+        # flipped to a 32-way sort-merge join). One linear exchange of
+        # the row side buys block-parallel screening at every scale.
+        joined = a.repartition(F.col("__blka")).join(
+            b, (F.col("__blka") == F.col("__blkb")) & cond
+        )
     else:
         joined = a.crossJoin(b).filter(cond)
     norms_ok = (F.col("__na") > 0) & (F.col("__nb") > 0)
@@ -491,8 +531,13 @@ def connected_components(
     ``strict=True`` (default) raises; pass ``strict=False`` to accept
     the partial labeling explicitly.
 
-    Scale shape: per round one shuffle join on node id over the label
-    frame (|nodes| rows) + edge frame; ``localCheckpoint`` truncates
+    Scale shape: edges are hash-partitioned on ``dst`` ONCE (repartition
+    + persist), so every round's edge⋈label join finds the big side
+    already clustered on its key and re-shuffles only the LABEL frame
+    (|nodes| rows) — the round-11 fix after the two-decade lane caught
+    the per-round join flipping from broadcast(labels) to sort-merge
+    past the broadcast threshold and re-shuffling the EDGE frame every
+    round (bytes_ratio ~20 at 100x data). ``localCheckpoint`` truncates
     the growing lineage each round so plans stay constant-size. This is
     the standard large-graph small-diameter pattern (cf. GraphFrames'
     connected components) without any library dependency."""
@@ -502,6 +547,7 @@ def connected_components(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .dropDuplicates()
+        .repartition("dst")
         .persist()
     )
     labels = (

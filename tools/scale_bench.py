@@ -138,6 +138,21 @@ SF_DIRS = {
     "sf1": os.path.join(REPO, "benchdata", "sf1"),
 }
 
+# second decade (VERDICT r10 #4): sf10 = 100x sf0.1 via gen_scale.py
+# --replicas 100. A 10x lane can hide an n*sqrt(n) term that 100x
+# exposes; --sf10 adds the third point and ratio_d2 = sf10/sf1.
+SF10_DIR = os.path.join(REPO, "benchdata", "sf10")
+
+# the six heaviest lanes per BENCH_r10 — the designated two-decade set
+DECADE2_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "similarity_ann_lsh",
+    "dedup_connected_components",
+    "match_recognize_funnel",
+    "web_corpus_prep",
+]
+
 
 def _bytes_snapshot(spark) -> tuple[int, int, int]:
     """(shuffle_write, disk_spill, mem_spill) cumulative totals.
@@ -210,15 +225,31 @@ def main() -> None:
         action="store_true",
         help="limit to the curated SCALE_QUERIES core (default: full catalog)",
     )
+    ap.add_argument(
+        "--sf10",
+        action="store_true",
+        help="two-decade mode: also run at sf10 (DECADE2_QUERIES by "
+        "default) and record ratio_d2 = sf10/sf1",
+    )
     args = ap.parse_args()
     from olist_snowflake_dbt_spark.queries import QUERIES as _ALL
 
     names = [n for n in args.only.split(",") if n] or (
-        SCALE_QUERIES if args.core
+        DECADE2_QUERIES if args.sf10
+        else SCALE_QUERIES if args.core
         # full catalog: curated core first (canonical ordering for
         # round-over-round diffs), then every remaining registered query
         else SCALE_QUERIES + [q for q in _ALL if q not in SCALE_QUERIES]
     )
+
+    sf_dirs = dict(SF_DIRS)
+    if args.sf10:
+        if not os.path.isdir(SF10_DIR):
+            sys.exit(
+                "sf10 missing — run: python tools/gen_scale.py "
+                "benchdata/sf10 --replicas 100"
+            )
+        sf_dirs["sf10"] = SF10_DIR
 
     if not os.path.isdir(SF_DIRS["sf1"]):
         sys.exit("sf1 missing — run: python tools/gen_scale.py")
@@ -229,7 +260,7 @@ def main() -> None:
 
     spark = get_spark("scale_bench")
     spark.range(1).count()
-    for sf_dir in SF_DIRS.values():
+    for sf_dir in sf_dirs.values():
         for t in TESTDATA_TABLES:
             try:
                 read_table(spark, sf_dir, t).limit(1).count()
@@ -240,7 +271,7 @@ def main() -> None:
     for name in names:
         fn = QUERIES[name]
         row: dict[str, float] = {}
-        for sf, sf_dir in SF_DIRS.items():
+        for sf, sf_dir in sf_dirs.items():
             try:
                 best, metrics = _time_query(spark, fn, sf_dir, args.runs)
                 row[sf] = round(best, 3)
@@ -259,6 +290,14 @@ def main() -> None:
             if row.get("sf0.1_shuffle_mb", 0) >= 0.5:
                 row["bytes_ratio"] = round(
                     row["sf1_shuffle_mb"] / row["sf0.1_shuffle_mb"], 2
+                )
+        if "sf1" in row and "sf10" in row:
+            # second decade: at sf1 the fixed session overhead is mostly
+            # amortized, so ratio_d2 reads closer to the true exponent
+            row["ratio_d2"] = round(row["sf10"] / row["sf1"], 2)
+            if row.get("sf1_shuffle_mb", 0) >= 0.5:
+                row["bytes_ratio_d2"] = round(
+                    row["sf10_shuffle_mb"] / row["sf1_shuffle_mb"], 2
                 )
         out[name] = row
         print(name, row, flush=True)
