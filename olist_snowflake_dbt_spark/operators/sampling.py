@@ -441,6 +441,7 @@ def weighted_percentiles(
     weight_col: str,
     percentiles: list,
     tiebreak_col: str | None = None,
+    range_buckets: int | None = None,
 ) -> DataFrame:
     """EXACT weighted percentiles per group, ALL from one sorted frame:
     for each ``(out_name, p_num, p_den)`` in ``percentiles``, the
@@ -464,6 +465,22 @@ def weighted_percentiles(
     total when values repeat; the inflection row is value-unique
     anyway (duplicate values share the qualifying side), but a total
     order keeps plans deterministic.
+
+    ``range_buckets`` is the PARALLELISM switch for low-cardinality
+    groups (the 100-TB path): a per-group window sorts each group in
+    ONE task, so 3 return-flag groups cap the whole statistic at 3
+    cores however large the table. With ``range_buckets=B`` the
+    classic two-level exact decomposition runs instead: per group,
+    values map into B range buckets (monotonic double bucketing —
+    equal values always share a bucket, bucket order follows value
+    order, so exactness is unaffected); per-(group, bucket) weight
+    totals prefix-sum over a tiny group×B frame; the row-level running
+    weight is then windowed PER (group, bucket) — group-count ×
+    B-way parallel — and offset by the bucket prefix. Identical
+    results (same rational boundary test on the same global running
+    weight), two scans of the input instead of one, every exchange
+    linear. NULL values sort first (bucket 0) in both paths, matching
+    the default-path NULLS FIRST window order.
     """
     if not percentiles:
         raise ValueError("percentiles must be non-empty")
@@ -475,6 +492,15 @@ def weighted_percentiles(
             raise ValueError(
                 f"need 0 < p_num <= p_den (got {p_num}/{p_den} for {name!r})"
             )
+    if range_buckets is not None:
+        if range_buckets < 1:
+            raise ValueError(
+                f"range_buckets must be >= 1, got {range_buckets}"
+            )
+        return _weighted_percentiles_bucketed(
+            df, group_cols, value_col, weight_col, percentiles,
+            tiebreak_col, range_buckets,
+        )
     order = [F.col(value_col)] + (
         [F.col(tiebreak_col)] if tiebreak_col else []
     )
@@ -501,6 +527,78 @@ def weighted_percentiles(
                     F.col("__cum") * F.lit(p_den)
                     >= F.lit(p_num) * F.col("__tot"),
                     F.col("__v"),
+                )
+            ).alias(name)
+            for name, p_num, p_den in percentiles
+        ]
+    )
+
+
+def _weighted_percentiles_bucketed(
+    df: DataFrame,
+    group_cols: list,
+    value_col: str,
+    weight_col: str,
+    percentiles: list,
+    tiebreak_col: str | None,
+    range_buckets: int,
+) -> DataFrame:
+    """The two-level exact path of :func:`weighted_percentiles` (see
+    its docstring for the contract): bucket prefix sums + per-(group,
+    bucket) running weights reconstruct the global running weight with
+    group×B-way parallelism."""
+    v = F.col(value_col)
+    w = F.col(weight_col).cast("long")
+    vd = v.cast("double")
+    mm = df.groupBy(*group_cols).agg(
+        F.min(vd).alias("__lo"),
+        F.max(vd).alias("__hi"),
+        F.sum(w).alias("__tot"),
+    )
+    base = df.join(F.broadcast(mm), list(group_cols))
+    span = F.col("__hi") - F.col("__lo")
+    bucket = (
+        F.when(v.isNull(), F.lit(0))  # NULLS FIRST, as the window path
+        .when(span <= 0, F.lit(1))
+        .otherwise(
+            F.least(
+                F.lit(range_buckets),
+                (F.floor((vd - F.col("__lo")) / span * range_buckets) + 1)
+                .cast("int"),
+            )
+        )
+    )
+    based = base.withColumn("__bkt", bucket)
+    btot = based.groupBy(*group_cols, "__bkt").agg(F.sum(w).alias("__bw"))
+    wb = Window.partitionBy(*group_cols).orderBy("__bkt")
+    prefix = btot.withColumn(
+        "__prefix",
+        F.coalesce(
+            F.sum("__bw").over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(*group_cols, "__bkt", "__prefix")
+    order = [v] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    win = Window.partitionBy(*group_cols, "__bkt").orderBy(*order)
+    marked = (
+        based.join(F.broadcast(prefix), [*group_cols, "__bkt"])
+        .withColumn(
+            "__cum",
+            F.col("__prefix")
+            + F.sum(w).over(
+                win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return marked.groupBy(*group_cols).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum") * F.lit(p_den)
+                    >= F.lit(p_num) * F.col("__tot"),
+                    v,
                 )
             ).alias(name)
             for name, p_num, p_den in percentiles

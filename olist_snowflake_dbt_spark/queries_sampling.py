@@ -486,12 +486,11 @@ def q_sample_weighted_percentile(
         F.col("l_orderkey"),
         F.col("l_linenumber"),
     ).withColumn(
+        # numeric composite tiebreak: l_linenumber < 8, so key*8+line
+        # orders exactly like (l_orderkey, l_linenumber) without the
+        # per-row lpad/concat string the exchange would otherwise carry
         "tb",
-        F.concat_ws(
-            "|",
-            F.lpad(F.col("l_orderkey").cast("string"), 12, "0"),
-            F.lpad(F.col("l_linenumber").cast("string"), 2, "0"),
-        ),
+        F.col("l_orderkey") * 8 + F.col("l_linenumber"),
     )
     both = weighted_percentiles(
         li,
@@ -500,6 +499,9 @@ def q_sample_weighted_percentile(
         "l_quantity",
         [("wm", 1, 2), ("wp", 9, 10)],
         tiebreak_col="tb",
+        # 3 return-flag groups would otherwise sort the whole table in
+        # 3 window tasks — the two-level bucket path is the 100-TB shape
+        range_buckets=64,
     )
     return both.select(
         "l_returnflag",

@@ -393,3 +393,60 @@ class TestWeightedPercentile:
             weighted_percentiles(
                 df, ["g"], "v", "w", [("p", 1, 2), ("p", 1, 4)]
             )
+
+    def test_bucketed_path_equals_window_path(self, spark):
+        """range_buckets (the low-group-cardinality parallelism path)
+        must reproduce the single-window path EXACTLY — including
+        duplicate values straddling bucket boundaries, NULL values
+        (NULLS FIRST in both), zero-span groups, and ties broken by
+        the tiebreak column."""
+        import random
+
+        from olist_snowflake_dbt_spark.operators.sampling import (
+            weighted_percentiles,
+        )
+
+        rng = random.Random(11)
+        rows = []
+        rid = 0
+        for g in ("a", "b", "c"):
+            for _ in range(200):
+                v = rng.choice([None] + [float(x) for x in range(20)])
+                rows.append((g, v, rng.randint(0, 5), rid))
+                rid += 1
+        # zero-span group: all values identical
+        rows += [("z", 7.0, 3, rid + i) for i in range(5)]
+        df = spark.createDataFrame(
+            rows, "g string, v double, w long, id long"
+        )
+        pcts = [("p10", 1, 10), ("p50", 1, 2), ("p99", 99, 100)]
+        plain = {
+            r["g"]: (r["p10"], r["p50"], r["p99"])
+            for r in weighted_percentiles(
+                df, ["g"], "v", "w", pcts, tiebreak_col="id"
+            ).collect()
+        }
+        for b in (1, 3, 64):
+            bucketed = {
+                r["g"]: (r["p10"], r["p50"], r["p99"])
+                for r in weighted_percentiles(
+                    df, ["g"], "v", "w", pcts,
+                    tiebreak_col="id", range_buckets=b,
+                ).collect()
+            }
+            assert bucketed == plain, b
+
+    def test_bucketed_guard(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.sampling import (
+            weighted_percentiles,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 1, 1)], "g string, v double, w long, id long"
+        )
+        with _pytest.raises(ValueError, match="range_buckets"):
+            weighted_percentiles(
+                df, ["g"], "v", "w", [("p", 1, 2)], range_buckets=0
+            )
