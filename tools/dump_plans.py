@@ -24,8 +24,16 @@ FLAGSHIPS = [
     ("dedup_semantic", "SemDeDup cluster-then-prune: broadcast-centroid "
      "k-means assignment persisted once, cosine pairs confined to "
      "within-cluster equi-joins, keep-min anti-join on ids."),
-    ("dedup_minhash_lsh", "Signatures via codegen'd min-aggregates; one "
-     "band-bucket exchange; no cartesian anywhere."),
+    ("sample_weighted_percentile", "Two-level exact weighted percentiles "
+     "(round 11): per-group range buckets; the bucket-prefix frame is "
+     "tiny and BROADCASTS back; the row-level running weight windows "
+     "per (group, bucket) — parallelism independent of group count."),
+    ("dedup_minhash_lsh", "Signatures via codegen'd min-aggregates. "
+     "Round-11 reshape: band keys explode into a slim (band, id) frame "
+     "— signatures NEVER ride the band exchanges; hot buckets drop via "
+     "broadcast LEFT ANTI against the bounded over-cap list; pairs "
+     "dedup as 16-byte id rows; signatures attach by two id-keyed "
+     "joins. No cartesian anywhere."),
     ("similarity_ann_lsh", "Hyperplane signatures bound per row; band join "
      "+ re-rank with precomputed norms."),
     ("range_join_bucketed", "Range predicate rides the equi-key hash join "
