@@ -158,6 +158,107 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ threshold via PREFIX FILTERING — the
+    lossless accelerator for the exact path (Chaudhuri, Ganti &
+    Kaushik, ICDE 2006 "A Primitive Operator for Similarity Joins";
+    the prefix principle behind PPJoin, Xiao et al. WWW 2008 — public
+    knowledge, implemented natively).
+
+    The principle: order every document's shingles by a single global
+    canonical total order (ascending document frequency, ties by
+    token — rarest first). If ``J(A,B) ≥ t`` then A and B MUST share
+    at least one token among each one's first ``|d| − ⌈t·|d|⌉ + 1``
+    tokens (else even perfect overlap of the remainders is too small).
+    So indexing ONLY those prefixes loses no qualifying pair, and the
+    self-join runs over a fraction of the index — with the rarest
+    tokens deliberately in the prefixes, bucket sizes collapse.
+    Ubiquitous boilerplate shingles (max df) sort to the SUFFIX and
+    never enter the index at all: the lossless version of what
+    ``ngram_jaccard_pairs(max_doc_freq=...)`` does by fiat, and the
+    direct answer to the exact path's measured quadratic candidate
+    exchange (SCALE.md round-11 adjudication).
+
+    Candidates verify with the full shingle sets (array_intersect in
+    codegen) and the output — pairs AND scores — is identical to
+    :func:`ngram_jaccard_pairs` at the same threshold (tested).
+
+    Plan: shingle scan → df aggregate → rank join (both linear, on the
+    8-byte hash) → per-doc prefix window (one id exchange) →
+    PREFIX-sized self-join → 16-byte pair dedup → two id-keyed joins
+    attaching the full sets for the exact verify. Every exchange
+    linear; the one quadratic-prone leg (the self-join) now sees only
+    rare-token buckets.
+
+    HONEST CONSTANT (measured, SCALING.json): the df aggregate + rank
+    join + prefix window are two extra LINEAR passes over the full
+    index that :func:`ngram_jaccard_pairs` does not pay, so on
+    short-document corpora (tens of shingles/doc) with moderate
+    duplication the plain inverted-index join is faster in wall time
+    — the prefix filter wins where its candidate reduction dominates:
+    long documents, near-dup thresholds (t ≥ 0.8 ⇒ prefix ≈
+    (1−t)·|d|), and boilerplate-heavy corpora whose hot buckets it
+    collapses losslessly (tests/test_dedup_skew.py pins that collapse).
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = (
+        _shingled(df, text_col, id_col, n)
+        .withColumn("__n", F.size("__shingles"))
+        .filter(F.col("__n") > 0)
+        .persist()
+    )
+    ex = sh.select("__id", "__n", F.explode("__shingles").alias("__s"))
+    dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "__s")
+    plen = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    prefix = (
+        ex.join(dfreq, "__s")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= plen)
+        .select("__id", "__s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates()
+    )
+    sa = sh.select(
+        F.col("__id").alias("id_a"),
+        F.col("__shingles").alias("__sh_a"),
+        F.col("__n").alias("n_a"),
+    )
+    sb = sh.select(
+        F.col("__id").alias("id_b"),
+        F.col("__shingles").alias("__sh_b"),
+        F.col("__n").alias("n_b"),
+    )
+    common = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__common", common)
+        .withColumn(
+            "jaccard",
+            F.col("__common")
+            / (F.col("n_a") + F.col("n_b") - F.col("__common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def containment_pairs(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.8
 ) -> DataFrame:

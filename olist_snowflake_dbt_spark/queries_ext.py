@@ -115,6 +115,44 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_jaccard_prefix_filter",
+    f"""
+    WITH d2 AS ({_PLANTED_DOCS}),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 1)),
+                   i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        FROM (SELECT doc_id, {_WORDS} AS w FROM d2)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+               COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, n_common / (n_a + n_b - n_common) AS jaccard
+    FROM inter WHERE n_common / (n_a + n_b - n_common) >= 0.9
+    """,
+)
+def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.9 via PREFIX FILTERING
+    (operators/dedup.prefix_filter_jaccard_pairs — round 11): only each
+    document's rarest |d|−⌈t·|d|⌉+1 shingles enter the inverted index,
+    which is LOSSLESS for the threshold (prefix principle, Chaudhuri
+    2006), so the oracle is the plain brute-force exact join — the
+    hash-match proves the pruned index drops no qualifying pair and
+    the exact verify reproduces every score. Boilerplate (max-df)
+    shingles sort out of the prefixes entirely: the lossless form of
+    the max_doc_freq skew guard, and the scale answer for the exact
+    path's candidate exchange (SCALE.md round-11 adjudication)."""
+    return DD.prefix_filter_jaccard_pairs(
+        _planted_docs(spark, sf_dir), "text", "doc_id", 3, 0.9
+    )
+
+
+@query(
     "dedup_containment",
     f"""
     WITH d2 AS (

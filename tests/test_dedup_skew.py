@@ -180,3 +180,71 @@ def test_ann_lsh_hot_bucket_cap_bounds_candidates_keeps_cold_recall(spark):
     # result contains more than k rows, and hot ids (whose buckets were
     # dropped) don't appear as neighbors of cold queries
     assert all(r.neighbor_id >= 1000 for r in rows)
+
+
+def test_prefix_filter_is_lossless_and_shrinks_the_index(spark, corpus):
+    """Round-11 prefix filtering: (a) EXACT same pairs and scores as
+    the full inverted-index join at the same threshold — the lossless
+    guarantee; (b) the indexed prefix is a strict subset of the full
+    index; (c) the ubiquitous boilerplate shingles sort OUT of the
+    prefixes (rarest-first canonical order), so the hot buckets that
+    motivate max_doc_freq never form."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from olist_snowflake_dbt_spark.operators.dedup import (
+        _shingled,
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    t = 0.5
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, "text", "doc_id", 3, t).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(
+            corpus, "text", "doc_id", 3, t
+        ).collect()
+    }
+    assert pruned == exact and exact  # identical pairs AND scores
+
+    # index-size arithmetic: prefix keeps |d| - ceil(t|d|) + 1 of |d|
+    sh = _shingled(corpus, "text", "doc_id", 3).withColumn(
+        "__n", F.size("__shingles")
+    )
+    full_index = sh.agg(F.sum("__n")).first()[0]
+    prefix_index = sh.agg(
+        F.sum(F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1)
+    ).first()[0]
+    assert prefix_index < 0.6 * full_index  # strictly smaller at t=0.5
+
+    # hot-bucket COUNT collapses at near-dup thresholds: prefix length
+    # is |d|-ceil(t|d|)+1, so at t=0.9 each ~25-shingle clone indexes
+    # only its ~3 rarest shingles and the ~24 ubiquitous boilerplate
+    # buckets shrink to the one or two the lossless bound requires.
+    # (At least ONE hot bucket must survive — the exact join's OUTPUT
+    # on this corpus is quadratic by design, so something has to
+    # connect the clone cluster.)
+    t_hi = 0.9
+    ex = sh.select("__id", "__n", F.explode("__shingles").alias("__s"))
+    dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "__s")
+    plen_hi = F.col("__n") - F.ceil(F.lit(t_hi) * F.col("__n")) + 1
+    prefix_buckets = (
+        ex.join(dfreq, "__s")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= plen_hi)
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("bn"))
+    )
+    hot_full = dfreq.filter(F.col("__df") >= N_CLONES).count()
+    hot_prefix = prefix_buckets.filter(F.col("bn") >= N_CLONES).count()
+    assert hot_full >= 10                 # boilerplate IS ubiquitous
+    assert 1 <= hot_prefix <= 3           # ...collapsed to the lossless few
+    # and t=0.9 results stay exact too (the quadratic clone output)
+    hi_exact = ngram_jaccard_pairs(corpus, "text", "doc_id", 3, t_hi)
+    hi_pruned = prefix_filter_jaccard_pairs(corpus, "text", "doc_id", 3, t_hi)
+    assert hi_pruned.count() == hi_exact.count() >= (N_CLONES * (N_CLONES - 1)) // 2
