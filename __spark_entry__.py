@@ -35,17 +35,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # in dict order. Round-11 rotation policy (same staleness-wins rule as
-# r09/r10): (a) everything NEW or modified in round 11 — 8 slots: the
-# prefix-filter exact Jaccard join (new), batched BPE trainer (new), web_domain_psl (full PSL algorithm:
+# r09/r10): (a) everything NEW or modified in round 11 — 9 slots: the
+# KMV theta-sketch set algebra (new), prefix-filter exact Jaccard join
+# (new), batched BPE trainer (new), web_domain_psl (full PSL algorithm:
 # official-format snapshot, wildcard + exception rules, new synth
 # hosts), sample_weighted_percentile (fused single-window rewrite),
 # ab_test_ztest (empty-arm guards), table_checksum_reconcile
 # (injection-proof per-column md5 rendering — checksum VALUES changed),
 # mad_outlier_flags + winsorize_values (output-collision guards); then
-# (b) the 42 stalest rows: all 21 r05-era rows plus the alphabetical
-# first 21 of the 42 r06-era rows. After this round no query's newest
-# driver row is older than r06, and the remaining 21 r06-era rows
-# (percentile_agg, pyds_*, range_join_bucketed, salted_skew_join, seed_csv_inference,
+# (b) the 41 stalest rows: all 21 r05-era rows plus the alphabetical
+# first 20 of the 42 r06-era rows. After this round no query's newest
+# driver row is older than r06, and the remaining 22 r06-era rows
+# (null_safe_join, percentile_agg, pyds_*, range_join_bucketed, salted_skew_join, seed_csv_inference,
 # stg_projection_rename, stream_* family, string_funcs,
 # tpch_q12_shipmode_priority, two_phase_distinct_skew, udaf_decimal_sum,
 # udtf_chunk_words, unpivot_stack, window_frames) are first in line for
@@ -54,6 +55,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # full catalog (GATE.json).
 _CHECK_FIRST = [
     # new / modified in round 11
+    "sketch_kmv_set_ops",
     "dedup_jaccard_prefix_filter",
     "tokenizer_bpe_train_batched",
     "web_domain_psl",
@@ -84,7 +86,7 @@ _CHECK_FIRST = [
     "udf_compression_ratio",
     "variant_shred_agg",
     "window_range_interval",
-    # stalest: alphabetical first 21 of the 42 r06-era rows
+    # stalest: alphabetical first 20 of the 42 r06-era rows
     "array_agg_ops",
     "conditional_agg_filter",
     "correlated_scalar_subquery",
@@ -105,7 +107,6 @@ _CHECK_FIRST = [
     "minmax_by_agg",
     "moment_stats",
     "null_arithmetic",
-    "null_safe_join",
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.

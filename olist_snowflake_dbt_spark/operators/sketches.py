@@ -135,3 +135,115 @@ def bitmap_ndv_rollup(
     return merged.groupBy(*group_cols).agg(
         F.expr("SUM(bit_count(bitmap))").cast("bigint").alias("ndv")
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-set sketch per group — the
+    MERGEABLE sketch whose set ALGEBRA works: unlike a plain HLL
+    register bank, two KMV sketches support union AND intersection
+    estimates (:func:`kmv_set_ops`), the theta-sketch trick
+    (Bar-Yossef et al. 2002 "Counting distinct elements in a data
+    stream", RANDOM; Dasgupta et al. 2016 theta sketches — public
+    knowledge, implemented natively).
+
+    The sketch is the array of the k SMALLEST portable 60-bit md5
+    hashes of the group's distinct values (sorted ascending; shorter
+    than k ⇒ the group's full hash set, and every derived estimate is
+    exact). Deterministic given the hash — a DuckDB oracle recomputes
+    the identical sketch, which is how the driver verifies the whole
+    estimate pipeline.
+
+    Plan: one DISTINCT exchange on (group, hash) then one window top-k
+    per group — the per-group heap never exceeds k, and the sketch
+    that leaves the exchange is ≤ k longs per group whatever the
+    corpus size (the same bounded-payload contract as cms_build).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    from ..functions.hashing import portable_hash60
+
+    per = df.select(
+        *group_cols,
+        portable_hash60(F.col(value_col).cast("string")).alias("__h"),
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        per.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+    )
+
+
+# 2^60 — the portable-hash range; exact in a double (one mantissa bit)
+_KMV_RANGE = float(1 << 60)
+
+
+def kmv_set_ops(
+    sketches: DataFrame,
+    key_col: str,
+    k: int = 256,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """Pairwise set-operation estimates over KMV sketches: for every
+    key pair (a < b), the estimated |A ∪ B| and |A ∩ B| — the sketch
+    algebra joins/audits at 100 TB pay one ≤k-long array per side for.
+
+    Math (deterministic — both engines replay it bit-for-bit): the
+    merged sketch is the k smallest of the combined hash sets. If it
+    holds fewer than k values both inputs were complete, and union /
+    intersection are EXACT set counts. Otherwise
+    ``union_est = (k−1) · 2^60 / merged[k]`` (the classic k-th
+    minimum estimator) and ``inter_est = |merged ∩ A ∩ B| · union_est
+    / k`` (the theta-sketch intersection: the merged sketch is a
+    uniform sample of the union). Doubles are safe cross-engine here:
+    (k−1)·2^60 is exact in a double and the remaining ops are single
+    IEEE roundings of identical inputs; estimates round to 3 decimals.
+
+    Plan: a self-join of the GROUP-cardinality sketch table — pairs
+    of ≤k-long arrays, never data rows.
+    """
+    a = sketches.select(
+        F.col(key_col).alias("key_a"), F.col(sketch_col).alias("__ka")
+    )
+    b = sketches.select(
+        F.col(key_col).alias("key_b"), F.col(sketch_col).alias("__kb")
+    )
+    merged = F.slice(
+        F.array_sort(F.array_union(F.col("__ka"), F.col("__kb"))), 1, k
+    )
+    both = F.array_intersect(F.col("__ka"), F.col("__kb"))
+    full = F.size(F.col("__mg")) >= k
+    union_est = F.when(
+        ~full, F.size(F.col("__mg")).cast("double")
+    ).otherwise(
+        F.round(
+            F.lit((k - 1) * _KMV_RANGE)
+            / F.element_at(F.col("__mg"), k).cast("double"),
+            3,
+        )
+    )
+    inter_in_mg = F.size(F.array_intersect(F.col("__mg"), F.col("__both")))
+    inter_est = F.when(
+        ~full, F.size(F.col("__both")).cast("double")
+    ).otherwise(
+        F.round(
+            inter_in_mg.cast("double") * F.col("union_est") / F.lit(float(k)),
+            3,
+        )
+    )
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .withColumn("__mg", merged)
+        .withColumn("__both", both)
+        .withColumn("union_est", union_est)
+        .withColumn("inter_est", inter_est)
+        .select("key_a", "key_b", "union_est", "inter_est")
+    )

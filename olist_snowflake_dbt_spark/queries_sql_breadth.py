@@ -2412,3 +2412,57 @@ def q_metric_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum_max_scaled",
         "n",
     )
+
+
+_KMV_ORACLE = """
+WITH h AS (
+    SELECT DISTINCT event_type,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS hv
+    FROM events
+),
+r AS (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM h
+),
+sk AS (
+    SELECT event_type, list_sort(list(hv)) AS kmv
+    FROM r WHERE rn <= 64 GROUP BY event_type
+),
+p AS (
+    SELECT a.event_type AS key_a, b.event_type AS key_b,
+           a.kmv AS ka, b.kmv AS kb,
+           list_sort(list_distinct(list_concat(a.kmv, b.kmv)))[1:64] AS mg,
+           list_intersect(a.kmv, b.kmv) AS bh
+    FROM sk a JOIN sk b ON a.event_type < b.event_type
+)
+SELECT key_a, key_b,
+       CASE WHEN len(mg) < 64 THEN CAST(len(mg) AS DOUBLE)
+            ELSE ROUND(CAST(63 AS DOUBLE) * 1152921504606846976.0
+                       / CAST(mg[64] AS DOUBLE), 3) END AS union_est,
+       CASE WHEN len(mg) < 64 THEN CAST(len(bh) AS DOUBLE)
+            ELSE ROUND(CAST(len(list_intersect(mg, bh)) AS DOUBLE)
+                       * (CAST(63 AS DOUBLE) * 1152921504606846976.0
+                          / CAST(mg[64] AS DOUBLE)) / 64.0, 3) END
+           AS inter_est
+FROM p
+"""
+
+
+@query("sketch_kmv_set_ops", _KMV_ORACLE)
+def q_sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch SET ALGEBRA (operators/sketches.kmv_sketch +
+    kmv_set_ops — round 11): per event type, the 64 smallest portable
+    md5 hashes of the distinct user set; per type pair, the estimated
+    |A∪B| and |A∩B| from the merged sketch — the mergeable-sketch
+    operation HLL cannot do (intersections). Audience-overlap audits
+    at 100 TB pay one ≤64-long array per key through the exchange
+    instead of the distinct user sets. Deterministic end-to-end (md5
+    hashes, IEEE-exact estimator arithmetic), so the oracle replays
+    the sketches AND the estimates bit-for-bit."""
+    from .operators.sketches import kmv_set_ops, kmv_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=64)
+    return kmv_set_ops(sk, "event_type", k=64)

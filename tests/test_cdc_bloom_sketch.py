@@ -402,3 +402,58 @@ class TestBitmapNdv:
         partials = bitmap_ndv_partials(df, ["g"], "id")
         assert partials.count() == 2
         assert bitmap_ndv_rollup(partials, ["g"]).collect()[0]["ndv"] == 4
+
+
+class TestKmvSetOps:
+    """KMV / theta-sketch set algebra: exact below k, unbiased-ish
+    estimates above k, determinism."""
+
+    def _sketch(self, spark, sets, k):
+        from olist_snowflake_dbt_spark.operators.sketches import kmv_sketch
+
+        rows = [(g, v) for g, vals in sets.items() for v in vals]
+        df = spark.createDataFrame(rows, "g string, v long")
+        return kmv_sketch(df, ["g"], "v", k=k)
+
+    def test_exact_below_k(self, spark):
+        from olist_snowflake_dbt_spark.operators.sketches import kmv_set_ops
+
+        sets = {"a": range(100), "b": range(50, 150)}  # |∪|=150, |∩|=50
+        sk = self._sketch(spark, sets, k=256)
+        r = kmv_set_ops(sk, "g", k=256).collect()[0]
+        assert (r.key_a, r.key_b) == ("a", "b")
+        assert r.union_est == 150.0 and r.inter_est == 50.0
+
+    def test_estimates_above_k_are_close(self, spark):
+        from olist_snowflake_dbt_spark.operators.sketches import kmv_set_ops
+
+        n = 20_000
+        sets = {"a": range(n), "b": range(n // 2, n + n // 2)}
+        # |∪| = 1.5n = 30000, |∩| = 0.5n = 10000
+        sk = self._sketch(spark, sets, k=256)
+        r = kmv_set_ops(sk, "g", k=256).collect()[0]
+        assert abs(r.union_est - 30_000) / 30_000 < 0.15
+        assert abs(r.inter_est - 10_000) / 10_000 < 0.35
+
+    def test_deterministic_across_runs(self, spark):
+        from olist_snowflake_dbt_spark.operators.sketches import kmv_set_ops
+
+        sets = {"a": range(5000), "b": range(2500, 7500), "c": range(9000)}
+        sk = self._sketch(spark, sets, k=128)
+        one = sorted(map(tuple, kmv_set_ops(sk, "g", k=128).collect()))
+        two = sorted(map(tuple, kmv_set_ops(sk, "g", k=128).collect()))
+        assert one == two and len(one) == 3
+
+    def test_sketch_is_bounded_and_sorted(self, spark):
+        sk = self._sketch(spark, {"a": range(10_000)}, k=64).collect()[0]
+        assert len(sk.kmv) == 64
+        assert sk.kmv == sorted(sk.kmv)
+
+    def test_k_guard(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.sketches import kmv_sketch
+
+        df = spark.createDataFrame([("a", 1)], "g string, v long")
+        with _pytest.raises(ValueError, match="k must be"):
+            kmv_sketch(df, ["g"], "v", k=1)
