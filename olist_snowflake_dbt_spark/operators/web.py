@@ -333,17 +333,31 @@ def cap_per_host(
     salt: str = "caphost",
     level: str = "host",
     suffixes: DataFrame | None = None,
+    prefilter_factor: int | None = None,
 ) -> DataFrame:
     """Per-domain document cap (RefinedWeb/FineWeb recipe): keep at most
     ``cap`` documents per canonical HOST, selected by a deterministic
     salted-md5 rank — an unbiased per-host sample that is stable across
     partitionings and reruns (no RNG, no first-seen order dependence).
 
-    Hot hosts are exactly the skew case: one window partitioned by host
-    does the job, and AQE skew-split handles a host holding 1% of a
-    100 TB crawl. Rank order is ``(md5(salt‖canonical‖id), id)`` — total
-    even when two docs share a canonical URL. Returns the input columns
-    + ``host`` + ``host_rank`` for the survivors.
+    Hot hosts are exactly the skew case — stated honestly: a window
+    partition is a UNIT (AQE skew-split applies to joins, not windows),
+    so a host holding 1% of the crawl serializes its rows through one
+    rank task. The kept set is only ``cap`` rows, so the scale
+    mitigation is the deterministic hash-threshold PREFILTER
+    (``prefilter_factor``): per host, keep only rows whose uniform
+    32-bit md5 prefix falls under ``factor · cap / |host|`` of the key
+    space before the exact window — expected survivors ≈
+    ``factor · cap`` per host whatever the host size, and because the
+    window ranks by the SAME hash, the global top-``cap`` rows all
+    survive any threshold ≥ their own prefix: the output is EXACTLY
+    the unfiltered result whenever every host keeps ≥ cap survivors
+    (Chernoff-certain at factor 8; the operator hard-fails rather than
+    silently under-delivering if a host's survivor count falls below
+    min(cap, |host|), so the guarantee is checked, not assumed). Rank
+    order is ``(md5(salt‖canonical‖id), id)`` — total even when two
+    docs share a canonical URL. Returns the input columns + ``host`` +
+    ``host_rank`` for the survivors.
     """
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
@@ -373,14 +387,60 @@ def cap_per_host(
             )
         ),
     )
+    checked_hosts = None
+    if prefilter_factor is not None:
+        if prefilter_factor < 2:
+            raise ValueError(
+                f"prefilter_factor must be >= 2, got {prefilter_factor}"
+            )
+        # hot-host prefilter (docstring): per-host counts broadcast back;
+        # keep a row iff its uniform 32-bit md5 prefix falls under
+        # factor*cap/|host| of the key space — exact integer compare, no
+        # float. The window ranks by the SAME md5, so whenever a host
+        # keeps >= min(cap, |host|) survivors the output is EXACTLY the
+        # unfiltered result (dropped rows have strictly larger prefixes
+        # than at least cap survivors).
+        counts = with_host.groupBy(level).agg(
+            F.count(F.lit(1)).alias("__hn")
+        )
+        u32 = F.conv(F.substring("__cap_key", 1, 8), 16, 10).cast("bigint")
+        budget = F.lit(int(prefilter_factor) * cap).cast("bigint")
+        with_host = (
+            with_host.join(F.broadcast(counts), level)
+            .filter(
+                (F.col("__hn") <= budget)
+                | (u32 * F.col("__hn") < budget * F.lit(1 << 32))
+            )
+        )
+        checked_hosts = counts
     w = Window.partitionBy(level).orderBy(
         F.col("__cap_key").asc(), F.col(id_col).asc()
     )
-    return (
+    kept = (
         with_host.withColumn(f"{level}_rank", F.row_number().over(w))
         .filter(F.col(f"{level}_rank") <= cap)
         .drop("__cap_key")
     )
+    if checked_hosts is not None:
+        # verify the guarantee instead of assuming it: every host must
+        # deliver min(cap, |host|) survivors; a shortfall means the
+        # threshold cut into the true top-cap (Chernoff-rare at
+        # factor >= 8) — hard-fail rather than silently under-cap.
+        kept = kept.persist()
+        short = (
+            kept.groupBy(level)
+            .agg(F.count(F.lit(1)).alias("__kn"))
+            .join(F.broadcast(checked_hosts), level)
+            .filter(F.col("__kn") < F.least(F.lit(cap), F.col("__hn")))
+            .count()
+        )
+        if short:
+            raise RuntimeError(
+                f"cap_per_host prefilter under-delivered on {short} "
+                f"host(s); raise prefilter_factor (got {prefilter_factor})"
+            )
+        kept = kept.drop("__hn")
+    return kept
 
 
 def apply_blocklist(

@@ -378,3 +378,79 @@ class TestPslWildcardException:
         )
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestCapPrefilter:
+    """Round-11 hot-host prefilter: output EXACTLY equals the
+    unfiltered cap, the survivor guarantee is checked (not assumed),
+    and the filter actually prunes the hot host before the window."""
+
+    def _docs(self, spark):
+        rows = [(i, f"http://hot.example.com/p/{i}") for i in range(4000)]
+        rows += [
+            (100000 + i, f"http://cold{i % 7}.example.org/p/{i}")
+            for i in range(70)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, url string")
+
+    def test_prefiltered_equals_unfiltered(self, spark):
+        from olist_snowflake_dbt_spark.operators.web import cap_per_host
+
+        docs = self._docs(spark)
+        plain = {
+            (r.host, r.doc_id, r.host_rank)
+            for r in cap_per_host(docs, "url", "doc_id", cap=25).collect()
+        }
+        fast = {
+            (r.host, r.doc_id, r.host_rank)
+            for r in cap_per_host(
+                docs, "url", "doc_id", cap=25, prefilter_factor=8
+            ).collect()
+        }
+        assert fast == plain and len(plain) == 25 + 70
+
+    def test_prefilter_prunes_before_the_window(self, spark):
+        """The hot host's 4000 rows shrink to ~factor*cap expected
+        survivors before the rank — assert the filtered input the
+        window sees is an order of magnitude smaller."""
+        from pyspark.sql import functions as F
+
+        from olist_snowflake_dbt_spark.operators.web import (
+            canonicalize_url,
+        )
+
+        docs = self._docs(spark)
+        u = canonicalize_url("url")
+        wh = docs.withColumn("host", u["host"]).withColumn(
+            "__cap_key",
+            F.md5(
+                F.concat(
+                    F.lit("caphost"), u["canonical"],
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        )
+        counts = wh.groupBy("host").agg(F.count(F.lit(1)).alias("__hn"))
+        u32 = F.conv(F.substring("__cap_key", 1, 8), 16, 10).cast("bigint")
+        budget = F.lit(8 * 25).cast("bigint")
+        survivors = (
+            wh.join(F.broadcast(counts), "host")
+            .filter(
+                (F.col("__hn") <= budget)
+                | (u32 * F.col("__hn") < budget * F.lit(1 << 32))
+            )
+            .filter(F.col("host") == "hot.example.com")
+            .count()
+        )
+        assert 25 <= survivors < 800  # ~200 expected vs 4000 input
+
+    def test_factor_guard(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.web import cap_per_host
+
+        with _pytest.raises(ValueError, match="prefilter_factor"):
+            cap_per_host(
+                self._docs(spark), "url", "doc_id",
+                cap=5, prefilter_factor=1,
+            )
