@@ -34,79 +34,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries
-# in dict order. Round-11 rotation policy (same staleness-wins rule as
-# r09/r10): (a) everything NEW or modified in round 11 — 9 slots: the
-# KMV theta-sketch set algebra (new), prefix-filter exact Jaccard join
-# (new), batched BPE trainer (new), web_domain_psl (full PSL algorithm:
-# official-format snapshot, wildcard + exception rules, new synth
-# hosts), sample_weighted_percentile (fused single-window rewrite),
-# ab_test_ztest (empty-arm guards), table_checksum_reconcile
-# (injection-proof per-column md5 rendering — checksum VALUES changed),
-# mad_outlier_flags + winsorize_values (output-collision guards); then
-# (b) the 41 stalest rows: all 21 r05-era rows plus the alphabetical
-# first 20 of the 42 r06-era rows. After this round no query's newest
-# driver row is older than r06, and the remaining 22 r06-era rows
-# (null_safe_join, percentile_agg, pyds_*, range_join_bucketed, salted_skew_join, seed_csv_inference,
-# stg_projection_rename, stream_* family, string_funcs,
-# tpch_q12_shipmode_priority, two_phase_distinct_skew, udaf_decimal_sum,
-# udtf_chunk_words, unpivot_stack, window_frames) are first in line for
-# round 12. Every displaced query keeps its historical driver row and
-# is re-verified on current code each round by tools/gate.py over the
-# full catalog (GATE.json).
+# in dict order. Round-12 rotation policy (same staleness-wins rule as
+# r09-r11): (a) everything NEW or modified in round 12 — 6 slots: the
+# KMV difference/Jaccard estimates (new), the hot-host prefiltered cap
+# (new; oracle = the unfiltered window result — exactness is the
+# claim), sketch_kmv_set_ops (inter_est now scales off the UNROUNDED
+# union — the r11 advisory), tokenizer_bpe_train_batched (acceptance
+# disjoint over {lhs, rhs, merged} — the r11 advisory, mirrored in the
+# SQL oracle), dedup_jaccard_prefix_filter (lossless length filter in
+# the candidate join), dedup_semantic (adaptive block repartition);
+# then (b) the 22 remaining r06-era rows — after this round NO query's
+# newest driver row is older than r07; then (c) the alphabetical first
+# 22 of the 49 r07-era rows (fct_orders stays out per standing policy:
+# entry() smoke-runs it and gate.py re-verifies it every round). The
+# remaining 27 r07-era rows are first in line for round 13. Every
+# displaced query keeps its historical driver row and is re-verified
+# on current code each round by tools/gate.py over the full catalog
+# (GATE.json).
 _CHECK_FIRST = [
-    # new / modified in round 11
+    # new / modified in round 12
+    "sketch_kmv_diff_jaccard",
+    "web_cap_prefilter",
     "sketch_kmv_set_ops",
-    "dedup_jaccard_prefix_filter",
     "tokenizer_bpe_train_batched",
-    "web_domain_psl",
-    "sample_weighted_percentile",
-    "ab_test_ztest",
-    "table_checksum_reconcile",
-    "mad_outlier_flags",
-    "winsorize_values",
-    # stalest: all 21 r05-era driver rows
-    "dedup_subdoc_chunks",
-    "hll_and_quantile_sketch",
-    "map_type_roundtrip",
-    "recursive_cte_hierarchy",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_shares",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_accounts",
-    "try_safe_arithmetic",
-    "udf_compression_ratio",
-    "variant_shred_agg",
-    "window_range_interval",
-    # stalest: alphabetical first 20 of the 42 r06-era rows
-    "array_agg_ops",
-    "conditional_agg_filter",
-    "correlated_scalar_subquery",
-    "dedup_incremental_corpus",
+    "dedup_jaccard_prefix_filter",
     "dedup_semantic",
-    "dq_accepted_values",
-    "dq_not_null",
-    "dq_relationships",
-    "dq_singular_revenue_positive",
-    "dq_unique",
-    "filter_predicate",
-    "groupby_sum_ordinal",
-    "incremental_delete_insert_sim",
-    "incremental_insert_overwrite_sim",
-    "incremental_merge_sim",
-    "lateral_explode",
-    "left_join_null_fill",
-    "minmax_by_agg",
-    "moment_stats",
-    "null_arithmetic",
+    # stalest: all 22 remaining r06-era driver rows
+    "null_safe_join",
+    "percentile_agg",
+    "pyds_stream_drain",
+    "pyds_synthetic_corpus",
+    "range_join_bucketed",
+    "salted_skew_join",
+    "seed_csv_inference",
+    "stg_projection_rename",
+    "stream_dedup",
+    "stream_file_sink_exactly_once",
+    "stream_session_stats",
+    "stream_stateful_totals",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_window_counts",
+    "string_funcs",
+    "tpch_q12_shipmode_priority",
+    "two_phase_distinct_skew",
+    "udaf_decimal_sum",
+    "udtf_chunk_words",
+    "unpivot_stack",
+    "window_frames",
+    # next-stalest: alphabetical first 22 of the 49 r07-era rows
+    "cdc_apply_latest",
+    "cdc_stream_apply",
+    "cms_heavy_hitters",
+    "cogroup_conversion_stats",
+    "corpus_prep_pipeline",
+    "date_functions",
+    "dedup_bloom_prefilter",
+    "dedup_connected_components",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_span_ngram",
+    "dedup_span_removal",
+    "dedup_winnowing",
+    "dynamic_table_refresh",
+    "fuzzy_join_levenshtein",
+    "graph_pagerank_purchases",
+    "grouping_rollup",
+    "incremental_microbatch_sim",
+    "json_extract",
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.

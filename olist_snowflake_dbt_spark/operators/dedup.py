@@ -191,10 +191,13 @@ def prefix_filter_jaccard_pairs(
 
     Plan: shingle scan → df aggregate → rank join (both linear, on the
     8-byte hash) → per-doc prefix window (one id exchange) →
-    PREFIX-sized self-join → 16-byte pair dedup → two id-keyed joins
-    attaching the full sets for the exact verify. Every exchange
-    linear; the one quadratic-prone leg (the self-join) now sees only
-    rare-token buckets.
+    PREFIX-sized self-join with the lossless LENGTH filter
+    (min(|A|,|B|) ≥ t·max — round 12) folded into the join condition →
+    16-byte pair dedup → two id-keyed joins attaching the full sets
+    for the exact verify. Every exchange linear; the one
+    quadratic-prone leg (the self-join) now sees only rare-token
+    buckets, and size-skewed matches die inside the join before the
+    dedup/verify stages pay for them.
 
     HONEST CONSTANT (measured, SCALING.json): the df aggregate + rank
     join + prefix window are two extra LINEAR passes over the full
@@ -222,14 +225,26 @@ def prefix_filter_jaccard_pairs(
         ex.join(dfreq, "__s")
         .withColumn("__pos", F.row_number().over(w))
         .filter(F.col("__pos") <= plen)
-        .select("__id", "__s")
+        .select("__id", "__n", "__s")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # LENGTH FILTER (Xiao et al. WWW 2008 §3, lossless companion of the
+    # prefix filter): J(A,B) >= t forces min(|A|,|B|)/max(|A|,|B|) >= t
+    # (even a full containment can't reach t otherwise), so size-skewed
+    # pairs are pruned INSIDE the self-join, before the pair dedup and
+    # the full-set verify joins ever see them. The float compare is
+    # lossless: t*max rounds to a representable <= min whenever the
+    # true product is (min is an exact integer double).
     cand = (
         a.join(
             b,
             (F.col("a.__s") == F.col("b.__s"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (
+                F.least(F.col("a.__n"), F.col("b.__n")).cast("double")
+                >= F.lit(threshold)
+                * F.greatest(F.col("a.__n"), F.col("b.__n")).cast("double")
+            ),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates()
@@ -556,6 +571,7 @@ def winnow_pairs(
 def embedding_cosine_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
     block_col: str | None = None,
+    block_shuffle: bool | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine near-dup (verify/oracle path — O(n²) within
     a block; the bucketed scale path is similarity.ann_lsh_topk with a
@@ -568,7 +584,18 @@ def embedding_cosine_pairs(
     order-independent DECIMAL dot that makes scores bit-identical across
     engines. Double vs exact disagree by < 1e-12 relative, so the screen
     never drops a true positive — it just moves ~all of the O(pairs)
-    work from BigDecimal to native doubles."""
+    work from BigDecimal to native doubles.
+
+    ``block_shuffle``: whether to repartition the probe side on the
+    block key before the join (only meaningful with ``block_col``).
+    Default ``None`` = ADAPTIVE (round 12): shuffle only when the
+    probe side's planned partition count is below the session's
+    default parallelism — the parallelism-collapse case the exchange
+    exists to fix. An input that already arrives wide (an upstream
+    repartition, a many-split scan) skips the exchange and its cost
+    (at sf0.1 the unconditional exchange doubled ``dedup_semantic``'s
+    wall for zero benefit — the probe side was already 32-way).
+    ``True``/``False`` force it for callers that know better."""
     from ..functions.vector import dot as vdot, norm
 
     def side(suffix: str) -> DataFrame:
@@ -589,8 +616,16 @@ def embedding_cosine_pairs(
         # a mid-size parquet of 1-2 splits put millions of pair screens
         # on two cores (sf1 measured 3x SLOWER than sf10, which had
         # flipped to a 32-way sort-merge join). One linear exchange of
-        # the row side buys block-parallel screening at every scale.
-        joined = a.repartition(F.col("__blka")).join(
+        # the row side buys block-parallel screening — paid only when
+        # the probe side actually arrives narrow (adaptive default;
+        # getNumPartitions compiles the plan, runs no job).
+        if block_shuffle is None:
+            block_shuffle = (
+                df.rdd.getNumPartitions()
+                < df.sparkSession.sparkContext.defaultParallelism
+            )
+        probe = a.repartition(F.col("__blka")) if block_shuffle else a
+        joined = probe.join(
             b, (F.col("__blka") == F.col("__blkb")) & cond
         )
     else:

@@ -186,6 +186,50 @@ def kmv_sketch(
 _KMV_RANGE = float(1 << 60)
 
 
+def _kmv_pair_frame(
+    sketches: DataFrame,
+    key_col: str,
+    k: int,
+    sketch_col: str,
+) -> DataFrame:
+    """Shared pair frame of the KMV set algebra: for every key pair
+    (a < b) the merged sketch ``__mg`` (k smallest of the combined hash
+    sets), the raw intersection ``__both`` of the two input sketches,
+    the full-sketch flag ``__full`` and the UNROUNDED union estimate
+    ``__ur`` — every derived estimate (intersection, difference,
+    Jaccard) scales off ``__ur``, and rounding happens ONLY on the
+    final output columns (a rounded intermediate would let the two
+    engines land on opposite sides of a rounding boundary).
+
+    Plan: a self-join of the GROUP-cardinality sketch table — pairs
+    of ≤k-long arrays, never data rows.
+    """
+    a = sketches.select(
+        F.col(key_col).alias("key_a"), F.col(sketch_col).alias("__ka")
+    )
+    b = sketches.select(
+        F.col(key_col).alias("key_b"), F.col(sketch_col).alias("__kb")
+    )
+    merged = F.slice(
+        F.array_sort(F.array_union(F.col("__ka"), F.col("__kb"))), 1, k
+    )
+    both = F.array_intersect(F.col("__ka"), F.col("__kb"))
+    full = F.size(F.col("__mg")) >= k
+    union_raw = F.when(
+        ~F.col("__full"), F.size(F.col("__mg")).cast("double")
+    ).otherwise(
+        F.lit((k - 1) * _KMV_RANGE)
+        / F.element_at(F.col("__mg"), k).cast("double")
+    )
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .withColumn("__mg", merged)
+        .withColumn("__both", both)
+        .withColumn("__full", full)
+        .withColumn("__ur", union_raw)
+    )
+
+
 def kmv_set_ops(
     sketches: DataFrame,
     key_col: str,
@@ -205,45 +249,93 @@ def kmv_set_ops(
     / k`` (the theta-sketch intersection: the merged sketch is a
     uniform sample of the union). Doubles are safe cross-engine here:
     (k−1)·2^60 is exact in a double and the remaining ops are single
-    IEEE roundings of identical inputs; estimates round to 3 decimals.
-
-    Plan: a self-join of the GROUP-cardinality sketch table — pairs
-    of ≤k-long arrays, never data rows.
+    IEEE roundings of identical inputs. ``inter_est`` scales off the
+    UNROUNDED union estimate (the round-11 advisory: a rounded
+    intermediate could land the two engines on opposite sides of a
+    0.001 boundary); only the OUTPUT columns round, to 3 decimals.
     """
-    a = sketches.select(
-        F.col(key_col).alias("key_a"), F.col(sketch_col).alias("__ka")
-    )
-    b = sketches.select(
-        F.col(key_col).alias("key_b"), F.col(sketch_col).alias("__kb")
-    )
-    merged = F.slice(
-        F.array_sort(F.array_union(F.col("__ka"), F.col("__kb"))), 1, k
-    )
-    both = F.array_intersect(F.col("__ka"), F.col("__kb"))
-    full = F.size(F.col("__mg")) >= k
-    union_est = F.when(
-        ~full, F.size(F.col("__mg")).cast("double")
-    ).otherwise(
-        F.round(
-            F.lit((k - 1) * _KMV_RANGE)
-            / F.element_at(F.col("__mg"), k).cast("double"),
-            3,
-        )
-    )
+    p = _kmv_pair_frame(sketches, key_col, k, sketch_col)
     inter_in_mg = F.size(F.array_intersect(F.col("__mg"), F.col("__both")))
+    union_est = F.when(
+        ~F.col("__full"), F.col("__ur")
+    ).otherwise(F.round(F.col("__ur"), 3))
     inter_est = F.when(
-        ~full, F.size(F.col("__both")).cast("double")
+        ~F.col("__full"), F.size(F.col("__both")).cast("double")
     ).otherwise(
         F.round(
-            inter_in_mg.cast("double") * F.col("union_est") / F.lit(float(k)),
+            inter_in_mg.cast("double") * F.col("__ur") / F.lit(float(k)),
             3,
         )
     )
     return (
-        a.join(b, F.col("key_a") < F.col("key_b"))
-        .withColumn("__mg", merged)
-        .withColumn("__both", both)
-        .withColumn("union_est", union_est)
+        p.withColumn("union_est", union_est)
         .withColumn("inter_est", inter_est)
         .select("key_a", "key_b", "union_est", "inter_est")
+    )
+
+
+def kmv_diff_jaccard(
+    sketches: DataFrame,
+    key_col: str,
+    k: int = 256,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """Set DIFFERENCE and JACCARD estimates over KMV sketches — the
+    rest of the theta algebra (same merged-sample trick as
+    :func:`kmv_set_ops`): for every key pair (a < b),
+    ``diff_ab_est ≈ |A ∖ B|``, ``diff_ba_est ≈ |B ∖ A|`` and
+    ``jaccard_est ≈ |A ∩ B| / |A ∪ B|``.
+
+    Math: the merged sketch is a uniform sample of the union, and an
+    element of it absent from B's sketch is truly absent from B (every
+    merged element is ≤ merged[k] ≤ kb[k], so a B-member among them
+    would be inside B's k smallest) — so
+    ``diff_ab_est = |merged ∩ (A ∖ B)| · union_raw / k`` with the
+    UNROUNDED union estimate, and ``jaccard_est = |merged ∩ A ∩ B| /
+    k`` needs no union scaling at all (the factor cancels). The three
+    fractions partition the merged sample, so
+    ``inter + diff_ab + diff_ba = union`` by construction. Below k
+    both inputs are complete and all outputs are exact set counts.
+    Differences round to 3 decimals, Jaccard to 6 (it is a ratio in
+    [0, 1]); all rounding is output-only.
+    """
+    p = _kmv_pair_frame(sketches, key_col, k, sketch_col)
+    ab = F.size(
+        F.array_intersect(
+            F.col("__mg"), F.array_except(F.col("__ka"), F.col("__kb"))
+        )
+    )
+    ba = F.size(
+        F.array_intersect(
+            F.col("__mg"), F.array_except(F.col("__kb"), F.col("__ka"))
+        )
+    )
+    inter_in_mg = F.size(F.array_intersect(F.col("__mg"), F.col("__both")))
+
+    def diff(in_mg: F.Column, exact: F.Column) -> F.Column:
+        return F.when(~F.col("__full"), exact.cast("double")).otherwise(
+            F.round(
+                in_mg.cast("double") * F.col("__ur") / F.lit(float(k)), 3
+            )
+        )
+
+    jaccard = F.when(
+        ~F.col("__full"),
+        F.round(
+            F.size(F.col("__both")).cast("double")
+            / F.size(F.col("__mg")).cast("double"),
+            6,
+        ),
+    ).otherwise(F.round(inter_in_mg.cast("double") / F.lit(float(k)), 6))
+    return (
+        p.withColumn(
+            "diff_ab_est",
+            diff(ab, F.size(F.array_except(F.col("__ka"), F.col("__kb")))),
+        )
+        .withColumn(
+            "diff_ba_est",
+            diff(ba, F.size(F.array_except(F.col("__kb"), F.col("__ka")))),
+        )
+        .withColumn("jaccard_est", jaccard)
+        .select("key_a", "key_b", "diff_ab_est", "diff_ba_est", "jaccard_est")
     )

@@ -176,10 +176,15 @@ def bpe_train_batched(
     one-driver-round-trip-per-merge coordination cost (32k sequential
     Spark jobs at a real vocab size). Per ROUND it takes the top
     ``candidate_window`` pairs in ONE TakeOrdered, greedily accepts up
-    to ``batch`` of them that are pairwise SYMBOL-DISJOINT (no accepted
-    pair shares lhs or rhs with another — disjoint merges neither
-    change each other's pre-round counts nor overlap as patterns, so
-    applying them together is exact), and applies all accepted merges
+    to ``batch`` of them that are pairwise SYMBOL-DISJOINT — no
+    accepted pair shares lhs, rhs, OR its merged OUTPUT symbol with
+    another accepted merge's {lhs, rhs, merged}. Input-disjointness
+    means no accepted merge changes another's pre-round counts or
+    consumes its pattern; output-disjointness (the round-11 advisory)
+    additionally guarantees no accepted pattern can match text another
+    accepted replacement CREATED in the same round, so the fused
+    chained replace applies each merge exactly at its recorded
+    pre-round frequency. It then applies all accepted merges
     as ONE fused literal-replace projection + ONE ``localCheckpoint``.
     Driver rounds ≈ ``num_merges / batch`` instead of ``num_merges``;
     per-round data movement is unchanged (one vocab-sized aggregate +
@@ -236,11 +241,11 @@ def bpe_train_batched(
         for row in cand:
             if len(accepted) == batch:
                 break
-            if row["lhs"] in used or row["rhs"] in used:
+            syms = (row["lhs"], row["rhs"], row["lhs"] + row["rhs"])
+            if any(s in used for s in syms):
                 continue
             accepted.append((row["lhs"], row["rhs"], int(row["freq"])))
-            used.add(row["lhs"])
-            used.add(row["rhs"])
+            used.update(syms)
         if not accepted:
             break
         enc = F.col("enc")

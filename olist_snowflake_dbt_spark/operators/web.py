@@ -426,12 +426,21 @@ def cap_per_host(
         # deliver min(cap, |host|) survivors; a shortfall means the
         # threshold cut into the true top-cap (Chernoff-rare at
         # factor >= 8) — hard-fail rather than silently under-cap.
+        # Driven from checked_hosts with a LEFT join (round-11
+        # advisory): a host whose rows were ALL dropped by the
+        # prefilter has no kept row at all — an inner join would skip
+        # exactly the worst shortfall; a missing count reads as 0.
         kept = kept.persist()
         short = (
-            kept.groupBy(level)
-            .agg(F.count(F.lit(1)).alias("__kn"))
-            .join(F.broadcast(checked_hosts), level)
-            .filter(F.col("__kn") < F.least(F.lit(cap), F.col("__hn")))
+            checked_hosts.join(
+                kept.groupBy(level).agg(F.count(F.lit(1)).alias("__kn")),
+                level,
+                "left",
+            )
+            .filter(
+                F.coalesce(F.col("__kn"), F.lit(0))
+                < F.least(F.lit(cap), F.col("__hn"))
+            )
             .count()
         )
         if short:

@@ -2450,6 +2450,85 @@ FROM p
 """
 
 
+# varied-set KMV input (unlike the user_id sketch, where every event
+# type sees the SAME 150-user set and every pairwise estimate
+# degenerates to the identical value): the (user_id, event_id % 7)
+# combo sets overlap partially and differently per type pair, so the
+# difference / Jaccard estimates — and the unrounded-union scaling the
+# round-11 advisory flagged — are exercised on genuinely distinct
+# values, not on a constant that cancels rounding.
+_KMV_DJ_ORACLE = """
+WITH h AS (
+    SELECT DISTINCT event_type,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                               || CAST(event_id % 7 AS VARCHAR)), 1, 15)
+                AS BIGINT) AS hv
+    FROM events
+),
+r AS (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM h
+),
+sk AS (
+    SELECT event_type, list_sort(list(hv)) AS kmv
+    FROM r WHERE rn <= 64 GROUP BY event_type
+),
+p AS (
+    SELECT a.event_type AS key_a, b.event_type AS key_b,
+           a.kmv AS ka, b.kmv AS kb,
+           list_sort(list_distinct(list_concat(a.kmv, b.kmv)))[1:64] AS mg,
+           list_intersect(a.kmv, b.kmv) AS bh
+    FROM sk a JOIN sk b ON a.event_type < b.event_type
+),
+-- arrays are duplicate-free hash sets, so |mg ∩ (A∖B)| =
+-- |mg ∩ A| − |mg ∩ A ∩ B| (and exact counts below k likewise)
+c AS (
+    SELECT key_a, key_b, mg, bh, ka, kb,
+           len(list_intersect(mg, ka)) - len(list_intersect(mg, bh)) AS dab,
+           len(list_intersect(mg, kb)) - len(list_intersect(mg, bh)) AS dba,
+           len(list_intersect(mg, bh)) AS imh,
+           CAST(63 AS DOUBLE) * 1152921504606846976.0
+               / CAST(mg[64] AS DOUBLE) AS ur
+    FROM p
+)
+SELECT key_a, key_b,
+       CASE WHEN len(mg) < 64 THEN CAST(len(ka) - len(bh) AS DOUBLE)
+            ELSE ROUND(CAST(dab AS DOUBLE) * ur / 64.0, 3) END AS diff_ab_est,
+       CASE WHEN len(mg) < 64 THEN CAST(len(kb) - len(bh) AS DOUBLE)
+            ELSE ROUND(CAST(dba AS DOUBLE) * ur / 64.0, 3) END AS diff_ba_est,
+       CASE WHEN len(mg) < 64
+            THEN ROUND(CAST(len(bh) AS DOUBLE) / CAST(len(mg) AS DOUBLE), 6)
+            ELSE ROUND(CAST(imh AS DOUBLE) / 64.0, 6) END AS jaccard_est
+FROM c
+"""
+
+
+@query("sketch_kmv_diff_jaccard", _KMV_DJ_ORACLE)
+def q_sketch_kmv_diff_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch difference + Jaccard estimates
+    (operators/sketches.kmv_diff_jaccard — round 12, completing the set
+    algebra): per event-type pair over the (user, event_id%7) combo
+    sets, estimated |A∖B|, |B∖A| and J(A,B) from the merged sketch.
+    The merged sample partitions into inter/diff_ab/diff_ba, all
+    scaled by the UNROUNDED union estimate (the round-11 advisory
+    fix); Jaccard needs no scaling at all — the union factor cancels
+    to |merged∩A∩B|/k. Deterministic md5 hashes end-to-end, so the
+    oracle replays sketches AND estimates bit-for-bit."""
+    from .operators.sketches import kmv_diff_jaccard, kmv_sketch
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__combo",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            (F.col("event_id") % 7).cast("string"),
+        ),
+    )
+    sk = kmv_sketch(ev, ["event_type"], "__combo", k=64)
+    return kmv_diff_jaccard(sk, "event_type", k=64)
+
+
 @query("sketch_kmv_set_ops", _KMV_ORACLE)
 def q_sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV / theta-sketch SET ALGEBRA (operators/sketches.kmv_sketch +

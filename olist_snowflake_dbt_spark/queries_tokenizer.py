@@ -139,8 +139,10 @@ def _bpe_train_batched_oracle(
     """Unroll the BATCHED train loop (operators/tokenizer.
     bpe_train_batched) as SQL: per round, the top-``window`` candidate
     pairs under the (freq DESC, lhs, rhs) total order; per slot, the
-    best candidate symbol-disjoint from the round's earlier slots
-    (greedy = successive constrained argmax); all of a round's accepted
+    best candidate symbol-disjoint from the round's earlier slots —
+    disjoint over {lhs, rhs, merged} on BOTH sides, mirroring the
+    operator's output-symbol rule (greedy = successive constrained
+    argmax); all of a round's accepted
     merges applied as one nested-replace projection with chr(1) no-op
     guards for empty slots. Ranks = row_number over (round, slot),
     trimmed to ``num_merges`` — token-for-token the batched trainer's
@@ -168,7 +170,9 @@ def _bpe_train_batched_oracle(
                 conflict = f"""
     WHERE NOT EXISTS (
         SELECT 1 FROM ({prior}) a
-        WHERE a.lhs IN (c.lhs, c.rhs) OR a.rhs IN (c.lhs, c.rhs))"""
+        WHERE a.lhs IN (c.lhs, c.rhs, c.lhs || c.rhs)
+           OR a.rhs IN (c.lhs, c.rhs, c.lhs || c.rhs)
+           OR (a.lhs || a.rhs) IN (c.lhs, c.rhs, c.lhs || c.rhs))"""
             ctes.append(f"""s{r}_{j} AS (
     SELECT lhs, rhs, freq FROM c{r} c{conflict}
     ORDER BY freq DESC, lhs, rhs LIMIT 1

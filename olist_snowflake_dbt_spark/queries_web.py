@@ -182,6 +182,29 @@ def q_web_cap_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("web_cap_prefilter", _CAP_ORACLE)
+def q_web_cap_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-host PREFILTERED per-domain cap (operators/web.cap_per_host
+    with ``prefilter_factor=8``): per host, only rows whose uniform
+    32-bit md5 prefix falls under factor·cap/|host| of the key space
+    reach the exact rank window — expected survivors ≈ factor·cap per
+    host whatever the host size, so a 1%-of-crawl host no longer
+    serializes its full row set through one window task. The ORACLE IS
+    THE UNFILTERED WINDOW RESULT (same SQL as web_cap_per_host):
+    exactness of the prefiltered output is the operator's checked
+    claim — the window ranks by the same md5 the filter thresholds,
+    and the built-in verifier hard-fails on any host that delivers
+    fewer than min(cap, |host|) survivors rather than letting the
+    filter silently cut into the true top-cap."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = cap_per_host(
+        synth_urls(docs), "url", "doc_id", cap=3, prefilter_factor=8
+    )
+    return kept.select(
+        "host", "doc_id", F.col("host_rank").cast("int").alias("host_rank")
+    )
+
+
 _PREP_ORACLE = (
     _SYNTH_AND_CANON
     + """

@@ -457,3 +457,83 @@ class TestKmvSetOps:
         df = spark.createDataFrame([("a", 1)], "g string, v long")
         with _pytest.raises(ValueError, match="k must be"):
             kmv_sketch(df, ["g"], "v", k=1)
+
+    def test_inter_est_scales_off_unrounded_union(self, spark):
+        """Round-11 advisory: inter_est must use the UNROUNDED union
+        estimate (rounding only the outputs). Replay the estimator in
+        Python off the collected sketches and demand bit-equality —
+        with the old rounded-intermediate code this match would be at
+        the mercy of 0.001 boundaries on varied (non-identical) sets."""
+        from olist_snowflake_dbt_spark.operators.sketches import (
+            kmv_set_ops,
+        )
+
+        k = 64
+        sets = {"a": range(3000), "b": range(1000, 4000)}
+        sk = kmv_sketch_frame = self._sketch(spark, sets, k=k)
+        raw = {r.g: list(r.kmv) for r in kmv_sketch_frame.collect()}
+        ka, kb = raw["a"], raw["b"]
+        mg = sorted(set(ka) | set(kb))[:k]
+        both = [h for h in ka if h in set(kb)]
+        assert len(mg) == k  # the estimator branch is the one under test
+        ur = (k - 1) * float(1 << 60) / float(mg[k - 1])
+        want_union = round(ur, 3)
+        want_inter = round(len(set(mg) & set(both)) * ur / float(k), 3)
+        r = kmv_set_ops(sk, "g", k=k).collect()[0]
+        assert (r.union_est, r.inter_est) == (want_union, want_inter)
+
+
+class TestKmvDiffJaccard:
+    """Round-12 completion of the theta algebra: difference + Jaccard."""
+
+    def _sketch(self, spark, sets, k):
+        from olist_snowflake_dbt_spark.operators.sketches import kmv_sketch
+
+        rows = [(g, v) for g, vals in sets.items() for v in vals]
+        df = spark.createDataFrame(rows, "g string, v long")
+        return kmv_sketch(df, ["g"], "v", k=k)
+
+    def test_exact_below_k(self, spark):
+        from olist_snowflake_dbt_spark.operators.sketches import (
+            kmv_diff_jaccard,
+        )
+
+        sets = {"a": range(100), "b": range(50, 150)}
+        # |A∖B| = |B∖A| = 50, J = 50/150
+        r = kmv_diff_jaccard(self._sketch(spark, sets, k=256), "g", k=256)
+        row = r.collect()[0]
+        assert (row.key_a, row.key_b) == ("a", "b")
+        assert row.diff_ab_est == 50.0 and row.diff_ba_est == 50.0
+        assert row.jaccard_est == round(50 / 150, 6)
+
+    def test_estimates_above_k_are_close_and_consistent(self, spark):
+        from olist_snowflake_dbt_spark.operators.sketches import (
+            kmv_diff_jaccard,
+            kmv_set_ops,
+        )
+
+        n = 20_000
+        sets = {"a": range(n), "b": range(n // 2, n + n // 2)}
+        # |A∖B| = |B∖A| = 10000, J = 1/3
+        sk = self._sketch(spark, sets, k=256)
+        dj = kmv_diff_jaccard(sk, "g", k=256).collect()[0]
+        so = kmv_set_ops(sk, "g", k=256).collect()[0]
+        assert abs(dj.diff_ab_est - 10_000) / 10_000 < 0.35
+        assert abs(dj.diff_ba_est - 10_000) / 10_000 < 0.35
+        assert abs(dj.jaccard_est - 1 / 3) < 0.15
+        # the merged sample partitions: inter + both diffs == union
+        # (all four scale off the same unrounded union, so the identity
+        # survives to within output rounding)
+        total = so.inter_est + dj.diff_ab_est + dj.diff_ba_est
+        assert abs(total - so.union_est) < 0.01
+
+    def test_deterministic_across_runs(self, spark):
+        from olist_snowflake_dbt_spark.operators.sketches import (
+            kmv_diff_jaccard,
+        )
+
+        sets = {"a": range(5000), "b": range(2500, 7500), "c": range(9000)}
+        sk = self._sketch(spark, sets, k=128)
+        one = sorted(map(tuple, kmv_diff_jaccard(sk, "g", k=128).collect()))
+        two = sorted(map(tuple, kmv_diff_jaccard(sk, "g", k=128).collect()))
+        assert one == two and len(one) == 3

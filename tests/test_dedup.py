@@ -82,6 +82,39 @@ def test_embedding_cosine_pairs_planted(spark, sf_dir):
     assert all(abs(p.cosine - 1.0) < 1e-12 for p in exact_pairs)
 
 
+def test_blocked_cosine_adaptive_exchange(spark):
+    """Round-12 adaptive block repartition: the probe-side exchange on
+    the block key fires only when the input arrives NARROWER than the
+    session parallelism (the collapse case it fixes); an already-wide
+    input skips it (the sf0.1 dedup_semantic regression), and the
+    explicit flags force either way. Results identical in all modes."""
+    rows = [(i, [float(i % 5), 1.0, 0.5], i % 3) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, blk int"
+    )
+    narrow = df.coalesce(1)
+    wide = df.repartition(spark.sparkContext.defaultParallelism)
+
+    def plan(src, **kw):
+        out = embedding_cosine_pairs(
+            src, "embedding", "vec_id", 0.99, block_col="blk", **kw
+        )
+        return out, out._jdf.queryExecution().executedPlan().toString()
+
+    auto_narrow, p1 = plan(narrow)
+    auto_wide, p2 = plan(wide)
+    forced_off, p3 = plan(narrow, block_shuffle=False)
+    # the operator's own exchange is REPARTITION_BY_COL; the join may
+    # add its own ENSURE_REQUIREMENTS exchange, which is not ours
+    assert "REPARTITION_BY_COL" in p1  # narrow → exchange fires
+    assert "REPARTITION_BY_COL" not in p2  # wide → skipped
+    assert "REPARTITION_BY_COL" not in p3  # forced off
+    ref = sorted(map(tuple, auto_narrow.collect()))
+    assert ref == sorted(map(tuple, auto_wide.collect()))
+    assert ref == sorted(map(tuple, forced_off.collect()))
+    assert len(ref) > 0
+
+
 def test_drop_from_pairs(spark, planted):
     pairs = ngram_jaccard_pairs(planted, "text", "doc_id", 3, 0.99)
     survivors = drop_from_pairs(planted, "doc_id", pairs)

@@ -188,10 +188,10 @@ def _ref_bpe_batched(
         for (lhs, rhs), c in cand:
             if len(accepted) == batch:
                 break
-            if lhs in used or rhs in used:
+            if used & {lhs, rhs, lhs + rhs}:
                 continue
             accepted.append((lhs, rhs, c))
-            used |= {lhs, rhs}
+            used |= {lhs, rhs, lhs + rhs}
         if not accepted:
             break
         for lhs, rhs, c in accepted:
@@ -294,6 +294,23 @@ class TestBpeBatched:
         assert got_s[1][1:3] == ("ab", "ab")   # sequential: created pair
         assert got_b[1][1:3] == ("c", "d")     # batched: pre-round pair
         assert got_b != got_s
+
+    def test_output_symbol_rule_parity_on_overlap_heavy_corpus(self, spark):
+        """Round-12 rule change (round-11 advisory): acceptance is
+        disjoint over {lhs, rhs, merged} — the merged OUTPUT symbol
+        joins the conflict set, so no accepted pattern can match text
+        another same-round replacement created. Overlap-heavy corpus
+        (runs, abab, nested ab/bc/abc words) at batch=3: the Spark
+        trainer, the Python reference, and (via the driver) the SQL
+        oracle all replay the same strengthened rule."""
+        corpus = [
+            "aaaa aaaa aa aab abb aabb abab abab",
+            "bc bc bc abc abc aabc abbc zbc zb",
+        ]
+        got, want = _train_batched(
+            spark, corpus, 10, min_freq=1, batch=3, window=12
+        )
+        assert got == want and len(got) >= 6
 
     def test_driver_rounds_scale_as_merges_over_batch(self, spark, monkeypatch):
         """8 merges at batch=4 touch the driver TWICE (one candidate

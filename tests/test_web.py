@@ -454,3 +454,39 @@ class TestCapPrefilter:
                 self._docs(spark), "url", "doc_id",
                 cap=5, prefilter_factor=1,
             )
+
+    def test_all_rows_dropped_host_hard_fails(self, spark):
+        """Round-11 advisory: a host whose EVERY row falls above the
+        prefilter threshold must trip the verifier — the old inner-join
+        check let such a host vanish from the output silently (the
+        worst possible shortfall). The salt is searched so that all 8
+        of the host's md5 prefixes exceed budget/|host| of the key
+        space (probability ~(3/4)^8 per salt — a hit inside 512 salts
+        is deterministic given md5)."""
+        import hashlib
+
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.web import cap_per_host
+
+        rows = [(i, f"http://bad.example.com/p/{i}") for i in range(8)]
+        docs = spark.createDataFrame(rows, "doc_id long, url string")
+        # canonical = host || path (scheme stripped, no www/params here)
+        canon = [(i, f"bad.example.com/p/{i}") for i in range(8)]
+        # cap=1, factor=2 -> budget=2; a row survives iff
+        # u32 * 8 < 2 * 2^32, i.e. u32 < 2^30
+        salt = next(
+            s
+            for s in (f"s{j}" for j in range(512))
+            if all(
+                int(
+                    hashlib.md5(f"{s}{c}{i}".encode()).hexdigest()[:8], 16
+                )
+                >= (1 << 30)
+                for i, c in canon
+            )
+        )
+        with _pytest.raises(RuntimeError, match="under-delivered"):
+            cap_per_host(
+                docs, "url", "doc_id", cap=1, salt=salt, prefilter_factor=2
+            )
