@@ -189,15 +189,19 @@ def prefix_filter_jaccard_pairs(
     codegen) and the output — pairs AND scores — is identical to
     :func:`ngram_jaccard_pairs` at the same threshold (tested).
 
-    Plan: shingle scan → df aggregate → rank join (both linear, on the
-    8-byte hash) → per-doc prefix window (one id exchange) →
+    Plan: shingle scan → FLAT inverted index (__id, __n, __s) persisted
+    once (the only cache — persisting the array-typed shingle frame
+    instead costs ~5× wall in the nested columnar cache build, measured
+    11 s vs ~2 s at sf0.1) → df aggregate → rank join (both linear, on
+    the 8-byte hash) → per-doc prefix window (one id exchange) →
     PREFIX-sized self-join with the lossless LENGTH filter
-    (min(|A|,|B|) ≥ t·max — round 12) folded into the join condition →
-    16-byte pair dedup → two id-keyed joins attaching the full sets
-    for the exact verify. Every exchange linear; the one
-    quadratic-prone leg (the self-join) now sees only rare-token
-    buckets, and size-skewed matches die inside the join before the
-    dedup/verify stages pay for them.
+    (min(|A|,|B|) ≥ t·max, Xiao et al. WWW 2008 §3 — round 12) folded
+    into the join condition → 16-byte pair dedup → exact verify as a
+    flat count join (candidates × index on (id, shingle) — no
+    array_intersect, no array shuffle). Every exchange linear; the one
+    quadratic-prone leg (the self-join) sees only rare-token buckets,
+    and size-skewed matches die inside the join before the dedup and
+    verify stages pay for them.
 
     HONEST CONSTANT (measured, SCALING.json): the df aggregate + rank
     join + prefix window are two extra LINEAR passes over the full
@@ -211,13 +215,14 @@ def prefix_filter_jaccard_pairs(
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = (
-        _shingled(df, text_col, id_col, n)
-        .withColumn("__n", F.size("__shingles"))
-        .filter(F.col("__n") > 0)
+    sh = _shingled(df, text_col, id_col, n).withColumn(
+        "__n", F.size("__shingles")
+    )
+    ex = (
+        sh.select("__id", "__n", F.explode_outer("__shingles").alias("__s"))
+        .filter(F.col("__s").isNotNull())
         .persist()
     )
-    ex = sh.select("__id", "__n", F.explode("__shingles").alias("__s"))
     dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("__id").orderBy("__df", "__s")
     plen = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
@@ -246,24 +251,24 @@ def prefix_filter_jaccard_pairs(
                 * F.greatest(F.col("a.__n"), F.col("b.__n")).cast("double")
             ),
         )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates()
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__n").alias("n_a"),
+            F.col("b.__n").alias("n_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sh.select(
-        F.col("__id").alias("id_a"),
-        F.col("__shingles").alias("__sh_a"),
-        F.col("__n").alias("n_a"),
-    )
-    sb = sh.select(
-        F.col("__id").alias("id_b"),
-        F.col("__shingles").alias("__sh_b"),
-        F.col("__n").alias("n_b"),
-    )
-    common = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    # exact verify over the FLAT index: per candidate pair, count the
+    # shared shingles by joining the pair list back to the index on
+    # each side — primitives-only exchanges, no array columns shuffle
+    ea = ex.select(F.col("__id").alias("id_a"), "__s")
+    eb = ex.select(F.col("__id").alias("id_b"), "__s")
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("__common", common)
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "__s"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("__common"))
         .withColumn(
             "jaccard",
             F.col("__common")

@@ -294,6 +294,22 @@ class TestBpeBatched:
         assert got_s[1][1:3] == ("ab", "ab")   # sequential: created pair
         assert got_b[1][1:3] == ("c", "d")     # batched: pre-round pair
         assert got_b != got_s
+        # and the divergence all the way down to TOKENIZATIONS: encoding
+        # the same corpus with each learned table yields different token
+        # streams — pinned exactly, so the semantic gap is documented in
+        # outputs, not just in merge-table rows
+        from olist_snowflake_dbt_spark.operators.tokenizer import (
+            bpe_segment,
+        )
+
+        df = spark.createDataFrame([(corpus[0],)], "text string")
+
+        def toks(table):
+            seg = bpe_segment(df, [(l, r) for _, l, r, _, _ in table], "text")
+            return seg.select("tokens").collect()[0][0]
+
+        assert toks(got_s) == ["abab", "abab", "abab", "c", "d", "c", "d"]
+        assert toks(got_b) == ["ab", "ab", "ab", "ab", "ab", "ab", "cd", "cd"]
 
     def test_output_symbol_rule_parity_on_overlap_heavy_corpus(self, spark):
         """Round-12 rule change (round-11 advisory): acceptance is
