@@ -190,9 +190,15 @@ def prefix_filter_jaccard_pairs(
     :func:`ngram_jaccard_pairs` at the same threshold (tested).
 
     Plan: shingle scan → FLAT inverted index (__id, __n, __s) persisted
-    once (the only cache — persisting the array-typed shingle frame
-    instead costs ~5× wall in the nested columnar cache build, measured
-    11 s vs ~2 s at sf0.1) → df aggregate → rank join (both linear, on
+    once (the only cache). The previous shape — ``filter(size(
+    __shingles) > 0)`` over the array frame — cost 11 s of an 11.3 s
+    sf0.1 wall: predicate pushdown inlines the ENTIRE interpreted-HOF
+    shingle expression into the filter predicate, where every lambda
+    reference re-evaluates the words regex (5 inlined copies per row,
+    measured; the optimized plan shows regexp_extract_all nested five
+    times inside the Filter). Filtering ``__s IS NOT NULL`` after the
+    explode keeps the expensive expression evaluated once, behind the
+    Generate. Then: df aggregate → rank join (both linear, on
     the 8-byte hash) → per-doc prefix window (one id exchange) →
     PREFIX-sized self-join with the lossless LENGTH filter
     (min(|A|,|B|) ≥ t·max, Xiao et al. WWW 2008 §3 — round 12) folded

@@ -400,8 +400,16 @@ def cap_per_host(
         # keeps >= min(cap, |host|) survivors the output is EXACTLY the
         # unfiltered result (dropped rows have strictly larger prefixes
         # than at least cap survivors).
-        counts = with_host.groupBy(level).agg(
-            F.count(F.lit(1)).alias("__hn")
+        # PERSIST the per-host counts: they are dim-sized (one row per
+        # host) but their subtree is a full corpus scan + URL
+        # canonicalization — consumed twice (the prefilter broadcast
+        # and the verifier below), unpersisted that scan would run
+        # twice more on top of the main pass (measured 3x wall on a
+        # zipf fixture, tools/cap_zipf_scale.py)
+        counts = (
+            with_host.groupBy(level)
+            .agg(F.count(F.lit(1)).alias("__hn"))
+            .persist()
         )
         u32 = F.conv(F.substring("__cap_key", 1, 8), 16, 10).cast("bigint")
         budget = F.lit(int(prefilter_factor) * cap).cast("bigint")

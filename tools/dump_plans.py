@@ -23,11 +23,27 @@ FLAGSHIPS = [
      "broadcast at test scale and sort-merge at cluster scale."),
     ("dedup_semantic", "SemDeDup cluster-then-prune: broadcast-centroid "
      "k-means assignment persisted once, cosine pairs confined to "
-     "within-cluster equi-joins, keep-min anti-join on ids."),
+     "within-cluster equi-joins, keep-min anti-join on ids. Round 12: "
+     "the probe-side block repartition is ADAPTIVE — this probe "
+     "arrives 32-wide from the upstream repartition, so no "
+     "REPARTITION_BY_COL exchange appears here (a narrow raw-scan "
+     "probe still gets one)."),
     ("sample_weighted_percentile", "Two-level exact weighted percentiles "
      "(round 11): per-group range buckets; the bucket-prefix frame is "
      "tiny and BROADCASTS back; the row-level running weight windows "
      "per (group, bucket) — parallelism independent of group count."),
+    ("dedup_jaccard_prefix_filter", "Exact Jaccard via prefix filtering "
+     "(round 12 shape): the FLAT (id, n, shingle) index is the only "
+     "persist — the shingle HOF is evaluated once behind the Generate, "
+     "never inlined into a pushed-down filter; candidates carry the "
+     "lossless length filter inside the self-join condition; the "
+     "verify is a flat count join, no array columns through any "
+     "exchange."),
+    ("web_cap_prefilter", "Per-host cap with the hot-host prefilter: "
+     "per-host counts persist once (dim-sized) and broadcast into a "
+     "map-side threshold filter; the rank window sees ~factor*cap "
+     "rows per host whatever the host size; the under-delivery "
+     "verifier is a broadcast-sized left join."),
     ("dedup_minhash_lsh", "Signatures via codegen'd min-aggregates. "
      "Round-11 reshape: band keys explode into a slim (band, id) frame "
      "— signatures NEVER ride the band exchanges; hot buckets drop via "
