@@ -35,19 +35,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # in dict order. Round-12 rotation policy (same staleness-wins rule as
-# r09-r11): (a) everything NEW or modified in round 12 — 6 slots: the
+# r09-r11): (a) everything NEW or modified in round 12 — 8 slots: the
 # KMV difference/Jaccard estimates (new), the hot-host prefiltered cap
 # (new; oracle = the unfiltered window result — exactness is the
-# claim), sketch_kmv_set_ops (inter_est now scales off the UNROUNDED
-# union — the r11 advisory), tokenizer_bpe_train_batched (acceptance
-# disjoint over {lhs, rhs, merged} — the r11 advisory, mirrored in the
-# SQL oracle), dedup_jaccard_prefix_filter (lossless length filter in
-# the candidate join), dedup_semantic (adaptive block repartition);
-# then (b) the 22 remaining r06-era rows — after this round NO query's
-# newest driver row is older than r07; then (c) the alphabetical first
-# 22 of the 49 r07-era rows (fct_orders stays out per standing policy:
+# claim), incremental MinHash near-dup admission (new),
+# SSL-prototype data pruning (new), sketch_kmv_set_ops (inter_est now
+# scales off the UNROUNDED union — the r11 advisory),
+# tokenizer_bpe_train_batched (acceptance disjoint over {lhs, rhs,
+# merged} — the r11 advisory, mirrored in the SQL oracle),
+# dedup_jaccard_prefix_filter (lossless length filter + flat-index
+# verify), dedup_semantic (adaptive block repartition); then (b) the
+# 22 remaining r06-era rows — after this round NO query's newest
+# driver row is older than r07; then (c) the alphabetical first 20 of
+# the 49 r07-era rows (fct_orders stays out per standing policy:
 # entry() smoke-runs it and gate.py re-verifies it every round). The
-# remaining 27 r07-era rows are first in line for round 13. Every
+# remaining 29 r07-era rows are first in line for round 13. Every
 # displaced query keeps its historical driver row and is re-verified
 # on current code each round by tools/gate.py over the full catalog
 # (GATE.json).
@@ -55,6 +57,8 @@ _CHECK_FIRST = [
     # new / modified in round 12
     "sketch_kmv_diff_jaccard",
     "web_cap_prefilter",
+    "dedup_incremental_minhash",
+    "prune_prototype_distance",
     "sketch_kmv_set_ops",
     "tokenizer_bpe_train_batched",
     "dedup_jaccard_prefix_filter",
@@ -103,8 +107,6 @@ _CHECK_FIRST = [
     "fuzzy_join_levenshtein",
     "graph_pagerank_purchases",
     "grouping_rollup",
-    "incremental_microbatch_sim",
-    "json_extract",
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.

@@ -167,3 +167,86 @@ def kmeans_lloyd(
         F.col("cell").alias("cluster"),
         F.count(F.lit(1)).over(size_w).alias("cluster_size"),
     )
+
+
+def prototype_prune(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cluster_col: str,
+    keep_fraction: float = 0.8,
+) -> DataFrame:
+    """SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws", NeurIPS — public knowledge): per cluster, rank
+    examples by distance to the cluster CENTROID and keep the
+    ``ceil(keep_fraction · |cluster|)`` most prototypical (closest)
+    ones — the cheap self-supervised pruning metric that paper shows
+    can beat random subsampling, and the natural next stage after
+    :func:`kmeans_lloyd` / before training-set packing.
+
+    Exactness (engine-replayable ranks, no float summation anywhere):
+    vectors quantize to micro-units (``floor(x·1e6 + 0.5)`` — the same
+    fixed-point idiom as the k-means centroids above), and ranking
+    uses the DIVISION-FREE integer form ``score_i = Σ_j (n·q_ij −
+    S_j)²`` where ``S_j`` is the cluster's per-dimension micro-unit
+    SUM and ``n`` its size: within a cluster this is ``n²`` times the
+    squared L2 distance to the centroid, so the RANKING is identical
+    while every quantity stays exact integer arithmetic (squares
+    accumulate in DECIMAL(38,0) — bigint would overflow at
+    |d| > 3·10⁹). Ties break by id.
+
+    Plan: one posexplode → (cluster, dim) map-side-combinable integer
+    sum (k·dim rows out) → sums collect to one array row per cluster
+    and BROADCAST back → the per-row score folds in a single codegen'd
+    zip_with/aggregate (no second explode) → one cluster-keyed window
+    ranks. Window partitions are clusters — bounded by the k ∝ n
+    discipline (the SemDeDup tractability argument).
+
+    Returns ``(id_col, cluster_col, proto_rank, cluster_n, kept)``.
+    """
+    if not 0 < keep_fraction <= 1:
+        raise ValueError(
+            f"keep_fraction must be in (0, 1], got {keep_fraction}"
+        )
+    pts = df.select(
+        F.col(id_col),
+        F.col(cluster_col),
+        _quantized(F.col(vec_col)).alias("__q"),
+    )
+    comp = pts.select(cluster_col, F.posexplode("__q").alias("__j", "__v"))
+    sums = comp.groupBy(cluster_col, "__j").agg(F.sum("__v").alias("__s"))
+    arrs = sums.groupBy(cluster_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__j", "__s"))),
+            lambda t: t["__s"],
+        ).alias("__s_arr")
+    )
+    counts = pts.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("cluster_n"))
+    dims = F.broadcast(arrs.join(counts, cluster_col))
+    n = F.col("cluster_n")
+    diffs = F.zip_with(
+        F.col("__q"),
+        F.col("__s_arr"),
+        lambda q, s: (n * q - s).cast("decimal(19,0)"),
+    )
+    score = F.aggregate(
+        diffs,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, d: (acc + (d * d).cast("decimal(38,0)")).cast(
+            "decimal(38,0)"
+        ),
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col("__score").asc(), F.col(id_col).asc()
+    )
+    return (
+        pts.join(dims, cluster_col)
+        .withColumn("__score", score)
+        .withColumn("proto_rank", F.row_number().over(w))
+        .withColumn(
+            "kept",
+            F.col("proto_rank")
+            <= F.ceil(F.lit(float(keep_fraction)) * n).cast("int"),
+        )
+        .select(id_col, cluster_col, "proto_rank", "cluster_n", "kept")
+    )

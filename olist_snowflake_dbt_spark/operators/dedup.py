@@ -901,6 +901,80 @@ def incremental_dedup(
     )
 
 
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    standing_bands: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Incremental NEAR-dup admission — the fuzzy sibling of
+    :func:`incremental_dedup`: admit only batch rows that (a) share NO
+    LSH band with the standing corpus' band index and (b) share no band
+    with a smaller-id batch row (the deterministic one-pass
+    batch-internal guard — the same star-linkage semantics as
+    :func:`drop_from_pairs`: a row colliding only with an
+    already-dropped row is still dropped, the conservative direction).
+
+    ``standing_bands`` needs a single column ``band`` — the standing
+    corpus' band-key index (build/extend it with
+    ``minhash_banded(...).select(F.col('__band').alias('band'))``).
+    This is how a 100 TB corpus grows WITHOUT re-minhashing itself:
+    the standing state is ~``bands`` short strings per document
+    (~1/100th of the text bytes — the near-dup analogue of the 16-byte
+    exact-fingerprint table), the batch is signed once, and admission
+    is two joins. Appending the admitted rows' bands keeps the
+    invariant. Band keys inherit whatever ``max_bucket`` discipline
+    built the standing index; the batch side applies none (a batch is
+    epoch-sized, not corpus-sized).
+
+    Plan: batch → signatures (one shingle explode + 64 codegen'd
+    min-aggregates) → slim (id, band) frame → collision ids via an
+    inner join on ``band`` against the standing index (band keys are
+    uniform md5-derived strings — no skew) → LEFT ANTI at the ID level
+    → per-band MIN(id) over the survivors → a row admits iff none of
+    its bands carries a smaller surviving id. Signatures never leave
+    the batch stage; every exchange carries ~50 B rows. Returns the
+    admitted rows of ``batch`` (original columns).
+    """
+    # persist the slim (id, band) frame: its subtree is the batch's
+    # full signature computation (shingle explode + 64 min-aggregates)
+    # and THREE branches consume it (standing-collision probe,
+    # per-band min, internal-drop join) — unpersisted, the signatures
+    # would be recomputed per branch. Flat short strings cache cheap.
+    banded = (
+        minhash_banded(batch, text_col, id_col, n, num_hashes, bands)
+        .select("__id", "__band")
+        .persist()
+    )
+    hit_standing = (
+        banded.join(
+            standing_bands.select(F.col("band").alias("__band")),
+            "__band",
+            "left_semi",
+        )
+        .select("__id")
+        .dropDuplicates()
+    )
+    survivors = banded.join(hit_standing, "__id", "left_anti")
+    band_min = survivors.groupBy("__band").agg(F.min("__id").alias("__min_id"))
+    dropped_internal = (
+        survivors.join(band_min, "__band")
+        .filter(F.col("__min_id") < F.col("__id"))
+        .select("__id")
+    )
+    # drive the verdict from the BATCH, not the band frame: a document
+    # with zero shingles has no bands, hence no collision evidence —
+    # it is ADMITTED (matching incremental_dedup, where empty docs
+    # still carry a fingerprint), not silently lost
+    dropped = hit_standing.unionByName(dropped_internal).dropDuplicates()
+    return batch.join(
+        dropped.withColumnRenamed("__id", id_col), id_col, "left_anti"
+    )
+
+
 def duplicated_span_stats(
     df: DataFrame,
     text_col: str,

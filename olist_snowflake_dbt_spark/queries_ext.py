@@ -266,6 +266,112 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 n=3, num_hashes=64, bands=16, threshold=0.5)
 
 
+def _mh_band_sql(src: str, tag: str) -> str:
+    """The shingle→signature→band SQL block over a docs CTE ``src``
+    (same md5-portable pipeline as _MINHASH_ORACLE), emitting
+    ``banded_{tag}(doc_id, band)``."""
+    return f"""sh_{tag} AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 1)),
+                   i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        FROM (SELECT doc_id, {_WORDS} AS w FROM {src})
+    ),
+    hashed_{tag} AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {_MH_P} AS a,
+               CAST('0x' || substr(md5(s), 16, 15) AS BIGINT) % {_MH_P} AS b
+        FROM (SELECT doc_id, UNNEST(shingles) AS s FROM sh_{tag})
+    ),
+    sigs_{tag} AS (
+        SELECT doc_id,
+               {_MH_MINS}
+        FROM hashed_{tag} GROUP BY doc_id
+    ),
+    banded_{tag} AS (
+        SELECT doc_id,
+               bnd || '|' || sig[4*bnd+1] || '|' || sig[4*bnd+2] || '|'
+                   || sig[4*bnd+3] || '|' || sig[4*bnd+4] AS band
+        FROM (SELECT doc_id, {_MH_SIG} AS sig FROM sigs_{tag}),
+             (SELECT UNNEST(generate_series(0, {_MH_BANDS - 1})) AS bnd)
+    )"""
+
+
+_INC_MINHASH_ORACLE = f"""
+    WITH standing_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        -- re-crawls of standing docs: MUST be rejected by the index
+        SELECT doc_id + 3000000 AS doc_id, text
+        FROM documents WHERE doc_id % 40 = 0
+        UNION ALL
+        -- in-batch near-dups of odd docs: the smaller original wins
+        SELECT doc_id + 4000000 AS doc_id, text
+        FROM documents WHERE doc_id % 30 = 1
+    ),
+    {_mh_band_sql("standing_docs", "s")},
+    {_mh_band_sql("batch_docs", "b")},
+    hits AS (
+        SELECT DISTINCT b.doc_id
+        FROM banded_b b JOIN banded_s s ON b.band = s.band
+    ),
+    surv AS (
+        SELECT * FROM banded_b
+        WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    ),
+    bmin AS (SELECT band, MIN(doc_id) AS m FROM surv GROUP BY band),
+    drop2 AS (
+        SELECT DISTINCT s.doc_id
+        FROM surv s JOIN bmin ON bmin.band = s.band
+        WHERE bmin.m < s.doc_id
+    )
+    SELECT doc_id FROM batch_docs
+    WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+      AND doc_id NOT IN (SELECT doc_id FROM drop2)
+"""
+
+
+@query("dedup_incremental_minhash", _INC_MINHASH_ORACLE)
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission (operators/dedup.
+    incremental_minhash_dedup — round 12, the fuzzy sibling of
+    dedup_incremental_corpus): the standing corpus (even doc ids) is
+    represented ONLY by its LSH band-key index (~16 short strings per
+    doc — how a 100 TB corpus grows without re-minhashing itself); the
+    batch (odd docs + planted re-crawls of standing docs + planted
+    in-batch near-dups) is signed once and admitted iff it shares no
+    band with the standing index nor with a smaller-id batch row. The
+    oracle replays BOTH sides' md5-portable signatures, bands, and
+    both drop rules end-to-end."""
+    from .operators.dedup import incremental_minhash_dedup, minhash_banded
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    standing = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 40 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 30 == 1).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    standing_bands = minhash_banded(
+        standing, "text", "doc_id", 3, 64, 16
+    ).select(F.col("__band").alias("band"))
+    admitted = incremental_minhash_dedup(
+        batch, standing_bands, "text", "doc_id", 3, 64, 16
+    )
+    return admitted.select("doc_id")
+
+
 # Winnowing twin: positional shingles → 60-bit portable hashes → min per
 # 4-window (ROWS frame) → distinct fingerprints → inverted-index pairs.
 _WINNOW_ORACLE = f"""
@@ -1183,6 +1289,64 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, "embedding", "vec_id", k=_KM_K, iters=2)
+
+
+_PROTO_ORACLE = """
+    WITH q AS (
+        SELECT vec_id, vec_id % 7 AS cluster,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id, cluster,
+               unnest(qv) AS v,
+               unnest(range(1, len(qv) + 1)) AS j
+        FROM q
+    ),
+    s AS (SELECT cluster, j, SUM(v) AS sj FROM e GROUP BY 1, 2),
+    n AS (SELECT cluster, COUNT(*) AS cn FROM q GROUP BY 1),
+    sc AS (
+        SELECT e.vec_id, e.cluster,
+               SUM((CAST(n.cn AS HUGEINT) * e.v - s.sj)
+                   * (CAST(n.cn AS HUGEINT) * e.v - s.sj)) AS score
+        FROM e
+        JOIN s ON s.cluster = e.cluster AND s.j = e.j
+        JOIN n ON n.cluster = e.cluster
+        GROUP BY 1, 2
+    )
+    SELECT sc.vec_id, sc.cluster,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY sc.cluster ORDER BY sc.score, sc.vec_id
+           ) AS INT) AS proto_rank,
+           CAST(n.cn AS BIGINT) AS cluster_n,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY sc.cluster ORDER BY sc.score, sc.vec_id
+           ) AS INT) <= CAST(ceil(0.75 * n.cn) AS INT) AS kept
+    FROM sc JOIN n ON n.cluster = sc.cluster
+"""
+
+
+@query("prune_prototype_distance", _PROTO_ORACLE)
+def q_prune_prototype_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype data pruning (operators/clustering.prototype_prune
+    — round 12; Sorscher et al. 2022): per cluster, rank vectors by
+    distance to the cluster centroid and keep the closest 75% — the
+    cheap pruning metric that beats random subsampling in that paper,
+    and the stage between clustering and training-set packing. Ranks
+    are ENGINE-EXACT: micro-unit quantization + the division-free
+    integer form Σ(n·q − S)² ∝ centroid distance², so the oracle
+    replays the exact ranking (DuckDB in HUGEINT, Spark in
+    DECIMAL(38,0)) with no float summation anywhere. Plan: one
+    posexplode + (cluster, dim) integer sum broadcast back as arrays,
+    per-row score in one codegen'd fold, one cluster-keyed window."""
+    from .operators.clustering import prototype_prune
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "cluster", F.col("vec_id") % 7
+    )
+    return prototype_prune(emb, "embedding", "vec_id", "cluster", 0.75)
 
 
 @query(

@@ -70,3 +70,102 @@ def test_assign_tie_breaks_to_lowest_cell(spark):
     )
     out = assign_clusters(pts, cents).collect()
     assert len(out) == 1 and out[0].cell == 3
+
+
+class TestPrototypePrune:
+    """Round-12 SSL-prototype pruning: engine-exact centroid-distance
+    ranks, fraction boundary, determinism, guards."""
+
+    def _df(self, spark):
+        # cluster 0: four points hugging the origin + one far outlier;
+        # cluster 1: two identical points (tie broken by id)
+        rows = [
+            (1, [0.0, 0.0], 0),
+            (2, [0.1, 0.0], 0),
+            (3, [0.0, 0.1], 0),
+            (4, [-0.1, 0.0], 0),
+            (5, [10.0, 10.0], 0),
+            (6, [1.0, 1.0], 1),
+            (7, [1.0, 1.0], 1),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, cluster int"
+        )
+
+    def test_outlier_ranks_last_and_is_pruned(self, spark):
+        from olist_snowflake_dbt_spark.operators.clustering import (
+            prototype_prune,
+        )
+
+        out = {
+            r.vec_id: (r.proto_rank, r.cluster_n, r.kept)
+            for r in prototype_prune(
+                self._df(spark), "embedding", "vec_id", "cluster", 0.8
+            ).collect()
+        }
+        # ceil(0.8 * 5) = 4: the outlier (farthest from the centroid)
+        # ranks 5th and is the one pruned
+        assert out[5] == (5, 5, False)
+        assert all(out[i][2] for i in (1, 2, 3, 4))
+        # identical vectors tie-break by id; ceil(0.8 * 2) = 2 keeps both
+        assert out[6] == (1, 2, True) and out[7] == (2, 2, True)
+
+    def test_ranks_match_python_replay(self, spark):
+        """Exactness: the integer form sum((n*q - S)^2) replayed in
+        Python over the quantized vectors reproduces the ranks."""
+        from olist_snowflake_dbt_spark.operators.clustering import (
+            prototype_prune,
+        )
+
+        rows = [
+            (i, [((i * 37) % 11) / 7.0, ((i * 53) % 13) / 9.0], i % 3)
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, cluster int"
+        )
+        got = {
+            r.vec_id: r.proto_rank
+            for r in prototype_prune(
+                df, "embedding", "vec_id", "cluster", 0.5
+            ).collect()
+        }
+        import math
+        from collections import defaultdict
+
+        def quant(x):
+            import struct
+
+            f32 = struct.unpack("f", struct.pack("f", x))[0]
+            return math.floor(f32 * 1_000_000 + 0.5)
+
+        by_cluster = defaultdict(list)
+        for i, vec, c in rows:
+            by_cluster[c].append((i, [quant(x) for x in vec]))
+        want = {}
+        for c, members in by_cluster.items():
+            n = len(members)
+            sums = [sum(q[j] for _, q in members) for j in range(2)]
+            scored = sorted(
+                (sum((n * q[j] - sums[j]) ** 2 for j in range(2)), i)
+                for i, q in members
+            )
+            for rank, (_s, i) in enumerate(scored, start=1):
+                want[i] = rank
+        assert got == want
+
+    def test_keep_fraction_one_keeps_all_and_guard(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.clustering import (
+            prototype_prune,
+        )
+
+        out = prototype_prune(
+            self._df(spark), "embedding", "vec_id", "cluster", 1.0
+        )
+        assert all(r.kept for r in out.collect())
+        with _pytest.raises(ValueError, match="keep_fraction"):
+            prototype_prune(
+                self._df(spark), "embedding", "vec_id", "cluster", 0.0
+            )

@@ -516,3 +516,85 @@ def test_span_removal_consistent_with_span_stats(spark, planted):
         F.col("n_kept") + F.col("n_dup_words") != F.col("n_words")
     ).count()
     assert bad == 0
+
+
+class TestIncrementalMinhashDedup:
+    """Round-12 incremental near-dup admission against a standing
+    band-key index."""
+
+    def _bands(self, spark, rows):
+        from olist_snowflake_dbt_spark.operators.dedup import minhash_banded
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return minhash_banded(df, "text", "doc_id", 3, 64, 16).select(
+            F.col("__band").alias("band")
+        )
+
+    def test_recrawl_rejected_fresh_admitted(self, spark):
+        from olist_snowflake_dbt_spark.operators.dedup import (
+            incremental_minhash_dedup,
+        )
+
+        standing_rows = [
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "entirely different standing document about spark engines"),
+        ]
+        batch = spark.createDataFrame(
+            [
+                # exact re-crawl of standing doc 1 -> rejected
+                (10, "the quick brown fox jumps over the lazy dog every day"),
+                # genuinely new -> admitted
+                (11, "a completely novel document with fresh content here"),
+            ],
+            "doc_id long, text string",
+        )
+        admitted = incremental_minhash_dedup(
+            batch, self._bands(spark, standing_rows), "text", "doc_id"
+        )
+        assert {r.doc_id for r in admitted.collect()} == {11}
+
+    def test_batch_internal_smaller_id_wins(self, spark):
+        from olist_snowflake_dbt_spark.operators.dedup import (
+            incremental_minhash_dedup,
+        )
+
+        batch = spark.createDataFrame(
+            [
+                (20, "some document text that repeats inside this batch"),
+                (21, "some document text that repeats inside this batch"),
+                (22, "an unrelated singleton document in the same batch"),
+            ],
+            "doc_id long, text string",
+        )
+        standing = self._bands(
+            spark, [(1, "nothing in the standing corpus matches these")]
+        )
+        admitted = incremental_minhash_dedup(
+            batch, standing, "text", "doc_id"
+        )
+        assert {r.doc_id for r in admitted.collect()} == {20, 22}
+
+    def test_empty_doc_admitted_not_lost(self, spark):
+        """A document with no [a-z0-9] tokens has no bands — it must be
+        ADMITTED (no collision evidence), not silently dropped."""
+        from olist_snowflake_dbt_spark.operators.dedup import (
+            incremental_minhash_dedup,
+        )
+
+        batch = spark.createDataFrame(
+            [(30, "!!! ??? ..."), (31, "real words in a real document")],
+            "doc_id long, text string",
+        )
+        standing = self._bands(spark, [(1, "real words in a real document")])
+        admitted = incremental_minhash_dedup(
+            batch, standing, "text", "doc_id"
+        )
+        assert {r.doc_id for r in admitted.collect()} == {30}
+
+    def test_state_is_bands_per_doc(self, spark):
+        """The standing state the invariant needs is exactly `bands`
+        keys per (shingled) document — the growth-without-rescan
+        contract."""
+        rows = [(i, f"document number {i} with shared filler words") for i in range(5)]
+        bands = self._bands(spark, rows)
+        assert bands.count() == 5 * 16
