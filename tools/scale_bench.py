@@ -143,7 +143,9 @@ SF_DIRS = {
 # exposes; --sf10 adds the third point and ratio_d2 = sf10/sf1.
 SF10_DIR = os.path.join(REPO, "benchdata", "sf10")
 
-# the six heaviest lanes per BENCH_r10 — the designated two-decade set
+# the heaviest lanes — the designated two-decade set (round 12 added
+# the rewritten prefix filter and the incremental minhash admission;
+# both carry adjudicated broadcast->shuffle transitions in SCALE.md)
 DECADE2_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
@@ -151,6 +153,8 @@ DECADE2_QUERIES = [
     "dedup_connected_components",
     "match_recognize_funnel",
     "web_corpus_prep",
+    "dedup_jaccard_prefix_filter",
+    "dedup_incremental_minhash",
 ]
 
 
