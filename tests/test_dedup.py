@@ -598,3 +598,37 @@ class TestIncrementalMinhashDedup:
         rows = [(i, f"document number {i} with shared filler words") for i in range(5)]
         bands = self._bands(spark, rows)
         assert bands.count() == 5 * 16
+
+    def test_appending_admitted_bands_keeps_invariant(self, spark):
+        """The growth loop: after appending the admitted rows' bands to
+        the standing index, replaying the SAME batch admits only the
+        band-less (zero-shingle) docs — every banded row now collides
+        with its own standing entry. This is the invariant that lets a
+        corpus grow without reprocessing itself."""
+        from olist_snowflake_dbt_spark.operators.dedup import (
+            incremental_minhash_dedup,
+            minhash_banded,
+        )
+
+        batch = spark.createDataFrame(
+            [
+                (40, "first unique document about distributed joins"),
+                (41, "second unique document about window functions"),
+                (42, "???"),  # zero shingles -> no bands, always admitted
+            ],
+            "doc_id long, text string",
+        )
+        standing = self._bands(
+            spark, [(1, "standing corpus text unrelated to the batch")]
+        )
+        admitted = incremental_minhash_dedup(
+            batch, standing, "text", "doc_id"
+        )
+        assert {r.doc_id for r in admitted.collect()} == {40, 41, 42}
+        grown = standing.unionByName(
+            minhash_banded(admitted, "text", "doc_id", 3, 64, 16).select(
+                F.col("__band").alias("band")
+            )
+        )
+        replay = incremental_minhash_dedup(batch, grown, "text", "doc_id")
+        assert {r.doc_id for r in replay.collect()} == {42}

@@ -157,3 +157,45 @@ def test_dedup_by_components_keeps_one_per_cluster(spark, edges):
     untouched = set(node_ids) - set(comp)
     # exactly the cluster minima plus every row in no pair
     assert survivors == expected | untouched
+
+
+# size-VARIED pool: documents of very different shingle counts make the
+# round-12 length filter actually prune (min/max size ratio below t),
+# so losslessness is exercised where the filter bites, not vacuously
+_VARIED_POOL = [
+    "alpha beta gamma",
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lamda mu nu xi omicron pi rho sigma tau upsilon",
+    "one two three four five six seven",
+    "one two three four five six seven eight nine ten eleven twelve",
+    "unrelated words entirely here now",
+]
+
+
+@given(
+    st.lists(st.sampled_from(_VARIED_POOL), min_size=2, max_size=8),
+    st.sampled_from([0.3, 0.5, 0.8, 0.9]),
+)
+@settings(**_SETTINGS)
+def test_prefix_filter_with_length_filter_is_lossless(spark, texts, t):
+    """Round-12: the prefix filter WITH the Xiao length filter folded
+    into its candidate join returns exactly the brute-force pairs and
+    scores for any corpus and threshold — both filters are lossless."""
+    from olist_snowflake_dbt_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    df = _df(spark, texts)
+    exact = {
+        (r.id_a, r.id_b): round(r.jaccard, 12)
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", 3, t).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b): round(r.jaccard, 12)
+        for r in prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", 3, t
+        ).collect()
+    }
+    assert pruned == exact
