@@ -239,6 +239,26 @@ def prototype_prune(
     w = Window.partitionBy(cluster_col).orderBy(
         F.col("__score").asc(), F.col(id_col).asc()
     )
+    # ragged-input guard (round-12 advisory): a vector whose length
+    # differs from its cluster's dimension makes zip_with NULL-pad, the
+    # decimal fold yield a NULL score, and NULLS FIRST would then rank
+    # the broken row as MOST prototypical — fail loudly in-plan instead
+    # of silently promoting it. NULL vector elements hit the same guard
+    # (their score is NULL too).
+    score = F.when(
+        (F.size("__q") == F.size("__s_arr")) & score.isNotNull(), score
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "prototype_prune: ragged or NULL vector in cluster "
+                ),
+                F.col(cluster_col).cast("string"),
+                F.lit(" (all vectors in a cluster must share one "
+                      "dimensionality)"),
+            )
+        )
+    )
     return (
         pts.join(dims, cluster_col)
         .withColumn("__score", score)

@@ -211,11 +211,17 @@ _MH_SIG = "[" + ", ".join(f"h{i}" for i in range(1, _MH_K + 1)) + "]"
 _MINHASH_ORACLE = f"""
     WITH d2 AS ({_PLANTED_DOCS}),
     sh AS (
+        -- len(w) > 0 mirrors the operator's zero-shingle semantics for
+        -- token-less documents (functions/text.shingle_hashes_from_words:
+        -- k <= 0 -> empty array -> NO bands -> never a candidate); the
+        -- unfiltered form would give such a doc one synthetic '' shingle
+        -- and a spurious band (round-12 advisory)
         SELECT doc_id,
                list_distinct(list_transform(
                    generate_series(1, greatest(len(w) - 2, 1)),
                    i -> array_to_string(w[i:i+2], ' '))) AS shingles
         FROM (SELECT doc_id, {_WORDS} AS w FROM d2)
+        WHERE len(w) > 0
     ),
     hashed AS (
         SELECT doc_id,
@@ -271,11 +277,16 @@ def _mh_band_sql(src: str, tag: str) -> str:
     (same md5-portable pipeline as _MINHASH_ORACLE), emitting
     ``banded_{tag}(doc_id, band)``."""
     return f"""sh_{tag} AS (
+        -- len(w) > 0: a token-less doc gets ZERO shingles/bands in the
+        -- operator (and is therefore always admitted); without the
+        -- filter this CTE would hand it one synthetic '' shingle and a
+        -- band that could collide cross-side (round-12 advisory)
         SELECT doc_id,
                list_distinct(list_transform(
                    generate_series(1, greatest(len(w) - 2, 1)),
                    i -> array_to_string(w[i:i+2], ' '))) AS shingles
         FROM (SELECT doc_id, {_WORDS} AS w FROM {src})
+        WHERE len(w) > 0
     ),
     hashed_{tag} AS (
         SELECT doc_id,

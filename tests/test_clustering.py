@@ -169,3 +169,39 @@ class TestPrototypePrune:
             prototype_prune(
                 self._df(spark), "embedding", "vec_id", "cluster", 0.0
             )
+
+    def test_ragged_vectors_fail_loudly(self, spark):
+        """Round-12 advisory: a cluster mixing 2-dim and 3-dim vectors
+        must raise in-plan, not NULL-pad the short vector into the most
+        prototypical rank (NULL score + NULLS FIRST ordering)."""
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.clustering import (
+            prototype_prune,
+        )
+
+        rows = [
+            (1, [0.0, 0.0], 0),
+            (2, [0.1, 0.0], 0),
+            (3, [0.0, 0.1, 0.2], 0),  # ragged: 3 dims in a 2-dim cluster
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, cluster int"
+        )
+        with _pytest.raises(Exception, match="ragged or NULL"):
+            prototype_prune(df, "embedding", "vec_id", "cluster", 0.8).collect()
+
+    def test_null_element_fails_loudly(self, spark):
+        """A NULL vector element NULLs the fold — same guard fires."""
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.clustering import (
+            prototype_prune,
+        )
+
+        rows = [(1, [0.0, 0.0], 0), (2, [0.1, None], 0)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, cluster int"
+        )
+        with _pytest.raises(Exception, match="ragged or NULL"):
+            prototype_prune(df, "embedding", "vec_id", "cluster", 0.8).collect()
