@@ -34,79 +34,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries
-# in dict order. Round-12 rotation policy (same staleness-wins rule as
-# r09-r11): (a) everything NEW or modified in round 12 — 8 slots: the
-# KMV difference/Jaccard estimates (new), the hot-host prefiltered cap
-# (new; oracle = the unfiltered window result — exactness is the
-# claim), incremental MinHash near-dup admission (new),
-# SSL-prototype data pruning (new), sketch_kmv_set_ops (inter_est now
-# scales off the UNROUNDED union — the r11 advisory),
-# tokenizer_bpe_train_batched (acceptance disjoint over {lhs, rhs,
-# merged} — the r11 advisory, mirrored in the SQL oracle),
-# dedup_jaccard_prefix_filter (lossless length filter + flat-index
-# verify), dedup_semantic (adaptive block repartition); then (b) the
-# 22 remaining r06-era rows — after this round NO query's newest
-# driver row is older than r07; then (c) the alphabetical first 20 of
-# the 49 r07-era rows (fct_orders stays out per standing policy:
-# entry() smoke-runs it and gate.py re-verifies it every round). The
-# remaining 29 r07-era rows are first in line for round 13. Every
-# displaced query keeps its historical driver row and is re-verified
-# on current code each round by tools/gate.py over the full catalog
-# (GATE.json).
+# in dict order. Round-13 rotation policy (same staleness-wins rule as
+# r09-r12): (a) everything NEW or modified in round 13 — 7 slots:
+# dedup_containment_kmv (new: KMV bottom-k pre-screen, exact-verified
+# output against the exact-containment oracle), web_cap_two_phase
+# (new: salted two-phase top-k cap; oracle = the plain window —
+# exactness by construction), web_cap_prefilter (operator rework: the
+# verifier now rides in-plan via assert_true over the passer-count
+# window, min-prefix escape rows make host wipeout impossible),
+# prune_prototype_distance (ragged/NULL-vector guard — the r12
+# advisory), dedup_minhash_lsh + dedup_incremental_minhash (oracles
+# now mirror the operator's zero-shingle semantics for token-less
+# docs — the r12 advisory), web_corpus_prep (consumes the reworked
+# cap operator); then (b) all 28 remaining r07-era rows — after this
+# round NO query's newest driver row is older than r08 (fct_orders
+# stays out per standing policy: entry() smoke-runs it and gate.py
+# re-verifies it every round); then (c) the alphabetical first 15 of
+# the 47 r08-era rows. The remaining 32 r08-era rows are first in
+# line for round 14. Every displaced query keeps its historical
+# driver row and is re-verified on current code each round by
+# tools/gate.py over the full catalog (GATE.json).
 _CHECK_FIRST = [
-    # new / modified in round 12
-    "sketch_kmv_diff_jaccard",
+    # new / modified in round 13
+    "dedup_containment_kmv",
+    "web_cap_two_phase",
     "web_cap_prefilter",
-    "dedup_incremental_minhash",
     "prune_prototype_distance",
-    "sketch_kmv_set_ops",
-    "tokenizer_bpe_train_batched",
-    "dedup_jaccard_prefix_filter",
-    "dedup_semantic",
-    # stalest: all 22 remaining r06-era driver rows
-    "null_safe_join",
-    "percentile_agg",
-    "pyds_stream_drain",
-    "pyds_synthetic_corpus",
-    "range_join_bucketed",
-    "salted_skew_join",
-    "seed_csv_inference",
-    "stg_projection_rename",
-    "stream_dedup",
-    "stream_file_sink_exactly_once",
-    "stream_session_stats",
-    "stream_stateful_totals",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "stream_window_counts",
-    "string_funcs",
-    "tpch_q12_shipmode_priority",
-    "two_phase_distinct_skew",
-    "udaf_decimal_sum",
-    "udtf_chunk_words",
-    "unpivot_stack",
-    "window_frames",
-    # next-stalest: alphabetical first 22 of the 49 r07-era rows
-    "cdc_apply_latest",
-    "cdc_stream_apply",
-    "cms_heavy_hitters",
-    "cogroup_conversion_stats",
-    "corpus_prep_pipeline",
-    "date_functions",
-    "dedup_bloom_prefilter",
-    "dedup_connected_components",
-    "dedup_containment",
-    "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_span_ngram",
-    "dedup_span_removal",
-    "dedup_winnowing",
-    "dynamic_table_refresh",
-    "fuzzy_join_levenshtein",
-    "graph_pagerank_purchases",
-    "grouping_rollup",
+    "dedup_incremental_minhash",
+    "web_corpus_prep",
+    # stalest: all 28 remaining r07-era driver rows
+    "incremental_microbatch_sim",
+    "json_extract",
+    "metric_anomaly_daily",
+    "metric_revenue_monthly",
+    "pivot_status_by_year",
+    "pyds_jsonl_sink_roundtrip",
+    "runner_concurrent_dag",
+    "runner_slimci_retry",
+    "runner_source_freshness",
+    "scalar_functions",
+    "scd2_dim_asof_resolve",
+    "scd2_window_rebuild",
+    "semi_join_exists",
+    "set_ops",
+    "similarity_brute_topk",
+    "similarity_ivf",
+    "similarity_quantized_topk",
+    "sketch_rollup_merge",
+    "stream_stateful_totals_tws",
+    "table_stats_profile",
+    "text_decontaminate",
+    "text_gopher_rules",
+    "text_hashed_linear_score",
+    "text_quality_score",
+    "text_tfidf_topk",
+    "time_bucket_agg",
+    "topk_per_group",
+    "zorder_layout_stats",
+    # next-stalest: alphabetical first 15 of the 47 r08-era rows
+    "bm25_topk",
+    "dbt_utils_surrogate_key",
+    "dedup_cluster_representative",
+    "drift_chi2_event_types",
+    "er_golden_records",
+    "flatten_with_ordinality",
+    "fmt_copy_into_history",
+    "funnel_conversion",
+    "gapfill_locf_interp",
+    "governance_erasure_cascade",
+    "governance_masked_view",
+    "governance_row_access",
+    "hybrid_rrf_fusion",
+    "incremental_merge_update_columns",
+    "join_strategy_advisor",
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.

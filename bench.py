@@ -128,6 +128,19 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     out["canary"] = canary_times
+    # canary-normalized summary (round-12 verdict #5): `canary_mean` is
+    # the drift yardstick — compare IT across rounds first; a uniform
+    # canary rise explains a uniform wall rise (machine drift), while a
+    # query whose normalized value moved alone changed plan.
+    # `normalized_queries` = wall / governing-canary, the unit in which
+    # round-over-round regressions should be read.
+    canary_mean = round(sum(canary_times) / len(canary_times), 3)
+    out["canary_mean"] = canary_mean
+    out["normalized_queries"] = {
+        k: round(v / canary_times[canary_of[k]], 2)
+        for k, v in timings.items()
+        if canary_times[canary_of[k]] > 0
+    }
     if errors:
         out["errors"] = errors
     # full-precision per-query detail survives in the repo regardless of
@@ -168,12 +181,19 @@ def main() -> None:
         omitted = 0
         while len(line) > _BUDGET and omitted < len(by_time):
             omitted += 1
-            kept = {
+            dropped = set(by_time[:omitted])
+            out["queries"] = {
                 k: round(v, 2)
                 for k, v in timings.items()
-                if k not in by_time[:omitted]
+                if k not in dropped
             }
-            out["queries"] = kept
+            # shrink the normalized map in tandem — same kept set, so
+            # the two maps stay comparable row-for-row
+            out["normalized_queries"] = {
+                k: round(v / canary_times[canary_of[k]], 2)
+                for k, v in timings.items()
+                if k not in dropped and canary_times[canary_of[k]] > 0
+            }
             out["queries_omitted"] = omitted
             out["detail"] = "BENCH_DETAIL.json"
             line = json.dumps(out, separators=(",", ":"))

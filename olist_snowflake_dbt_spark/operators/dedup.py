@@ -316,6 +316,126 @@ def containment_pairs(
     )
 
 
+def containment_pairs_kmv_prescreen(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    k: int = 64,
+    margin: float = 0.2,
+) -> DataFrame:
+    """:func:`containment_pairs` with a KMV bottom-k pre-screen (the
+    round-12 theta-sketch algebra wired into candidate pruning —
+    Bar-Yossef et al. 2002 k-minimum-values, public knowledge): instead
+    of carrying EVERY shared shingle of every colliding pair through
+    the pair exchange (|A∩B| rows per pair — unbounded), each document
+    probes the inverted index with only its k SMALLEST shingle hashes.
+
+    Why that estimates containment: the bottom-k set of a uniform hash
+    is a uniform sample of the document's shingles, so for the pair's
+    MIN side the fraction of its sample found in the other document is
+    an unbiased estimate of |A∩B| / min(|A|,|B|) — containment itself,
+    with hypergeometric error ~sqrt(c(1-c)/k) (≈0.05 at k=64).
+    Candidates keep every pair whose min-side estimate clears
+    ``threshold - margin`` (margin defaults to ~4 sigma), then the
+    EXACT containment is recomputed for the survivors only, via two
+    id-keyed joins against the per-document shingle arrays — so the
+    output is exact for every emitted pair, and the estimate only
+    gates which pairs pay for verification. Recall is probabilistic
+    (a true pair whose estimate fell below the margin is lost —
+    Chernoff-rare at k=64/margin=0.2; the planted-recall test pins it
+    on fixtures), which is the standard sketch-prescreen tradeoff.
+
+    Scale shape vs the exact operator: collision rows per pair are
+    bounded by k per direction instead of |A∩B|; the sample frame is
+    ≤ k rows per document whatever the document length; the exact
+    verification joins move one shingle-hash array per CANDIDATE
+    (candidate count ≈ true-pair count at sane margins), not per
+    collision. Every exchange is equi-keyed — no cartesian anywhere.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if k < 8:
+        raise ValueError(f"k must be >= 8, got {k}")
+    sh = (
+        _shingled(df, text_col, id_col, n)
+        .withColumn("__n", F.size("__shingles"))
+        .persist()
+    )
+    ex = sh.select(
+        "__id", "__n", F.explode_outer("__shingles").alias("__s")
+    ).filter(F.col("__s").isNotNull())
+    # bottom-k sample per document: k smallest hashes (__shingles is
+    # already distinct, so row_number over the hash order is total)
+    wk = Window.partitionBy("__id").orderBy(F.col("__s").asc())
+    sample = (
+        ex.withColumn("__r", F.row_number().over(wk))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+    p, q = sample.alias("p"), ex.alias("q")
+    coll = (
+        p.join(
+            q,
+            (F.col("p.__s") == F.col("q.__s"))
+            & (F.col("p.__id") != F.col("q.__id")),
+        )
+        .groupBy(
+            F.col("p.__id").alias("__pid"),
+            F.col("q.__id").alias("__qid"),
+            F.col("p.__n").alias("__pn"),
+            F.col("q.__n").alias("__qn"),
+        )
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    # keep exactly the MIN-side orientation — the direction in which
+    # the sample fraction estimates containment's denominator
+    cands = (
+        coll.filter(
+            (F.col("__pn") < F.col("__qn"))
+            | (
+                (F.col("__pn") == F.col("__qn"))
+                & (F.col("__pid") < F.col("__qid"))
+            )
+        )
+        .withColumn(
+            "__est",
+            F.col("__cnt")
+            / F.least(F.lit(k).cast("bigint"), F.col("__pn")),
+        )
+        .filter(F.col("__est") >= threshold - margin)
+        .select(
+            F.least("__pid", "__qid").alias("id_a"),
+            F.greatest("__pid", "__qid").alias("id_b"),
+        )
+    )
+    # exact verification for the survivors only: two id-keyed joins
+    # against the cached shingle arrays, intersection in one codegen'd
+    # array_intersect — no second index pass
+    a = sh.select(
+        F.col("__id").alias("id_a"),
+        F.col("__shingles").alias("__sa"),
+        F.col("__n").alias("n_a"),
+    )
+    b = sh.select(
+        F.col("__id").alias("id_b"),
+        F.col("__shingles").alias("__sb"),
+        F.col("__n").alias("n_b"),
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("__sa", "__sb"))
+            / F.least("n_a", "n_b"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # -- MinHash + LSH ----------------------------------------------------
 
 

@@ -334,6 +334,7 @@ def cap_per_host(
     level: str = "host",
     suffixes: DataFrame | None = None,
     prefilter_factor: int | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Per-domain document cap (RefinedWeb/FineWeb recipe): keep at most
     ``cap`` documents per canonical HOST, selected by a deterministic
@@ -352,18 +353,42 @@ def cap_per_host(
     window ranks by the SAME hash, the global top-``cap`` rows all
     survive any threshold ≥ their own prefix: the output is EXACTLY
     the unfiltered result whenever every host keeps ≥ cap survivors
-    (Chernoff-certain at factor 8; the operator hard-fails rather than
-    silently under-delivering if a host's survivor count falls below
-    min(cap, |host|), so the guarantee is checked, not assumed). Rank
+    (Chernoff-certain at factor 8; the guarantee is checked, not
+    assumed — an in-plan ``assert_true`` hard-fails the caller's
+    action if any host's threshold-passer count falls below
+    min(cap, |host|), and rows tied on the host's min hash prefix
+    always survive, so no host can vanish from the check; at
+    effective cap 1 the escape rows alone are provably exact). Rank
     order is ``(md5(salt‖canonical‖id), id)`` — total even when two
     docs share a canonical URL. Returns the input columns + ``host`` +
     ``host_rank`` for the survivors.
+
+    ``salt_buckets`` (round 13) is the UNCONDITIONALLY-exact scale
+    path — classic two-phase distributed top-k: stage 1 ranks within
+    ``(host, xxhash64(id) % salt_buckets)`` so the hot host's rows
+    sort in ``salt_buckets`` PARALLEL tasks instead of one, keeping
+    ≤ cap per bucket (any global top-cap row has at most cap−1
+    host-mates ranked below it, so it ranks ≤ cap in its own bucket —
+    no row the final answer needs can be lost); stage 2 re-ranks the
+    ≤ ``salt_buckets · cap`` survivors per host exactly. One scan,
+    one full shuffle (same bytes as the plain window — but hashed on
+    (host, bucket), so no partition exceeds ~|hottest host| /
+    salt_buckets), a second exchange of only survivor rows, no
+    verification needed because nothing is probabilistic. Prefer this
+    over ``prefilter_factor`` (kept for the measured-crossover
+    history in SCALE.md): it beats the plain window as soon as the
+    hot host's single-task sort dominates, and never pays a second
+    corpus scan. The two knobs are mutually exclusive.
     """
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
     if level not in ("host", "domain", "registrable"):
         raise ValueError(
             f"level must be 'host', 'domain' or 'registrable', got {level!r}"
+        )
+    if prefilter_factor is not None and salt_buckets is not None:
+        raise ValueError(
+            "prefilter_factor and salt_buckets are mutually exclusive"
         )
     from pyspark.sql import Window
 
@@ -387,7 +412,7 @@ def cap_per_host(
             )
         ),
     )
-    checked_hosts = None
+    prefiltered = False
     if prefilter_factor is not None:
         if prefilter_factor < 2:
             raise ValueError(
@@ -400,64 +425,103 @@ def cap_per_host(
         # keeps >= min(cap, |host|) survivors the output is EXACTLY the
         # unfiltered result (dropped rows have strictly larger prefixes
         # than at least cap survivors).
-        # PERSIST the per-host counts: they are dim-sized (one row per
-        # host) but their subtree is a full corpus scan + URL
-        # canonicalization — consumed twice (the prefilter broadcast
-        # and the verifier below), unpersisted that scan would run
-        # twice more on top of the main pass (measured 3x wall on a
-        # zipf fixture, tools/cap_zipf_scale.py)
-        counts = (
-            with_host.groupBy(level)
-            .agg(F.count(F.lit(1)).alias("__hn"))
-            .persist()
-        )
+        # The same aggregate also carries the per-host MIN 32-bit prefix
+        # (a BIGINT, deliberately — min over the md5 STRING would force
+        # SortAggregate, strings being immutable in hash-agg buffers,
+        # and sort the full corpus twice; the bigint min stays a
+        # map-side-partial HashAggregate), and rows tied on that min
+        # prefix are unconditionally kept (third disjunct). The true
+        # rank-1 row is among them (the lexicographic min of the full
+        # 128-bit key also minimizes the prefix), so keeping them never
+        # changes the output — but it makes "every row of a host
+        # dropped" IMPOSSIBLE by construction, which lets the shortfall
+        # verifier below ride inside the plan instead of costing a
+        # second pass (round-12: the old design persisted two frames and
+        # ran a separate count job; prefiltered wall was 3-9x the plain
+        # window on every fixture — tools/cap_zipf_scale.py history).
         u32 = F.conv(F.substring("__cap_key", 1, 8), 16, 10).cast("bigint")
         budget = F.lit(int(prefilter_factor) * cap).cast("bigint")
+        counts = with_host.groupBy(level).agg(
+            F.count(F.lit(1)).alias("__hn"),
+            F.min(u32).alias("__mu"),
+        )
         with_host = (
             with_host.join(F.broadcast(counts), level)
-            .filter(
+            .withColumn(
+                "__pass",
                 (F.col("__hn") <= budget)
-                | (u32 * F.col("__hn") < budget * F.lit(1 << 32))
+                | (u32 * F.col("__hn") < budget * F.lit(1 << 32)),
             )
+            .filter(F.col("__pass") | (u32 == F.col("__mu")))
         )
-        checked_hosts = counts
+        prefiltered = True
     w = Window.partitionBy(level).orderBy(
         F.col("__cap_key").asc(), F.col(id_col).asc()
     )
-    kept = (
-        with_host.withColumn(f"{level}_rank", F.row_number().over(w))
-        .filter(F.col(f"{level}_rank") <= cap)
-        .drop("__cap_key")
-    )
-    if checked_hosts is not None:
-        # verify the guarantee instead of assuming it: every host must
-        # deliver min(cap, |host|) survivors; a shortfall means the
-        # threshold cut into the true top-cap (Chernoff-rare at
-        # factor >= 8) — hard-fail rather than silently under-cap.
-        # Driven from checked_hosts with a LEFT join (round-11
-        # advisory): a host whose rows were ALL dropped by the
-        # prefilter has no kept row at all — an inner join would skip
-        # exactly the worst shortfall; a missing count reads as 0.
-        kept = kept.persist()
-        short = (
-            checked_hosts.join(
-                kept.groupBy(level).agg(F.count(F.lit(1)).alias("__kn")),
-                level,
-                "left",
+    if salt_buckets is not None:
+        if salt_buckets < 2:
+            raise ValueError(
+                f"salt_buckets must be >= 2, got {salt_buckets}"
             )
-            .filter(
-                F.coalesce(F.col("__kn"), F.lit(0))
-                < F.least(F.lit(cap), F.col("__hn"))
-            )
-            .count()
+        # stage 1: exact per-(host, bucket) top-cap — the hot host sorts
+        # in salt_buckets parallel tasks; deterministic bucket choice
+        # (hash of the id, no RNG) keeps the result replayable
+        bkt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        w1 = Window.partitionBy(F.col(level), bkt).orderBy(
+            F.col("__cap_key").asc(), F.col(id_col).asc()
         )
-        if short:
-            raise RuntimeError(
-                f"cap_per_host prefilter under-delivered on {short} "
-                f"host(s); raise prefilter_factor (got {prefilter_factor})"
+        with_host = (
+            with_host.withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= cap)
+            .drop("__r1")
+        )
+        # stage 2 falls through to the exact host-level window below,
+        # now over ≤ salt_buckets·cap rows per host
+    ranked = with_host.withColumn(f"{level}_rank", F.row_number().over(w))
+    if not prefiltered:
+        return ranked.filter(F.col(f"{level}_rank") <= cap).drop("__cap_key")
+    # verify the guarantee instead of assuming it: every host must carry
+    # min(cap, |host|) THRESHOLD-passing survivors into the rank window,
+    # else the threshold cut into the true top-cap (Chernoff-rare at
+    # factor >= 8) — hard-fail rather than silently under-cap. The
+    # passer count is a windowed SUM over the same partitioning as the
+    # rank window (one exchange, no extra scan), and the assert_true
+    # rides in the rank filter, so verification is evaluated during the
+    # caller's own action at zero extra jobs. Every host has >= 1
+    # survivor (the min-prefix escape above), so the per-row assertion
+    # covers every host — the all-rows-dropped hole the round-11
+    # advisory flagged cannot occur anymore. Escape rows do NOT count
+    # toward the guarantee (only threshold-passers provably dominate
+    # every dropped row), with one carve-out: at effective cap 1 the
+    # escape set alone is provably exact — it contains the min full
+    # key, and the window re-ranks survivors by full key — so a host
+    # needing only its top-1 never trips the check.
+    sn = F.sum(F.when(F.col("__pass"), 1).otherwise(0)).over(
+        Window.partitionBy(level)
+    )
+    ok = (
+        F.col("__sn")
+        >= F.least(F.lit(cap).cast("bigint"), F.col("__hn"))
+    ) | (F.least(F.lit(cap).cast("bigint"), F.col("__hn")) <= 1)
+    msg = F.concat(
+        F.lit("cap_per_host prefilter under-delivered on host "),
+        F.col(level).cast("string"),
+        F.lit(" ("),
+        F.col("__sn").cast("string"),
+        F.lit(f" survivors < min({cap}, "),
+        F.col("__hn").cast("string"),
+        F.lit(f")); raise prefilter_factor (got {prefilter_factor})"),
+    )
+    return (
+        ranked.withColumn("__sn", sn)
+        .filter(
+            (F.col(f"{level}_rank") <= cap)
+            & F.coalesce(
+                F.assert_true(ok, msg).cast("boolean"), F.lit(True)
             )
-        kept = kept.drop("__hn")
-    return kept
+        )
+        .drop("__cap_key", "__hn", "__mu", "__pass", "__sn")
+    )
 
 
 def apply_blocklist(

@@ -153,6 +153,60 @@ def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "dedup_containment_kmv",
+    f"""
+    WITH d2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2500000 AS doc_id,
+               substr(text, 1, length(text) // 2) AS text
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 1)),
+                   i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        FROM (SELECT doc_id, {_WORDS} AS w FROM d2)
+        WHERE len(w) > 0
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+               COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, n_common / least(n_a, n_b) AS containment
+    FROM inter WHERE n_common / least(n_a, n_b) >= 0.75
+    """,
+)
+def q_dedup_containment_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment with the round-13 KMV bottom-k pre-screen
+    (operators/dedup.containment_pairs_kmv_prescreen): each doc probes
+    the inverted index with its k=64 smallest shingle hashes (collision
+    rows per pair bounded by k, not |A∩B|), the min-side sample
+    fraction estimates containment, and survivors of the
+    threshold−margin gate get exact verification via id-keyed
+    array_intersect joins. Output is EXACT for every emitted pair, so
+    the oracle is the same exact-containment SQL — equality IS the
+    recall claim on this fixture."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    halves = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            (F.col("doc_id") + 2500000).alias("doc_id"),
+            F.substring(
+                "text", 1, F.floor(F.length("text") / 2).cast("int")
+            ).alias("text"),
+        )
+    )
+    return DD.containment_pairs_kmv_prescreen(
+        docs.unionByName(halves), "text", "doc_id", 3, 0.75
+    )
+
+
+@query(
     "dedup_containment",
     f"""
     WITH d2 AS (

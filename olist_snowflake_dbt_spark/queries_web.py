@@ -205,6 +205,26 @@ def q_web_cap_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("web_cap_two_phase", _CAP_ORACLE)
+def q_web_cap_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted TWO-PHASE per-domain cap (operators/web.cap_per_host with
+    ``salt_buckets=8`` — round 13's unconditionally-exact scale path):
+    stage 1 ranks within (host, xxhash64(doc_id) % 8) so a hot host
+    sorts in 8 parallel tasks, keeping ≤ cap per bucket; stage 2
+    re-ranks the ≤ 8·cap survivors per host exactly. The ORACLE IS THE
+    PLAIN WINDOW RESULT (same SQL as web_cap_per_host): two-phase
+    top-k is exact by construction — any global top-cap row ranks
+    ≤ cap inside its own bucket, so stage 1 can never drop a row the
+    final answer needs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = cap_per_host(
+        synth_urls(docs), "url", "doc_id", cap=3, salt_buckets=8
+    )
+    return kept.select(
+        "host", "doc_id", F.col("host_rank").cast("int").alias("host_rank")
+    )
+
+
 _PREP_ORACLE = (
     _SYNTH_AND_CANON
     + """

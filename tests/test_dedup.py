@@ -632,3 +632,79 @@ class TestIncrementalMinhashDedup:
         )
         replay = incremental_minhash_dedup(batch, grown, "text", "doc_id")
         assert {r.doc_id for r in replay.collect()} == {42}
+
+
+def test_containment_kmv_prescreen_matches_exact(spark, sf_dir):
+    """Round-13 KMV pre-screen: on the planted half-doc fixture the
+    prescreened operator must return EXACTLY the exact operator's
+    pairs (same ids, same containment values) — the sketch only gates
+    which pairs pay for verification, never what is emitted."""
+    from olist_snowflake_dbt_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_kmv_prescreen,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    halves = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("substr(text, 1, CAST(length(text)/2 AS INT))").alias("text"),
+    )
+    both = docs.unionByName(halves)
+    exact = {
+        (r.id_a, r.id_b, round(r.containment, 9))
+        for r in containment_pairs(both, "text", "doc_id", 3, 0.8).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b, round(r.containment, 9))
+        for r in containment_pairs_kmv_prescreen(
+            both, "text", "doc_id", 3, 0.8
+        ).collect()
+    }
+    assert fast == exact and len(exact) > 0
+
+
+def test_containment_kmv_prescreen_planted_recall(spark, sf_dir):
+    """Planted-recall pin: every half-doc/original pair the EXACT path
+    finds must survive the sketch gate (recall 1.0 on this fixture —
+    the deterministic md5-free xxhash sampling makes this replayable,
+    not flaky)."""
+    from olist_snowflake_dbt_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_kmv_prescreen,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    halves = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("substr(text, 1, CAST(length(text)/2 AS INT))").alias("text"),
+    )
+    both = docs.unionByName(halves)
+    exact_planted = {
+        (r.id_a, r.id_b)
+        for r in containment_pairs(both, "text", "doc_id", 3, 0.8)
+        .filter(F.col("id_b") == F.col("id_a") + 2_000_000)
+        .collect()
+    }
+    fast_planted = {
+        (r.id_a, r.id_b)
+        for r in containment_pairs_kmv_prescreen(
+            both, "text", "doc_id", 3, 0.8
+        )
+        .filter(F.col("id_b") == F.col("id_a") + 2_000_000)
+        .collect()
+    }
+    assert exact_planted and fast_planted >= exact_planted
+
+
+def test_containment_kmv_prescreen_guards(spark):
+    import pytest as _pytest
+
+    from olist_snowflake_dbt_spark.operators.dedup import (
+        containment_pairs_kmv_prescreen,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="threshold"):
+        containment_pairs_kmv_prescreen(df, "text", "doc_id", threshold=0.0)
+    with _pytest.raises(ValueError, match="k must be"):
+        containment_pairs_kmv_prescreen(df, "text", "doc_id", k=4)

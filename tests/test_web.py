@@ -455,16 +455,35 @@ class TestCapPrefilter:
                 cap=5, prefilter_factor=1,
             )
 
-    def test_all_rows_dropped_host_hard_fails(self, spark):
-        """Round-11 advisory: a host whose EVERY row falls above the
-        prefilter threshold must trip the verifier — the old inner-join
-        check let such a host vanish from the output silently (the
-        worst possible shortfall). The salt is searched so that all 8
-        of the host's md5 prefixes exceed budget/|host| of the key
-        space (probability ~(3/4)^8 per salt — a hit inside 512 salts
-        is deterministic given md5)."""
+    @staticmethod
+    def _adversarial_salt(canon, floor_bits):
+        """Search a salt under which EVERY md5(salt||canonical||id)
+        prefix of the host's rows lands at or above 2**floor_bits —
+        i.e. the hash-threshold prefilter would drop them all.
+        Deterministic given md5; expected hits within a few hundred
+        salts for 8 rows."""
         import hashlib
 
+        return next(
+            s
+            for s in (f"s{j}" for j in range(4096))
+            if all(
+                int(
+                    hashlib.md5(f"{s}{c}{i}".encode()).hexdigest()[:8], 16
+                )
+                >= (1 << floor_bits)
+                for i, c in canon
+            )
+        )
+
+    def test_shortfall_hard_fails_at_action_time(self, spark):
+        """Round-11 advisory, round-13 mechanism: a host delivering
+        fewer than min(cap, |host|) prefilter survivors must hard-fail.
+        The verifier now rides IN the plan (assert_true on the
+        survivor-count window), so the failure surfaces when the
+        caller's action runs. Salt searched so all 8 rows fall above
+        the cap=2/factor=2 threshold (u32 < 2^31): the min-key escape
+        keeps exactly ONE survivor — a shortfall against min(2, 8)."""
         import pytest as _pytest
 
         from olist_snowflake_dbt_spark.operators.web import cap_per_host
@@ -473,20 +492,98 @@ class TestCapPrefilter:
         docs = spark.createDataFrame(rows, "doc_id long, url string")
         # canonical = host || path (scheme stripped, no www/params here)
         canon = [(i, f"bad.example.com/p/{i}") for i in range(8)]
-        # cap=1, factor=2 -> budget=2; a row survives iff
-        # u32 * 8 < 2 * 2^32, i.e. u32 < 2^30
-        salt = next(
-            s
-            for s in (f"s{j}" for j in range(512))
-            if all(
-                int(
-                    hashlib.md5(f"{s}{c}{i}".encode()).hexdigest()[:8], 16
-                )
-                >= (1 << 30)
-                for i, c in canon
-            )
-        )
-        with _pytest.raises(RuntimeError, match="under-delivered"):
+        # cap=2, factor=2 -> budget=4; survive iff u32 * 8 < 4 * 2^32,
+        # i.e. u32 < 2^31 — the salt makes every row fail that
+        salt = self._adversarial_salt(canon, 31)
+        with _pytest.raises(Exception, match="under-delivered"):
             cap_per_host(
+                docs, "url", "doc_id", cap=2, salt=salt, prefilter_factor=2
+            ).collect()
+
+    def test_min_key_escape_keeps_cap1_exact(self, spark):
+        """The worst case the round-11 wipeout test exercised — every
+        row of a host above the threshold — can no longer drop the
+        host: the per-host min-key row always survives, it IS the true
+        rank-1 row, and at cap=1 the output matches the unfiltered
+        window exactly with no error raised."""
+        from olist_snowflake_dbt_spark.operators.web import cap_per_host
+
+        rows = [(i, f"http://bad.example.com/p/{i}") for i in range(8)]
+        docs = spark.createDataFrame(rows, "doc_id long, url string")
+        canon = [(i, f"bad.example.com/p/{i}") for i in range(8)]
+        # cap=1, factor=2 -> budget=2; survive iff u32 < 2^30 — the
+        # salt drops every row, leaving only the min-key escape
+        salt = self._adversarial_salt(canon, 30)
+        plain = {
+            (r.host, r.doc_id, r.host_rank)
+            for r in cap_per_host(
+                docs, "url", "doc_id", cap=1, salt=salt
+            ).collect()
+        }
+        fast = {
+            (r.host, r.doc_id, r.host_rank)
+            for r in cap_per_host(
                 docs, "url", "doc_id", cap=1, salt=salt, prefilter_factor=2
+            ).collect()
+        }
+        assert fast == plain and len(plain) == 1
+
+
+class TestCapTwoPhase:
+    """Round-13 salted two-phase top-k: unconditionally exact, and the
+    stage-1 bucket windows actually bound what any one task sorts."""
+
+    def _docs(self, spark):
+        rows = [(i, f"http://hot.example.com/p/{i}") for i in range(4000)]
+        rows += [
+            (100000 + i, f"http://cold{i % 7}.example.org/p/{i}")
+            for i in range(70)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, url string")
+
+    def test_two_phase_equals_plain(self, spark):
+        from olist_snowflake_dbt_spark.operators.web import cap_per_host
+
+        docs = self._docs(spark)
+        plain = {
+            (r.host, r.doc_id, r.host_rank)
+            for r in cap_per_host(docs, "url", "doc_id", cap=25).collect()
+        }
+        fast = {
+            (r.host, r.doc_id, r.host_rank)
+            for r in cap_per_host(
+                docs, "url", "doc_id", cap=25, salt_buckets=8
+            ).collect()
+        }
+        assert fast == plain and len(plain) == 25 + 70
+
+    def test_two_phase_exact_when_cap_exceeds_host(self, spark):
+        """Hosts smaller than cap keep everything — ranks must stay
+        dense 1..|host| after the two-phase recombination."""
+        from olist_snowflake_dbt_spark.operators.web import cap_per_host
+
+        docs = self._docs(spark).filter("doc_id >= 100000")  # 7 cold hosts
+        out = cap_per_host(
+            docs, "url", "doc_id", cap=100, salt_buckets=4
+        ).collect()
+        assert len(out) == 70
+        by_host = {}
+        for r in out:
+            by_host.setdefault(r.host, []).append(r.host_rank)
+        assert all(
+            sorted(v) == list(range(1, len(v) + 1)) for v in by_host.values()
+        )
+
+    def test_knobs_mutually_exclusive_and_guard(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.web import cap_per_host
+
+        docs = self._docs(spark)
+        with _pytest.raises(ValueError, match="mutually exclusive"):
+            cap_per_host(
+                docs, "url", "doc_id", cap=5,
+                prefilter_factor=8, salt_buckets=8,
             )
+        with _pytest.raises(ValueError, match="salt_buckets"):
+            cap_per_host(docs, "url", "doc_id", cap=5, salt_buckets=1)

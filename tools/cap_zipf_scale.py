@@ -17,22 +17,23 @@ records:
 - wall seconds for the capped query with and without the prefilter
   (min of 2).
 
-Reading it: hot_rows grows 10× with the data; hot_window_input stays
-≈ factor·cap (the bound is per HOST, not per corpus). The WALLS on
-this local fixture favor the PLAIN path — the prefilter pays ~two
-extra full canonicalization scans (the per-host count pass + the
-verifier's materialization) while a million thin rows sort in one
-task in well under a second. The prefilter's win scenario is the one
-a local[32] box cannot exhibit: a hot partition whose single-task
-sort/spill dominates (a 1%-of-crawl host at 100 TB is ~1 TB through
-ONE task — AQE cannot split a window partition). The bounded
-``hot_window_input`` is the structural evidence for that regime; the
-small-fixture wall numbers are recorded unflattered.
+Reading it: hot_rows grows with the data; hot_window_input stays
+≈ factor·cap (the bound is per HOST, not per corpus). Round 13 rebuilt
+the operator's verifier to ride inside the plan (one in-plan
+assert_true on a count window sharing the rank window's exchange; the
+per-host min-key row always survives so no host can vanish), cutting
+the prefiltered path from counts-pass + main-pass + persisted verify
+job to exactly counts-pass + main-pass — and extended this lane past
+the crossover volume where the plain window's single-task sort of the
+hot host (a window partition is a unit; AQE cannot split it) costs
+more than the prefilter's second parallel scan. Walls at every volume
+are recorded unflattered, including the small ones where plain wins.
 
 Results merge into SCALING.json under
 ``queries.web_cap_prefilter.zipf``.
 
 Usage: python tools/cap_zipf_scale.py [--base-rows 200000] [--cap 20]
+       [--scales 1,10,100]
 """
 
 from __future__ import annotations
@@ -55,7 +56,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base-rows", type=int, default=200_000)
     ap.add_argument("--cap", type=int, default=20)
+    ap.add_argument("--scales", default="1,10,100")
     args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
 
     from pyspark.sql import functions as F
 
@@ -107,11 +110,13 @@ def main() -> None:
         return round(best, 2)
 
     out: dict[str, dict] = {"factor": FACTOR, "cap": args.cap}
-    for label, n in (("x1", args.base_rows), ("x10", args.base_rows * 10)):
+    for scale in scales:
+        label, n = f"x{scale}", args.base_rows * scale
         df = fixture(n).localCheckpoint()
         hot_rows = df.filter(F.col("url").startswith("http://hot.")).count()
-        # replicate the operator's own prefilter predicate to count the
-        # hot host's rank-window INPUT (its survivors)
+        # replicate the operator's own prefilter predicate (incl. the
+        # round-13 per-host min-key escape row) to count the hot host's
+        # rank-window INPUT (its survivors)
         u = canonicalize_url("url")
         wh = df.withColumn("host", u["host"]).withColumn(
             "__k",
@@ -122,14 +127,17 @@ def main() -> None:
                 )
             ),
         )
-        counts = wh.groupBy("host").agg(F.count(F.lit(1)).alias("__hn"))
         u32 = F.conv(F.substring("__k", 1, 8), 16, 10).cast("bigint")
+        counts = wh.groupBy("host").agg(
+            F.count(F.lit(1)).alias("__hn"), F.min(u32).alias("__mu")
+        )
         budget = F.lit(FACTOR * args.cap).cast("bigint")
         hot_window_input = (
             wh.join(F.broadcast(counts), "host")
             .filter(
                 (F.col("__hn") <= budget)
                 | (u32 * F.col("__hn") < budget * F.lit(1 << 32))
+                | (u32 == F.col("__mu"))
             )
             .filter(F.col("host") == "hot.example.com")
             .count()
@@ -140,6 +148,7 @@ def main() -> None:
             "hot_window_input": hot_window_input,
             "wall_plain": wall(df),
             "wall_prefiltered": wall(df, prefilter_factor=FACTOR),
+            "wall_two_phase": wall(df, salt_buckets=32),
         }
         print(label, out[label], flush=True)
 
@@ -147,7 +156,11 @@ def main() -> None:
     with open(path) as fh:
         scaling = json.load(fh)
     entry = scaling["queries"].setdefault("web_cap_prefilter", {})
-    entry["zipf"] = out
+    # merge per-scale so partial runs (e.g. --scales 100 alone) extend
+    # the lane instead of clobbering the other volumes
+    merged = entry.get("zipf", {})
+    merged.update(out)
+    entry["zipf"] = merged
     with open(path, "w") as fh:
         json.dump(scaling, fh, indent=1, sort_keys=True)
     print(json.dumps({"zipf": out}))

@@ -235,6 +235,15 @@ def main() -> None:
         help="two-decade mode: also run at sf10 (DECADE2_QUERIES by "
         "default) and record ratio_d2 = sf10/sf1",
     )
+    ap.add_argument(
+        "--forced-smj",
+        action="store_true",
+        help="round-13 pin for the >10x d2 byte-ratio adjudications: "
+        "disable broadcast joins (static + AQE thresholds = -1) so BOTH "
+        "decades run sort-merge, and record the clean bytes_ratio_d2 "
+        "under a nested 'forced_smj' key (merge-only; never clobbers "
+        "the default-plan numbers)",
+    )
     args = ap.parse_args()
     from olist_snowflake_dbt_spark.queries import QUERIES as _ALL
 
@@ -263,6 +272,11 @@ def main() -> None:
     from olist_snowflake_dbt_spark.sources.readers import TESTDATA_TABLES, read_table
 
     spark = get_spark("scale_bench")
+    if args.forced_smj:
+        # both knobs: the static planner threshold AND the AQE runtime
+        # re-plan threshold — either alone still lets a broadcast in
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     spark.range(1).count()
     for sf_dir in sf_dirs.values():
         for t in TESTDATA_TABLES:
@@ -307,7 +321,16 @@ def main() -> None:
         print(name, row, flush=True)
 
     scaling_path = os.path.join(REPO, "SCALING.json")
-    if args.merge and os.path.exists(scaling_path):
+    if args.forced_smj:
+        # nest under forced_smj so the default-plan lane stays intact
+        if not os.path.exists(scaling_path):
+            sys.exit("--forced-smj requires an existing SCALING.json")
+        with open(scaling_path) as fh:
+            prior = json.load(fh).get("queries", {})
+        for name, row in out.items():
+            prior.setdefault(name, {})["forced_smj"] = row
+        out = prior
+    elif args.merge and os.path.exists(scaling_path):
         with open(scaling_path) as fh:
             prior = json.load(fh).get("queries", {})
         prior.update(out)
