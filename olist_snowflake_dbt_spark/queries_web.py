@@ -293,8 +293,13 @@ def q_web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality column, four per-host audit aggregates sharing the host
     partitioning."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    # salt_buckets: the round-13 two-phase cap — output IDENTICAL to the
+    # plain window (oracle unchanged), but the hot-host rank no longer
+    # serializes through one task (zipf lane: 11.5 vs 28.6 s at 10M hot
+    # rows), which is what the funnel needs at crawl scale
     capped = cap_per_host(
-        synth_urls(docs.select("doc_id", "source")), "url", "doc_id", cap=20
+        synth_urls(docs.select("doc_id", "source")), "url", "doc_id",
+        cap=20, salt_buckets=8,
     )
     from .operators.web import apply_blocklist, canonicalize_url
 

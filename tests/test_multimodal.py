@@ -269,10 +269,15 @@ def test_round9_plan_shapes_are_pinned(spark, sf_dir):
         # (rule kind, width) — map-only by design, so this query pins
         # SHUFFLE exchanges instead: only the cap window repartitions
         "web_domain_psl": ("hash", 1),
-        # cap window, dedup agg, gate join, audit aggregates sharing
-        # the host partitioning; blocklist + its full-PSL lookup are
-        # all broadcast (free), so pin SHUFFLE exchanges only
-        "web_corpus_prep": ("hash", 4),
+        # the cap subtree is consumed by FOUR funnel branches (dedup
+        # agg, gate join, per-stage audit aggregates) and since round
+        # 13 carries TWO windows (salted two-phase top-k: the stage-1
+        # (host, bucket) exchange splits the hot host across tasks,
+        # stage 2 re-ranks ≤ buckets·cap survivors) — 4 branches × 2
+        # exchanges pre-AQE; at runtime AQE exchange reuse collapses
+        # the identical subtrees, so the pin bounds PLAN-TEXT shape,
+        # not bytes moved. Blocklist + full-PSL lookups stay broadcast.
+        "web_corpus_prep": ("hash", 8),
     }
     from olist_snowflake_dbt_spark.queries import QUERIES
 

@@ -587,3 +587,22 @@ class TestCapTwoPhase:
             )
         with _pytest.raises(ValueError, match="salt_buckets"):
             cap_per_host(docs, "url", "doc_id", cap=5, salt_buckets=1)
+
+    def test_two_phase_stage1_splits_the_hot_partition(self, spark):
+        """Plan-shape pin: stage 1's window exchange must hash on
+        (host, bucket) — the hot host's rows land in salt_buckets
+        different partitions — and a second Window follows for the
+        exact host-level re-rank."""
+        from olist_snowflake_dbt_spark.operators.web import cap_per_host
+
+        plan = (
+            cap_per_host(
+                self._docs(spark), "url", "doc_id", cap=5, salt_buckets=8
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Window") >= 2
+        # the stage-1 exchange key carries the xxhash bucket term
+        assert "xxhash64" in plan and "pmod" in plan
