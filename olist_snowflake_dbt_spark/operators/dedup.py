@@ -374,7 +374,13 @@ def containment_pairs_kmv_prescreen(
         .filter(F.col("__r") <= k)
         .drop("__r")
     )
-    p, q = sample.alias("p"), ex.alias("q")
+    # hint("merge") on every big join: static size ESTIMATES for the
+    # cached/derived frames here are unreliable (measured: the planner
+    # broadcast a multi-million-row side at sf1 — 20-30 s walls with
+    # 3x run-to-run variance; forced sort-merge ran a stable 6.4 s).
+    # The hint pins the static choice; AQE may still convert to
+    # broadcast from REAL runtime sizes, which is the safe direction.
+    p, q = sample.alias("p"), ex.hint("merge").alias("q")
     coll = (
         p.join(
             q,
@@ -424,8 +430,8 @@ def containment_pairs_kmv_prescreen(
         F.col("__n").alias("n_b"),
     )
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        cands.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         .withColumn(
             "containment",
             F.size(F.array_intersect("__sa", "__sb"))
