@@ -46,14 +46,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # advisory), dedup_minhash_lsh + dedup_incremental_minhash (oracles
 # now mirror the operator's zero-shingle semantics for token-less
 # docs — the r12 advisory), web_corpus_prep (consumes the reworked
-# cap operator); then (b) all 28 remaining r07-era rows — after this
-# round NO query's newest driver row is older than r08 (fct_orders
-# stays out per standing policy: entry() smoke-runs it and gate.py
-# re-verifies it every round); then (c) the alphabetical first 15 of
-# the 47 r08-era rows. The remaining 32 r08-era rows are first in
-# line for round 14. Every displaced query keeps its historical
-# driver row and is re-verified on current code each round by
-# tools/gate.py over the full catalog (GATE.json).
+# cap operator + persisted funnel frames), sample_epoch_shuffle (new:
+# deterministic seed-keyed epoch shuffle); then (b) all 28 remaining
+# r07-era rows — after this round NO query's newest driver row is
+# older than r08 (fct_orders stays out per standing policy: entry()
+# smoke-runs it and gate.py re-verifies it every round); then (c) the
+# alphabetical first 14 of the 47 r08-era rows. The remaining 33
+# r08-era rows are first in line for round 14. Every displaced query
+# keeps its historical driver row and is re-verified on current code
+# each round by tools/gate.py over the full catalog (GATE.json).
 _CHECK_FIRST = [
     # new / modified in round 13
     "dedup_containment_kmv",
@@ -63,6 +64,7 @@ _CHECK_FIRST = [
     "dedup_minhash_lsh",
     "dedup_incremental_minhash",
     "web_corpus_prep",
+    "sample_epoch_shuffle",
     # stalest: all 28 remaining r07-era driver rows
     "incremental_microbatch_sim",
     "json_extract",
@@ -107,7 +109,6 @@ _CHECK_FIRST = [
     "governance_row_access",
     "hybrid_rrf_fusion",
     "incremental_merge_update_columns",
-    "join_strategy_advisor",
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.

@@ -625,3 +625,53 @@ def weighted_percentile(
         [("weighted_percentile", p_num, p_den)],
         tiebreak_col=tiebreak_col,
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "epoch0",
+    shards: int = 8,
+) -> DataFrame:
+    """Deterministic global corpus shuffle for training-order epochs:
+    every row gets a uniform 60-bit portable hash of ``seed‖id``, the
+    hash RANGE is cut into ``shards`` contiguous bands, and rows are
+    ranked within their shard — so ``(shard, position)`` is a total,
+    seed-keyed global permutation of the corpus, and writing shard s
+    as output file s yields globally shuffled epoch shards WITHOUT a
+    single global sort. Changing ``seed`` reshuffles the whole corpus;
+    the same seed replays the identical order on any partitioning of
+    the input (no RNG, no zipWithIndex order dependence — the two
+    standard ways epoch shuffles go non-reproducible).
+
+    Plan shape at 100 TB: hashes are uniform, so the contiguous bands
+    are balanced by construction (no skew possible regardless of how
+    skewed the DATA keys are — the band key is the hash itself); one
+    exchange on the shard band + one within-shard sort, each shard one
+    task's sort — size shards so corpus/shards fits a task (the same
+    discipline as any range-partitioned write). Returns the input
+    columns + ``shard`` + ``position`` (1-based within shard).
+
+    Engine-portable: hash = ``portable_hash60`` (md5-derived), band
+    arithmetic is integer DIV — a SQL oracle replays the permutation
+    bit-for-bit.
+    """
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    from ..functions.hashing import portable_hash60
+
+    h = portable_hash60(
+        F.concat(F.lit(seed), F.col(id_col).cast("string"))
+    )
+    width = (1 << 60) // shards
+    out = df.withColumn("__h", h).withColumn(
+        "shard",
+        F.least(
+            F.floor(F.col("__h") / F.lit(width)).cast("int"),
+            F.lit(shards - 1),
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return out.withColumn("position", F.row_number().over(w)).drop("__h")

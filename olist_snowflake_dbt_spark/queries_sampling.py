@@ -508,3 +508,39 @@ def q_sample_weighted_percentile(
         F.col("wm").cast("string").alias("weighted_median"),
         F.col("wp").cast("string").alias("weighted_p90"),
     )
+
+
+@query(
+    "sample_epoch_shuffle",
+    """
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               CAST('0x' || substr(md5('ep1' || CAST(doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) AS hh
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_chars,
+               least(CAST(hh // 144115188075855872 AS INT), 7) AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY least(CAST(hh // 144115188075855872 AS INT), 7)
+                   ORDER BY hh, doc_id) AS position
+        FROM h
+    )
+    SELECT shard, doc_id, position
+    FROM ranked WHERE position <= 40
+    """,
+)
+def q_sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order epoch shuffle
+    (operators/sampling.epoch_shuffle): seed-keyed 60-bit portable
+    hash cut into 8 contiguous shard bands + within-shard rank —
+    (shard, position) is a total global permutation replayed
+    bit-for-bit by the oracle (same md5 hash, same integer band
+    arithmetic). The head of each shard is compared, which pins both
+    the band assignment and the ORDER."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = SMP.epoch_shuffle(docs, "doc_id", seed="ep1", shards=8)
+    return out.filter(F.col("position") <= 40).select(
+        "shard", "doc_id", "position"
+    )

@@ -450,3 +450,71 @@ class TestWeightedPercentile:
             weighted_percentiles(
                 df, ["g"], "v", "w", [("p", 1, 2)], range_buckets=0
             )
+
+
+class TestEpochShuffle:
+    """Round-13 deterministic epoch shuffle: a seed-keyed total global
+    permutation that survives repartitioning, reshuffles under a new
+    seed, and fills every shard densely."""
+
+    def _docs(self, spark, n=400):
+        return spark.range(n).select(F.col("id").alias("doc_id"))
+
+    def test_total_permutation_and_dense_positions(self, spark):
+        from olist_snowflake_dbt_spark.operators.sampling import epoch_shuffle
+
+        out = epoch_shuffle(self._docs(spark), "doc_id", "s1", shards=4).collect()
+        assert len(out) == 400
+        assert {r.doc_id for r in out} == set(range(400))
+        by_shard = {}
+        for r in out:
+            assert 0 <= r.shard < 4
+            by_shard.setdefault(r.shard, []).append(r.position)
+        # every shard's positions are dense 1..|shard|
+        for pos in by_shard.values():
+            assert sorted(pos) == list(range(1, len(pos) + 1))
+        # uniform hash -> no shard is empty or hoards the corpus
+        sizes = sorted(len(v) for v in by_shard.values())
+        assert len(sizes) == 4 and sizes[0] > 0 and sizes[-1] < 400
+
+    def test_deterministic_across_partitionings(self, spark):
+        from olist_snowflake_dbt_spark.operators.sampling import epoch_shuffle
+
+        base = {
+            (r.doc_id, r.shard, r.position)
+            for r in epoch_shuffle(
+                self._docs(spark), "doc_id", "s1", shards=4
+            ).collect()
+        }
+        again = {
+            (r.doc_id, r.shard, r.position)
+            for r in epoch_shuffle(
+                self._docs(spark).repartition(7), "doc_id", "s1", shards=4
+            ).collect()
+        }
+        assert base == again
+
+    def test_seed_changes_the_permutation(self, spark):
+        from olist_snowflake_dbt_spark.operators.sampling import epoch_shuffle
+
+        a = {
+            (r.doc_id, r.shard, r.position)
+            for r in epoch_shuffle(
+                self._docs(spark), "doc_id", "s1", shards=4
+            ).collect()
+        }
+        b = {
+            (r.doc_id, r.shard, r.position)
+            for r in epoch_shuffle(
+                self._docs(spark), "doc_id", "s2", shards=4
+            ).collect()
+        }
+        assert a != b
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.sampling import epoch_shuffle
+
+        with _pytest.raises(ValueError, match="shards"):
+            epoch_shuffle(self._docs(spark), "doc_id", "s1", shards=0)

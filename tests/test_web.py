@@ -606,3 +606,60 @@ class TestCapTwoPhase:
         assert plan.count("Window") >= 2
         # the stage-1 exchange key carries the xxhash bucket term
         assert "xxhash64" in plan and "pmod" in plan
+
+
+class TestCapVariantsProperty:
+    """Hypothesis pin for the round-13 cap surface: for ARBITRARY url
+    corpora (skewed hosts, shared canonicals, singleton hosts) all
+    three strategies — plain window, hash-threshold prefilter, salted
+    two-phase — return the identical survivor set with identical
+    ranks. Example count small; each example pays Spark jobs."""
+
+    def test_all_cap_variants_agree(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from olist_snowflake_dbt_spark.operators.web import cap_per_host
+
+        corpus = st.lists(
+            st.tuples(
+                st.integers(0, 500),        # doc_id
+                st.integers(0, 4),          # host index (skew via dups)
+                st.integers(0, 6),          # path index (shared canonicals)
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[0],
+        )
+
+        @settings(
+            max_examples=6,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(corpus=corpus, cap=st.integers(1, 5))
+        def run(corpus, cap):
+            rows = [
+                (i, f"http://h{h}.example.com/p/{p}") for i, h, p in corpus
+            ]
+            df = spark.createDataFrame(rows, "doc_id long, url string")
+            key = lambda r: (r.host, r.doc_id, r.host_rank)  # noqa: E731
+            plain = {
+                key(r)
+                for r in cap_per_host(df, "url", "doc_id", cap=cap).collect()
+            }
+            pre = {
+                key(r)
+                for r in cap_per_host(
+                    df, "url", "doc_id", cap=cap, prefilter_factor=8
+                ).collect()
+            }
+            two = {
+                key(r)
+                for r in cap_per_host(
+                    df, "url", "doc_id", cap=cap, salt_buckets=4
+                ).collect()
+            }
+            assert pre == plain and two == plain
+
+        run()
