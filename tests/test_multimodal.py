@@ -271,13 +271,15 @@ def test_round9_plan_shapes_are_pinned(spark, sf_dir):
         "web_domain_psl": ("hash", 1),
         # the cap subtree is consumed by FOUR funnel branches (dedup
         # agg, gate join, per-stage audit aggregates) and since round
-        # 13 carries TWO windows (salted two-phase top-k: the stage-1
-        # (host, bucket) exchange splits the hot host across tasks,
-        # stage 2 re-ranks ≤ buckets·cap survivors) — 4 branches × 2
-        # exchanges pre-AQE; at runtime AQE exchange reuse collapses
-        # the identical subtrees, so the pin bounds PLAN-TEXT shape,
-        # not bytes moved. Blocklist + full-PSL lookups stay broadcast.
-        "web_corpus_prep": ("hash", 8),
+        # 13 carries TWO windows (salted two-phase top-k) AND persists
+        # the two cap-bounded funnel frames. The PLAN TEXT prints each
+        # persisted frame's cached plan once per REFERENCE (capped ×2,
+        # blocked ×3 pre-AQE), so textual exchange counts are inflated
+        # by duplication the runtime never executes — the cache
+        # materializes each subtree once (asserted via
+        # InMemoryTableScan below; measured 9.0 → 7.0 s at sf0.1 from
+        # the persists). Blocklist + full-PSL lookups stay broadcast.
+        "web_corpus_prep": ("hash", 14),
     }
     from olist_snowflake_dbt_spark.queries import QUERIES
 
@@ -300,6 +302,11 @@ def test_round9_plan_shapes_are_pinned(spark, sf_dir):
             assert plan.count("Exchange") <= n, f"{name} grew: {plan}"
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+        if name == "web_corpus_prep":
+            # the funnel's persists must actually be consumed — the
+            # exchange-count allowance above is only sound if the
+            # duplicated subtrees read from cache at runtime
+            assert "InMemoryTableScan" in plan, "funnel persist not consumed"
 
 
 class TestAudioFingerprintDedup:
