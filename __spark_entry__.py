@@ -47,12 +47,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # now mirror the operator's zero-shingle semantics for token-less
 # docs — the r12 advisory), web_corpus_prep (consumes the reworked
 # cap operator + persisted funnel frames), sample_epoch_shuffle (new:
-# deterministic seed-keyed epoch shuffle); then (b) all 28 remaining
-# r07-era rows — after this round NO query's newest driver row is
-# older than r08 (fct_orders stays out per standing policy: entry()
-# smoke-runs it and gate.py re-verifies it every round); then (c) the
-# alphabetical first 14 of the 47 r08-era rows. The remaining 33
-# r08-era rows are first in line for round 14. Every displaced query
+# deterministic seed-keyed epoch shuffle), text_soft_dedup_weights
+# (new: SoftDeDup-shaped n-gram-commonness reweighting),
+# sample_dsir_select (new: DSIR-shaped hashed importance selection),
+# dedup_minhash_oph (new: one-permutation-hashing MinHash + rotation
+# densification); then (b) all 28 remaining r07-era rows — after this
+# round NO query's newest driver row is older than r08 (fct_orders
+# stays out per standing policy: entry() smoke-runs it and gate.py
+# re-verifies it every round); then (c) the alphabetical first 11 of
+# the 47 r08-era rows. The remaining 36 r08-era rows are first in
+# line for round 14. Every displaced query
 # keeps its historical driver row and is re-verified on current code
 # each round by tools/gate.py over the full catalog (GATE.json).
 _CHECK_FIRST = [
@@ -65,6 +69,9 @@ _CHECK_FIRST = [
     "dedup_incremental_minhash",
     "web_corpus_prep",
     "sample_epoch_shuffle",
+    "text_soft_dedup_weights",
+    "sample_dsir_select",
+    "dedup_minhash_oph",
     # stalest: all 28 remaining r07-era driver rows
     "incremental_microbatch_sim",
     "json_extract",
@@ -94,7 +101,7 @@ _CHECK_FIRST = [
     "time_bucket_agg",
     "topk_per_group",
     "zorder_layout_stats",
-    # next-stalest: alphabetical first 15 of the 47 r08-era rows
+    # next-stalest: alphabetical first 12 of the 47 r08-era rows
     "bm25_topk",
     "dbt_utils_surrogate_key",
     "dedup_cluster_representative",
@@ -106,9 +113,6 @@ _CHECK_FIRST = [
     "gapfill_locf_interp",
     "governance_erasure_cascade",
     "governance_masked_view",
-    "governance_row_access",
-    "hybrid_rrf_fusion",
-    "incremental_merge_update_columns",
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.

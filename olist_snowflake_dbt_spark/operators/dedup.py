@@ -540,6 +540,22 @@ def minhash_lsh_pairs(
     # sigs feed band keys AND both verify joins: persist so the
     # signature fold runs once per document
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
+    return _verified_pairs_from_sigs(sigs, bands, rows, threshold, max_bucket)
+
+
+def _verified_pairs_from_sigs(
+    sigs: DataFrame,
+    bands: int,
+    rows: int,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """The band→candidate→verify stage shared by every signature family
+    (classic k-mins MinHash and OPH): expects a PERSISTED ``(__id,
+    __sig)`` frame, bands it slim, caps hot buckets, self-joins within
+    buckets, and re-attaches signatures by id for the agreement-fraction
+    verify (see minhash_lsh_pairs' docstring for the full plan-shape
+    rationale — signatures cross an exchange exactly twice)."""
     slim = sigs.select(
         "__id",
         F.explode_outer(
@@ -571,6 +587,114 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def oph_minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_bins: int = 64,
+) -> DataFrame:
+    """One-permutation-hashing MinHash signatures (Li, Owen & Zhang,
+    "One Permutation Hashing", NeurIPS 2012) with rotation densification
+    (Shrivastava & Li, "Improved Densification of One Permutation
+    Hashing", UAI 2014): ONE hash evaluation per shingle total — the
+    digest's first 60-bit half (mod ``num_bins``) picks the bin, the
+    second half (mod p) is the running value, and the signature is the
+    per-bin minimum. Classic k-mins MinHash (minhash_signatures)
+    evaluates k Kirsch-Mitzenmacher components per shingle and folds k
+    unconditional min-aggregates: its signature-stage arithmetic grows
+    linearly in k, while OPH's is flat — at k = 256+ (the
+    high-precision regime) the signature pass is where near-dup
+    admission spends its scan time, and OPH removes the k-multiplier.
+
+    Empty bins are densified by borrowing from the nearest occupied bin
+    to the RIGHT (circular), offset-tagged so a borrowed value never
+    spuriously equals a directly-occupied one: ``dens[j] = v(j+t) +
+    t·C`` with t the borrow distance and C = 2^31 > max value (the
+    C = 1-per-distance variant of the UAI-2014 scheme; all values <
+    2^37, comfortably int64). Docs whose bins all collide still get a
+    full-length signature, so banding works unchanged downstream.
+
+    Plan shape: explode shingles → ONE md5 per shingle → two-stage
+    aggregate: (id, bin) min with map-side combine (≤ num_bins slim
+    24-byte rows per doc reach the exchange), then per-id fold of the
+    occupied-bin list into the densified array. Two exchanges instead
+    of classic's one, but the per-shingle scan work is O(1) in k and
+    the second exchange is bounded by num_bins rows/doc — the trade
+    that wins when k is large or shingle volume dominates. Token-less
+    docs produce no shingles → no signature row (zero-shingle = never
+    a candidate, same as the classic path).
+
+    Engine-portable end to end (md5-derived bins/values, deterministic
+    densification) — a DuckDB oracle replays signatures exactly
+    (queries_ext dedup_minhash_oph)."""
+    dens_c = 1 << 31  # > max value (p-1); tags borrow distance
+    sh = df.select(
+        F.col(id_col).alias("__id"), words(text_col).alias("__ws")
+    ).select(
+        "__id", shingle_strings_from_words(F.col("__ws"), n).alias("__shingles")
+    )
+    ex = (
+        sh.select("__id", F.explode("__shingles").alias("__s"))
+        .withColumn("__md", F.md5(F.col("__s").cast("binary")))
+        .select(
+            "__id",
+            F.pmod(md5_part60(F.col("__md"), 0), F.lit(num_bins)).alias("__bin"),
+            F.pmod(md5_part60(F.col("__md"), 1), F.lit(HASH_MOD)).alias("__val"),
+        )
+    )
+    bins = ex.groupBy("__id", "__bin").agg(F.min("__val").alias("__v"))
+    occ = bins.groupBy("__id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__bin").alias("t"), F.col("__v").alias("v")))
+        ).alias("__occ")
+    )
+
+    def _dens(j: Column) -> Column:
+        best = F.aggregate(
+            F.col("__occ"),
+            F.struct(
+                F.lit(num_bins).cast("long").alias("d"),
+                F.lit(None).cast("long").alias("v"),
+            ),
+            lambda acc, s: F.when(
+                F.pmod(s["t"] - j + num_bins, F.lit(num_bins)) < acc["d"],
+                F.struct(
+                    F.pmod(s["t"] - j + num_bins, F.lit(num_bins)).alias("d"),
+                    s["v"].alias("v"),
+                ),
+            ).otherwise(acc),
+        )
+        return best["v"] + best["d"] * F.lit(dens_c).cast("long")
+
+    return occ.select(
+        "__id",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(num_bins - 1).cast("long")),
+            _dens,
+        ).alias("__sig"),
+    )
+
+
+def oph_minhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_bins: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` with OPH signatures: identical banding,
+    hot-bucket cap, slim candidate join, and agreement-fraction verify
+    (the shared :func:`_verified_pairs_from_sigs` stage) — only the
+    signature pass differs (one hash per shingle, densified bins)."""
+    rows = bands and num_bins // bands
+    sigs = oph_minhash_signatures(df, text_col, id_col, n, num_bins).persist()
+    return _verified_pairs_from_sigs(sigs, bands, rows, threshold, max_bucket)
 
 
 # -- SimHash ----------------------------------------------------------

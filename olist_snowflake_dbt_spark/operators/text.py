@@ -633,3 +633,216 @@ def normalize_text(
     if lowercase:
         c = F.lower(c)
     return df.withColumn(out_col, c)
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """SoftDeDup-shaped duplicate REWEIGHTING (He et al., "SoftDedup:
+    an Efficient Data Reweighting Method for Speeding Up Language Model
+    Pre-training", ACL 2024): instead of DROPPING near-duplicates, every
+    document keeps a sampling weight inversely proportional to its
+    n-gram COMMONNESS, so highly duplicated content is down-sampled in
+    training rather than discarded — the effective-epoch view of dedup.
+    The paper scores commonness with an n-gram LM probability product;
+    that is a float product (engine-divergent), so this operator uses
+    the mean corpus occurrence count of the document's n-grams — the
+    same monotone signal, kept as exact integers: a doc whose bigrams
+    each occur once corpus-wide has commonness 1 (full weight); a doc
+    duplicated k times has commonness ≥ k on every gram (weight ≤ 1/k).
+
+    Emits per doc: ``n_grams`` (bigram tokens, with multiplicity),
+    ``sum_freq`` (Σ global occurrence count of each gram token), and
+    ``weight_nano = (scale·n_grams) div sum_freq`` — the sampling
+    weight at nano scale, exact truncating integer division so the
+    value is bit-identical on any engine. freq ≥ 1 per gram ⇒ weight ≤
+    scale; gram-less docs (< n words) carry no duplication evidence and
+    keep full weight. ``scale·n_grams`` stays in int64 up to ~9e9-gram
+    documents; ``sum_freq`` up to ~9e18 (a 1e5-gram doc of grams each
+    duplicated 1e13 times) before a wider accumulator is needed.
+
+    Shape at 100 TB: grams are built inside codegen (bound word array +
+    ``transform`` over an index sequence), immediately reduced to a
+    60-bit portable hash, so only slim ``(doc_id, gram_hash)`` pairs
+    ever leave the scan. One shuffle builds the census (partial-agg
+    combine ⇒ one row per (partition, distinct gram) in flight), one
+    sort-merge join brings counts back to the pairs, one partial-agg
+    shuffle folds them per doc. Stop-gram keys (hot bigrams) skew the
+    join-back exchange: the census side is one row per gram so SMJ
+    streams them, and AQE skew-split handles the pairs side — same
+    posture as the tf-idf census. The corpus is scanned twice (census +
+    probe), which the inherent two-pass structure requires.
+    """
+    from ..functions.hashing import portable_hash60
+    from ..functions.text import words
+
+    base = df.select(F.col(id_col), words(text_col).alias("__w"))
+    nw = F.size("__w")
+    grams = F.when(
+        nw >= n,
+        F.transform(
+            F.sequence(F.lit(1), nw - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("__w"), i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = base.select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    ).select(F.col(id_col), portable_hash60(F.col("__g")).alias("__gh"))
+    census = pairs.groupBy("__gh").agg(F.count(F.lit(1)).alias("__freq"))
+    per_doc = (
+        pairs.join(census, "__gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("__freq").alias("sum_freq"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("sum_freq"), F.lit(0)).cast("long").alias("sum_freq"),
+            F.when(
+                F.coalesce(F.col("sum_freq"), F.lit(0)) > 0,
+                F.expr(f"CAST({scale} AS BIGINT) * n_grams div sum_freq"),
+            )
+            .otherwise(F.lit(scale))
+            .cast("long")
+            .alias("weight_nano"),
+        )
+    )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    ratio_cap: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every raw document by how much more likely its words are under a
+    TARGET corpus's hashed bag-of-words model than under the raw
+    corpus's own — the importance ratio that steers pretraining data
+    toward a desired domain. The paper scores in log space and samples
+    with Gumbel noise; logs and noise are engine-divergent, so this
+    operator keeps the per-bucket ratio itself at micro scale via exact
+    truncating long division (three-limb expansion keeps every
+    intermediate in int64) and makes the keep decision deterministic:
+    a document passes when its mean word-ratio exceeds 1 (score_micro ≥
+    1e6 · n_words — i.e. its words are on average MORE likely under the
+    target model than under the raw model).
+
+    The per-bucket importance ratio is the self-normalized
+        ratio(b) = [(cnt_t(b)+1)/(N_t+B)] ÷ [(cnt_r(b)+1)/(N_r+B)]
+    (add-one smoothing; N = corpus word total, B = buckets) — the size
+    prior (N_r+B)/(N_t+B) must stay in because the keep decision is an
+    ABSOLUTE threshold at 1; without it a target that is a subset of
+    raw scores every document below 1. It is computed as TWO micro-
+    scale truncating divisions multiplied then rescaled — floor(
+    floor(1e6·a/d) · floor(1e6·n2/d2) / 1e6) — each factor clamped at
+    1e9 (ratio 1e3), so the combined ratio is capped at ``ratio_cap`` =
+    1e6 and every intermediate fits int64: the factor product ≤ 1e18,
+    per-word score ≤ 1e12, a per-doc sum safe to ~9e6 words/doc, and
+    the three-limb division limbs ≤ 1e3·corpus-words (safe to ~9e15-
+    word corpora). The double floor costs ≤ 2e-6 relative — and both
+    engines floor identically, which is the property that matters.
+    Clamping importance weights is the standard variance guard in
+    importance resampling; here it doubles as the overflow guard.
+
+    Shape at 100 TB: both count passes are explode → partial-agg
+    shuffles whose distinct-key space is ``buckets`` (4096 rows — the
+    combine collapses everything map-side; the exchange is O(buckets ·
+    partitions)). The ratio table is O(buckets) and BROADCAST to the
+    scoring join, so scoring is map-side: one final partial-agg shuffle
+    on doc_id. The target corpus is typically a small quality sample —
+    scanned once; the raw corpus is scanned twice (its own counts +
+    scoring), inherent to self-normalized importance weights.
+    """
+    from ..functions.hashing import portable_hash60
+    from ..functions.text import words
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        ws = df.select(F.explode(words(text_col)).alias("__word"))
+        return ws.select(
+            F.pmod(portable_hash60(F.col("__word")), F.lit(buckets)).alias("__b")
+        )
+
+    fcap = max(1, int(ratio_cap**0.5))  # per-factor clamp; combined = fcap²
+
+    def _micro_div(a: str, d: str) -> str:
+        # floor(1e6·a/d) via three exact int64 limbs, clamped at 1e6·fcap
+        return (
+            f"CASE WHEN ({a} div {d}) >= {fcap}"
+            f" THEN CAST(1000000 AS BIGINT) * {fcap}"
+            f" ELSE 1000000 * ({a} div {d})"
+            f" + 1000 * ((1000 * ({a} % {d})) div {d})"
+            f" + ((1000 * ((1000 * ({a} % {d})) % {d})) div {d}) END"
+        )
+
+    cnt_t = bucketed(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    cnt_r = bucketed(raw).groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tot = (
+        cnt_t.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt"))
+        .crossJoin(cnt_r.agg(F.coalesce(F.sum("__cr"), F.lit(0)).alias("__nr")))
+    )
+    ratios = (
+        cnt_t.join(cnt_r, "__b", "full")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__b",
+            (F.coalesce(F.col("__ct"), F.lit(0)) + 1).alias("__a"),
+            (F.coalesce(F.col("__cr"), F.lit(0)) + 1).alias("__d"),
+            (F.col("__nr") + buckets).alias("__n2"),
+            (F.col("__nt") + buckets).alias("__d2"),
+        )
+        .select(
+            "__b",
+            F.expr(
+                f"(({_micro_div('__a', '__d')}) * ({_micro_div('__n2', '__d2')}))"
+                " div 1000000"
+            )
+            .cast("long")
+            .alias("__ratio_micro"),
+        )
+    )
+    scored = (
+        raw.select(F.col(id_col), F.explode(words(text_col)).alias("__word"))
+        .select(
+            F.col(id_col),
+            F.pmod(portable_hash60(F.col("__word")), F.lit(buckets)).alias("__b"),
+        )
+        .join(F.broadcast(ratios), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__ratio_micro").alias("score_micro"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce(F.col("score_micro"), F.lit(0)).cast("long").alias(
+                "score_micro"
+            ),
+            (
+                (F.coalesce(F.col("n_words"), F.lit(0)) > 0)
+                & (
+                    F.coalesce(F.col("score_micro"), F.lit(0))
+                    >= F.lit(1_000_000).cast("long")
+                    * F.coalesce(F.col("n_words"), F.lit(0))
+                )
+            ).alias("keep"),
+        )
+    )

@@ -3069,3 +3069,197 @@ def q_incremental_merge_full_sync(
     return merge_full_sync(
         existing, src, ["order_id"], soft_delete_col="is_deleted"
     )
+
+
+# ---------------------------------------------------------------------
+# round 13: SoftDeDup reweighting + DSIR importance selection
+# ---------------------------------------------------------------------
+
+_SOFT_DEDUP_ORACLE = f"""
+    WITH wall AS (
+        SELECT doc_id,
+               list_filter({_WORDS}, x -> len(x) > 0) AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 2
+                           THEN list_transform(range(1, len(w)),
+                                               i -> w[i] || ' ' || w[i + 1])
+                           ELSE [] END) AS gram
+        FROM wall
+    ),
+    gh AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS ghash
+        FROM g
+    ),
+    census AS (SELECT ghash, COUNT(*) AS freq FROM gh GROUP BY 1),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(freq) AS BIGINT) AS sum_freq
+        FROM gh JOIN census USING (ghash) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.sum_freq, 0) AS BIGINT) AS sum_freq,
+           CAST(CASE WHEN COALESCE(p.sum_freq, 0) > 0
+                     THEN (1000000000 * p.n_grams) // p.sum_freq
+                     ELSE 1000000000 END AS BIGINT) AS weight_nano
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("text_soft_dedup_weights", _SOFT_DEDUP_ORACLE)
+def q_text_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup-shaped duplicate reweighting
+    (operators/text.soft_dedup_weights, He et al. ACL 2024): every doc
+    keeps a sampling weight inversely proportional to the corpus-mean
+    occurrence count of its bigrams — duplicates are down-sampled, not
+    dropped. Integer-exact (60-bit portable gram hashes, truncating
+    nano division); the oracle replays the census + join-back + fold."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.soft_dedup_weights(docs)
+
+
+_DSIR_MICRO_DIV = (
+    "CASE WHEN ({a} // {d}) >= 1000 THEN CAST(1000000000 AS BIGINT)"
+    " ELSE 1000000 * ({a} // {d})"
+    " + 1000 * ((1000 * ({a} % {d})) // {d})"
+    " + ((1000 * ((1000 * ({a} % {d})) % {d})) // {d}) END"
+)
+
+_DSIR_ORACLE = f"""
+    WITH wall AS (
+        SELECT doc_id,
+               list_filter({_WORDS}, x -> len(x) > 0) AS w
+        FROM documents
+    ),
+    rb AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % 4096 AS b
+        FROM (SELECT doc_id, unnest(w) AS word FROM wall)
+    ),
+    tdocs AS (SELECT doc_id FROM documents WHERE contains(text, 'customer')),
+    ct AS (
+        SELECT b, COUNT(*) AS ctn FROM rb JOIN tdocs USING (doc_id) GROUP BY 1
+    ),
+    cr AS (SELECT b, COUNT(*) AS crn FROM rb GROUP BY 1),
+    tot AS (
+        SELECT (SELECT COALESCE(SUM(ctn), 0) FROM ct) AS nt,
+               (SELECT COALESCE(SUM(crn), 0) FROM cr) AS nr
+    ),
+    ratio AS (
+        SELECT COALESCE(ct.b, cr.b) AS b,
+               CAST((({_DSIR_MICRO_DIV.format(a="(COALESCE(ctn, 0) + 1)",
+                                              d="(COALESCE(crn, 0) + 1)")})
+                     * ({_DSIR_MICRO_DIV.format(a="(nr + 4096)",
+                                                d="(nt + 4096)")}))
+                    // 1000000 AS BIGINT) AS ratio_micro
+        FROM ct FULL JOIN cr ON ct.b = cr.b CROSS JOIN tot
+    ),
+    score AS (
+        SELECT rb.doc_id, COUNT(*) AS n_words,
+               CAST(SUM(ratio_micro) AS BIGINT) AS score_micro
+        FROM rb JOIN ratio USING (b) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(s.score_micro, 0) AS BIGINT) AS score_micro,
+           COALESCE(s.n_words, 0) > 0
+               AND COALESCE(s.score_micro, 0)
+                   >= 1000000 * COALESCE(s.n_words, 0) AS keep
+    FROM documents d LEFT JOIN score s USING (doc_id)
+"""
+
+
+@query("sample_dsir_select", _DSIR_ORACLE)
+def q_sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance selection (operators/text.dsir_importance,
+    Xie et al. NeurIPS 2023): hashed bag-of-words importance ratio of a
+    content-defined target corpus ('customer'-bearing docs) over the
+    raw corpus, per-doc micro-exact score, deterministic keep at mean
+    ratio ≥ 1. The oracle replays both count passes, the self-
+    normalized two-factor clamped ratio, and the scoring join."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("text").contains("customer"))
+    return TX.dsir_importance(docs, target)
+
+
+# OPH twin: same planted corpus and band/cap/verify tail as
+# _MINHASH_ORACLE, but the signature stage is one-permutation hashing
+# with rotation densification — one md5 per shingle, bin = first 60-bit
+# half mod 64, value = second half mod p, per-bin MIN, empty bins borrow
+# from the nearest occupied bin to the right with the borrow distance
+# tagged at 2^31 per step (operators/dedup.oph_minhash_signatures).
+_OPH_ORACLE = f"""
+    WITH d2 AS ({_PLANTED_DOCS}),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 1)),
+                   i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        FROM (SELECT doc_id, {_WORDS} AS w FROM d2)
+        WHERE len(w) > 0
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 64 AS bin,
+               CAST('0x' || substr(md5(s), 16, 15) AS BIGINT) % {_MH_P} AS val
+        FROM (SELECT doc_id, UNNEST(shingles) AS s FROM sh)
+    ),
+    bins AS (SELECT doc_id, bin, MIN(val) AS v FROM hashed GROUP BY 1, 2),
+    grid AS (
+        SELECT doc_id, j
+        FROM (SELECT DISTINCT doc_id FROM bins)
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS j)
+    ),
+    dens AS (
+        SELECT g.doc_id, g.j,
+               arg_min(b.v + ((b.bin - g.j + 64) % 64) * 2147483648,
+                       (b.bin - g.j + 64) % 64) AS dv
+        FROM grid g JOIN bins b USING (doc_id)
+        GROUP BY 1, 2
+    ),
+    siglist AS (SELECT doc_id, list(dv ORDER BY j) AS sig FROM dens GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, sig,
+               bnd || '|' || sig[4*bnd+1] || '|' || sig[4*bnd+2] || '|'
+                   || sig[4*bnd+3] || '|' || sig[4*bnd+4] AS band
+        FROM siglist,
+             (SELECT UNNEST(generate_series(0, {_MH_BANDS - 1})) AS bnd)
+    ),
+    capped AS (
+        SELECT band FROM banded GROUP BY band HAVING COUNT(*) <= 1000
+    ),
+    kept AS (SELECT b.* FROM banded b JOIN capped USING (band)),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM kept a JOIN kept b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           list_sum(list_transform(generate_series(1, {_MH_K}),
+                    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+               / {_MH_K} AS est_jaccard
+    FROM cands
+    WHERE list_sum(list_transform(generate_series(1, {_MH_K}),
+                   i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+          / {_MH_K} >= 0.5
+"""
+
+
+@query("dedup_minhash_oph", _OPH_ORACLE)
+def q_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation-hashing MinHash + LSH
+    (operators/dedup.oph_minhash_pairs; Li/Owen/Zhang NeurIPS 2012,
+    Shrivastava & Li UAI 2014 densification): ONE hash per shingle
+    instead of k component evaluations — the signature-stage cost is
+    flat in k, the win at the high-precision (k = 256+) regime. Same
+    planted corpus, banding, hot-bucket cap, and verify tail as
+    dedup_minhash_lsh; the oracle replays bins, per-bin mins, rotation
+    densification, bands, and the agreement-fraction estimate."""
+    return DD.oph_minhash_pairs(
+        _planted_docs(spark, sf_dir), "text", "doc_id",
+        n=3, num_bins=64, bands=16, threshold=0.5,
+    )

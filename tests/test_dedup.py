@@ -708,3 +708,58 @@ def test_containment_kmv_prescreen_guards(spark):
         containment_pairs_kmv_prescreen(df, "text", "doc_id", threshold=0.0)
     with _pytest.raises(ValueError, match="k must be"):
         containment_pairs_kmv_prescreen(df, "text", "doc_id", k=4)
+
+
+# ---------------------------------------------------------------------
+# round 13: one-permutation-hashing MinHash (OPH + rotation densification)
+# ---------------------------------------------------------------------
+
+
+def test_oph_recall_against_exact(spark, planted):
+    """OPH-LSH must find (almost) everything exact Jaccard ≥ 0.6 finds —
+    the same bar as classic k-mins MinHash."""
+    from olist_snowflake_dbt_spark.operators.dedup import oph_minhash_pairs
+
+    exact = {(r.id_a, r.id_b)
+             for r in ngram_jaccard_pairs(planted, "text", "doc_id", 3, 0.6).collect()}
+    approx = {(r.id_a, r.id_b)
+              for r in oph_minhash_pairs(planted, "text", "doc_id",
+                                         n=3, num_bins=64, bands=16,
+                                         threshold=0.5).collect()}
+    assert exact, "sanity: planted dups must produce exact pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"OPH recall too low: {recall}"
+
+
+def test_oph_signatures_exact_duplicates_and_densification(spark):
+    from olist_snowflake_dbt_spark.operators.dedup import oph_minhash_signatures
+
+    # a 3-word doc has ONE shingle → exactly one occupied bin; rotation
+    # densification must still fill all 64 slots, every slot decoding
+    # to (value + distance·2^31) from that single bin
+    df = spark.createDataFrame(
+        [(1, "tiny shingle doc"), (2, "tiny shingle doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["__id"]: r["__sig"] for r in
+            oph_minhash_signatures(df, "text", "doc_id").collect()}
+    assert 3 not in rows, "token-less doc must produce no signature row"
+    assert rows[1] == rows[2], "exact duplicates must share the full signature"
+    sig = rows[1]
+    assert len(sig) == 64 and all(v is not None for v in sig)
+    c = 1 << 31
+    vals = {v % c for v in sig}
+    assert len(vals) == 1, "one occupied bin ⇒ one base value everywhere"
+    dists = sorted(v // c for v in sig)
+    # the occupied bin serves distance 0; circular borrow covers 0..63
+    assert dists == list(range(64))
+
+
+def test_oph_signatures_partitioning_invariance(spark, planted):
+    from olist_snowflake_dbt_spark.operators.dedup import oph_minhash_signatures
+
+    base = {r["__id"]: r["__sig"] for r in
+            oph_minhash_signatures(planted, "text", "doc_id").collect()}
+    re = {r["__id"]: r["__sig"] for r in
+          oph_minhash_signatures(planted.repartition(7), "text", "doc_id").collect()}
+    assert base == re

@@ -292,3 +292,115 @@ class TestNormalizeText:
             normalize_text(df)._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------------
+# round 13: SoftDeDup reweighting + DSIR importance selection
+# ---------------------------------------------------------------------
+
+
+def test_soft_dedup_weights_inverse_to_duplication(spark):
+    from olist_snowflake_dbt_spark.operators.text import soft_dedup_weights
+
+    # one unique doc (disjoint vocab) + one doc duplicated 4x: every
+    # bigram of the duplicated text occurs exactly 4x corpus-wide, so
+    # its weight must be exactly scale/4; the unique doc keeps full
+    # weight.
+    dup = "alpha beta gamma delta epsilon zeta"
+    rows = [(0, "unique solo vocabulary nothing shared here")] + [
+        (i, dup) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in soft_dedup_weights(df).collect()}
+    assert out[0].weight_nano == 1_000_000_000
+    assert out[0].n_grams == 5 and out[0].sum_freq == 5
+    for i in range(1, 5):
+        assert out[i].weight_nano == 250_000_000  # 1/4 at nano scale
+        assert out[i].sum_freq == out[i].n_grams * 4
+
+
+def test_soft_dedup_weights_gramless_docs_keep_full_weight(spark):
+    from olist_snowflake_dbt_spark.operators.text import soft_dedup_weights
+
+    df = spark.createDataFrame(
+        [(1, "oneword"), (2, ""), (3, "...!!!")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in soft_dedup_weights(df).collect()}
+    for i in (1, 2, 3):
+        assert out[i].n_grams == 0
+        assert out[i].sum_freq == 0
+        assert out[i].weight_nano == 1_000_000_000
+
+
+def test_dsir_importance_separates_target_vocab(spark):
+    from olist_snowflake_dbt_spark.operators.text import dsir_importance
+
+    # disjoint vocabularies: medical target vs web-spam raw filler.
+    # Texts are repeated x50 so counts dwarf the +1/+B smoothing (the
+    # operator smooths over `buckets`=4096 cells; a 6-word fixture
+    # would sit entirely inside the smoothing floor).
+    med = "patient dosage clinical trial symptom diagnosis " * 50
+    spam = "casino jackpot bonus spins winner lucky " * 50
+    raw_rows = [(i, med) for i in range(2)] + [
+        (i, spam) for i in range(2, 15)
+    ] + [(15, "")]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100 + i, med) for i in range(3)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dsir_importance(raw, target).collect()}
+    for i in range(2):
+        assert out[i].keep, "target-vocab doc must pass the mean-ratio gate"
+    for i in range(2, 15):
+        assert not out[i].keep, "off-target doc must fail the gate"
+    assert not out[15].keep and out[15].n_words == 0
+    # scores are strictly separated
+    assert min(out[i].score_micro for i in range(2)) > max(
+        out[i].score_micro for i in range(2, 15)
+    )
+
+
+def test_dsir_importance_ratio_clamp_is_exact(spark):
+    from olist_snowflake_dbt_spark.functions.hashing import portable_hash60
+    from olist_snowflake_dbt_spark.operators.text import dsir_importance
+
+    # a word that exists ONLY in the target, repeated enough to trip
+    # the per-factor clamp (q = a div d = 5001 ≥ 1000): the bucket's
+    # factor1 pins at 1e9 and the combined ratio is the exact python
+    # mirror below — proving both the clamp path and the limb math.
+    raw = spark.createDataFrame(
+        [(0, "plainword " * 10)], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(1, "rareword " * 5000)], "doc_id long, text string"
+    )
+    out = dsir_importance(raw, target).collect()[0]
+
+    def micro_div(a, d, fcap=1000):
+        if a // d >= fcap:
+            return 1_000_000 * fcap
+        r = a % d
+        return (
+            1_000_000 * (a // d)
+            + 1000 * ((1000 * r) // d)
+            + (1000 * ((1000 * r) % d)) // d
+        )
+
+    # plainword's bucket: ct=0 (not in target) unless hash-colliding
+    # with rareword's bucket — the vocab is chosen not to collide.
+    b_plain = None
+    df = spark.createDataFrame([("plainword",), ("rareword",)], "w string")
+    h = {
+        r.w: r.b
+        for r in df.select(
+            "w", (portable_hash60(F.col("w")) % 4096).alias("b")
+        ).collect()
+    }
+    assert h["plainword"] != h["rareword"]
+    nt, nr = 5000, 10
+    expected = (
+        micro_div(0 + 1, 10 + 1) * micro_div(nr + 4096, nt + 4096)
+    ) // 1_000_000
+    assert out.score_micro == 10 * expected
+    assert not out.keep
