@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # in dict order. Round-13 rotation policy (same staleness-wins rule as
-# r09-r12): (a) everything NEW or modified in round 13 — 7 slots:
+# r09-r12): (a) everything NEW or modified in round 13 — 12 slots:
 # dedup_containment_kmv (new: KMV bottom-k pre-screen, exact-verified
 # output against the exact-containment oracle), web_cap_two_phase
 # (new: salted two-phase top-k cap; oracle = the plain window —
@@ -51,12 +51,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # (new: SoftDeDup-shaped n-gram-commonness reweighting),
 # sample_dsir_select (new: DSIR-shaped hashed importance selection),
 # dedup_minhash_oph (new: one-permutation-hashing MinHash + rotation
-# densification); then (b) all 28 remaining r07-era rows — after this
-# round NO query's newest driver row is older than r08 (fct_orders
-# stays out per standing policy: entry() smoke-runs it and gate.py
-# re-verifies it every round); then (c) the alphabetical first 11 of
-# the 47 r08-era rows. The remaining 36 r08-era rows are first in
-# line for round 14. Every displaced query
+# densification), similarity_margin_bitext (new: Artetxe-Schwenk
+# margin-based bitext mining); then (b) all 28 remaining r07-era rows
+# — after this round NO query's newest driver row is older than r08
+# (fct_orders stays out per standing policy: entry() smoke-runs it
+# and gate.py re-verifies it every round); then (c) the alphabetical
+# first 10 of the 47 r08-era rows. The remaining 37 r08-era rows are
+# first in line for round 14. Every displaced query
 # keeps its historical driver row and is re-verified on current code
 # each round by tools/gate.py over the full catalog (GATE.json).
 _CHECK_FIRST = [
@@ -72,6 +73,7 @@ _CHECK_FIRST = [
     "text_soft_dedup_weights",
     "sample_dsir_select",
     "dedup_minhash_oph",
+    "similarity_margin_bitext",
     # stalest: all 28 remaining r07-era driver rows
     "incremental_microbatch_sim",
     "json_extract",
@@ -101,7 +103,7 @@ _CHECK_FIRST = [
     "time_bucket_agg",
     "topk_per_group",
     "zorder_layout_stats",
-    # next-stalest: alphabetical first 12 of the 47 r08-era rows
+    # next-stalest: alphabetical first 10 of the 47 r08-era rows
     "bm25_topk",
     "dbt_utils_surrogate_key",
     "dedup_cluster_representative",
@@ -112,7 +114,6 @@ _CHECK_FIRST = [
     "funnel_conversion",
     "gapfill_locf_interp",
     "governance_erasure_cascade",
-    "governance_masked_view",
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.

@@ -605,9 +605,10 @@ def oph_minhash_signatures(
     per-bin minimum. Classic k-mins MinHash (minhash_signatures)
     evaluates k Kirsch-Mitzenmacher components per shingle and folds k
     unconditional min-aggregates: its signature-stage arithmetic grows
-    linearly in k, while OPH's is flat — at k = 256+ (the
-    high-precision regime) the signature pass is where near-dup
-    admission spends its scan time, and OPH removes the k-multiplier.
+    linearly in k, while OPH's is flat — MEASURED on the sf0.1 corpus
+    (SCALING.json dedup_minhash_oph.k_scaling, tools/oph_k_scale.py):
+    classic 2.29 s at k=64 → 6.60 s at k=256 (ratio 2.88); OPH 1.79 →
+    1.93 s (ratio 1.07), already ahead at k=64.
 
     Empty bins are densified by borrowing from the nearest occupied bin
     to the RIGHT (circular), offset-tagged so a borrowed value never
@@ -652,28 +653,36 @@ def oph_minhash_signatures(
         ).alias("__occ")
     )
 
-    def _dens(j: Column) -> Column:
-        best = F.aggregate(
-            F.col("__occ"),
-            F.struct(
-                F.lit(num_bins).cast("long").alias("d"),
-                F.lit(None).cast("long").alias("v"),
-            ),
-            lambda acc, s: F.when(
-                F.pmod(s["t"] - j + num_bins, F.lit(num_bins)) < acc["d"],
-                F.struct(
-                    F.pmod(s["t"] - j + num_bins, F.lit(num_bins)).alias("d"),
-                    s["v"].alias("v"),
-                ),
-            ).otherwise(acc),
+    # O(num_bins) span densification (higher-order functions are
+    # INTERPRETED in Spark, so the naive per-slot nearest-occupied scan
+    # is O(k·|occ|) ≈ k² interpreted steps per doc — measured 2x slower
+    # than this form at k=64 and 6x at k=256): each occupied bin
+    # (t_i, v_i) serves exactly the slots (t_{i-1}, t_i] — for the
+    # first entry the wrap-around span from the LAST occupied bin — so
+    # the k slots are emitted once each as contiguous spans, flattened,
+    # and sorted by slot. Span lengths sum to exactly k (circular
+    # coverage), so the sorted pair list IS the signature.
+    kL = F.lit(num_bins).cast("long")
+    c = F.lit(dens_c).cast("long")
+    n_occ = F.size("__occ")
+    last_t = F.element_at(F.col("__occ"), n_occ)["t"]
+
+    def _span(s: Column, i: Column) -> Column:
+        prev_t = F.when(i == 0, last_t - kL).otherwise(
+            F.element_at(F.col("__occ"), i)["t"]  # element_at is 1-based
         )
-        return best["v"] + best["d"] * F.lit(dens_c).cast("long")
+        return F.transform(
+            F.sequence(prev_t + 1, s["t"]),
+            lambda j: F.struct(
+                F.pmod(j, kL).alias("b"), (s["v"] + (s["t"] - j) * c).alias("v")
+            ),
+        )
 
     return occ.select(
         "__id",
         F.transform(
-            F.sequence(F.lit(0).cast("long"), F.lit(num_bins - 1).cast("long")),
-            _dens,
+            F.sort_array(F.flatten(F.transform(F.col("__occ"), _span))),
+            lambda p: p["v"],
         ).alias("__sig"),
     )
 

@@ -3263,3 +3263,64 @@ def q_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
         _planted_docs(spark, sf_dir), "text", "doc_id",
         n=3, num_bins=64, bands=16, threshold=0.5,
     )
+
+
+_MARGIN_BITEXT_ORACLE = f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+    t AS (SELECT vec_id, embedding FROM embeddings WHERE label <> 0),
+    p0 AS (
+        -- pure-double LEFT FOLD in vector order == Spark's
+        -- aggregate(.., 0.0, acc+x) bit-for-bit (the ANN-twin rule)
+        SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+               {_fold_dot("a.embedding", "b.embedding")} AS dp,
+               {_fold_norm("a.embedding")} AS na,
+               {_fold_norm("b.embedding")} AS nb
+        FROM s a JOIN t b ON TRUE
+    ),
+    pairs AS (
+        SELECT src_id, tgt_id,
+               CAST(FLOOR(dp / (na * nb) * 1000000000 + 0.5) AS BIGINT)
+                   AS cos_nano
+        FROM p0 WHERE na > 0 AND nb > 0
+    ),
+    fwd AS (
+        SELECT src_id, CAST(SUM(cos_nano) AS BIGINT) AS sum_fwd
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                  ORDER BY cos_nano DESC, tgt_id) AS r FROM pairs)
+        WHERE r <= 4 GROUP BY 1
+    ),
+    bwd AS (
+        SELECT tgt_id, CAST(SUM(cos_nano) AS BIGINT) AS sum_bwd
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+                  ORDER BY cos_nano DESC, src_id) AS r FROM pairs)
+        WHERE r <= 4 GROUP BY 1
+    ),
+    scored AS (
+        SELECT p.src_id, p.tgt_id, p.cos_nano,
+               CASE WHEN f.sum_fwd + w.sum_bwd > 0
+                    THEN (p.cos_nano * 8 * 1000000) // (f.sum_fwd + w.sum_bwd)
+               END AS margin_micro
+        FROM pairs p JOIN fwd f USING (src_id) JOIN bwd w USING (tgt_id)
+    )
+    SELECT src_id, tgt_id, cos_nano,
+           CAST(margin_micro AS BIGINT) AS margin_micro, CAST(r AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+              ORDER BY margin_micro DESC NULLS LAST, tgt_id) AS r FROM scored)
+"""
+
+
+@query("similarity_margin_bitext", _MARGIN_BITEXT_ORACLE)
+def q_similarity_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/similarity.
+    margin_bitext_mine; Artetxe & Schwenk ACL 2019, the LASER/CCMatrix
+    recipe): the label-0 batch mined against the WHOLE rest of the
+    corpus (label ≠ 0 — the side that grows with SF, so the scaling
+    lane measures fixed-batch × growing-corpus, the production mining
+    shape), ratio margin = cosine over the mean of each side's 4-NN
+    cosines in the other corpus — hub discounting in exact integer
+    nanos/micros. The oracle replays the decimal dot, nano pinning,
+    both k-NN windows, and the single truncating margin division."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.margin_bitext_mine(
+        emb.filter(F.col("label") == 0), emb.filter(F.col("label") != 0), k=4
+    )

@@ -280,3 +280,51 @@ class TestRandomProjection:
         df = spark.createDataFrame([(1, [0.5])], "id long, vec array<float>")
         with _pytest.raises(ValueError, match="dims"):
             random_projection(df, "vec", in_dims=0, out_dims=2)
+
+
+# ---------------------------------------------------------------------
+# round 13: margin-based bitext mining
+# ---------------------------------------------------------------------
+
+
+def test_margin_bitext_hub_discounting(spark):
+    """A hub target that is moderately close to EVERY source must lose
+    to each source's true pair on margin, even though its raw cosine
+    beats unrelated pairs — the Artetxe-Schwenk point."""
+    from olist_snowflake_dbt_spark.operators.similarity import margin_bitext_mine
+
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),   # true pair of src 1
+            (20, [0.0, 1.0, 0.0, 0.0]),   # true pair of src 2
+            (99, [0.7, 0.7, 0.1, 0.1]),   # hub: close to both sources
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r.src_id, r.tgt_id): r
+           for r in margin_bitext_mine(src, tgt, k=2).collect()}
+    assert out[(1, 10)].rank == 1 and out[(2, 20)].rank == 1
+    assert out[(1, 10)].margin_micro > out[(1, 99)].margin_micro
+    assert out[(2, 20)].margin_micro > out[(2, 99)].margin_micro
+    # identical vectors pin cosine at exactly 1.0 in nanos
+    assert out[(1, 10)].cos_nano == 1_000_000_000
+
+
+def test_margin_bitext_zero_vectors_excluded(spark):
+    from olist_snowflake_dbt_spark.operators.similarity import margin_bitext_mine
+
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = margin_bitext_mine(src, tgt, k=1).collect()
+    ids = {(r.src_id, r.tgt_id) for r in rows}
+    assert ids == {(1, 10)}, "zero-norm vectors must not produce pairs"
