@@ -675,3 +675,95 @@ def epoch_shuffle(
         F.col("__h").asc(), F.col(id_col).asc()
     )
     return out.withColumn("position", F.row_number().over(w)).drop("__h")
+
+
+def token_budget_select(
+    df: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    id_col: str,
+    budget_num: int = 3,
+    budget_den: int = 10,
+    bucket_width: int = 100,
+) -> DataFrame:
+    """Budget-constrained selection — "keep the best-scoring documents
+    until the token budget is spent", the final gate of a pretraining
+    data pipeline (a quality-ranked corpus rarely fits the compute
+    budget; FineWeb/DCLM-style recipes cut at a token count, not a doc
+    count). Documents are taken in (score DESC, id ASC) order while the
+    running token sum stays within ``budget = total_tokens·num/den``;
+    the budget is derived from the corpus itself so the operator is
+    self-contained and rerun-stable.
+
+    The naive form is a GLOBAL sort + running-sum window — one
+    partition over the whole corpus, the canonical scale killer.
+    Instead: scores are floor-bucketed at ``bucket_width`` (exact
+    engine-portable floor division via the positive-mod identity —
+    ``div`` truncates toward zero and would split negative scores
+    asymmetrically); per-bucket token sums aggregate map-side into a
+    frame bounded by the SCORE RANGE, not the corpus; one tiny window
+    over that frame finds the cumulative spend and the single BOUNDARY
+    bucket; buckets above it keep wholly, below drop wholly, and only
+    the boundary bucket's own rows pay a (score, id)-ordered running
+    sum — a window over one bucket's rows, bounded by corpus density
+    at one score stratum. ``bucket_width`` trades the bucket-frame
+    size against the boundary window's width.
+
+    All arithmetic is int64 (token counts, truncating budget division),
+    so keep decisions are bit-identical on any engine. Ties inside the
+    boundary bucket break by id; a budget larger than the corpus keeps
+    everything. Returns ``(id, score, n_tokens, keep)``.
+    """
+    w = bucket_width
+    base = df.select(
+        F.col(id_col),
+        F.col(score_col).cast("long").alias("__score"),
+        F.col(tokens_col).cast("long").alias("__tok"),
+    ).withColumn(
+        "__bkt",
+        (
+            (F.col("__score") - ((F.col("__score") % w) + w) % w) / w
+        ).cast("long"),
+    )
+    pb = base.groupBy("__bkt").agg(F.sum("__tok").alias("__btok"))
+    wb = (
+        Window.orderBy(F.col("__bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cb = pb.withColumn("__cum_before", F.coalesce(F.sum("__btok").over(wb), F.lit(0)))
+    # the corpus total is the bucket-sum total — derived from the tiny
+    # pb frame so the corpus is scanned once for stats, once to tag
+    tot = pb.agg(
+        F.expr(f"(sum(__btok) * {budget_num}) div {budget_den}").alias("__budget")
+    )
+    flags = cb.crossJoin(F.broadcast(tot)).select(
+        "__bkt",
+        "__cum_before",
+        "__budget",
+        (F.col("__cum_before") + F.col("__btok") <= F.col("__budget")).alias(
+            "__full_keep"
+        ),
+        (
+            (F.col("__cum_before") < F.col("__budget"))
+            & (F.col("__cum_before") + F.col("__btok") > F.col("__budget"))
+        ).alias("__boundary"),
+    )
+    wr = Window.partitionBy("__bkt").orderBy(
+        F.col("__score").desc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        base.join(F.broadcast(flags), "__bkt")
+        .withColumn("__run", F.sum("__tok").over(wr))
+        .select(
+            F.col(id_col),
+            F.col("__score").alias("score"),
+            F.col("__tok").alias("n_tokens"),
+            (
+                F.col("__full_keep")
+                | (
+                    F.col("__boundary")
+                    & (F.col("__cum_before") + F.col("__run") <= F.col("__budget"))
+                )
+            ).alias("keep"),
+        )
+    )

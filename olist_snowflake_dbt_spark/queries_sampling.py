@@ -544,3 +544,77 @@ def q_sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("position") <= 40).select(
         "shard", "doc_id", "position"
     )
+
+
+_HLB = "CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 4096"
+_HLW = (
+    "(CAST('0x' || substr(md5('quality-v1:' || CAST("
+    + _HLB
+    + " AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000"
+)
+
+_TOKEN_BUDGET_ORACLE = f"""
+    WITH wq AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0) AS w
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+               CAST(COALESCE(list_sum(list_transform(w, x -> {_HLW})), 0)
+                    AS BIGINT) AS score
+        FROM wq
+    ),
+    b AS (
+        SELECT doc_id, score, n_words,
+               (score - ((score % 100) + 100) % 100) // 100 AS bkt
+        FROM m
+    ),
+    pb AS (SELECT bkt, CAST(SUM(n_words) AS BIGINT) AS btok FROM b GROUP BY 1),
+    cb AS (
+        SELECT bkt, btok,
+               CAST(COALESCE(SUM(btok) OVER (ORDER BY bkt DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM pb
+    ),
+    tot AS (SELECT (SUM(btok) * 3) // 10 AS budget FROM pb),
+    flags AS (
+        SELECT bkt, cum_before, budget,
+               cum_before + btok <= budget AS full_keep,
+               cum_before < budget AND cum_before + btok > budget AS boundary
+        FROM cb CROSS JOIN tot
+    ),
+    r AS (
+        SELECT b.doc_id, b.score, b.n_words, f.full_keep, f.boundary,
+               f.cum_before, f.budget,
+               CAST(SUM(b.n_words) OVER (PARTITION BY b.bkt
+                   ORDER BY b.score DESC, b.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS run
+        FROM b JOIN flags f USING (bkt)
+    )
+    SELECT doc_id, score, n_words AS n_tokens,
+           full_keep OR (boundary AND cum_before + run <= budget) AS keep
+    FROM r
+"""
+
+
+@query("sample_token_budget_select", _TOKEN_BUDGET_ORACLE)
+def q_sample_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained selection (operators/sampling.
+    token_budget_select): keep the best hashed-linear-score documents
+    until 30% of the corpus's tokens are spent — the FineWeb/DCLM-style
+    'best N tokens' gate, WITHOUT a global sort: floor-bucketed scores,
+    one tiny cumulative window over buckets, and a running sum over
+    only the boundary bucket's rows. All-integer; the oracle replays
+    the score, the bucket math, both windows, and the truncating
+    budget division."""
+    from .operators import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = TX.hashed_linear_score(docs).select(
+        "doc_id", F.col("logit_milli").alias("score_in"), "n_words"
+    )
+    return SMP.token_budget_select(scored, "score_in", "n_words", "doc_id")

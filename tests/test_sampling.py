@@ -518,3 +518,59 @@ class TestEpochShuffle:
 
         with _pytest.raises(ValueError, match="shards"):
             epoch_shuffle(self._docs(spark), "doc_id", "s1", shards=0)
+
+
+# ---------------------------------------------------------------------
+# round 13: budget-constrained selection
+# ---------------------------------------------------------------------
+
+
+class TestTokenBudgetSelect:
+    def _naive(self, rows, num=3, den=10):
+        # STRICT prefix: stop at the first doc that doesn't fit (the
+        # operator's documented 'while the running sum stays within
+        # budget' — not first-fit skip-and-continue, which would fill
+        # the tail of the budget with low-score stragglers)
+        budget = (sum(t for _, _, t in rows) * num) // den
+        kept, spent = set(), 0
+        for i, s, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+            if spent + t > budget:
+                break
+            kept.add(i)
+            spent += t
+        return kept
+
+    def test_matches_naive_prefix_with_negatives_and_ties(self, spark):
+        from olist_snowflake_dbt_spark.operators.sampling import (
+            token_budget_select,
+        )
+
+        # negative scores exercise the floor-bucket identity; repeated
+        # scores exercise the id tie-break inside the boundary bucket
+        rows = [
+            (i, ((i * 37) % 23 - 11) * 50, (i * 13) % 40 + 5)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, score long, tok long")
+        out = {
+            r.doc_id: r.keep
+            for r in token_budget_select(df, "score", "tok", "doc_id").collect()
+        }
+        naive = self._naive(rows)
+        assert {i for i, k in out.items() if k} == naive
+        # the greedy prefix is NOT "any subset under budget": it must
+        # stop exactly where the next ordered doc no longer fits
+        assert 0 < len(naive) < len(rows)
+
+    def test_budget_covers_everything(self, spark):
+        from olist_snowflake_dbt_spark.operators.sampling import (
+            token_budget_select,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10, 7), (2, -5, 3)], "doc_id long, score long, tok long"
+        )
+        out = token_budget_select(
+            df, "score", "tok", "doc_id", budget_num=1, budget_den=1
+        ).collect()
+        assert all(r.keep for r in out)
