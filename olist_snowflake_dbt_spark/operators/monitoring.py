@@ -396,3 +396,89 @@ def cusum_changepoint(
         F.col("__w.s").cast("long").alias("cusum_max_scaled"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+def ks_two_sample(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    alpha_c: float = 1.3581,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift monitor for a NUMERIC
+    column — the continuous-distribution sibling of :func:`drift_chi2`
+    (chi-square needs categories; KS compares whole empirical CDFs and
+    is the standard gate for "did this feature's distribution move"
+    between a reference window and the current batch).
+
+    The statistic is exact integer arithmetic end to end: at every
+    distinct observed value x, the scaled CDF gap is ``|cnt_ref≤x · n_cur
+    − cnt_cur≤x · n_ref|`` (both CDFs put over the common denominator
+    ``n_ref·n_cur``), and D_scaled = max over x — no floats until the
+    final presentation division ``ks_micro = (1e6·D_scaled) div
+    (n_ref·n_cur)``. int64 bounds: per-window sample counts ≤ ~3e6 keep
+    ``1e6·D_scaled`` under 9e18 (monitoring windows are day/batch
+    slices; subsample beyond that, the statistic's power saturates
+    anyway).
+
+    The decision threshold is the classic large-sample critical value
+    ``c(α)·sqrt((n_ref+n_cur)/(n_ref·n_cur))`` (``alpha_c`` = 1.3581 is
+    c at α = 0.05): computed in ONE fixed double expression tree —
+    int64→double conversions are exact, divide/sqrt/multiply are
+    IEEE-correctly-rounded — then floored to micros, so both the
+    statistic and the reject flag are bit-identical across engines.
+
+    Scale: two map-side-combinable per-value counts → a full-outer
+    join on value → ONE window over the DISTINCT-VALUE frame (ordered
+    cumulative sums — the frame is bounded by the metric's value
+    cardinality, never the event volume; quantize a truly continuous
+    metric first). Returns one row: ``(n_ref, n_cur, d_scaled,
+    ks_micro, crit_micro, reject)``."""
+    rc = ref.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("__cr")
+    )
+    cc = cur.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("__cc")
+    )
+    vals = rc.join(cc, "v", "full_outer").select(
+        "v",
+        F.coalesce("__cr", F.lit(0)).alias("__cr"),
+        F.coalesce("__cc", F.lit(0)).alias("__cc"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = vals.select(
+        F.sum("__cr").over(w).alias("__ar"),
+        F.sum("__cc").over(w).alias("__ac"),
+    )
+    tot = vals.agg(
+        F.sum("__cr").alias("n_ref"), F.sum("__cc").alias("n_cur")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("__ar") * F.col("n_cur") - F.col("__ac") * F.col("n_ref")
+            ).alias("__gap"),
+            "n_ref",
+            "n_cur",
+        )
+        .groupBy("n_ref", "n_cur")
+        .agg(F.max("__gap").alias("d_scaled"))
+    )
+    nn = F.col("n_ref") * F.col("n_cur")
+    crit = F.floor(
+        F.lit(alpha_c)
+        * F.sqrt(
+            (F.col("n_ref") + F.col("n_cur")).cast("double") / nn.cast("double")
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return d.select(
+        "n_ref",
+        "n_cur",
+        "d_scaled",
+        F.expr("(1000000 * d_scaled) div (n_ref * n_cur)").alias("ks_micro"),
+        crit.alias("crit_micro"),
+        (
+            F.expr("(1000000 * d_scaled) div (n_ref * n_cur)") > crit
+        ).alias("reject"),
+    )

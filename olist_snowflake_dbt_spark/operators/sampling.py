@@ -767,3 +767,62 @@ def token_budget_select(
             ).alias("keep"),
         )
     )
+
+
+def exact_global_rank(
+    df: DataFrame,
+    order_col: str,
+    id_col: str,
+    bucket_width: int = 100,
+    phases: int = 0,
+) -> DataFrame:
+    """EXACT global rank under the total order ``(order_col ASC, id
+    ASC)`` — the scalable form of ``ROW_NUMBER() OVER (ORDER BY …)``,
+    which Spark executes as a single-partition window (the canonical
+    scale killer this module keeps designing around). Same decomposition
+    as :func:`token_budget_select`: floor-bucket the order column (the
+    positive-mod identity keeps negative values exact), count per
+    bucket map-side, ONE tiny cumulative window over the bucket frame
+    (bounded by the VALUE RANGE, not the corpus) yields each bucket's
+    global offset, and a per-bucket ``row_number`` — a window
+    PARTITIONED by bucket, parallel across buckets — lands every row at
+    ``offset + within-bucket position``. Bit-exact equal to the naive
+    global window at any partitioning.
+
+    With ``phases > 0`` also emits the curriculum phase ``((rank−1)·
+    phases) div N + 1`` — exact NTILE over the same order without the
+    global sort; the curriculum-training primitive (order training
+    easy→hard by a difficulty score, then shuffle WITHIN each phase
+    with :func:`epoch_shuffle`, whose seed-keyed hash needs no rank at
+    all).
+
+    Returns ``(id, order_col, global_rank[, phase])``."""
+    w = bucket_width
+    base = df.select(
+        F.col(id_col), F.col(order_col).cast("long").alias("__ord")
+    ).withColumn(
+        "__bkt",
+        ((F.col("__ord") - ((F.col("__ord") % w) + w) % w) / w).cast("long"),
+    )
+    pb = base.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__bn"))
+    wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    cb = pb.select(
+        "__bkt",
+        F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__offset"),
+    )
+    tot = pb.agg(F.sum("__bn").alias("__n"))
+    wr = Window.partitionBy("__bkt").orderBy(
+        F.col("__ord").asc(), F.col(id_col).asc()
+    )
+    ranked = (
+        base.join(F.broadcast(cb), "__bkt")
+        .withColumn("global_rank", F.col("__offset") + F.row_number().over(wr))
+    )
+    cols = [F.col(id_col), F.col("__ord").alias(order_col), F.col("global_rank")]
+    if phases > 0:
+        ranked = ranked.crossJoin(F.broadcast(tot)).withColumn(
+            "phase",
+            F.expr(f"((global_rank - 1) * {phases}) div __n") + F.lit(1),
+        )
+        cols.append(F.col("phase"))
+    return ranked.select(*cols)

@@ -3324,3 +3324,64 @@ def q_similarity_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.margin_bitext_mine(
         emb.filter(F.col("label") == 0), emb.filter(F.col("label") != 0), k=4
     )
+
+
+_KS_ORACLE = """
+    WITH r AS (SELECT value AS v FROM events WHERE event_type = 'view'),
+    c AS (SELECT value AS v FROM events WHERE event_type = 'click'),
+    rc AS (SELECT v, COUNT(*) AS cr FROM r GROUP BY 1),
+    cc AS (SELECT v, COUNT(*) AS ccnt FROM c GROUP BY 1),
+    vals AS (
+        SELECT COALESCE(rc.v, cc.v) AS v,
+               COALESCE(cr, 0) AS cr, COALESCE(ccnt, 0) AS ccnt
+        FROM rc FULL JOIN cc ON rc.v = cc.v
+    ),
+    cum AS (
+        SELECT CAST(SUM(cr) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS ar,
+               CAST(SUM(ccnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS ac
+        FROM vals
+    ),
+    tot AS (
+        SELECT CAST(SUM(cr) AS BIGINT) AS n_ref,
+               CAST(SUM(ccnt) AS BIGINT) AS n_cur
+        FROM vals
+    ),
+    d AS (
+        SELECT n_ref, n_cur,
+               CAST(MAX(ABS(ar * n_cur - ac * n_ref)) AS BIGINT) AS d_scaled
+        FROM cum CROSS JOIN tot
+        GROUP BY 1, 2
+    )
+    SELECT n_ref, n_cur, d_scaled,
+           CAST((1000000 * d_scaled) // (n_ref * n_cur) AS BIGINT) AS ks_micro,
+           CAST(FLOOR(1.3581 * SQRT(CAST(n_ref + n_cur AS DOUBLE)
+                / CAST(n_ref * n_cur AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS crit_micro,
+           (1000000 * d_scaled) // (n_ref * n_cur)
+               > CAST(FLOOR(1.3581 * SQRT(CAST(n_ref + n_cur AS DOUBLE)
+                     / CAST(n_ref * n_cur AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS reject
+    FROM d
+"""
+
+
+@query("monitor_ks_two_sample", _KS_ORACLE)
+def q_monitor_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift gate
+    (operators/monitoring.ks_two_sample): view-events' value
+    distribution vs click-events' — exact integer scaled-CDF gaps
+    (max |cnt_ref≤x·n_cur − cnt_cur≤x·n_ref|), one window over the
+    DISTINCT-VALUE frame, portable IEEE critical value at α = 0.05.
+    The continuous-metric sibling of drift_chi2_event_types."""
+    from .operators.monitoring import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return ks_two_sample(
+        ev.filter(F.col("event_type") == "view").select("value"),
+        ev.filter(F.col("event_type") == "click").select("value"),
+        "value",
+    )

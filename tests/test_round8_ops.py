@@ -331,3 +331,37 @@ def test_schema_drift_report(spark):
     assert schema_drift(old, old).count() == 0
     # column REORDER is not drift
     assert schema_drift(old, old.select("x", "id", "s")).count() == 0
+
+
+# ---------------------------------------------------------------------
+# round 13: two-sample KS drift gate
+# ---------------------------------------------------------------------
+
+
+class TestKSTwoSample:
+    def test_identical_samples_never_reject(self, spark):
+        from olist_snowflake_dbt_spark.operators.monitoring import ks_two_sample
+
+        df = spark.createDataFrame([(float(i % 7),) for i in range(50)], "v double")
+        r = ks_two_sample(df, df, "v").collect()[0]
+        assert r.d_scaled == 0 and r.ks_micro == 0 and not r.reject
+
+    def test_disjoint_samples_hit_ks_one_and_reject(self, spark):
+        from olist_snowflake_dbt_spark.operators.monitoring import ks_two_sample
+
+        ref = spark.createDataFrame([(float(i),) for i in range(30)], "v double")
+        cur = spark.createDataFrame([(float(100 + i),) for i in range(40)], "v double")
+        r = ks_two_sample(ref, cur, "v").collect()[0]
+        assert r.d_scaled == 30 * 40
+        assert r.ks_micro == 1_000_000
+        assert r.reject
+
+    def test_hand_computed_small_case(self, spark):
+        from olist_snowflake_dbt_spark.operators.monitoring import ks_two_sample
+
+        ref = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+        cur = spark.createDataFrame([(2.0,), (3.0,), (4.0,)], "v double")
+        r = ks_two_sample(ref, cur, "v").collect()[0]
+        # gaps at x=1,2,3,4 are 3,3,3,0 over denominator 9 -> D = 1/3
+        assert r.d_scaled == 3
+        assert r.ks_micro == 333_333

@@ -574,3 +574,46 @@ class TestTokenBudgetSelect:
             df, "score", "tok", "doc_id", budget_num=1, budget_den=1
         ).collect()
         assert all(r.keep for r in out)
+
+
+class TestExactGlobalRank:
+    def test_equals_naive_global_window(self, spark):
+        from pyspark.sql import Window as W
+
+        from olist_snowflake_dbt_spark.operators.sampling import (
+            exact_global_rank,
+        )
+
+        rows = [(i, ((i * 37) % 23 - 11) * 13) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, s long").repartition(7)
+        got = {
+            r.doc_id: (r.global_rank, r.phase)
+            for r in exact_global_rank(df, "s", "doc_id", phases=4).collect()
+        }
+        ref = {
+            r.doc_id: r.rn
+            for r in df.withColumn(
+                "rn",
+                F.row_number().over(W.orderBy(F.col("s").asc(), F.col("doc_id").asc())),
+            ).collect()
+        }
+        assert all(got[i][0] == ref[i] for i in ref)
+        assert all(got[i][1] == (ref[i] - 1) * 4 // 300 + 1 for i in ref)
+
+    def test_phase_sizes_are_balanced(self, spark):
+        from collections import Counter
+
+        from olist_snowflake_dbt_spark.operators.sampling import (
+            exact_global_rank,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i % 11) for i in range(103)], "doc_id long, s long"
+        )
+        phases = Counter(
+            r.phase
+            for r in exact_global_rank(df, "s", "doc_id", phases=4).collect()
+        )
+        # exact NTILE balance: sizes differ by at most 1
+        assert max(phases.values()) - min(phases.values()) <= 1
+        assert sum(phases.values()) == 103
