@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # in dict order. Round-13 rotation policy (same staleness-wins rule as
-# r09-r12): (a) everything NEW or modified in round 13 — 15 slots:
+# r09-r12): (a) everything NEW or modified in round 13 — 16 slots:
 # dedup_containment_kmv (new: KMV bottom-k pre-screen, exact-verified
 # output against the exact-containment oracle), web_cap_two_phase
 # (new: salted two-phase top-k cap; oracle = the plain window —
@@ -56,11 +56,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # best-N-tokens budget gate), monitor_ks_two_sample (new: exact
 # two-sample KS drift gate), sample_global_rank (new: global
 # ROW_NUMBER + exact NTILE without a global sort — the curriculum
-# primitive); then (b) all 28 remaining r07-era rows
+# primitive), stream_dedup_admission (new: streaming corpus-dedup
+# admission, first-seen-wins + idempotent replay); then (b) all 28
+# remaining r07-era rows
 # — after this round NO query's newest driver row is older than r08
 # (fct_orders stays out per standing policy: entry() smoke-runs it
 # and gate.py re-verifies it every round); then (c) the alphabetical
-# first 7 of the 47 r08-era rows. The remaining 40 r08-era rows are
+# first 6 of the 47 r08-era rows. The remaining 41 r08-era rows are
 # first in line for round 14. Every displaced query
 # keeps its historical driver row and is re-verified on current code
 # each round by tools/gate.py over the full catalog (GATE.json).
@@ -81,6 +83,7 @@ _CHECK_FIRST = [
     "sample_token_budget_select",
     "monitor_ks_two_sample",
     "sample_global_rank",
+    "stream_dedup_admission",
     # stalest: all 28 remaining r07-era driver rows
     "incremental_microbatch_sim",
     "json_extract",
@@ -110,14 +113,13 @@ _CHECK_FIRST = [
     "time_bucket_agg",
     "topk_per_group",
     "zorder_layout_stats",
-    # next-stalest: alphabetical first 7 of the 47 r08-era rows
+    # next-stalest: alphabetical first 6 of the 47 r08-era rows
     "bm25_topk",
     "dbt_utils_surrogate_key",
     "dedup_cluster_representative",
     "drift_chi2_event_types",
     "er_golden_records",
     "flatten_with_ordinality",
-    "fmt_copy_into_history",
 ]
 # fct_orders (green r01–r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.

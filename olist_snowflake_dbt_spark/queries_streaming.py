@@ -536,3 +536,87 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the memory sink holds the rows; the staged replay files are done
     _shutil.rmtree(root, ignore_errors=True)
     return sink.filter(F.col("user_id") >= 0)
+
+
+@query(
+    "stream_dedup_admission",
+    """
+    WITH d2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 50 = 0
+    ),
+    fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS doc_fingerprint
+        FROM d2
+    )
+    SELECT doc_fingerprint, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+    FROM fp GROUP BY 1
+    """,
+)
+def q_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-dedup admission
+    (streaming/events.dedup_admission_stream): the planted-duplicate
+    corpus arrives as a 4-slice file stream (id-range slices staged
+    with ascending mtimes → deterministic batch order), each micro-
+    batch admitted against the standing 16-byte fingerprint table via
+    incremental_dedup (first seen wins) and folded in with the atomic
+    tmp→rename swap. The oracle is the BATCH collapse (min doc_id per
+    normalized fingerprint): the hash match proves four incremental
+    foreachBatch merges converge to the one-shot answer — the
+    grows-forever corpus-ingest contract."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .streaming import dedup_admission_stream
+
+    base = _os.path.join(
+        _tempfile.gettempdir(), f"spark_graft_dedup_adm_{_os.getpid()}"
+    )
+    _shutil.rmtree(base, ignore_errors=True)
+    stage = _os.path.join(base, "log")
+    state = _os.path.join(base, "state")
+    ckpt = _os.path.join(base, "ckpt")
+    _os.makedirs(stage)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    # 4 id-range slices staged oldest-first: originals land in earlier
+    # batches than their planted duplicates, so first-seen == min id
+    n = planted.count()
+    ids = sorted(r.doc_id for r in planted.select("doc_id").collect())
+    cuts = [ids[min(len(ids) - 1, (len(ids) * q) // 4)] for q in (1, 2, 3)]
+    lo = None
+    for i in range(4):
+        hi = cuts[i] if i < 3 else None
+        sl = planted
+        if lo is not None:
+            sl = sl.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            sl = sl.filter(F.col("doc_id") < hi)
+        part_dir = _os.path.join(base, f"w{i}")
+        sl.coalesce(1).write.parquet(part_dir)
+        [part] = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))
+        dst = _os.path.join(stage, f"{i:03d}_slice.parquet")
+        _shutil.move(part, dst)
+        _os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        lo = hi
+
+    stream = (
+        spark.readStream.schema(planted.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    q = dedup_admission_stream(stream, state, ckpt).start()
+    q.awaitTermination()
+    assert n == spark.read.parquet(stage).count()
+    return spark.read.parquet(state)

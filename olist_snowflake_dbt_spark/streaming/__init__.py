@@ -22,6 +22,7 @@ Design for scale (1000 executors, unbounded input):
 
 from .events import (
     cdc_apply_stream,
+    dedup_admission_stream,
     cdc_state,
     clicks_left_outer_errors,
     clicks_to_errors_join,
@@ -39,6 +40,7 @@ from .events import (
 
 __all__ = [
     "cdc_apply_stream",
+    "dedup_admission_stream",
     "cdc_state",
     "clicks_left_outer_errors",
     "clicks_to_errors_join",

@@ -589,3 +589,52 @@ def test_tws_event_time_timers_close_sessions(spark, sf_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_dedup_admission_stream_first_seen_wins_and_replay_idempotent(
+    spark, tmp_path
+):
+    """Cross-batch admission contract: a duplicate arriving in a LATER
+    batch loses even with a SMALLER id (first-seen-wins, not min-id);
+    and re-running the drained stream over the same state admits
+    nothing new (the replay-idempotence that upgrades foreachBatch's
+    at-least-once to exactly-once observable state)."""
+    import glob
+    import os
+    import shutil
+
+    from olist_snowflake_dbt_spark.streaming import dedup_admission_stream
+
+    stage = str(tmp_path / "log")
+    state = str(tmp_path / "state")
+    os.makedirs(stage)
+    batches = [
+        [(100, "alpha beta gamma"), (101, "delta epsilon zeta")],
+        # 5 duplicates 'alpha beta gamma' with a SMALLER id; 7 is new
+        [(5, "alpha beta gamma"), (7, "eta theta iota")],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        part_dir = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.parquet(part_dir)
+        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(stage, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        q = dedup_admission_stream(stream, state, ckpt).start()
+        q.awaitTermination()
+
+    drain(str(tmp_path / "ckpt1"))
+    got = {r.doc_id for r in spark.read.parquet(state).collect()}
+    assert got == {100, 101, 7}, "first-seen must beat the smaller late id"
+    # fresh checkpoint = full REPLAY of both batches over existing state
+    drain(str(tmp_path / "ckpt2"))
+    again = {r.doc_id for r in spark.read.parquet(state).collect()}
+    assert again == {100, 101, 7}
