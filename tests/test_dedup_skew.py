@@ -248,3 +248,34 @@ def test_prefix_filter_is_lossless_and_shrinks_the_index(spark, corpus):
     hi_exact = ngram_jaccard_pairs(corpus, "text", "doc_id", 3, t_hi)
     hi_pruned = prefix_filter_jaccard_pairs(corpus, "text", "doc_id", 3, t_hi)
     assert hi_pruned.count() == hi_exact.count() >= (N_CLONES * (N_CLONES - 1)) // 2
+
+
+def test_soft_dedup_weights_exact_under_boilerplate_skew(spark, corpus):
+    """The SoftDeDup census join-back has a hot key per boilerplate
+    bigram (every clone emits it). The weights must stay EXACT under
+    that skew: each clone's bigrams split into the shared-boilerplate
+    part (frequency ≈ N_CLONES) and its unique tail, and the expected
+    weight is computable in closed form from the corpus itself."""
+    from olist_snowflake_dbt_spark.operators.text import soft_dedup_weights
+
+    out = {r.doc_id: r for r in soft_dedup_weights(corpus).collect()}
+    # clone i text: BOILER + ' clone number i' — 22 boiler words + 3.
+    # Recompute the exact expectation from first principles in python.
+    import re as _re
+
+    def grams(text):
+        w = _re.findall("[a-z0-9]+", text.lower())
+        return [" ".join(w[i:i + 2]) for i in range(len(w) - 1)]
+
+    from collections import Counter
+
+    rows = {r.doc_id: r.text for r in corpus.collect()}
+    census = Counter(g for t in rows.values() for g in grams(t))
+    for i in (0, 150, 299, 9001, 8000):
+        gs = grams(rows[i])
+        sum_freq = sum(census[g] for g in gs)
+        assert out[i].n_grams == len(gs)
+        assert out[i].sum_freq == sum_freq
+        assert out[i].weight_nano == (10**9 * len(gs)) // sum_freq
+    # boilerplate clones are crushed relative to unique docs
+    assert out[0].weight_nano < out[8000].weight_nano // 10
