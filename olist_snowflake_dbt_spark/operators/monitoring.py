@@ -427,17 +427,28 @@ def ks_two_sample(
     IEEE-correctly-rounded — then floored to micros, so both the
     statistic and the reject flag are bit-identical across engines.
 
+    NULL values carry no order information, so they are EXCLUDED from
+    both samples before counting (they are not observations of the
+    metric; without the filter a NULL key would survive the groupBy
+    but never match in the full-outer join, double-counting into
+    n_ref/n_cur and entering the CDF at nulls-first order). n_ref and
+    n_cur therefore count non-NULL observations only.
+
     Scale: two map-side-combinable per-value counts → a full-outer
     join on value → ONE window over the DISTINCT-VALUE frame (ordered
     cumulative sums — the frame is bounded by the metric's value
     cardinality, never the event volume; quantize a truly continuous
     metric first). Returns one row: ``(n_ref, n_cur, d_scaled,
     ks_micro, crit_micro, reject)``."""
-    rc = ref.groupBy(F.col(value_col).alias("v")).agg(
-        F.count(F.lit(1)).alias("__cr")
+    rc = (
+        ref.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("__cr"))
     )
-    cc = cur.groupBy(F.col(value_col).alias("v")).agg(
-        F.count(F.lit(1)).alias("__cc")
+    cc = (
+        cur.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("__cc"))
     )
     vals = rc.join(cc, "v", "full_outer").select(
         "v",

@@ -685,6 +685,8 @@ def token_budget_select(
     budget_num: int = 3,
     budget_den: int = 10,
     bucket_width: int = 100,
+    max_bucket_frac: float = 0.5,
+    guard_min_rows: int = 1_000_000,
 ) -> DataFrame:
     """Budget-constrained selection — "keep the best-scoring documents
     until the token budget is spent", the final gate of a pretraining
@@ -709,23 +711,50 @@ def token_budget_select(
     at one score stratum. ``bucket_width`` trades the bucket-frame
     size against the boundary window's width.
 
-    All arithmetic is int64 (token counts, truncating budget division),
-    so keep decisions are bit-identical on any engine. Ties inside the
-    boundary bucket break by id; a budget larger than the corpus keeps
-    everything. Returns ``(id, score, n_tokens, keep)``.
+    All arithmetic is int64 (token counts, truncating budget division)
+    and the bucket index is computed with INTEGER ``div`` over an exact
+    multiple of ``bucket_width`` (never a float divide — a double round
+    trip would misbucket magnitudes above 2^53), so keep decisions are
+    bit-identical on any engine at the full int64 range. Rows whose
+    score or token count is NULL carry no rank/budget information:
+    they are returned with ``keep = false`` (never silently dropped —
+    a NULL bucket key would vanish in the inner equi-join) and they do
+    not consume budget. Ties inside the boundary bucket break by id; a
+    budget larger than the corpus keeps everything.
+
+    Degenerate-bucket guard (same in-plan posture as the cap_per_host
+    verifier): if the corpus has at least ``guard_min_rows`` non-NULL
+    rows and a single bucket holds more than ``max_bucket_frac`` of
+    them, the decomposition has silently re-created the
+    single-partition sort it exists to avoid — an ``assert_true``
+    riding the tiny bucket frame hard-fails with the offending bucket
+    instead of quietly serializing (a near-constant score column
+    cannot be parallelized by ANY width; a merely-coarse one wants a
+    narrower ``bucket_width``). Returns ``(id, score, n_tokens,
+    keep)``.
     """
     w = bucket_width
-    base = df.select(
+    raw = df.select(
         F.col(id_col),
         F.col(score_col).cast("long").alias("__score"),
         F.col(tokens_col).cast("long").alias("__tok"),
-    ).withColumn(
-        "__bkt",
-        (
-            (F.col("__score") - ((F.col("__score") % w) + w) % w) / w
-        ).cast("long"),
     )
-    pb = base.groupBy("__bkt").agg(F.sum("__tok").alias("__btok"))
+    null_rows = raw.filter(
+        F.col("__score").isNull() | F.col("__tok").isNull()
+    ).select(
+        F.col(id_col),
+        F.col("__score").alias("score"),
+        F.col("__tok").alias("n_tokens"),
+        F.lit(False).alias("keep"),
+    )
+    base = raw.filter(
+        F.col("__score").isNotNull() & F.col("__tok").isNotNull()
+    ).withColumn(
+        "__bkt", F.expr(f"(__score - pmod(__score, {w})) div {w}")
+    )
+    pb = base.groupBy("__bkt").agg(
+        F.sum("__tok").alias("__btok"), F.count(F.lit(1)).alias("__bn")
+    )
     wb = (
         Window.orderBy(F.col("__bkt").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -734,24 +763,51 @@ def token_budget_select(
     # the corpus total is the bucket-sum total — derived from the tiny
     # pb frame so the corpus is scanned once for stats, once to tag
     tot = pb.agg(
-        F.expr(f"(sum(__btok) * {budget_num}) div {budget_den}").alias("__budget")
+        F.expr(f"(sum(__btok) * {budget_num}) div {budget_den}").alias("__budget"),
+        F.sum("__bn").alias("__nrows"),
     )
-    flags = cb.crossJoin(F.broadcast(tot)).select(
-        "__bkt",
-        "__cum_before",
-        "__budget",
-        (F.col("__cum_before") + F.col("__btok") <= F.col("__budget")).alias(
-            "__full_keep"
+    guard_ok = (F.col("__nrows") < F.lit(guard_min_rows)) | (
+        F.col("__bn").cast("double")
+        <= F.lit(max_bucket_frac) * F.col("__nrows").cast("double")
+    )
+    guard_msg = F.concat(
+        F.lit("token_budget_select: bucket "),
+        F.col("__bkt").cast("string"),
+        F.lit(" holds "),
+        F.col("__bn").cast("string"),
+        F.lit(" of "),
+        F.col("__nrows").cast("string"),
+        F.lit(
+            f" rows (> {max_bucket_frac:g}) — the boundary window would"
+            f" serialize; use a narrower bucket_width than {w} (a"
+            " near-constant score column cannot be bucket-parallelized)"
         ),
-        (
-            (F.col("__cum_before") < F.col("__budget"))
-            & (F.col("__cum_before") + F.col("__btok") > F.col("__budget"))
-        ).alias("__boundary"),
+    )
+    flags = (
+        cb.crossJoin(F.broadcast(tot))
+        .filter(
+            F.coalesce(
+                F.assert_true(guard_ok, guard_msg).cast("boolean"),
+                F.lit(True),
+            )
+        )
+        .select(
+            "__bkt",
+            "__cum_before",
+            "__budget",
+            (F.col("__cum_before") + F.col("__btok") <= F.col("__budget")).alias(
+                "__full_keep"
+            ),
+            (
+                (F.col("__cum_before") < F.col("__budget"))
+                & (F.col("__cum_before") + F.col("__btok") > F.col("__budget"))
+            ).alias("__boundary"),
+        )
     )
     wr = Window.partitionBy("__bkt").orderBy(
         F.col("__score").desc(), F.col(id_col).asc()
     ).rowsBetween(Window.unboundedPreceding, 0)
-    return (
+    kept = (
         base.join(F.broadcast(flags), "__bkt")
         .withColumn("__run", F.sum("__tok").over(wr))
         .select(
@@ -767,6 +823,7 @@ def token_budget_select(
             ).alias("keep"),
         )
     )
+    return kept.unionByName(null_rows)
 
 
 def exact_global_rank(
@@ -775,6 +832,8 @@ def exact_global_rank(
     id_col: str,
     bucket_width: int = 100,
     phases: int = 0,
+    max_bucket_frac: float = 0.5,
+    guard_min_rows: int = 1_000_000,
 ) -> DataFrame:
     """EXACT global rank under the total order ``(order_col ASC, id
     ASC)`` — the scalable form of ``ROW_NUMBER() OVER (ORDER BY …)``,
@@ -789,28 +848,66 @@ def exact_global_rank(
     ``offset + within-bucket position``. Bit-exact equal to the naive
     global window at any partitioning.
 
-    With ``phases > 0`` also emits the curriculum phase ``((rank−1)·
-    phases) div N + 1`` — exact NTILE over the same order without the
+    With ``phases > 0`` also emits the curriculum phase — EXACTLY SQL
+    ``NTILE(phases)`` over the same order, via the standard boundary
+    closed form (``q = N div phases``, ``r = N mod phases``; the first
+    ``r`` tiles take ``q+1`` rows, the rest ``q``) — without the
     global sort; the curriculum-training primitive (order training
     easy→hard by a difficulty score, then shuffle WITHIN each phase
     with :func:`epoch_shuffle`, whose seed-keyed hash needs no rank at
     all).
 
+    The bucket index is INTEGER ``div`` over an exact multiple of
+    ``bucket_width`` (a float divide would misbucket above 2^53). Rows
+    whose order value is NULL are EXCLUDED — NULL carries no position
+    in the total order (and a NULL bucket key would both vanish from
+    the equi-join and sort first in the bucket frame, shifting every
+    offset); ranks over the non-NULL rows stay dense from 1. The same
+    degenerate-bucket guard as :func:`token_budget_select` hard-fails
+    in-plan when one bucket exceeds ``max_bucket_frac`` of at least
+    ``guard_min_rows`` rows, instead of silently re-creating the
+    single-partition sort.
+
     Returns ``(id, order_col, global_rank[, phase])``."""
     w = bucket_width
     base = df.select(
         F.col(id_col), F.col(order_col).cast("long").alias("__ord")
-    ).withColumn(
-        "__bkt",
-        ((F.col("__ord") - ((F.col("__ord") % w) + w) % w) / w).cast("long"),
+    ).filter(F.col("__ord").isNotNull()).withColumn(
+        "__bkt", F.expr(f"(__ord - pmod(__ord, {w})) div {w}")
     )
     pb = base.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__bn"))
     wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
-    cb = pb.select(
-        "__bkt",
-        F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__offset"),
-    )
     tot = pb.agg(F.sum("__bn").alias("__n"))
+    guard_ok = (F.col("__n") < F.lit(guard_min_rows)) | (
+        F.col("__bn").cast("double")
+        <= F.lit(max_bucket_frac) * F.col("__n").cast("double")
+    )
+    guard_msg = F.concat(
+        F.lit("exact_global_rank: bucket "),
+        F.col("__bkt").cast("string"),
+        F.lit(" holds "),
+        F.col("__bn").cast("string"),
+        F.lit(" of "),
+        F.col("__n").cast("string"),
+        F.lit(
+            f" rows (> {max_bucket_frac:g}) — the per-bucket window"
+            f" would serialize; use a narrower bucket_width than {w} (a"
+            " near-constant order column cannot be bucket-parallelized)"
+        ),
+    )
+    cb = (
+        pb.crossJoin(F.broadcast(tot))
+        .filter(
+            F.coalesce(
+                F.assert_true(guard_ok, guard_msg).cast("boolean"),
+                F.lit(True),
+            )
+        )
+        .select(
+            "__bkt",
+            F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__offset"),
+        )
+    )
     wr = Window.partitionBy("__bkt").orderBy(
         F.col("__ord").asc(), F.col(id_col).asc()
     )
@@ -820,9 +917,26 @@ def exact_global_rank(
     )
     cols = [F.col(id_col), F.col("__ord").alias(order_col), F.col("global_rank")]
     if phases > 0:
-        ranked = ranked.crossJoin(F.broadcast(tot)).withColumn(
-            "phase",
-            F.expr(f"((global_rank - 1) * {phases}) div __n") + F.lit(1),
+        # SQL NTILE boundary form; greatest(q,1) keeps the unreached
+        # q=0 branch from dividing by zero under ANSI mode
+        ranked = (
+            ranked.crossJoin(F.broadcast(tot))
+            .withColumn("__q", F.expr(f"__n div {phases}"))
+            .withColumn("__r", F.expr(f"pmod(__n, {phases})"))
+            .withColumn(
+                "phase",
+                F.when(
+                    F.col("global_rank") <= F.col("__r") * (F.col("__q") + 1),
+                    F.expr("(global_rank - 1) div (__q + 1)") + F.lit(1),
+                ).otherwise(
+                    F.col("__r")
+                    + F.lit(1)
+                    + F.expr(
+                        "(global_rank - __r * (__q + 1) - 1)"
+                        " div greatest(__q, 1L)"
+                    )
+                ),
+            )
         )
         cols.append(F.col("phase"))
     return ranked.select(*cols)

@@ -3327,8 +3327,10 @@ def q_similarity_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KS_ORACLE = """
-    WITH r AS (SELECT value AS v FROM events WHERE event_type = 'view'),
-    c AS (SELECT value AS v FROM events WHERE event_type = 'click'),
+    WITH r AS (SELECT value AS v FROM events
+               WHERE event_type = 'view' AND value IS NOT NULL),
+    c AS (SELECT value AS v FROM events
+          WHERE event_type = 'click' AND value IS NOT NULL),
     rc AS (SELECT v, COUNT(*) AS cr FROM r GROUP BY 1),
     cc AS (SELECT v, COUNT(*) AS ccnt FROM c GROUP BY 1),
     vals AS (

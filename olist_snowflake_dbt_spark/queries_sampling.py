@@ -621,16 +621,13 @@ def q_sample_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GLOBAL_RANK_ORACLE = """
-    WITH r AS (
-        SELECT doc_id, n_chars,
-               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_rank,
-               COUNT(*) OVER () AS n
-        FROM documents
-    )
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-           CAST(global_rank AS BIGINT) AS global_rank,
-           CAST(((global_rank - 1) * 4) // n + 1 AS BIGINT) AS phase
-    FROM r
+           CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                AS BIGINT) AS global_rank,
+           CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id)
+                AS BIGINT) AS phase
+    FROM documents
+    WHERE n_chars IS NOT NULL
 """
 
 
@@ -638,10 +635,11 @@ _GLOBAL_RANK_ORACLE = """
 def q_sample_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT global rank + curriculum phase without a global sort
     (operators/sampling.exact_global_rank): ROW_NUMBER over (n_chars,
-    doc_id) decomposed into floor buckets + one tiny bucket-frame
-    window + bucket-parallel row_numbers; phase = exact NTILE(4) over
-    the same order — the curriculum-training primitive. The oracle IS
-    the naive single-partition window, so the hash match proves the
-    decomposition exactly equals the global sort."""
+    doc_id) decomposed into integer-div floor buckets + one tiny
+    bucket-frame window + bucket-parallel row_numbers; phase = SQL
+    NTILE(4) via the boundary closed form — the curriculum-training
+    primitive. The oracle IS the engine's own single-partition
+    ROW_NUMBER + NTILE windows, so the hash match proves the
+    decomposition exactly equals the global sort AND native NTILE."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return SMP.exact_global_rank(docs, "n_chars", "doc_id", phases=4)
