@@ -562,9 +562,10 @@ def q_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/events.dedup_admission_stream): the planted-duplicate
     corpus arrives as a 4-slice file stream (id-range slices staged
     with ascending mtimes → deterministic batch order), each micro-
-    batch admitted against the standing 16-byte fingerprint table via
-    incremental_dedup (first seen wins) and folded in with the atomic
-    tmp→rename swap. The oracle is the BATCH collapse (min doc_id per
+    batch admitted against the standing 16-byte fingerprint table
+    (first seen wins) and APPENDED into the fp_bucket-hash-partitioned
+    state — O(batch) fold, never an O(standing) rewrite. The oracle is
+    the BATCH collapse (min doc_id per
     normalized fingerprint): the hash match proves four incremental
     foreachBatch merges converge to the one-shot answer — the
     grows-forever corpus-ingest contract."""
@@ -619,4 +620,6 @@ def q_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = dedup_admission_stream(stream, state, ckpt).start()
     q.awaitTermination()
     assert n == spark.read.parquet(stage).count()
-    return spark.read.parquet(state)
+    # fp_bucket is the state's physical hash-partition key, not part
+    # of the admission contract the oracle checks
+    return spark.read.parquet(state).select("doc_fingerprint", "doc_id")

@@ -637,6 +637,8 @@ def dedup_admission_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     state_partitions: int | None = None,
+    n_buckets: int = 16,
+    compact_files_per_bucket: int = 16,
 ):
     """Streaming corpus-dedup admission: grow a standing fingerprint
     table from a document STREAM via ``foreachBatch`` — the streaming
@@ -645,28 +647,44 @@ def dedup_admission_stream(
     arrive forever; the corpus must never be re-fingerprinted).
 
     Each micro-batch is deduped internally (smallest id per normalized
-    fingerprint), anti-joined against the standing fingerprint table
-    (FIRST SEEN WINS across batches — the admission contract), and the
-    survivors' ``(doc_fingerprint, id)`` rows are folded into the state
-    by rewriting standing ∪ admitted through the atomic tmp → rename
-    swap shared with table materialization. The merge is IDEMPOTENT: a
-    replayed batch's rows are already standing, the anti-join admits
-    nothing, and the rewrite reproduces the same state — foreachBatch's
-    at-least-once replay upgrades to exactly-once observable state.
+    fingerprint) and anti-joined against the standing fingerprint
+    table (FIRST SEEN WINS across batches — the admission contract).
+    Admission state is APPEND-ONLY by construction (a standing
+    fingerprint is never updated or deleted), so the fold is a
+    partitioned APPEND, not a rewrite: the state lives as a parquet
+    table hash-partitioned on ``fp_bucket = pmod(xxhash64(
+    doc_fingerprint), n_buckets)`` and each batch appends one file per
+    touched bucket — per-batch WRITE cost is O(batch), independent of
+    standing size (the round-13 layout rewrote standing ∪ admitted
+    every micro-batch, an O(standing) fold this layout retires). The
+    anti-join prunes standing to the batch's touched buckets (a
+    ≤ ``n_buckets``-row distinct collect) — a narrow batch reads only
+    its own fingerprint ranges; a broad one scans the 16-byte
+    fingerprint column of every bucket, which is the floor any
+    first-seen-wins contract must pay. Buckets that accumulate more
+    than ``compact_files_per_bucket`` files are compacted IN ISOLATION
+    through the atomic tmp → rename swap — the bounded
+    "rewrite only touched partitions" maintenance, amortized
+    O(standing/n_buckets) per compaction.
+
+    The merge stays IDEMPOTENT at every crash point: a replayed
+    batch's rows are already standing, the anti-join admits nothing,
+    and the append adds nothing; a crash mid-append exposes only
+    committed task files, and the replay's anti-join admits exactly
+    the missing remainder; compaction is content-preserving under the
+    atomic swap — foreachBatch's at-least-once replay upgrades to
+    exactly-once observable state.
 
     At scale the state is the 16-byte-fingerprint table (~1/1000th of
-    corpus bytes); per batch the cost is one fingerprint shuffle over
-    the batch plus the anti-join against standing (AQE broadcasts the
-    smaller side — at steady state, the batch). The plain-parquet
-    state rewrite mirrors the incremental-materialization scoping
-    decision in SCALE.md; a partitioned state layout bounds it to
-    touched fingerprint ranges. Returns the DataStreamWriter (caller
-    starts + awaits)."""
-    from ..functions.text import fingerprint
-    from ..operators.dedup import incremental_dedup
-    from ..plans.materialize import _atomic_swap
-
+    corpus bytes); size ``n_buckets`` so one bucket's fingerprints fit
+    a compaction task. Returns the DataStreamWriter (caller starts +
+    awaits)."""
+    import glob as _glob
+    import shutil as _shutil
     import uuid as _uuid
+
+    from ..functions.text import fingerprint
+    from ..operators.dedup import exact_dedup
 
     def _admit(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -676,21 +694,66 @@ def dedup_admission_stream(
                 spark.conf.set(
                     "spark.sql.shuffle.partitions", str(state_partitions)
                 )
-            if os.path.exists(state_path):
-                standing = spark.read.parquet(state_path)
-            else:
-                standing = spark.createDataFrame(
-                    [], f"doc_fingerprint string, {id_col} long"
+            # batch-internal first-seen (smallest id per fingerprint) —
+            # the batch twin of operators/dedup.incremental_dedup
+            batch_fp = (
+                exact_dedup(batch_df, text_col, id_col)
+                .select(
+                    fingerprint(text_col).alias("doc_fingerprint"),
+                    F.col(id_col),
                 )
-            admitted = incremental_dedup(
-                batch_df, standing, text_col, id_col
-            ).select(
-                fingerprint(text_col).alias("doc_fingerprint"), F.col(id_col)
+                .withColumn(
+                    "fp_bucket",
+                    F.pmod(F.xxhash64("doc_fingerprint"), F.lit(n_buckets)),
+                )
             )
-            merged = standing.unionByName(admitted)
-            tmp = f"{state_path}.tmp-{_uuid.uuid4().hex[:8]}"
-            merged.write.mode("overwrite").parquet(tmp)
-            _atomic_swap(state_path, tmp)
+            # bounded collect: ≤ n_buckets rows — drives partition
+            # pruning of the standing scan AND the compaction sweep
+            touched = [
+                r[0]
+                for r in batch_fp.select("fp_bucket").distinct().collect()
+            ]
+            if not touched:
+                return
+            if os.path.exists(state_path):
+                pruned = (
+                    spark.read.parquet(state_path)
+                    .filter(F.col("fp_bucket").isin(touched))
+                    .select("doc_fingerprint")
+                )
+                admitted = batch_fp.join(
+                    pruned.dropDuplicates(), "doc_fingerprint", "left_anti"
+                )
+            else:
+                admitted = batch_fp
+            (
+                admitted.repartition("fp_bucket")
+                .write.mode("append")
+                .partitionBy("fp_bucket")
+                .parquet(state_path)
+            )
+            for b in touched:
+                bdir = os.path.join(state_path, f"fp_bucket={b}")
+                files = _glob.glob(os.path.join(bdir, "part-*.parquet"))
+                if len(files) <= compact_files_per_bucket:
+                    continue
+                # dot-prefixed tmp/backup dirs are invisible to Spark's
+                # file listing, so a crash at ANY point leaves the
+                # partitioned tree readable (an unprefixed leftover
+                # would poison partition-column inference)
+                tag = f"{b}-{_uuid.uuid4().hex[:8]}"
+                tmp = os.path.join(state_path, f".compact-{tag}")
+                spark.read.parquet(bdir).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+                backup = os.path.join(state_path, f".backup-{tag}")
+                os.rename(bdir, backup)
+                try:
+                    os.rename(tmp, bdir)
+                except OSError:
+                    os.rename(backup, bdir)
+                    raise
+                _shutil.rmtree(backup, ignore_errors=True)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
 

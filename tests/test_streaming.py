@@ -638,3 +638,81 @@ def test_dedup_admission_stream_first_seen_wins_and_replay_idempotent(
     drain(str(tmp_path / "ckpt2"))
     again = {r.doc_id for r in spark.read.parquet(state).collect()}
     assert again == {100, 101, 7}
+
+
+def test_dedup_admission_state_is_append_only_and_compacts(spark, tmp_path):
+    """The partitioned state layout: each batch APPENDS one file per
+    touched fp_bucket (no O(standing) rewrite — the standing files
+    survive byte-identical across batches); a bucket crossing the
+    file-count threshold compacts in isolation; dot-prefixed crash
+    leftovers are invisible to readers."""
+    import glob
+    import os
+    import shutil
+
+    from olist_snowflake_dbt_spark.streaming import dedup_admission_stream
+
+    stage = str(tmp_path / "log")
+    state = str(tmp_path / "state")
+    os.makedirs(stage)
+    batches = [
+        [(i, f"document number {i}")] for i in range(6)
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        part_dir = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.parquet(part_dir)
+        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(stage, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    standing_files = {}
+
+    def drain(ckpt, **kw):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        q = dedup_admission_stream(stream, state, ckpt, **kw).start()
+        q.awaitTermination()
+
+    # high threshold: pure append — every admitted file persists
+    drain(str(tmp_path / "ckpt1"), n_buckets=2, compact_files_per_bucket=99)
+    files_after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(state, "fp_bucket=*/part-*.parquet"))
+    }
+    assert len(files_after) == 6, "one appended file per single-doc batch"
+    assert {r.doc_id for r in spark.read.parquet(state).collect()} == set(
+        range(6)
+    )
+    # a dot-prefixed crash leftover must be invisible to readers
+    leftover = os.path.join(state, ".backup-1-deadbeef")
+    os.makedirs(leftover)
+    with open(os.path.join(leftover, "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    assert spark.read.parquet(state).count() == 6
+    shutil.rmtree(leftover)
+
+    # threshold 1: the next drain (replay admits nothing, appends
+    # nothing) — compact by re-draining fresh docs with low threshold
+    for i in range(6, 12):
+        df = spark.createDataFrame(
+            [(i, f"document number {i}")], "doc_id long, text string"
+        )
+        part_dir = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.parquet(part_dir)
+        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(stage, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    drain(str(tmp_path / "ckpt2"), n_buckets=2, compact_files_per_bucket=1)
+    for b in (0, 1):
+        bdir = os.path.join(state, f"fp_bucket={b}")
+        n_parts = len(glob.glob(os.path.join(bdir, "part-*.parquet")))
+        assert n_parts <= 2, f"bucket {b} not compacted ({n_parts} files)"
+    assert {r.doc_id for r in spark.read.parquet(state).collect()} == set(
+        range(12)
+    )

@@ -24,7 +24,19 @@ byte-identical across scales.
 Results merge into SCALING.json under
 ``queries.<name>.standing_growth``.
 
-Usage: python tools/standing_growth_scale.py [--scales 1,10,100]
+The ``--stream`` flag runs the STREAMING twin instead
+(``streaming/events.dedup_admission_stream``): the standing
+fingerprint state is materialized on disk in its fp_bucket-partitioned
+layout at each scale, the same sf0.1 batch is drained through ONE
+foreachBatch micro-batch against a pristine copy of the state, and the
+lane records per-batch drain wall. The round-13 layout rewrote
+standing ∪ admitted every micro-batch (O(standing) fold); the
+append-only layout's per-batch write is O(batch), so drain wall should
+stay near-flat while standing grows 100x — the axis a continuously
+crawled corpus actually lives on. ``admitted`` (state rows after −
+before) must be identical across scales.
+
+Usage: python tools/standing_growth_scale.py [--scales 1,10,100] [--stream]
 """
 
 from __future__ import annotations
@@ -48,8 +60,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10,100")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--stream", action="store_true")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    if args.stream:
+        return stream_lane(scales, args.runs)
 
     from pyspark.sql import functions as F
 
@@ -168,6 +183,116 @@ def main() -> None:
     with open(path, "w") as fh:
         json.dump(scaling, fh, indent=1, sort_keys=True)
     print(json.dumps({"standing_growth": results}))
+
+
+def stream_lane(scales: list[int], runs: int) -> None:
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from olist_snowflake_dbt_spark.functions.text import fingerprint
+    from olist_snowflake_dbt_spark.session import get_spark
+    from olist_snowflake_dbt_spark.streaming import dedup_admission_stream
+
+    n_buckets = 16
+    spark = get_spark("standing_growth_stream")
+    spark.range(1).count()
+    root = tempfile.mkdtemp(prefix="spark_graft_adm_lane_")
+
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    batch_fps = (
+        batch.select(fingerprint("text").alias("doc_fingerprint"))
+        .localCheckpoint()
+    )
+    n_fps = batch_fps.count()
+
+    # one staged batch file => one foreachBatch micro-batch per drain
+    stage = os.path.join(root, "stage")
+    tmp_w = os.path.join(root, "w0")
+    batch.coalesce(1).write.parquet(tmp_w)
+    os.makedirs(stage)
+    [part] = glob.glob(os.path.join(tmp_w, "part-*.parquet"))
+    shutil.move(part, os.path.join(stage, "000_batch.parquet"))
+
+    def bucketed(df):
+        return df.withColumn(
+            "fp_bucket",
+            F.pmod(F.xxhash64("doc_fingerprint"), F.lit(n_buckets)),
+        )
+
+    out: dict[str, dict] = {"batch_rows": batch.count()}
+    admitted_counts = []
+    for scale in scales:
+        planted = batch_fps.filter(
+            F.abs(F.hash(F.col("doc_fingerprint"))) % PLANT_MOD == 0
+        )
+        filler = spark.range(n_fps * scale).select(
+            F.md5(F.concat(F.lit("adm-fill"), F.col("id").cast("string"))).alias(
+                "doc_fingerprint"
+            )
+        )
+        pristine = os.path.join(root, f"pristine_x{scale}")
+        (
+            bucketed(
+                planted.unionByName(filler).withColumn(
+                    "doc_id", F.lit(-1).cast("long")
+                )
+            )
+            .repartition("fp_bucket")
+            .write.partitionBy("fp_bucket")
+            .parquet(pristine)
+        )
+        standing_rows = spark.read.parquet(pristine).count()
+
+        best, admitted = None, None
+        for r in range(runs):
+            state = os.path.join(root, f"state_x{scale}_r{r}")
+            shutil.copytree(pristine, state)
+            ckpt = os.path.join(root, f"ckpt_x{scale}_r{r}")
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(stage)
+            )
+            t0 = time.perf_counter()
+            q = dedup_admission_stream(
+                stream, state, ckpt, n_buckets=n_buckets
+            ).start()
+            q.awaitTermination()
+            e = time.perf_counter() - t0
+            best = e if best is None else min(best, e)
+            admitted = spark.read.parquet(state).count() - standing_rows
+            shutil.rmtree(state)
+        admitted_counts.append(admitted)
+        out[f"x{scale}"] = {
+            "standing_rows": standing_rows,
+            "admitted": admitted,
+            "wall": round(best, 2),
+        }
+        print("stream_dedup_admission", f"x{scale}", out[f"x{scale}"], flush=True)
+
+    shutil.rmtree(root, ignore_errors=True)
+    if len(set(admitted_counts)) != 1:
+        sys.exit(
+            "stream_dedup_admission: admitted count varied across standing "
+            f"scales ({admitted_counts}) — the planted slice must be the "
+            "only rejection source at every scale"
+        )
+    path = os.path.join(REPO, "SCALING.json")
+    with open(path) as fh:
+        scaling = json.load(fh)
+    scaling["queries"].setdefault("stream_dedup_admission", {})[
+        "standing_growth"
+    ] = out
+    with open(path, "w") as fh:
+        json.dump(scaling, fh, indent=1, sort_keys=True)
+    print(json.dumps({"standing_growth": {"stream_dedup_admission": out}}))
 
 
 if __name__ == "__main__":
