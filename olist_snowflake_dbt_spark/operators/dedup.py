@@ -1401,6 +1401,126 @@ def remove_duplicated_spans(
     )
 
 
+def longest_dup_span_ladder(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n0: int = 5,
+    levels: int = 3,
+    min_freq: int = 2,
+) -> DataFrame:
+    """Variable-length ExactSubstr accounting via a LENGTH-DOUBLING
+    gram ladder — per document, the largest ladder length ``n0·2^k``
+    (k < levels) for which the document contains a word n-gram that
+    occurs ≥ ``min_freq`` times across the corpus. This closes the gap
+    between the fixed-n :func:`duplicated_span_stats` (which cannot
+    say HOW LONG a duplicated span is) and the suffix-array
+    ExactSubstr of Lee et al. 2021 (which does not distribute),
+    without building a distributed suffix array: ``span_ge`` is a
+    certified lower bound on the document's longest duplicated span,
+    tight to within 2x at the top rung.
+
+    Ladder exactness: every occurrence of a corpus-duplicated 2n-gram
+    has BOTH of its n-gram halves corpus-duplicated (each half occurs
+    wherever the whole does), so level k+1 only has to hash grams at
+    positions p where (p) and (p + n_k) both survived level k — and
+    counting gram frequency WITHIN those candidates is exact for every
+    gram at or above ``min_freq`` (all of a duplicated gram's
+    occurrences are candidates; only sub-threshold grams are
+    undercounted, and those are dropped either way).
+
+    Plan shape per level: candidate self-join on (doc, pos + n_k) —
+    pos-shifted equi-join, no window — then a join back to the word
+    arrays, one map-side-combined frequency count over 8-byte
+    xxhash64 gram keys, one semi-join. Level-0 cost equals
+    :func:`duplicated_span_stats`; each rung above explodes ONLY
+    surviving candidate positions, which boilerplate-driven corpora
+    shrink geometrically — the suffix-array work-bound flavor, in
+    ``levels`` rounds of 2 shuffles. The word-array scan is re-read
+    per rung (persist ``df`` upstream if scans dominate).
+
+    Returns ``(id, n_words, span_ge)`` — ``span_ge`` is 0 for
+    documents with no duplicated ``n0``-gram.
+
+    Reference parity: $REF has no ExactSubstr surface (dedup happens
+    outside its 4 SQL models); this extends the Lee-et-al family the
+    LLM-pipeline lane already covers."""
+    if n0 < 1 or levels < 1:
+        raise ValueError(f"n0 and levels must be >= 1 (got {n0}, {levels})")
+    base = df.select(F.col(id_col), words(text_col).alias("__w"))
+    nw = F.size(F.col("__w"))
+    lens = base.select(id_col, nw.cast("long").alias("n_words"))
+
+    def dup_positions(cand: DataFrame | None, n: int) -> DataFrame:
+        """(doc, pos) whose length-n gram clears min_freq; cand=None
+        means 'every position' (level 0)."""
+        if cand is None:
+            grams = base.select(
+                F.col(id_col),
+                F.posexplode(
+                    F.when(
+                        nw >= n,
+                        F.transform(
+                            F.sequence(F.lit(1), nw - n + 1),
+                            lambda i: F.xxhash64(
+                                F.array_join(F.slice(F.col("__w"), i, n), " ")
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<bigint>"))
+                ).alias("__p0", "__gh"),
+            ).select(
+                id_col, (F.col("__p0") + 1).cast("long").alias("pos"), "__gh"
+            )
+        else:
+            grams = cand.join(base, id_col).select(
+                F.col(id_col),
+                "pos",
+                F.xxhash64(
+                    F.array_join(
+                        F.slice(F.col("__w"), F.col("pos").cast("int"), n),
+                        " ",
+                    )
+                ).alias("__gh"),
+            )
+        freq = (
+            grams.groupBy("__gh")
+            .agg(F.count(F.lit(1)).alias("__freq"))
+            .filter(F.col("__freq") >= min_freq)
+            .select("__gh")
+        )
+        return grams.join(freq, "__gh").select(id_col, "pos")
+
+    per_doc = []
+    s = dup_positions(None, n0)
+    n_k = n0
+    for k in range(levels):
+        per_doc.append(
+            s.groupBy(id_col).agg(
+                F.lit(n_k).cast("long").alias("span_ge")
+            )
+        )
+        if k == levels - 1:
+            break
+        a, b = s.alias("a"), s.alias("b")
+        cand = a.join(
+            b,
+            (F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+            & (F.col("b.pos") == F.col("a.pos") + n_k),
+        ).select(F.col(f"a.{id_col}").alias(id_col), F.col("a.pos").alias("pos"))
+        n_k *= 2
+        s = dup_positions(cand, n_k)
+
+    hits = per_doc[0]
+    for d in per_doc[1:]:
+        hits = hits.unionByName(d)
+    best = hits.groupBy(id_col).agg(F.max("span_ge").alias("span_ge"))
+    return lens.join(best, id_col, "left").select(
+        id_col,
+        "n_words",
+        F.coalesce(F.col("span_ge"), F.lit(0).cast("long")).alias("span_ge"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Bloom-filter membership pre-filter (incremental dedup's scale sibling)
 # ---------------------------------------------------------------------

@@ -334,7 +334,8 @@ def cap_per_host(
     level: str = "host",
     suffixes: DataFrame | None = None,
     prefilter_factor: int | None = None,
-    salt_buckets: int | None = None,
+    salt_buckets: int | str | None = None,
+    auto_hot_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Per-domain document cap (RefinedWeb/FineWeb recipe): keep at most
     ``cap`` documents per canonical HOST, selected by a deterministic
@@ -374,11 +375,27 @@ def cap_per_host(
     one full shuffle (same bytes as the plain window — but hashed on
     (host, bucket), so no partition exceeds ~|hottest host| /
     salt_buckets), a second exchange of only survivor rows, no
-    verification needed because nothing is probabilistic. Prefer this
-    over ``prefilter_factor`` (kept for the measured-crossover
-    history in SCALE.md): it beats the plain window as soon as the
-    hot host's single-task sort dominates, and never pays a second
-    corpus scan. The two knobs are mutually exclusive.
+    verification needed because nothing is probabilistic.
+
+    ``salt_buckets="auto"`` (round 14) makes the choice measured
+    instead of guessed: a :func:`..skew.key_skew_stats` pre-flight
+    (one map-side-combined host census + top-1 — a bounded 1-row
+    collect, the same plannable-skew discipline as
+    join_strategy_advisor) reads the hottest host's row count; at or
+    under ``auto_hot_threshold`` the plain window wins (the
+    tools/cap_zipf_scale.py crossover: plain won at 1M hot rows,
+    two-phase won 11.54 s vs 28.59 s at 10M — threshold 2M sits
+    between the measured points) and above it the two-phase path runs
+    with ``max(8, min(1024, hot_rows div 250_000))`` buckets
+    (~250k-row bucket sorts, the measured-good task size). All three
+    strategies are verified output-identical, so auto only ever moves
+    WALL, never results.
+
+    ``prefilter_factor`` is DEPRECATED: the salted two-phase cap is
+    unconditionally exact, needs no verifier, and beat the prefilter
+    at every volume the zipf lane measured (SCALE.md, round 13) — the
+    knob remains only for the measured-crossover history. The two
+    knobs are mutually exclusive.
     """
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
@@ -389,6 +406,10 @@ def cap_per_host(
     if prefilter_factor is not None and salt_buckets is not None:
         raise ValueError(
             "prefilter_factor and salt_buckets are mutually exclusive"
+        )
+    if isinstance(salt_buckets, str) and salt_buckets != "auto":
+        raise ValueError(
+            f"salt_buckets must be an int, None or 'auto', got {salt_buckets!r}"
         )
     from pyspark.sql import Window
 
@@ -412,6 +433,16 @@ def cap_per_host(
             )
         ),
     )
+    if salt_buckets == "auto":
+        # measured pre-flight (docstring): hottest-host census, 1 row
+        from .skew import key_skew_stats
+
+        top = key_skew_stats(with_host, [level], top=1).collect()
+        hot_rows = int(top[0]["key_rows"]) if top else 0
+        if hot_rows <= auto_hot_threshold:
+            salt_buckets = None
+        else:
+            salt_buckets = max(8, min(1024, hot_rows // 250_000))
     prefiltered = False
     if prefilter_factor is not None:
         if prefilter_factor < 2:

@@ -1972,6 +1972,91 @@ def q_dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LADDER_FILLER_SQL = " || ".join(
+    f"' zzlad' || CAST(doc_id AS VARCHAR) || 'w{j}'" for j in range(4)
+)
+
+_LADDER_LEVEL_SQL = """
+    g{n} AS (
+        SELECT doc_id, array_to_string(w[i:i+{n1}], ' ') AS gram
+        FROM w, UNNEST(generate_series(1, len(w) - {n1})) AS s{n}(i)
+    ),
+    h{n} AS (
+        SELECT DISTINCT doc_id FROM g{n}
+        WHERE gram IN (
+            SELECT gram FROM (
+                SELECT gram, COUNT(*) AS c FROM g{n} GROUP BY 1
+            ) WHERE c >= 2
+        )
+    )"""
+
+
+@query(
+    "dedup_exactsubstr_ladder",
+    f"""
+    WITH d2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               array_to_string(({_WORDS})[1:12], ' ') || {_LADDER_FILLER_SQL}
+                   AS text
+        FROM documents WHERE doc_id % 40 = 0
+    ),
+    w AS (SELECT doc_id, {_WORDS} AS w FROM d2),
+    lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM w),
+    {_LADDER_LEVEL_SQL.format(n=5, n1=4)},
+    {_LADDER_LEVEL_SQL.format(n=10, n1=9)},
+    {_LADDER_LEVEL_SQL.format(n=20, n1=19)}
+    SELECT l.doc_id, l.n_words,
+           CAST(CASE WHEN h20.doc_id IS NOT NULL THEN 20
+                     WHEN h10.doc_id IS NOT NULL THEN 10
+                     WHEN h5.doc_id IS NOT NULL THEN 5
+                     ELSE 0 END AS BIGINT) AS span_ge
+    FROM lens l
+    LEFT JOIN h5 ON l.doc_id = h5.doc_id
+    LEFT JOIN h10 ON l.doc_id = h10.doc_id
+    LEFT JOIN h20 ON l.doc_id = h20.doc_id
+    """,
+)
+def q_dedup_exactsubstr_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length ExactSubstr via the length-doubling gram ladder
+    (operators/dedup.longest_dup_span_ladder, round 14): rungs 5/10/20
+    words over a corpus with spans of every length class — full planted
+    duplicates (doc_id % 50, arbitrarily long spans), 12-word
+    prefix-clones (doc_id % 40 + unique filler: rung 10 but not 20),
+    and internal/no duplication. The ORACLE computes each rung as the
+    INDEPENDENT fixed-n duplicated-gram test over ALL positions, so the
+    hash match proves the ladder's candidate pruning (only positions
+    whose two half-grams survived the previous rung are hashed) loses
+    nothing — the exactness argument in the operator docstring, checked
+    end to end."""
+    from .functions.text import words as _words
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    ids = F.col("doc_id").cast("string")
+    clone = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(_words("text"), 1, 12), " "),
+            *[
+                c
+                for j in range(4)
+                for c in (F.lit(" zzlad"), ids, F.lit(f"w{j}"))
+            ],
+        ).alias("text"),
+    )
+    planted = docs.unionByName(dup).unionByName(clone)
+    return DD.longest_dup_span_ladder(
+        planted, "text", "doc_id", n0=5, levels=3
+    )
+
+
 _Z_INTERLEAVE_SQL = " + ".join(
     t
     for b in range(8)

@@ -225,6 +225,32 @@ def q_web_cap_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("web_cap_auto", _CAP_ORACLE)
+def q_web_cap_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO-selected per-domain cap (operators/web.cap_per_host with
+    ``salt_buckets="auto"`` — round 14): a key_skew_stats pre-flight
+    (one map-side host census, 1-row collect) reads the hottest host's
+    row count and picks the plain window below the measured crossover
+    threshold, the salted two-phase path above it (buckets sized to
+    ~250k-row sorts). ``auto_hot_threshold=2`` here forces the
+    two-phase branch so the driver exercises pre-flight + dynamic
+    bucket sizing end-to-end; the ORACLE IS THE PLAIN WINDOW RESULT
+    (same SQL as web_cap_per_host) — all strategies are
+    output-identical, auto only ever moves wall."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = cap_per_host(
+        synth_urls(docs),
+        "url",
+        "doc_id",
+        cap=3,
+        salt_buckets="auto",
+        auto_hot_threshold=2,
+    )
+    return kept.select(
+        "host", "doc_id", F.col("host_rank").cast("int").alias("host_rank")
+    )
+
+
 _PREP_ORACLE = (
     _SYNTH_AND_CANON
     + """

@@ -763,3 +763,64 @@ def test_oph_signatures_partitioning_invariance(spark, planted):
     re = {r["__id"]: r["__sig"] for r in
           oph_minhash_signatures(planted.repartition(7), "text", "doc_id").collect()}
     assert base == re
+
+
+class TestLongestDupSpanLadder:
+    """Length-doubling ExactSubstr ladder: span_ge certifies the
+    largest rung n0*2^k at which a corpus-duplicated n-gram exists."""
+
+    def _fixture(self, spark):
+        shared12 = " ".join(f"alpha{i}" for i in range(12))
+        shared6 = " ".join(f"beta{i}" for i in range(6))
+        full25 = " ".join(f"gamma{i}" for i in range(25))
+        rows = [
+            (1, shared12 + " " + " ".join(f"u1x{i}" for i in range(10))),
+            (2, " ".join(f"u2x{i}" for i in range(10)) + " " + shared12),
+            (3, shared6 + " " + " ".join(f"u3x{i}" for i in range(12))),
+            (4, " ".join(f"u4x{i}" for i in range(12)) + " " + shared6),
+            (5, " ".join(f"solo{i}" for i in range(30))),
+            (6, full25),
+            (7, full25),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_rungs_certify_span_lengths(self, spark):
+        from olist_snowflake_dbt_spark.operators.dedup import (
+            longest_dup_span_ladder,
+        )
+
+        out = {
+            r.doc_id: (r.n_words, r.span_ge)
+            for r in longest_dup_span_ladder(
+                self._fixture(spark), "text", "doc_id", n0=5, levels=3
+            ).collect()
+        }
+        # 12-word shared span: 10-gram rung reached, 20 not
+        assert out[1] == (22, 10) and out[2] == (22, 10)
+        # 6-word shared span: only the 5-gram rung
+        assert out[3] == (18, 5) and out[4] == (18, 5)
+        # unique doc: no rung
+        assert out[5] == (30, 0)
+        # identical 25-word docs: the 20-gram rung (top of the ladder)
+        assert out[6] == (25, 20) and out[7] == (25, 20)
+
+    def test_level_one_matches_fixed_n_stats(self, spark):
+        """The ladder's bottom rung must agree with
+        duplicated_span_stats' notion of 'has a duplicated n0-gram'."""
+        from olist_snowflake_dbt_spark.operators.dedup import (
+            duplicated_span_stats,
+            longest_dup_span_ladder,
+        )
+
+        df = self._fixture(spark)
+        ladder = {
+            r.doc_id: r.span_ge > 0
+            for r in longest_dup_span_ladder(
+                df, "text", "doc_id", n0=5, levels=1
+            ).collect()
+        }
+        fixed = {
+            r.doc_id: r.n_dup_words > 0
+            for r in duplicated_span_stats(df, "text", "doc_id", n=5).collect()
+        }
+        assert ladder == fixed

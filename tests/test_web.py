@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from olist_snowflake_dbt_spark.operators.web import (
@@ -663,3 +665,69 @@ class TestCapVariantsProperty:
             assert pre == plain and two == plain
 
         run()
+
+
+class TestCapAuto:
+    """Round-14 measured strategy selection: salt_buckets='auto' runs a
+    key_skew_stats pre-flight and picks plain below the hot-host
+    threshold, two-phase (with hot-size-derived buckets) above it —
+    output-identical either way."""
+
+    def _docs(self, spark):
+        rows = [(i, f"http://hot.example.com/p/{i}") for i in range(3000)]
+        rows += [
+            (100000 + i, f"http://cold{i % 7}.example.org/p/{i}")
+            for i in range(70)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, url string")
+
+    def test_auto_picks_plain_below_threshold_same_output(self, spark):
+        from olist_snowflake_dbt_spark.operators.web import cap_per_host
+
+        docs = self._docs(spark)
+        plain = {
+            (r.host, r.doc_id, r.host_rank)
+            for r in cap_per_host(docs, "url", "doc_id", cap=25).collect()
+        }
+        # hottest host = 3000 rows, threshold default 2M -> plain branch
+        auto_df = cap_per_host(
+            docs, "url", "doc_id", cap=25, salt_buckets="auto"
+        )
+        got = {(r.host, r.doc_id, r.host_rank) for r in auto_df.collect()}
+        assert got == plain
+        # plain branch = single host-level window, no bucket stage
+        plan = (
+            auto_df._jdf.queryExecution().executedPlan().toString()
+        ).split("Initial Plan")[0]
+        assert len(re.findall(r"Window \[", plan)) == 1
+
+    def test_auto_picks_two_phase_above_threshold_same_output(self, spark):
+        from olist_snowflake_dbt_spark.operators.web import cap_per_host
+
+        docs = self._docs(spark)
+        plain = {
+            (r.host, r.doc_id, r.host_rank)
+            for r in cap_per_host(docs, "url", "doc_id", cap=25).collect()
+        }
+        auto_df = cap_per_host(
+            docs, "url", "doc_id", cap=25,
+            salt_buckets="auto", auto_hot_threshold=100,
+        )
+        got = {(r.host, r.doc_id, r.host_rank) for r in auto_df.collect()}
+        assert got == plain
+        # two-phase branch: stage-1 bucket window + exact re-rank
+        plan = (
+            auto_df._jdf.queryExecution().executedPlan().toString()
+        ).split("Initial Plan")[0]
+        assert len(re.findall(r"Window \[", plan)) == 2
+
+    def test_auto_rejects_unknown_string(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.web import cap_per_host
+
+        with _pytest.raises(ValueError, match="'auto'"):
+            cap_per_host(
+                self._docs(spark), "url", "doc_id", cap=5,
+                salt_buckets="turbo",
+            )

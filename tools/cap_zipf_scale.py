@@ -149,6 +149,9 @@ def main() -> None:
             "wall_plain": wall(df),
             "wall_prefiltered": wall(df, prefilter_factor=FACTOR),
             "wall_two_phase": wall(df, salt_buckets=32),
+            # round 14: measured auto-selection — key_skew_stats
+            # pre-flight picks plain under 2M hot rows, two-phase above
+            "wall_auto": wall(df, salt_buckets="auto"),
         }
         print(label, out[label], flush=True)
 
