@@ -677,6 +677,113 @@ def epoch_shuffle(
     return out.withColumn("position", F.row_number().over(w)).drop("__h")
 
 
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    budget_num: int = 1,
+    budget_den: int = 2,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split a total training-token budget across groups
+    (languages / sources) as UNIFORMLY as possible subject to a
+    per-group epoch cap — no group is repeated more than ``max_epochs``
+    times, and budget a capped group can't absorb waterfills into the
+    still-uncapped ones. The budget is ``total_tokens · num/den``
+    (derived from the corpus itself, like :func:`token_budget_select`).
+
+    The waterfill has a closed form over the caps sorted ascending:
+    group k (1-based, ties by group name) is capped iff
+    ``cap_k · (L−k+1) ≤ B − S_{k−1}`` (its cap fits the uniform share
+    of what's left) — a PREFIX property (if group k fits, every
+    smaller-cap group fits its own step), so one cumulative window
+    over the GROUP frame decides every group, no iteration. Uncapped
+    groups split the residual exactly: ``share = (B − S_K) div U``
+    with the ``mod U`` remainder handed one token each to the
+    smallest-cap uncapped groups — all int64 (caps ≤ 2^63/L for the
+    fit test; fine through 10^12-token groups × 10^4 languages), so
+    the allocation is bit-identical on any engine.
+
+    Plan: one map-side-combined per-group token sum; every window runs
+    over the GROUP frame (bounded by language cardinality, never
+    corpus volume). Returns ``(group, n_tokens, cap_tokens, capped,
+    alloc_tokens, epochs_micro)`` — ``epochs_micro`` is the realized
+    epoch count ×10⁶, the number actually fed to a sampler.
+    """
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    counts = df.groupBy(group_col).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("n_tokens")
+    )
+    g = counts.withColumn(
+        "cap_tokens", F.col("n_tokens") * F.lit(max_epochs)
+    )
+    wo = Window.orderBy(F.col("cap_tokens").asc(), F.col(group_col).asc())
+    g = g.withColumn("__k", F.row_number().over(wo)).withColumn(
+        "__s_before",
+        F.coalesce(
+            F.sum("cap_tokens").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("__L"),
+        F.expr(
+            f"(sum(n_tokens) * {budget_num}) div {budget_den}"
+        ).alias("__B"),
+    )
+    g = g.crossJoin(F.broadcast(tot)).withColumn(
+        "capped",
+        F.col("cap_tokens") * (F.col("__L") - F.col("__k") + 1)
+        <= F.col("__B") - F.col("__s_before"),
+    )
+    # whole-frame totals over the SAME order spec as the rank window —
+    # shares the one group-frame sort, no extra exchange. (NB: column
+    # names must not collide case-insensitively with __k — Spark
+    # resolves withColumn names case-insensitively.)
+    wall = wo.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = g.withColumn(
+        "__ncap",
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).over(wall).cast("long"),
+    ).withColumn(
+        "__sumcap",
+        F.sum(F.when(F.col("capped"), F.col("cap_tokens")).otherwise(0)).over(
+            wall
+        ),
+    )
+    u = F.col("__L") - F.col("__ncap")
+    share = F.expr("(__B - __sumcap) div (__L - __ncap)")
+    rem = F.expr("pmod(__B - __sumcap, __L - __ncap)")
+    alloc = F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+        share
+        + F.when(F.col("__k") - F.col("__ncap") <= rem, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    )
+    out = g.withColumn(
+        "alloc_tokens",
+        F.when(u == 0, F.col("cap_tokens")).otherwise(alloc).cast("long"),
+    )
+    return out.select(
+        F.col(group_col),
+        "n_tokens",
+        "cap_tokens",
+        "capped",
+        "alloc_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(alloc_tokens * 1000000) div n_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("epochs_micro"),
+    )
+
+
 def token_budget_select(
     df: DataFrame,
     score_col: str,

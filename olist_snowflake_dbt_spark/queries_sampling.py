@@ -643,3 +643,71 @@ def q_sample_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition exactly equals the global sort AND native NTILE."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return SMP.exact_global_rank(docs, "n_chars", "doc_id", phases=4)
+
+
+_UNIMAX_ORACLE = """
+    WITH counts AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    g AS (
+        SELECT source, n_tokens, n_tokens AS cap_tokens,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS BIGINT)
+                   AS k,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS s_before
+        FROM counts
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS L,
+               CAST((SUM(n_tokens) * 9) // 10 AS BIGINT) AS B
+        FROM counts
+    ),
+    c AS (
+        SELECT g.*, tot.L, tot.B,
+               cap_tokens * (L - k + 1) <= B - s_before AS capped
+        FROM g CROSS JOIN tot
+    ),
+    kf AS (
+        SELECT CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS kk,
+               CAST(SUM(CASE WHEN capped THEN cap_tokens ELSE 0 END)
+                    AS BIGINT) AS sk
+        FROM c
+    ),
+    a AS (
+        SELECT c.source, c.n_tokens, c.cap_tokens, c.capped,
+               CAST(CASE
+                    WHEN c.L = kf.kk OR c.capped THEN c.cap_tokens
+                    ELSE (c.B - kf.sk) // (c.L - kf.kk)
+                         + (CASE WHEN c.k - kf.kk
+                                      <= (c.B - kf.sk) % (c.L - kf.kk)
+                                 THEN 1 ELSE 0 END)
+                    END AS BIGINT) AS alloc_tokens
+        FROM c CROSS JOIN kf
+    )
+    SELECT source, n_tokens, cap_tokens, capped, alloc_tokens,
+           CAST(CASE WHEN n_tokens > 0
+                     THEN (alloc_tokens * 1000000) // n_tokens
+                     ELSE 0 END AS BIGINT) AS epochs_micro
+    FROM a
+"""
+
+
+@query("sample_unimax_allocation", _UNIMAX_ORACLE)
+def q_sample_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped budget waterfill (operators/sampling.
+    unimax_allocation — Chung et al. 2023): 90% of the corpus's
+    characters split as uniformly as possible across the 20 sources,
+    no source repeated past max_epochs=1 — small sources cap out at
+    their full size and the residual waterfills into the big ones,
+    remainder tokens handed deterministically to the smallest-cap
+    uncapped sources. The closed-form prefix test replaces the
+    iterative waterfill; every window runs over the 20-row GROUP
+    frame. All int64 — the oracle replays the sort, the prefix test,
+    the truncating share division and the remainder distribution."""
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return SMP.unimax_allocation(
+        docs, "source", "n_chars",
+        budget_num=9, budget_den=10, max_epochs=1,
+    )

@@ -185,3 +185,76 @@ class TestKsNullExclusion:
             clean.ks_micro,
             clean.reject,
         )
+
+
+class TestUnimaxAllocation:
+    def _brute(self, caps, budget):
+        """Reference waterfill: repeatedly give every live group the
+        uniform share of what's left, capping as groups fill."""
+        import math
+
+        alloc = {g: 0 for g in caps}
+        live = dict(caps)
+        b = budget
+        while live and b > 0:
+            capped_now = {
+                g: c for g, c in live.items() if c * len(live) <= b
+            }
+            if capped_now:
+                for g, c in capped_now.items():
+                    alloc[g] = c
+                    b -= c
+                    del live[g]
+                continue
+            share, rem = b // len(live), b % len(live)
+            order = sorted(live, key=lambda g: (caps[g], g))
+            for i, g in enumerate(order):
+                alloc[g] = share + (1 if i < rem else 0)
+            b = 0
+            live = {}
+        return alloc
+
+    def test_matches_brute_waterfill_skewed(self, spark):
+        from olist_snowflake_dbt_spark.operators.sampling import (
+            unimax_allocation,
+        )
+
+        # one giant group, mid groups, tiny groups -> capped prefix,
+        # non-zero remainder
+        sizes = {"en": 10_000, "fr": 900, "de": 850, "sw": 40, "yo": 7}
+        rows = [(g, n) for g, n in sizes.items()]
+        df = spark.createDataFrame(rows, "lang string, toks long")
+        out = {
+            r.lang: (r.alloc_tokens, r.capped, r.cap_tokens)
+            for r in unimax_allocation(
+                df, "lang", "toks", budget_num=1, budget_den=2, max_epochs=2
+            ).collect()
+        }
+        budget = sum(sizes.values()) // 2  # 5898
+        caps = {g: n * 2 for g, n in sizes.items()}
+        ref = self._brute(caps, budget)
+        assert {g: a for g, (a, _, _) in out.items()} == ref
+        assert sum(a for a, _, _ in out.values()) == budget
+        assert all(a <= c for a, _, c in out.values())
+        # tiny groups capped at max_epochs, giant one waterfilled
+        assert out["yo"][1] and out["sw"][1] and not out["en"][1]
+
+    def test_budget_exceeding_corpus_caps_everything(self, spark):
+        from olist_snowflake_dbt_spark.operators.sampling import (
+            unimax_allocation,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 100), ("b", 50)], "lang string, toks long"
+        )
+        out = {
+            r.lang: (r.alloc_tokens, r.capped, r.epochs_micro)
+            for r in unimax_allocation(
+                df, "lang", "toks", budget_num=10, budget_den=1, max_epochs=3
+            ).collect()
+        }
+        # budget 1500 > total caps 450: every group trains max_epochs
+        assert out == {
+            "a": (300, True, 3_000_000),
+            "b": (150, True, 3_000_000),
+        }
