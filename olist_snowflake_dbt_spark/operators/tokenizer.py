@@ -292,3 +292,69 @@ def bpe_segment(
     return df.withColumn(out_col, toks).withColumn(
         f"n_{out_col}", F.size(F.col(out_col)).cast("long")
     )
+
+
+def oov_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 256,
+) -> DataFrame:
+    """Tokenizer-coverage evaluation: per document, how much of it
+    falls OUTSIDE a closed vocabulary — the go/no-go readout before
+    committing a tokenizer/vocab budget to a corpus (a high OOV rate
+    means the vocab was sized or sourced wrong for this data; the
+    fertility/coverage sweeps tokenizer papers run before training).
+
+    The vocabulary is the corpus's own top-``vocab_size`` words by
+    frequency (ties broken by word, so the vocab — and therefore every
+    downstream number — is deterministic), the word-level stand-in for
+    a trained subword vocab (the BPE surface in this module trains
+    real merges; coverage measurement is vocab-agnostic). Emits per
+    document: ``n_words``, ``n_oov`` (token occurrences not in vocab),
+    ``n_distinct_oov``, and ``oov_per_mille`` (integer ``1000·n_oov
+    div n_words`` — the module's no-float contract). Zero-word
+    documents report all zeros.
+
+    Plan shape: one map-side-combined word census (Heaps' law keeps
+    the distinct-word table tiny relative to the corpus), a top-k
+    (TakeOrdered, never a global sort) for the vocab, then ONE
+    broadcast left join from the exploded corpus and one per-doc
+    aggregate — 2 corpus-sized shuffles total, vocab rides broadcast.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("__w"))
+    freq = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = (
+        freq.orderBy(F.col("__c").desc(), F.col("__w").asc())
+        .limit(vocab_size)
+        .select("__w", F.lit(1).alias("__in"))
+    )
+    per = (
+        toks.join(F.broadcast(vocab), "__w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.count_distinct(
+                F.when(F.col("__in").isNull(), F.col("__w"))
+            ).alias("n_distinct_oov"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", zero).alias("n_words"),
+            F.coalesce("n_oov", zero).alias("n_oov"),
+            F.coalesce("n_distinct_oov", zero).alias("n_distinct_oov"),
+            F.coalesce(
+                F.expr("(1000 * n_oov) div n_words"), zero
+            ).alias("oov_per_mille"),
+        )
+    )

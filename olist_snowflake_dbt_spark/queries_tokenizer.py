@@ -323,3 +323,46 @@ def q_tokenizer_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_chars_norm"),
         F.col("n_tokens"),
     )
+
+
+_OOV_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY 1),
+    vocab AS (SELECT word FROM freq ORDER BY c DESC, word LIMIT 256),
+    per AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               CAST(COUNT(DISTINCT CASE WHEN v.word IS NULL
+                                        THEN t.word END)
+                    AS BIGINT) AS n_distinct_oov
+        FROM toks t LEFT JOIN vocab v USING (word)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(per.n_words, 0) AS n_words,
+           COALESCE(per.n_oov, 0) AS n_oov,
+           COALESCE(per.n_distinct_oov, 0) AS n_distinct_oov,
+           COALESCE((1000 * per.n_oov) // per.n_words, 0) AS oov_per_mille
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+@query("tokenizer_oov_stats", _OOV_ORACLE)
+def q_tokenizer_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage evaluation (operators/tokenizer.oov_stats,
+    round 14): per document, occurrences / distinct words falling
+    outside the corpus's own deterministic top-256 word vocabulary
+    (ties by word) — the coverage/OOV sweep run before committing a
+    vocab budget. One word census + TakeOrdered top-k + one broadcast
+    left join + one per-doc aggregate; integer per-mille, no floats."""
+    from .operators.tokenizer import oov_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return oov_stats(docs, "text", "doc_id", vocab_size=256)

@@ -362,3 +362,34 @@ class TestBpeBatched:
             bpe_train_batched(df, "text", 4, 1, batch=8, candidate_window=2)
         with _pytest.raises(ValueError, match="num_merges"):
             bpe_train_batched(df, "text", 0, 1)
+
+
+class TestOovStats:
+    def test_counts_and_zero_word_docs(self, spark):
+        from olist_snowflake_dbt_spark.operators.tokenizer import oov_stats
+
+        rows = [
+            (1, "aa aa aa bb"),   # aa x3, bb x1
+            (2, "aa cc dd"),      # cc/dd rare
+            (3, "!!!"),           # zero words
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # vocab_size=2 -> top-2 by freq: aa (4) then bb/cc/dd all tie at
+        # 1 -> 'bb' wins the word tie-break
+        out = {
+            r.doc_id: (r.n_words, r.n_oov, r.n_distinct_oov, r.oov_per_mille)
+            for r in oov_stats(df, "text", "doc_id", vocab_size=2).collect()
+        }
+        assert out[1] == (4, 0, 0, 0)
+        assert out[2] == (3, 2, 2, 666)
+        assert out[3] == (0, 0, 0, 0)
+
+    def test_full_vocab_means_zero_oov(self, spark):
+        from olist_snowflake_dbt_spark.operators.tokenizer import oov_stats
+
+        df = spark.createDataFrame(
+            [(i, f"w{i % 5} shared") for i in range(20)],
+            "doc_id long, text string",
+        )
+        out = oov_stats(df, "text", "doc_id", vocab_size=100).collect()
+        assert all(r.n_oov == 0 and r.oov_per_mille == 0 for r in out)
