@@ -34,94 +34,86 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries
-# in dict order. Round-13 rotation policy (same staleness-wins rule as
-# r09-r12): (a) everything NEW or modified in round 13 — 16 slots:
-# dedup_containment_kmv (new: KMV bottom-k pre-screen, exact-verified
-# output against the exact-containment oracle), web_cap_two_phase
-# (new: salted two-phase top-k cap; oracle = the plain window —
-# exactness by construction), web_cap_prefilter (operator rework: the
-# verifier now rides in-plan via assert_true over the passer-count
-# window, min-prefix escape rows make host wipeout impossible),
-# prune_prototype_distance (ragged/NULL-vector guard — the r12
-# advisory), dedup_minhash_lsh + dedup_incremental_minhash (oracles
-# now mirror the operator's zero-shingle semantics for token-less
-# docs — the r12 advisory), web_corpus_prep (consumes the reworked
-# cap operator + persisted funnel frames), sample_epoch_shuffle (new:
-# deterministic seed-keyed epoch shuffle), text_soft_dedup_weights
-# (new: SoftDeDup-shaped n-gram-commonness reweighting),
-# sample_dsir_select (new: DSIR-shaped hashed importance selection),
-# dedup_minhash_oph (new: one-permutation-hashing MinHash + rotation
-# densification), similarity_margin_bitext (new: Artetxe-Schwenk
-# margin-based bitext mining), sample_token_budget_select (new:
-# best-N-tokens budget gate), monitor_ks_two_sample (new: exact
-# two-sample KS drift gate), sample_global_rank (new: global
-# ROW_NUMBER + exact NTILE without a global sort — the curriculum
-# primitive), stream_dedup_admission (new: streaming corpus-dedup
-# admission, first-seen-wins + idempotent replay); then (b) all 28
-# remaining r07-era rows
-# — after this round NO query's newest driver row is older than r08
-# (fct_orders stays out per standing policy: entry() smoke-runs it
-# and gate.py re-verifies it every round); then (c) the alphabetical
-# first 6 of the 47 r08-era rows. The remaining 41 r08-era rows are
-# first in line for round 14. Every displaced query
-# keeps its historical driver row and is re-verified on current code
-# each round by tools/gate.py over the full catalog (GATE.json).
+# in dict order. Round-14 rotation policy (same staleness-wins rule as
+# r09-r13): (a) everything NEW or modified in round 14 — 9 slots:
+# web_cap_auto (new: measured auto-selection between the plain window
+# and the salted two-phase cap via a key_skew_stats pre-flight),
+# dedup_exactsubstr_ladder (new: variable-length ExactSubstr via the
+# length-doubling gram ladder; oracle recomputes every rung as the
+# independent fixed-n test), sample_unimax_allocation (new: UniMax
+# epoch-capped budget waterfill in closed form),
+# tokenizer_oov_stats (new: per-doc OOV/coverage against a
+# deterministic top-K vocab), sample_global_rank (modified: integer-div
+# bucketing, NULL exclusion, TRUE SQL-NTILE phases — oracle now uses
+# DuckDB's native NTILE, plus the degenerate-bucket guard),
+# sample_token_budget_select (modified: integer-div bucketing, NULL
+# rows keep=false, degenerate-bucket guard), monitor_ks_two_sample
+# (modified: NULL observations excluded from both samples and the
+# CDF), stream_dedup_admission (modified: append-only fp_bucket-
+# partitioned state — O(batch) per-batch fold, bounded per-bucket
+# compaction), web_cap_two_phase (modified: cap_per_host grew the
+# auto-resolution path all cap variants now share); then (b) all 41
+# remaining r08-era driver rows — after this round NO query's newest
+# driver row is older than r09 (fct_orders stays out per standing
+# policy: entry() smoke-runs it and gate.py re-verifies it every
+# round). Every displaced query keeps its historical driver row and is
+# re-verified on current code each round by tools/gate.py over the
+# full catalog (GATE.json).
 _CHECK_FIRST = [
-    # new / modified in round 13
-    "dedup_containment_kmv",
-    "web_cap_two_phase",
-    "web_cap_prefilter",
-    "prune_prototype_distance",
-    "dedup_minhash_lsh",
-    "dedup_incremental_minhash",
-    "web_corpus_prep",
-    "sample_epoch_shuffle",
-    "text_soft_dedup_weights",
-    "sample_dsir_select",
-    "dedup_minhash_oph",
-    "similarity_margin_bitext",
+    # new / modified in round 14
+    "web_cap_auto",
+    "dedup_exactsubstr_ladder",
+    "sample_unimax_allocation",
+    "tokenizer_oov_stats",
+    "sample_global_rank",
     "sample_token_budget_select",
     "monitor_ks_two_sample",
-    "sample_global_rank",
     "stream_dedup_admission",
-    # stalest: all 28 remaining r07-era driver rows
-    "incremental_microbatch_sim",
-    "json_extract",
-    "metric_anomaly_daily",
-    "metric_revenue_monthly",
-    "pivot_status_by_year",
-    "pyds_jsonl_sink_roundtrip",
-    "runner_concurrent_dag",
-    "runner_slimci_retry",
-    "runner_source_freshness",
-    "scalar_functions",
-    "scd2_dim_asof_resolve",
-    "scd2_window_rebuild",
-    "semi_join_exists",
-    "set_ops",
-    "similarity_brute_topk",
-    "similarity_ivf",
-    "similarity_quantized_topk",
-    "sketch_rollup_merge",
-    "stream_stateful_totals_tws",
-    "table_stats_profile",
-    "text_decontaminate",
-    "text_gopher_rules",
-    "text_hashed_linear_score",
-    "text_quality_score",
-    "text_tfidf_topk",
-    "time_bucket_agg",
-    "topk_per_group",
-    "zorder_layout_stats",
-    # next-stalest: alphabetical first 6 of the 47 r08-era rows
-    "bm25_topk",
-    "dbt_utils_surrogate_key",
-    "dedup_cluster_representative",
-    "drift_chi2_event_types",
-    "er_golden_records",
-    "flatten_with_ordinality",
+    "web_cap_two_phase",
+    # stalest: all 41 remaining r08-era driver rows
+    "fmt_copy_into_history",
+    "funnel_conversion",
+    "gapfill_locf_interp",
+    "governance_erasure_cascade",
+    "governance_masked_view",
+    "governance_row_access",
+    "hybrid_rrf_fusion",
+    "incremental_merge_update_columns",
+    "join_strategy_advisor",
+    "layout_compaction_roundtrip",
+    "listagg_within_group",
+    "median_mode_disc",
+    "multi_table_insert_routes",
+    "object_agg_canonical",
+    "qualify_keep_latest",
+    "rag_context_pack",
+    "result_cache_roundtrip",
+    "retrieval_mmr_rerank",
+    "runner_clone_empty_envvar",
+    "runner_grants_lifecycle",
+    "runner_model_versions",
+    "runner_observed_metrics",
+    "runner_snapshot_advance",
+    "runner_unit_test_fixtures",
+    "sample_chunk_windows",
+    "sample_mixture_weights",
+    "sample_reservoir_per_group",
+    "sample_time_holdout",
+    "scd2_hard_delete",
+    "similarity_mrl_truncate_recall",
+    "similarity_pq_adc",
+    "skew_key_stats",
+    "stream_file_ingest_native",
+    "stream_stream_left_outer",
+    "string_predicates_breadth",
+    "text_bigram_lm_score",
+    "timetravel_changes",
+    "timetravel_ivm_refresh",
+    "timetravel_schema_drift",
+    "timetravel_stream_consume",
+    "udtf_polymorphic_parse",
 ]
-# fct_orders (green r01–r07) stays out of the window again: entry()
+# fct_orders (green r01-r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.
 
 
