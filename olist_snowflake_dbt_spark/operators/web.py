@@ -592,3 +592,60 @@ def apply_blocklist(
     return enriched.join(F.broadcast(bl), cond, "left_anti").drop(
         "__host", "__path", "__reg"
     )
+
+
+def robots_gate(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Robots Exclusion Protocol verdict per URL (RFC 9309 / the
+    Google REP rules, path-rule subset) — the crawl-compliance gate a
+    web-corpus funnel runs before fetching or keeping a page. ``rules``
+    carries one row per (host, path_prefix, allow) directive (the
+    parsed Allow/Disallow lines for the crawler's user-agent; parsing
+    the robots.txt TEXT is an ingest concern — this operator is the
+    corpus-side join that must scale). Verdict per RFC 9309 §2.2.2:
+    among the host's rules whose ``path_prefix`` prefixes the URL's
+    canonical path (the empty prefix matches everything), the LONGEST
+    prefix wins; on a length tie ``allow`` wins; a URL with no
+    matching rule — or a host with no rules at all — is allowed.
+
+    Plan shape: one equi-join on host (broadcast while the directive
+    table is small; a crawl-scale rules table — millions of hosts —
+    shuffles on the same key the cap/blocklist stages already hash
+    on), one per-URL ``max(struct(prefix_len, allow))`` aggregate (the
+    struct's lexicographic order IS the longest-wins-ties-allow rule —
+    no window, map-side combinable), and one id-keyed join back.
+    Returns the input columns + ``host`` + ``robots_allowed``; filter
+    on the flag to enforce, keep it to audit.
+    """
+    u = canonicalize_url(url_col)
+    base = df.withColumn("host", u["host"]).withColumn("__path", u["path"])
+    r = rules.select(
+        F.lower(F.col("host")).alias("host"),
+        F.col("path_prefix").alias("__pfx"),
+        F.col("allow").cast("boolean").alias("__allow"),
+    )
+    matched = (
+        base.select(F.col(id_col), "host", "__path")
+        .join(r, "host")
+        .filter(F.col("__path").startswith(F.col("__pfx")))
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("__pfx").alias("l"), F.col("__allow").alias("a")
+                )
+            ).alias("__best")
+        )
+        .select(id_col, F.col("__best.a").alias("__verdict"))
+    )
+    return (
+        base.join(matched, id_col, "left")
+        .withColumn(
+            "robots_allowed", F.coalesce(F.col("__verdict"), F.lit(True))
+        )
+        .drop("__path", "__verdict")
+    )

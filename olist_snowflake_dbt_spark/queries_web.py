@@ -515,3 +515,58 @@ def q_web_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "registrable", "doc_id",
         F.col("registrable_rank").cast("int").alias("registrable_rank"),
     )
+
+
+_ROBOTS_RULES = [
+    ("src1.example.com", "/docs", False),
+    ("src1.example.com", "/docs/1", True),
+    ("src2.example.com", "", False),
+    ("src3.example.com", "/docs/2", False),
+    ("src3.example.com", "/docs/22", True),
+    ("src4.example.com", "/docs/4", False),
+    ("src4.example.com", "/docs/4", True),
+]
+
+_ROBOTS_ORACLE = (
+    _SYNTH_AND_CANON
+    + ", rules(host, pfx, allow) AS (VALUES "
+    + ", ".join(
+        f"('{h}', '{p}', {str(a).upper()})" for h, p, a in _ROBOTS_RULES
+    )
+    + """
+),
+m AS (
+    SELECT c7.doc_id, r.allow,
+           ROW_NUMBER() OVER (
+               PARTITION BY c7.doc_id
+               ORDER BY length(r.pfx) DESC, r.allow DESC) AS rk
+    FROM c7 JOIN rules r
+      ON c7.host = r.host AND starts_with(c7.path, r.pfx)
+)
+SELECT c7.doc_id, c7.host,
+       COALESCE(b.allow, TRUE) AS robots_allowed
+FROM c7 LEFT JOIN (SELECT doc_id, allow FROM m WHERE rk = 1) b
+  ON c7.doc_id = b.doc_id
+"""
+)
+
+
+@query("web_robots_gate", _ROBOTS_ORACLE)
+def q_web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots Exclusion Protocol verdict (operators/web.robots_gate,
+    round 14 — RFC 9309 path-rule subset): per URL, the host's
+    longest-prefix-match directive decides, allow winning length ties,
+    absent rules defaulting to allowed. The fixture covers nested
+    prefixes (disallow /docs + allow /docs/1), a whole-host block
+    (empty prefix), longest-wins (/docs/2 vs /docs/22) and the exact
+    tie (allow beats disallow at equal length). One host join + one
+    max(struct) aggregate — the oracle replays the verdict with a
+    rank window over the same (length, allow) order."""
+    from .operators.web import robots_gate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, path_prefix string, allow boolean"
+    )
+    out = robots_gate(synth_urls(docs), rules, "url", "doc_id")
+    return out.select("doc_id", "host", "robots_allowed")

@@ -731,3 +731,52 @@ class TestCapAuto:
                 self._docs(spark), "url", "doc_id", cap=5,
                 salt_buckets="turbo",
             )
+
+
+class TestRobotsGate:
+    """RFC 9309 path-rule verdict: longest prefix wins, allow wins
+    length ties, absent rules default to allowed."""
+
+    def _out(self, spark, rules):
+        from olist_snowflake_dbt_spark.operators.web import robots_gate
+
+        urls = [
+            (1, "http://a.example.com/docs/10"),
+            (2, "http://a.example.com/blog/x"),
+            (3, "http://b.example.com/anything"),
+            (4, "http://c.example.com/free"),
+            (5, "http://a.example.com/docs/2"),
+        ]
+        df = spark.createDataFrame(urls, "doc_id long, url string")
+        r = spark.createDataFrame(
+            rules, "host string, path_prefix string, allow boolean"
+        )
+        return {
+            row.doc_id: row.robots_allowed
+            for row in robots_gate(df, r, "url", "doc_id").collect()
+        }
+
+    def test_longest_prefix_wins_and_defaults(self, spark):
+        out = self._out(
+            spark,
+            [
+                ("a.example.com", "/docs", False),
+                ("a.example.com", "/docs/1", True),
+                ("b.example.com", "", False),
+            ],
+        )
+        assert out[1] is True, "/docs/1 allow out-lengths /docs disallow"
+        assert out[5] is False, "/docs/2 hits only the /docs disallow"
+        assert out[2] is True, "no matching rule -> allowed"
+        assert out[3] is False, "empty prefix blocks the whole host"
+        assert out[4] is True, "host without rules -> allowed"
+
+    def test_equal_length_tie_allow_wins(self, spark):
+        out = self._out(
+            spark,
+            [
+                ("a.example.com", "/docs", False),
+                ("a.example.com", "/docs", True),
+            ],
+        )
+        assert out[1] is True and out[5] is True
