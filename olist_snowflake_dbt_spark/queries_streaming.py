@@ -347,8 +347,10 @@ def q_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same Debezium-shaped change log as cdc_apply_latest, but
     arriving as a FILE STREAM split into 4 micro-batches
     (maxFilesPerTrigger=1), each foreachBatch-merged into a
-    tombstone-retaining parquet state table (cdc_latest over
-    standing ∪ batch, atomic swap publish). The oracle is the BATCH
+    tombstone-retaining parquet state table hash-partitioned on
+    key_bucket — only the batch's TOUCHED buckets are merged and
+    atomically swapped (r14; the O(standing) whole-table rewrite is
+    retired). The oracle is the BATCH
     collapse of the whole log — the driver row therefore proves the
     cross-batch upsert/tombstone algebra converges to the batch answer
     regardless of how the log was sliced, the exactly-once-observable
@@ -386,7 +388,8 @@ def q_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(log_dir)
     )
     q = cdc_apply_stream(
-        stream, state, ckpt, ["user_id"], "lsn", "op", state_partitions=8
+        stream, state, ckpt, ["user_id"], "lsn", "op",
+        state_partitions=8, n_buckets=8,
     ).start()
     q.awaitTermination()
     return cdc_state(spark, state, "op")

@@ -561,6 +561,7 @@ def cdc_apply_stream(
     lsn_col: str,
     op_col: str,
     state_partitions: int | None = None,
+    n_buckets: int | None = None,
 ):
     """Streaming CDC compaction: maintain a latest-state parquet table
     from a change-log STREAM via ``foreachBatch`` — the streaming twin
@@ -572,22 +573,32 @@ def cdc_apply_stream(
     always wins regardless of arrival batch. The state table keeps
     delete TOMBSTONES (op retained): an out-of-order older update in a
     later batch loses to the tombstone's LSN instead of resurrecting
-    the key; read the live view with ``cdc_state``. Publish is the
-    atomic write-tmp → rename swap shared with table materialization,
-    and the merge is IDEMPOTENT (re-merging a replayed batch reproduces
-    the same state), which upgrades foreachBatch's at-least-once replay
-    to exactly-once observable state.
+    the key; read the live view with ``cdc_state``. The merge is
+    IDEMPOTENT (re-merging a replayed batch reproduces the same
+    state), which upgrades foreachBatch's at-least-once replay to
+    exactly-once observable state.
 
-    At scale: per batch, cost is one aggregate over the batch plus one
-    over (standing ∪ collapsed-batch) — with a partitioned/bucketed
-    state layout the second collapses to touched keys; the plain-
-    parquet rewrite here mirrors the incremental-materialization
-    scoping decision in SCALE.md. Returns the started query's
+    With ``n_buckets`` (round 14, the partitioned layout the admission
+    stream pioneered) the state lives hash-partitioned on
+    ``key_bucket = pmod(xxhash64(keys), n_buckets)`` and each batch
+    MERGES AND REWRITES ONLY ITS TOUCHED BUCKETS: collapse the batch,
+    collect its ≤ ``n_buckets`` distinct buckets, partition-prune the
+    standing read to those buckets, cdc_latest over that slice ∪
+    batch, write to a dot-prefixed (reader-invisible) staging dir and
+    swap each touched bucket directory atomically — per-batch cost is
+    O(standing/n_buckets · touched + batch), and a narrow batch
+    touches few buckets. CDC state is mutable (updates/tombstones), so
+    unlike admission it cannot append — bounded rewrite is the floor,
+    and every crash point stays replay-idempotent (a partial set of
+    bucket swaps re-merges to identical content). ``n_buckets=None``
+    keeps the legacy monolithic tmp → rename swap. Returns the
     DataStreamWriter (caller starts + awaits)."""
+    import glob as _glob
+    import shutil as _shutil
+    import uuid as _uuid
+
     from ..operators.incremental import cdc_latest
     from ..plans.materialize import _atomic_swap
-
-    import uuid as _uuid
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -598,16 +609,72 @@ def cdc_apply_stream(
                     "spark.sql.shuffle.partitions", str(state_partitions)
                 )
             collapsed = cdc_latest(batch_df, key_cols, lsn_col, op_col)
-            if os.path.exists(state_path):
-                standing = spark.read.parquet(state_path)
+            if n_buckets is None:
+                if os.path.exists(state_path):
+                    standing = spark.read.parquet(state_path)
+                    merged = cdc_latest(
+                        standing.unionByName(collapsed),
+                        key_cols,
+                        lsn_col,
+                        op_col,
+                    )
+                else:
+                    merged = collapsed
+                tmp = f"{state_path}.tmp-{_uuid.uuid4().hex[:8]}"
+                merged.write.mode("overwrite").parquet(tmp)
+                _atomic_swap(state_path, tmp)
+                return
+            collapsed = collapsed.withColumn(
+                "key_bucket",
+                F.pmod(
+                    F.xxhash64(*[F.col(k) for k in key_cols]),
+                    F.lit(n_buckets),
+                ),
+            )
+            touched = [
+                r[0]
+                for r in collapsed.select("key_bucket").distinct().collect()
+            ]
+            if not touched:
+                return
+            has_state = bool(
+                _glob.glob(os.path.join(state_path, "key_bucket=*"))
+            )
+            if has_state:
+                standing = spark.read.parquet(state_path).filter(
+                    F.col("key_bucket").isin(touched)
+                )
                 merged = cdc_latest(
                     standing.unionByName(collapsed), key_cols, lsn_col, op_col
                 )
             else:
                 merged = collapsed
-            tmp = f"{state_path}.tmp-{_uuid.uuid4().hex[:8]}"
-            merged.write.mode("overwrite").parquet(tmp)
-            _atomic_swap(state_path, tmp)
+            tag = _uuid.uuid4().hex[:8]
+            stage = os.path.join(state_path, f".cdcmerge-{tag}")
+            (
+                merged.repartition("key_bucket")
+                .write.mode("overwrite")
+                .partitionBy("key_bucket")
+                .parquet(stage)
+            )
+            os.makedirs(state_path, exist_ok=True)
+            for b in touched:
+                src = os.path.join(stage, f"key_bucket={b}")
+                dst = os.path.join(state_path, f"key_bucket={b}")
+                if not os.path.exists(src):
+                    continue  # bucket merged to zero rows (cannot happen
+                    # with tombstone retention, but stay defensive)
+                backup = os.path.join(state_path, f".backup-{b}-{tag}")
+                if os.path.exists(dst):
+                    os.rename(dst, backup)
+                try:
+                    os.rename(src, dst)
+                except OSError:
+                    if os.path.exists(backup):
+                        os.rename(backup, dst)
+                    raise
+                _shutil.rmtree(backup, ignore_errors=True)
+            _shutil.rmtree(stage, ignore_errors=True)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
@@ -622,12 +689,15 @@ def cdc_state(
     spark: SparkSession, state_path: str, op_col: str, delete_op: str = "D"
 ) -> DataFrame:
     """Live view over a :func:`cdc_apply_stream` state table: tombstones
-    filtered, op column consumed."""
-    return (
-        spark.read.parquet(state_path)
-        .filter(F.col(op_col) != delete_op)
-        .drop(op_col)
-    )
+    filtered, op column consumed; the bucketed layout's physical
+    partition key (``key_bucket``) is dropped when present so both
+    layouts read back identically."""
+    out = spark.read.parquet(state_path).filter(
+        F.col(op_col) != delete_op
+    ).drop(op_col)
+    if "key_bucket" in out.columns:
+        out = out.drop("key_bucket")
+    return out
 
 
 def dedup_admission_stream(

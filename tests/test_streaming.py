@@ -716,3 +716,113 @@ def test_dedup_admission_state_is_append_only_and_compacts(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(state).collect()} == set(
         range(12)
     )
+
+
+def test_cdc_bucketed_state_matches_legacy_and_rewrites_only_touched(
+    spark, tmp_path
+):
+    """The r14 bucketed CDC layout: final live state identical to the
+    monolithic layout; a batch that touches one bucket leaves the other
+    buckets' files byte-untouched (no O(standing) rewrite)."""
+    import glob
+    import os
+    import shutil
+
+    from olist_snowflake_dbt_spark.streaming import (
+        cdc_apply_stream,
+        cdc_state,
+    )
+
+    # keys 0..15; xxhash64 spreads them over 4 buckets. Batch 1 = all
+    # keys; batch 2 = UPDATE for key 3 and DELETE for key 5 only.
+    b1 = [(k, k * 10, "U", float(k)) for k in range(16)]
+    b2 = [(3, 1000, "U", 99.0), (5, 1001, "D", 0.0)]
+
+    def stage(rows, i, stage_dir):
+        df = spark.createDataFrame(
+            rows, "user_id long, lsn long, op string, value double"
+        )
+        part_dir = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(stage_dir, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    def drain(state, ckpt, **kw):
+        stage_dir = os.path.dirname(state) + "/log"
+        stream = (
+            spark.readStream.schema(
+                "user_id long, lsn long, op string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage_dir)
+        )
+        q = cdc_apply_stream(
+            stream, state, ckpt, ["user_id"], "lsn", "op", **kw
+        ).start()
+        q.awaitTermination()
+
+    for mode in ("legacy", "bucketed"):
+        root = tmp_path / mode
+        os.makedirs(str(root / "log"))
+        for i, rows in enumerate([b1, b2]):
+            stage(rows, i, str(root / "log"))
+
+    drain(str(tmp_path / "legacy" / "state"), str(tmp_path / "legacy" / "ck"))
+    drain(
+        str(tmp_path / "bucketed" / "state"),
+        str(tmp_path / "bucketed" / "ck"),
+        n_buckets=4,
+    )
+    legacy = {
+        (r.user_id, r.lsn, r.value)
+        for r in cdc_state(
+            spark, str(tmp_path / "legacy" / "state"), "op"
+        ).collect()
+    }
+    bucketed = {
+        (r.user_id, r.lsn, r.value)
+        for r in cdc_state(
+            spark, str(tmp_path / "bucketed" / "state"), "op"
+        ).collect()
+    }
+    assert bucketed == legacy
+    assert (3, 1000, 99.0) in bucketed and all(u != 5 for u, _, _ in bucketed)
+
+    # untouched-bucket proof: replay batch 2 alone against a copy of the
+    # state; buckets not containing keys 3/5 keep identical file mtimes
+    state2 = str(tmp_path / "probe_state")
+    shutil.copytree(str(tmp_path / "bucketed" / "state"), state2)
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(state2, "key_bucket=*/part-*.parquet"))
+    }
+    probe_log = str(tmp_path / "probe" / "log")
+    os.makedirs(probe_log)
+    stage(b2, 0, probe_log)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, lsn long, op string, value double"
+        )
+        .parquet(probe_log)
+    )
+    q = cdc_apply_stream(
+        stream, state2, str(tmp_path / "probe" / "ck"),
+        ["user_id"], "lsn", "op", n_buckets=4,
+    ).start()
+    q.awaitTermination()
+    after_files = set(
+        glob.glob(os.path.join(state2, "key_bucket=*/part-*.parquet"))
+    )
+    untouched_kept = {
+        f for f, m in before.items()
+        if f in after_files and os.path.getmtime(f) == m
+    }
+    assert untouched_kept, "at least one untouched bucket must survive as-is"
+    # and the replayed merge is idempotent: state content unchanged
+    again = {
+        (r.user_id, r.lsn, r.value)
+        for r in cdc_state(spark, state2, "op").collect()
+    }
+    assert again == bucketed
