@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # in dict order. Round-14 rotation policy (same staleness-wins rule as
-# r09-r13): (a) everything NEW or modified in round 14 — 11 slots:
+# r09-r13): (a) everything NEW or modified in round 14 — 12 slots:
 # web_cap_auto (new: measured auto-selection between the plain window
 # and the salted two-phase cap via a key_skew_stats pre-flight),
 # dedup_exactsubstr_ladder (new: variable-length ExactSubstr via the
@@ -55,10 +55,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # auto-resolution path all cap variants now share), web_robots_gate
 # (new: RFC 9309 longest-prefix robots verdict), cdc_stream_apply
 # (modified: key_bucket-partitioned CDC state — only touched buckets
-# merge and swap per batch); then (b) the 39 alphabetically-first of
-# the 41 remaining r08-era driver rows (timetravel_stream_consume and
-# udtf_polymorphic_parse are the two-row staleness floor left for
-# r15) (fct_orders stays out per standing
+# merge and swap per batch), quality_rank_ensemble (new: calibration-
+# free multi-signal rank fusion over the bucket-decomposed global
+# rank); then (b) the 38 alphabetically-first of the 41 remaining
+# r08-era driver rows (timetravel_schema_drift,
+# timetravel_stream_consume and udtf_polymorphic_parse are the
+# three-row staleness floor left for r15) (fct_orders stays out per
+# standing
 # policy: entry() smoke-runs it and gate.py re-verifies it every
 # round). Every displaced query keeps its historical driver row and is
 # re-verified on current code each round by tools/gate.py over the
@@ -76,7 +79,8 @@ _CHECK_FIRST = [
     "web_cap_two_phase",
     "web_robots_gate",
     "cdc_stream_apply",
-    # stalest: the alphabetically-first 39 of 41 r08-era driver rows
+    "quality_rank_ensemble",
+    # stalest: the alphabetically-first 38 of 41 r08-era driver rows
     "fmt_copy_into_history",
     "funnel_conversion",
     "gapfill_locf_interp",
@@ -115,7 +119,6 @@ _CHECK_FIRST = [
     "text_bigram_lm_score",
     "timetravel_changes",
     "timetravel_ivm_refresh",
-    "timetravel_schema_drift",
 ]
 # fct_orders (green r01-r07) stays out of the window again: entry()
 # smoke-runs it every round and gate.py re-verifies it on current code.

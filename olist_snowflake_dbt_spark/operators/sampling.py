@@ -29,6 +29,8 @@ built for the BASELINE.json north-star pipeline ops.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -675,6 +677,72 @@ def epoch_shuffle(
         F.col("__h").asc(), F.col(id_col).asc()
     )
     return out.withColumn("position", F.row_number().over(w)).drop("__h")
+
+
+def rank_fusion(
+    df: DataFrame,
+    id_col: str,
+    score_cols: Sequence[str],
+    bucket_width: int | dict = 100,
+    sum_bucket_width: int = 100,
+) -> DataFrame:
+    """Multi-signal rank fusion for data curation — the ensemble form
+    of quality filtering (DataComp/FineWeb-Edu-style recipes combine
+    several imperfect signals; averaging RANKS instead of raw scores
+    needs no cross-signal calibration, the same reason retrieval uses
+    RRF): each score column is converted to its exact global rank
+    (best = 1, ``score DESC, id ASC``), ranks are summed, and the sum
+    is ranked again — ``fused_rank`` is the curation order, feeding
+    :func:`token_budget_select` / :func:`exact_global_rank` phases
+    downstream.
+
+    Every ranking uses :func:`exact_global_rank`'s bucket
+    decomposition, so NOTHING here pays a global sort: per signal one
+    tiny bucket-frame window + bucket-parallel row_numbers, then the
+    same over the (dense, [len(cols), len(cols)·N]) rank sum.
+    ``bucket_width`` may be a dict keyed by score column — size each
+    signal's buckets to its value range (the bucket frame is bounded
+    by range/width). All ranks int64-exact; rows with a NULL in ANY
+    signal are EXCLUDED (rank semantics — :func:`exact_global_rank`'s
+    NULL posture, applied conjunctively).
+
+    Returns the input scores + ``rank_<col>`` per signal +
+    ``rank_sum`` + ``fused_rank``."""
+    if not score_cols:
+        raise ValueError("rank_fusion requires at least one score column")
+    widths = (
+        bucket_width
+        if isinstance(bucket_width, dict)
+        else {s: bucket_width for s in score_cols}
+    )
+    fused = df.select(F.col(id_col), *[F.col(s) for s in score_cols])
+    for s in score_cols:
+        neg = fused.select(
+            F.col(id_col), (-F.col(s).cast("long")).alias("__neg")
+        )
+        r = exact_global_rank(
+            neg, "__neg", id_col, bucket_width=widths.get(s, 100)
+        )
+        fused = fused.join(
+            r.select(
+                F.col(id_col), F.col("global_rank").alias(f"rank_{s}")
+            ),
+            id_col,
+        )
+    total = F.col(f"rank_{score_cols[0]}")
+    for s in score_cols[1:]:
+        total = total + F.col(f"rank_{s}")
+    fused = fused.withColumn("rank_sum", total.cast("long"))
+    fin = exact_global_rank(
+        fused.select(id_col, "rank_sum"),
+        "rank_sum",
+        id_col,
+        bucket_width=sum_bucket_width,
+    )
+    return fused.join(
+        fin.select(F.col(id_col), F.col("global_rank").alias("fused_rank")),
+        id_col,
+    )
 
 
 def unimax_allocation(

@@ -711,3 +711,88 @@ def q_sample_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", "n_chars",
         budget_num=9, budget_den=10, max_epochs=1,
     )
+
+
+_ENSEMBLE_ORACLE = f"""
+    WITH wq AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0) AS w
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(COALESCE(list_sum(list_transform(w, x -> {_HLW})), 0)
+                    AS BIGINT) AS logit_milli
+        FROM wq
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 2
+                           THEN list_transform(range(1, len(w)),
+                                               i -> w[i] || ' ' || w[i + 1])
+                           ELSE [] END) AS gram
+        FROM wq
+    ),
+    gh AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS ghash
+        FROM g
+    ),
+    census AS (SELECT ghash, COUNT(*) AS freq FROM gh GROUP BY 1),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(freq) AS BIGINT) AS sum_freq
+        FROM gh JOIN census USING (ghash) GROUP BY 1
+    ),
+    s AS (
+        SELECT m.doc_id, m.logit_milli,
+               CAST(CASE WHEN COALESCE(p.sum_freq, 0) > 0
+                         THEN (1000000000 * p.n_grams) // p.sum_freq
+                         ELSE 1000000000 END AS BIGINT) AS weight_nano
+        FROM m LEFT JOIN per_doc p ON m.doc_id = p.doc_id
+    ),
+    r AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY logit_milli DESC, doc_id)
+                    AS BIGINT) AS rank_logit_milli,
+               CAST(ROW_NUMBER() OVER (ORDER BY weight_nano DESC, doc_id)
+                    AS BIGINT) AS rank_weight_nano
+        FROM s
+    )
+    SELECT doc_id, rank_logit_milli, rank_weight_nano,
+           rank_logit_milli + rank_weight_nano AS rank_sum,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY rank_logit_milli + rank_weight_nano, doc_id)
+               AS BIGINT) AS fused_rank
+    FROM r
+"""
+
+
+@query("quality_rank_ensemble", _ENSEMBLE_ORACLE)
+def q_quality_rank_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal curation rank fusion (operators/sampling.
+    rank_fusion, round 14): the hashed-linear QUALITY logit and the
+    SoftDeDup UNIQUENESS weight are each converted to their exact
+    global rank via the bucket decomposition (no global sort
+    anywhere), summed, and re-ranked — the calibration-free ensemble
+    order an LLM curation pipeline feeds into the token-budget gate.
+    The oracle replays both signals and all three rankings as plain
+    single-partition windows, so the hash match proves every
+    decomposed ranking AND the fusion arithmetic."""
+    from .operators import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = TX.hashed_linear_score(docs).select("doc_id", "logit_milli")
+    weights = TX.soft_dedup_weights(docs).select("doc_id", "weight_nano")
+    joined = scored.join(weights, "doc_id")
+    out = SMP.rank_fusion(
+        joined,
+        "doc_id",
+        ["logit_milli", "weight_nano"],
+        bucket_width={"logit_milli": 100, "weight_nano": 1_000_000},
+    )
+    return out.select(
+        "doc_id", "rank_logit_milli", "rank_weight_nano",
+        "rank_sum", "fused_rank",
+    )

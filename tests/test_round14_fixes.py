@@ -258,3 +258,40 @@ class TestUnimaxAllocation:
             "a": (300, True, 3_000_000),
             "b": (150, True, 3_000_000),
         }
+
+
+class TestRankFusion:
+    def test_matches_plain_window_fusion(self, spark):
+        from olist_snowflake_dbt_spark.operators.sampling import rank_fusion
+
+        rows = [
+            (i, ((i * 37) % 23 - 11) * 10, ((i * 53) % 17) * 100)
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, q long, u long")
+        got = {
+            r.doc_id: (r.rank_q, r.rank_u, r.rank_sum, r.fused_rank)
+            for r in rank_fusion(
+                df, "doc_id", ["q", "u"],
+                bucket_width={"q": 7, "u": 250},
+            ).collect()
+        }
+
+        def ranks(key):
+            order = sorted(rows, key=lambda r: (-key(r), r[0]))
+            return {r[0]: i + 1 for i, r in enumerate(order)}
+
+        rq, ru = ranks(lambda r: r[1]), ranks(lambda r: r[2])
+        fused = sorted(rows, key=lambda r: (rq[r[0]] + ru[r[0]], r[0]))
+        ff = {r[0]: i + 1 for i, r in enumerate(fused)}
+        for i, _, _ in rows:
+            assert got[i] == (rq[i], ru[i], rq[i] + ru[i], ff[i])
+
+    def test_requires_scores(self, spark):
+        import pytest as _pytest
+
+        from olist_snowflake_dbt_spark.operators.sampling import rank_fusion
+
+        df = spark.createDataFrame([(1, 2)], "doc_id long, q long")
+        with _pytest.raises(ValueError, match="at least one"):
+            rank_fusion(df, "doc_id", [])
