@@ -333,7 +333,13 @@ def main() -> None:
     elif args.merge and os.path.exists(scaling_path):
         with open(scaling_path) as fh:
             prior = json.load(fh).get("queries", {})
-        prior.update(out)
+        # per-query merge that PRESERVES nested lanes (forced_smj,
+        # standing_growth, zipf, ...) — a flat update() would clobber
+        # them with the fresh flat row
+        for name, row in out.items():
+            base = prior.get(name, {})
+            nested = {k: v for k, v in base.items() if isinstance(v, dict)}
+            prior[name] = {**row, **nested}
         out = prior
     result = {
         "data_ratio": 10,
