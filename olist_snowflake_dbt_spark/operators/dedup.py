@@ -1208,6 +1208,13 @@ def incremental_minhash_dedup(
         .select("__id", "__band")
         .persist()
     )
+    # persist the standing-collision id set: its subtree contains the
+    # STANDING side's full band index (the caller usually hands a
+    # just-built minhash_banded pipeline, not a materialized table) and
+    # three branches reach it (the survivors anti-join feeds band_min
+    # AND the internal-drop probe, plus the dropped union) — measured
+    # r14: unpersisted, the standing signature fold ran 3x (sf0.1 query
+    # wall 6.9 s -> 5.8 s from this persist alone; guide §1.2)
     hit_standing = (
         banded.join(
             standing_bands.select(F.col("band").alias("__band")),
@@ -1216,6 +1223,7 @@ def incremental_minhash_dedup(
         )
         .select("__id")
         .dropDuplicates()
+        .persist()
     )
     survivors = banded.join(hit_standing, "__id", "left_anti")
     band_min = survivors.groupBy("__band").agg(F.min("__id").alias("__min_id"))
@@ -1273,7 +1281,12 @@ def duplicated_span_stats(
     words have no n-grams and report 0 duplicated positions (no
     short-doc fallback shingle — span semantics, unlike
     :func:`word_shingles`)."""
-    base = df.select(F.col(id_col), words(text_col).alias("__w"))
+    # persist the tokenized frame (consumed by the gram explode AND the
+    # n_words branch — the regex word split would otherwise run twice)
+    # and the slim (id, pos, gram-hash) frame (consumed by the census
+    # aggregate AND the tag-back join — the explode would run twice);
+    # guide §1.2: fewer passes before anything else
+    base = df.select(F.col(id_col), words(text_col).alias("__w")).persist()
     nw = F.size(F.col("__w"))
     lens = base.select(id_col, nw.cast("long").alias("n_words"))
     grams = (
@@ -1292,6 +1305,7 @@ def duplicated_span_stats(
             ).alias("__p0", "__gh"),
         )
         .select(id_col, (F.col("__p0") + 1).alias("pos"), "__gh")
+        .persist()
     )
     freq = (
         grams.groupBy("__gh")
@@ -1343,7 +1357,10 @@ def remove_duplicated_spans(
     lambda — no per-position explode of the document through a shuffle.
     A doc whose every position is covered yields ``clean_text = ''``
     (kept for auditability; drop with ``n_kept > 0`` downstream)."""
-    base = df.select(F.col(id_col), words(text_col).alias("__w"))
+    # same persist posture as duplicated_span_stats: the word split is
+    # consumed by the gram explode AND the final position filter; the
+    # gram frame by the census AND the tag-back join
+    base = df.select(F.col(id_col), words(text_col).alias("__w")).persist()
     nw = F.size(F.col("__w"))
     grams = (
         base.select(
@@ -1361,6 +1378,7 @@ def remove_duplicated_spans(
             ).alias("__p0", "__gh"),
         )
         .select(id_col, (F.col("__p0") + 1).cast("long").alias("pos"), "__gh")
+        .persist()
     )
     freq = (
         grams.groupBy("__gh")
@@ -1447,7 +1465,12 @@ def longest_dup_span_ladder(
     LLM-pipeline lane already covers."""
     if n0 < 1 or levels < 1:
         raise ValueError(f"n0 and levels must be >= 1 (got {n0}, {levels})")
-    base = df.select(F.col(id_col), words(text_col).alias("__w"))
+    # persist the tokenized frame: every rung re-reads the word arrays
+    # (level-0 explode, then one candidate join per level) and the
+    # lens branch reads them again — unpersisted, the regex word split
+    # re-ran per consumer (measured r14: 330 parquet scans / 168
+    # Exchanges in one plan; guide §1.2 — fewer passes first)
+    base = df.select(F.col(id_col), words(text_col).alias("__w")).persist()
     nw = F.size(F.col("__w"))
     lens = base.select(id_col, nw.cast("long").alias("n_words"))
 
@@ -1482,6 +1505,10 @@ def longest_dup_span_ladder(
                     )
                 ).alias("__gh"),
             )
+        # persist the (id, pos, gram-hash) frame: the census aggregate
+        # and the tag-back join both consume it — unpersisted, the
+        # level's gram explode/hash ran twice (guide §1.2)
+        grams = grams.persist()
         freq = (
             grams.groupBy("__gh")
             .agg(F.count(F.lit(1)).alias("__freq"))
@@ -1491,7 +1518,11 @@ def longest_dup_span_ladder(
         return grams.join(freq, "__gh").select(id_col, "pos")
 
     per_doc = []
-    s = dup_positions(None, n0)
+    # each level's survivor frame is consumed three times (the per-doc
+    # rung evidence + both sides of the pos-shifted self-join) and its
+    # subtree is the whole ladder so far — persist the slim (id, pos)
+    # pairs per level so a rung is computed exactly once
+    s = dup_positions(None, n0).persist()
     n_k = n0
     for k in range(levels):
         per_doc.append(
@@ -1508,7 +1539,7 @@ def longest_dup_span_ladder(
             & (F.col("b.pos") == F.col("a.pos") + n_k),
         ).select(F.col(f"a.{id_col}").alias(id_col), F.col("a.pos").alias("pos"))
         n_k *= 2
-        s = dup_positions(cand, n_k)
+        s = dup_positions(cand, n_k).persist()
 
     hits = per_doc[0]
     for d in per_doc[1:]:

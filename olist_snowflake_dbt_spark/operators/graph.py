@@ -20,9 +20,11 @@ same ranking as float PageRank as ``init_points`` grows (the quantum is
 1/init_points of a node's mass).
 
 Scale shape (per iteration): one equi-join of the rank frame onto the
-edge list's src (co-partitionable — both sides hash on node id), one
-groupBy(dst) with map-side combine. Rank state is (node, long) — 16
-bytes/node; ``localCheckpoint`` per round keeps the plan constant-size
+edge list's src (the edge frame is hash-partitioned on src once behind
+the persist, so only the rank frame moves), one groupBy(dst) with
+map-side combine. Rank state is (node, points, out-degree) — 24
+bytes/node, carrying the static degree so no per-round degree join is
+needed; ``localCheckpoint`` per round keeps the plan constant-size
 exactly like :func:`~.dedup.connected_components`. A skewed in-degree
 hub is an aggregation hot key with partial aggregation — not a join
 explosion.
@@ -53,12 +55,22 @@ def integer_pagerank(
     All arithmetic is 64-bit integer ``div`` — no doubles anywhere, so
     results are bit-identical across engines and partitionings; the sum
     of ``pagerank_points`` always equals ``n_nodes * init_points``."""
+    # round-14 shape (guide §2.4 — remove shuffles outright): the edge
+    # list is hash-partitioned on ``src`` ONCE behind the persist, so
+    # every round's edge⋈sending join and the one-time out-degree
+    # aggregate find the big side already clustered on its key — the
+    # unpartitioned form re-exchanged the FULL edge frame once per
+    # round (same fix connected_components got in round 11). The
+    # out-degree is static, so it rides the rank state (node, points,
+    # deg) instead of being recomputed from ``e`` and re-joined every
+    # round — one fewer aggregate + join per iteration, identical
+    # integer math.
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     ).dropDuplicates()
     if checkpoint:
-        e = e.persist()
+        e = e.repartition("src").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -67,18 +79,19 @@ def integer_pagerank(
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("__deg")
     )
-    ranks = nodes.withColumn(
-        "pagerank_points", F.lit(init_points).cast("long")
+    ranks = nodes.join(outdeg, "node", "left").select(
+        "node",
+        F.lit(init_points).cast("long").alias("pagerank_points"),
+        F.coalesce(F.col("__deg"), F.lit(0).cast("long")).alias("__deg"),
     )
     if checkpoint:
         ranks = ranks.localCheckpoint()
     for _ in range(iterations):
         sending = (
-            ranks.join(outdeg, "node", "left")
-            .withColumn(
+            ranks.withColumn(
                 "__per_edge",
                 F.when(
-                    F.col("__deg").isNotNull(),
+                    F.col("__deg") > 0,
                     F.expr(
                         f"(pagerank_points * {damping_num} div {damping_den})"
                         " div __deg"
@@ -88,7 +101,7 @@ def integer_pagerank(
             .withColumn(
                 "__kept",
                 F.col("pagerank_points")
-                - F.col("__per_edge") * F.coalesce(F.col("__deg"), F.lit(0)),
+                - F.col("__per_edge") * F.col("__deg"),
             )
         )
         recv = (
@@ -99,20 +112,21 @@ def integer_pagerank(
             .agg(F.sum("__per_edge").alias("__recv"))
         )
         ranks = (
-            sending.select("node", "__kept")
+            sending.select("node", "__kept", "__deg")
             .join(recv, "node", "left")
             .select(
                 "node",
                 (F.col("__kept") + F.coalesce(F.col("__recv"), F.lit(0)))
                 .cast("long")
                 .alias("pagerank_points"),
+                "__deg",
             )
         )
         if checkpoint:
             ranks = ranks.localCheckpoint()
     if checkpoint:
         e.unpersist()
-    return ranks
+    return ranks.select("node", "pagerank_points")
 
 
 def triangle_counts(

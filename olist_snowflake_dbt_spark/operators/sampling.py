@@ -715,33 +715,52 @@ def rank_fusion(
         if isinstance(bucket_width, dict)
         else {s: bucket_width for s in score_cols}
     )
+    # round-14 shape: every ranking CHAINS over one flowing frame via
+    # exact_global_rank's carry_cols (each ranking = one persisted slim
+    # projection + a broadcast bucket-offset join + a bucket-parallel
+    # window) — the previous form joined each rank frame back to the
+    # scores by id, paying a full-width sort-merge join per signal plus
+    # one for the fused rank (measured r14: 4 SMJs, 544 Exchange
+    # nodes). NULL exclusion stays conjunctive and ORDER-DEPENDENT
+    # exactly as before: signal k's ranks are computed over rows whose
+    # signals 1..k are all non-NULL (exact_global_rank drops NULL order
+    # values from the flowing frame at each step).
     fused = df.select(F.col(id_col), *[F.col(s) for s in score_cols])
+    carry = [str(s) for s in score_cols]
     for s in score_cols:
-        neg = fused.select(
-            F.col(id_col), (-F.col(s).cast("long")).alias("__neg")
+        fused = (
+            exact_global_rank(
+                fused.withColumn("__neg", -F.col(s).cast("long")),
+                "__neg",
+                id_col,
+                bucket_width=widths.get(s, 100),
+                carry_cols=carry,
+            )
+            .withColumnRenamed("global_rank", f"rank_{s}")
+            .drop("__neg")
         )
-        r = exact_global_rank(
-            neg, "__neg", id_col, bucket_width=widths.get(s, 100)
-        )
-        fused = fused.join(
-            r.select(
-                F.col(id_col), F.col("global_rank").alias(f"rank_{s}")
-            ),
-            id_col,
-        )
+        carry.append(f"rank_{s}")
     total = F.col(f"rank_{score_cols[0]}")
     for s in score_cols[1:]:
         total = total + F.col(f"rank_{s}")
     fused = fused.withColumn("rank_sum", total.cast("long"))
-    fin = exact_global_rank(
-        fused.select(id_col, "rank_sum"),
-        "rank_sum",
-        id_col,
-        bucket_width=sum_bucket_width,
-    )
-    return fused.join(
-        fin.select(F.col(id_col), F.col("global_rank").alias("fused_rank")),
-        id_col,
+    # "rank_sum" is the final call's ORDER column (returned by name), so
+    # it must not also ride carry_cols — that would duplicate the name
+    return (
+        exact_global_rank(
+            fused,
+            "rank_sum",
+            id_col,
+            bucket_width=sum_bucket_width,
+            carry_cols=carry,
+        )
+        .withColumnRenamed("global_rank", "fused_rank")
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry],
+            F.col("rank_sum"),
+            F.col("fused_rank"),
+        )
     )
 
 
@@ -909,11 +928,18 @@ def token_budget_select(
     keep)``.
     """
     w = bucket_width
+    # persist the slim (id, score, tokens) projection: its subtree is
+    # the CALLER's arbitrary upstream pipeline (e.g. the hashed-linear
+    # text scorer), and three branches consume it (NULL passthrough,
+    # bucket stats, keep-tagging join) — unpersisted, Spark recomputes
+    # the upstream per branch (guide §1.2/§5: don't compute things
+    # twice; measured r14: the sample_token_budget_select plan carried
+    # 8 parquet scans of documents for one logical pass)
     raw = df.select(
         F.col(id_col),
         F.col(score_col).cast("long").alias("__score"),
         F.col(tokens_col).cast("long").alias("__tok"),
-    )
+    ).persist()
     null_rows = raw.filter(
         F.col("__score").isNull() | F.col("__tok").isNull()
     ).select(
@@ -1009,6 +1035,7 @@ def exact_global_rank(
     phases: int = 0,
     max_bucket_frac: float = 0.5,
     guard_min_rows: int = 1_000_000,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """EXACT global rank under the total order ``(order_col ASC, id
     ASC)`` — the scalable form of ``ROW_NUMBER() OVER (ORDER BY …)``,
@@ -1043,13 +1070,24 @@ def exact_global_rank(
     ``guard_min_rows`` rows, instead of silently re-creating the
     single-partition sort.
 
-    Returns ``(id, order_col, global_rank[, phase])``."""
+    ``carry_cols`` names input columns to thread through unchanged —
+    the chaining hook :func:`rank_fusion` uses so consecutive rankings
+    flow over ONE frame (broadcast bucket-offset joins only) instead of
+    each ranking being joined back to the scores by id (round 14: the
+    join-back form paid one full-width sort-merge join per signal).
+
+    Returns ``(id, order_col, global_rank[, phase][, *carry_cols])``."""
     w = bucket_width
+    # persist the slim (id, ord, bkt) projection — same rationale as
+    # token_budget_select: the bucket-count branch, the total, and the
+    # rank-tagging join would otherwise each recompute the caller's
+    # upstream subtree (rank_fusion feeds whole text pipelines here)
     base = df.select(
-        F.col(id_col), F.col(order_col).cast("long").alias("__ord")
+        F.col(id_col), F.col(order_col).cast("long").alias("__ord"),
+        *[F.col(c) for c in carry_cols],
     ).filter(F.col("__ord").isNotNull()).withColumn(
         "__bkt", F.expr(f"(__ord - pmod(__ord, {w})) div {w}")
-    )
+    ).persist()
     pb = base.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__bn"))
     wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     tot = pb.agg(F.sum("__bn").alias("__n"))
@@ -1091,6 +1129,7 @@ def exact_global_rank(
         .withColumn("global_rank", F.col("__offset") + F.row_number().over(wr))
     )
     cols = [F.col(id_col), F.col("__ord").alias(order_col), F.col("global_rank")]
+    cols.extend(F.col(c) for c in carry_cols)
     if phases > 0:
         # SQL NTILE boundary form; greatest(q,1) keeps the unreached
         # q=0 branch from dividing by zero under ANSI mode

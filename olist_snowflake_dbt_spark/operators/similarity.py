@@ -863,6 +863,12 @@ def margin_bitext_mine(
             "tgt_id",
             F.floor(F.col("__cos") * 1e9 + F.lit(0.5)).cast("long").alias("cos_nano"),
         )
+        # persist the slim (src, tgt, nano) pair frame: the N×M cosine
+        # fold is the expensive stage and THREE branches consume it
+        # (fwd k-NN, bwd k-NN, final scoring) — unpersisted it ran 3x
+        # (guide §1.2; same posture as incremental minhash's banded
+        # frame). 24 B/pair caches cheap relative to the dot fold.
+        .persist()
     )
     wf = Window.partitionBy("src_id").orderBy(
         F.col("cos_nano").desc(), F.col("tgt_id").asc()
