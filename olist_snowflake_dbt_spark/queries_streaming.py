@@ -596,12 +596,30 @@ def q_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 4 id-range slices staged oldest-first: originals land in earlier
     # batches than their planted duplicates, so first-seen == min id
-    n = planted.count()
-    ids = sorted(r.doc_id for r in planted.select("doc_id").collect())
-    cuts = [ids[min(len(ids) - 1, (len(ids) * q) // 4)] for q in (1, 2, 3)]
-    lo = None
-    for i in range(4):
-        hi = cuts[i] if i < 3 else None
+    # Round 14: the cuts come from ONE exact-percentile aggregate (the
+    # count rides the same row) — the previous form collected every
+    # doc_id to the driver (510k rows at sf0.1, growing with SF) inside
+    # the timed region (guide §5: the driver should do almost no data
+    # work). Originals (smaller ids) land in earlier-or-equal slices
+    # than their planted +1e6 duplicates under ANY ascending id
+    # slicing, so first-seen == min id whatever the exact cut points.
+    stats = planted.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.expr("percentile(doc_id, array(0.25, 0.5, 0.75))").alias("__cuts"),
+    ).collect()[0]
+    n = stats["__n"]
+    cuts = [int(c) for c in stats["__cuts"]]
+    # stage the 4 single-file slices CONCURRENTLY (guide §2.6 — each
+    # coalesce(1) write is one task, so serial staging left 31 cores
+    # idle); mtimes are stamped after the fact, so batch order is
+    # unaffected by write completion order
+    from concurrent.futures import ThreadPoolExecutor
+
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], cuts[2]),
+              (cuts[2], None)]
+
+    def _stage(i: int) -> None:
+        lo, hi = bounds[i]
         sl = planted
         if lo is not None:
             sl = sl.filter(F.col("doc_id") >= lo)
@@ -613,14 +631,22 @@ def q_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst = _os.path.join(stage, f"{i:03d}_slice.parquet")
         _shutil.move(part, dst)
         _os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
-        lo = hi
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(_stage, range(4)))
 
     stream = (
         spark.readStream.schema(planted.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
     )
-    q = dedup_admission_stream(stream, state, ckpt).start()
+    # state_partitions=8: the same per-stream shuffle-partition scoping
+    # every other harness stream uses (the ~130k-row micro-batches pay
+    # 32-task shuffle overhead otherwise); admission output is
+    # partitioning-independent (exact dedup by fingerprint)
+    q = dedup_admission_stream(
+        stream, state, ckpt, state_partitions=8
+    ).start()
     q.awaitTermination()
     assert n == spark.read.parquet(stage).count()
     # fp_bucket is the state's physical hash-partition key, not part

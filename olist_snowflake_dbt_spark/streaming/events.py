@@ -766,6 +766,9 @@ def dedup_admission_stream(
                 )
             # batch-internal first-seen (smallest id per fingerprint) —
             # the batch twin of operators/dedup.incremental_dedup
+            # persisted: the touched-bucket probe and the admitted
+            # append are separate ACTIONS — unpersisted, the batch's
+            # dedup shuffle + fingerprint pass ran twice per micro-batch
             batch_fp = (
                 exact_dedup(batch_df, text_col, id_col)
                 .select(
@@ -776,6 +779,7 @@ def dedup_admission_stream(
                     "fp_bucket",
                     F.pmod(F.xxhash64("doc_fingerprint"), F.lit(n_buckets)),
                 )
+                .persist()
             )
             # bounded collect: ≤ n_buckets rows — drives partition
             # pruning of the standing scan AND the compaction sweep
@@ -825,6 +829,10 @@ def dedup_admission_stream(
                     raise
                 _shutil.rmtree(backup, ignore_errors=True)
         finally:
+            try:
+                batch_fp.unpersist()  # scoped to this micro-batch
+            except NameError:
+                pass
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
     return (
