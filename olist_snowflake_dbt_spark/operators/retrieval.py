@@ -66,8 +66,13 @@ def bm25_topk(
     """
     w = docs.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
     w = w.filter(F.col("term") != "")
-    tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = w.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # round 14: tf is the hub every downstream branch reads (doc
+    # lengths, the df census, the postings probe) — persisted, the
+    # corpus word explode runs ONCE instead of four times; dl = Σ tf
+    # per doc (identical to counting words directly) saves the second
+    # explode outright (guide §1.2)
+    tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_len"),

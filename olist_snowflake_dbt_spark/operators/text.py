@@ -363,7 +363,10 @@ def tfidf_topk(
     corpus size joins in as a broadcast scalar; the final top-k is a
     rank-pushdown window per document. No driver collect."""
     w = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
-    tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persisted: the doc_freq census and the score join both consume the
+    # tf frame — unpersisted, the word explode + (id, term) aggregate
+    # ran twice (round 14, guide §1.2)
+    tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -689,9 +692,15 @@ def soft_dedup_weights(
             lambda i: F.array_join(F.slice(F.col("__w"), i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # persisted (round 14): the census and the join-back probe are the
+    # operator's two inherent passes — unpersisted they each re-ran the
+    # word split + gram explode + hash from the scan; the cached form
+    # pays one explode and re-reads slim 16-byte (id, hash) rows
     pairs = base.select(
         F.col(id_col), F.explode(grams).alias("__g")
-    ).select(F.col(id_col), portable_hash60(F.col("__g")).alias("__gh"))
+    ).select(
+        F.col(id_col), portable_hash60(F.col("__g")).alias("__gh")
+    ).persist()
     census = pairs.groupBy("__gh").agg(F.count(F.lit(1)).alias("__freq"))
     per_doc = (
         pairs.join(census, "__gh")
