@@ -146,8 +146,8 @@ def main() -> None:
     # full-precision per-query detail survives in the repo regardless of
     # how much stdout the caller keeps
     try:
-        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "BENCH_DETAIL.json")
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+        detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
         detail = {
             **out,
             "queries": {
@@ -166,6 +166,17 @@ def main() -> None:
             "n_runs": n_runs,
         }
         with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+        # ALSO keep a per-core-count copy: the driver runs the bench at
+        # two core counts and the second run overwrites BENCH_DETAIL.json
+        # (r14 lost its 32-core full-catalog detail this way). The
+        # suffixed file makes each core count's 282-query detail durable,
+        # so round-over-round comparisons can use the full catalog at
+        # matched cores instead of the truncated stdout line. Additive:
+        # the one-line stdout contract and BENCH_DETAIL.json unchanged.
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32").strip() or "32"
+        with open(os.path.join(repo_dir,
+                               f"BENCH_DETAIL_c{cpus}.json"), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError:
         pass

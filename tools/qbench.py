@@ -10,6 +10,16 @@ Usage:
 
 Prints one JSON line {name: {"min": s, "runs": [...], "shuffle_mb": m,
 "spill_disk_mb": m, "spill_mem_mb": m}}.
+
+Caveat (round-15, ADVICE r14): with ``--plans``, building the plan
+calls ``fn(spark, args.sf)`` once more before the timed loop. For
+side-effecting queries (the streaming harnesses stage files, RUN the
+stream to completion, and clean up inside ``fn``) that extra call fully
+executes the query — it roughly doubles wall time and warms state, so
+run-0's shuffle/spill deltas no longer describe a cold run (the byte
+snapshot is taken after the plan build, so the deltas are still
+run-0's own, just over warmed caches/page cache). Dump plans for
+streaming queries in a separate invocation from the one you time.
 """
 
 from __future__ import annotations
