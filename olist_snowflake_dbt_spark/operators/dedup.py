@@ -54,6 +54,7 @@ from ..functions.text import (
     shingle_strings_from_words,
     words,
 )
+from ._cache import scoped_persist
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -140,7 +141,7 @@ def ngram_jaccard_pairs(
     # the inverted index feeds BOTH sides of the self-join; materialize it
     # once instead of re-shingling the corpus per side (MEMORY_AND_DISK,
     # so at cluster scale an oversized index spills instead of OOMing)
-    exploded = exploded.persist()
+    exploded = scoped_persist(exploded)
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
@@ -224,10 +225,9 @@ def prefix_filter_jaccard_pairs(
     sh = _shingled(df, text_col, id_col, n).withColumn(
         "__n", F.size("__shingles")
     )
-    ex = (
+    ex = scoped_persist(
         sh.select("__id", "__n", F.explode_outer("__shingles").alias("__s"))
         .filter(F.col("__s").isNotNull())
-        .persist()
     )
     dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("__id").orderBy("__df", "__s")
@@ -299,7 +299,7 @@ def containment_pairs(
     exploded = sh.select(
         "__id", "__n", F.explode_outer("__shingles").alias("__s")
     ).filter(F.col("__s").isNotNull())
-    exploded = exploded.persist()
+    exploded = scoped_persist(exploded)
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
@@ -358,10 +358,9 @@ def containment_pairs_kmv_prescreen(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if k < 8:
         raise ValueError(f"k must be >= 8, got {k}")
-    sh = (
+    sh = scoped_persist(
         _shingled(df, text_col, id_col, n)
         .withColumn("__n", F.size("__shingles"))
-        .persist()
     )
     ex = sh.select(
         "__id", "__n", F.explode_outer("__shingles").alias("__s")
@@ -539,7 +538,7 @@ def minhash_lsh_pairs(
     rows = bands and num_hashes // bands
     # sigs feed band keys AND both verify joins: persist so the
     # signature fold runs once per document
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
+    sigs = scoped_persist(minhash_signatures(df, text_col, id_col, n, num_hashes))
     return _verified_pairs_from_sigs(sigs, bands, rows, threshold, max_bucket)
 
 
@@ -702,7 +701,7 @@ def oph_minhash_pairs(
     (the shared :func:`_verified_pairs_from_sigs` stage) — only the
     signature pass differs (one hash per shingle, densified bins)."""
     rows = bands and num_bins // bands
-    sigs = oph_minhash_signatures(df, text_col, id_col, n, num_bins).persist()
+    sigs = scoped_persist(oph_minhash_signatures(df, text_col, id_col, n, num_bins))
     return _verified_pairs_from_sigs(sigs, bands, rows, threshold, max_bucket)
 
 
@@ -753,7 +752,7 @@ def simhash_pairs(
         F.explode_outer(simhash_band_keys(F.col("__sh"), bands, nbits)).alias("__band"),
     )
     # both self-join sides read banded: hash each document once
-    banded = banded.persist()
+    banded = scoped_persist(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.__band") == F.col("b.__band")) & (F.col("a.__id") < F.col("b.__id")))
@@ -825,7 +824,7 @@ def winnow_pairs(
     :func:`winnow_fingerprints` output (same plan shape as
     :func:`ngram_jaccard_pairs` but over the winnowed subset, so the
     self-join buckets are ~(window+1)/2 times smaller)."""
-    fp = winnow_fingerprints(df, text_col, id_col, n, window).persist()
+    fp = scoped_persist(winnow_fingerprints(df, text_col, id_col, n, window))
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, (F.col("a.__fp") == F.col("b.__fp")) & (F.col("a.__id") < F.col("b.__id")))
@@ -1203,10 +1202,9 @@ def incremental_minhash_dedup(
     # and THREE branches consume it (standing-collision probe,
     # per-band min, internal-drop join) — unpersisted, the signatures
     # would be recomputed per branch. Flat short strings cache cheap.
-    banded = (
+    banded = scoped_persist(
         minhash_banded(batch, text_col, id_col, n, num_hashes, bands)
         .select("__id", "__band")
-        .persist()
     )
     # persist the standing-collision id set: its subtree contains the
     # STANDING side's full band index (the caller usually hands a
@@ -1215,7 +1213,7 @@ def incremental_minhash_dedup(
     # AND the internal-drop probe, plus the dropped union) — measured
     # r14: unpersisted, the standing signature fold ran 3x (sf0.1 query
     # wall 6.9 s -> 5.8 s from this persist alone; guide §1.2)
-    hit_standing = (
+    hit_standing = scoped_persist(
         banded.join(
             standing_bands.select(F.col("band").alias("__band")),
             "__band",
@@ -1223,7 +1221,6 @@ def incremental_minhash_dedup(
         )
         .select("__id")
         .dropDuplicates()
-        .persist()
     )
     survivors = banded.join(hit_standing, "__id", "left_anti")
     band_min = survivors.groupBy("__band").agg(F.min("__id").alias("__min_id"))
@@ -1286,10 +1283,10 @@ def duplicated_span_stats(
     # and the slim (id, pos, gram-hash) frame (consumed by the census
     # aggregate AND the tag-back join — the explode would run twice);
     # guide §1.2: fewer passes before anything else
-    base = df.select(F.col(id_col), words(text_col).alias("__w")).persist()
+    base = scoped_persist(df.select(F.col(id_col), words(text_col).alias("__w")))
     nw = F.size(F.col("__w"))
     lens = base.select(id_col, nw.cast("long").alias("n_words"))
-    grams = (
+    grams = scoped_persist(
         base.select(
             F.col(id_col),
             F.posexplode(
@@ -1305,7 +1302,6 @@ def duplicated_span_stats(
             ).alias("__p0", "__gh"),
         )
         .select(id_col, (F.col("__p0") + 1).alias("pos"), "__gh")
-        .persist()
     )
     freq = (
         grams.groupBy("__gh")
@@ -1360,9 +1356,9 @@ def remove_duplicated_spans(
     # same persist posture as duplicated_span_stats: the word split is
     # consumed by the gram explode AND the final position filter; the
     # gram frame by the census AND the tag-back join
-    base = df.select(F.col(id_col), words(text_col).alias("__w")).persist()
+    base = scoped_persist(df.select(F.col(id_col), words(text_col).alias("__w")))
     nw = F.size(F.col("__w"))
-    grams = (
+    grams = scoped_persist(
         base.select(
             F.col(id_col),
             F.posexplode(
@@ -1378,7 +1374,6 @@ def remove_duplicated_spans(
             ).alias("__p0", "__gh"),
         )
         .select(id_col, (F.col("__p0") + 1).cast("long").alias("pos"), "__gh")
-        .persist()
     )
     freq = (
         grams.groupBy("__gh")
@@ -1470,7 +1465,7 @@ def longest_dup_span_ladder(
     # lens branch reads them again — unpersisted, the regex word split
     # re-ran per consumer (measured r14: 330 parquet scans / 168
     # Exchanges in one plan; guide §1.2 — fewer passes first)
-    base = df.select(F.col(id_col), words(text_col).alias("__w")).persist()
+    base = scoped_persist(df.select(F.col(id_col), words(text_col).alias("__w")))
     nw = F.size(F.col("__w"))
     lens = base.select(id_col, nw.cast("long").alias("n_words"))
 
@@ -1508,7 +1503,7 @@ def longest_dup_span_ladder(
         # persist the (id, pos, gram-hash) frame: the census aggregate
         # and the tag-back join both consume it — unpersisted, the
         # level's gram explode/hash ran twice (guide §1.2)
-        grams = grams.persist()
+        grams = scoped_persist(grams)
         freq = (
             grams.groupBy("__gh")
             .agg(F.count(F.lit(1)).alias("__freq"))
@@ -1522,7 +1517,7 @@ def longest_dup_span_ladder(
     # rung evidence + both sides of the pos-shifted self-join) and its
     # subtree is the whole ladder so far — persist the slim (id, pos)
     # pairs per level so a rung is computed exactly once
-    s = dup_positions(None, n0).persist()
+    s = scoped_persist(dup_positions(None, n0))
     n_k = n0
     for k in range(levels):
         per_doc.append(
@@ -1539,7 +1534,7 @@ def longest_dup_span_ladder(
             & (F.col("b.pos") == F.col("a.pos") + n_k),
         ).select(F.col(f"a.{id_col}").alias(id_col), F.col("a.pos").alias("pos"))
         n_k *= 2
-        s = dup_positions(cand, n_k).persist()
+        s = scoped_persist(dup_positions(cand, n_k))
 
     hits = per_doc[0]
     for d in per_doc[1:]:

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import words
+from ._cache import scoped_persist
 
 NANO = 1_000_000_000
 
@@ -71,7 +72,9 @@ def bm25_topk(
     # corpus word explode runs ONCE instead of four times; dl = Σ tf
     # per doc (identical to counting words directly) saves the second
     # explode outright (guide §1.2)
-    tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = scoped_persist(
+        w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -34,6 +34,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._cache import scoped_persist
+
 _HEX_K = 8  # compare on 8 hex chars = 32 bits of the hash: plenty of
 # resolution for fractions, short enough to stay obviously collision-free
 # from md5's uniformity
@@ -935,11 +937,11 @@ def token_budget_select(
     # the upstream per branch (guide §1.2/§5: don't compute things
     # twice; measured r14: the sample_token_budget_select plan carried
     # 8 parquet scans of documents for one logical pass)
-    raw = df.select(
+    raw = scoped_persist(df.select(
         F.col(id_col),
         F.col(score_col).cast("long").alias("__score"),
         F.col(tokens_col).cast("long").alias("__tok"),
-    ).persist()
+    ))
     null_rows = raw.filter(
         F.col("__score").isNull() | F.col("__tok").isNull()
     ).select(
@@ -1075,19 +1077,36 @@ def exact_global_rank(
     flow over ONE frame (broadcast bucket-offset joins only) instead of
     each ranking being joined back to the scores by id (round 14: the
     join-back form paid one full-width sort-merge join per signal).
+    Deliberate trade (round-14 verdict #3): every carried column rides
+    the persisted projection AND the per-bucket window's exchange, so
+    the shuffled width grows LINEARLY in ``len(carry_cols)`` — with k
+    chained signals that is k+N extra long columns per row. At ~5
+    signals this still beats one full-width sort-merge join per signal;
+    re-derive that break-even before carrying wide payloads. Carry
+    names must not collide with the operator's own inputs/outputs
+    (checked below — a silent duplicate would make downstream column
+    references ambiguous).
 
     Returns ``(id, order_col, global_rank[, phase][, *carry_cols])``."""
+    carry_cols = [str(c) for c in carry_cols]
+    reserved = {id_col, order_col, "global_rank", "phase", "__ord", "__bkt"}
+    bad = reserved.intersection(carry_cols)
+    if bad or len(set(carry_cols)) != len(carry_cols):
+        raise ValueError(
+            "exact_global_rank: carry_cols must be unique and disjoint "
+            f"from {sorted(reserved)}; got {list(carry_cols)}"
+        )
     w = bucket_width
     # persist the slim (id, ord, bkt) projection — same rationale as
     # token_budget_select: the bucket-count branch, the total, and the
     # rank-tagging join would otherwise each recompute the caller's
     # upstream subtree (rank_fusion feeds whole text pipelines here)
-    base = df.select(
+    base = scoped_persist(df.select(
         F.col(id_col), F.col(order_col).cast("long").alias("__ord"),
         *[F.col(c) for c in carry_cols],
     ).filter(F.col("__ord").isNotNull()).withColumn(
         "__bkt", F.expr(f"(__ord - pmod(__ord, {w})) div {w}")
-    ).persist()
+    ))
     pb = base.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__bn"))
     wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     tot = pb.agg(F.sum("__bn").alias("__n"))

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity, dot
+from ._cache import scoped_persist
 
 
 def brute_force_topk(
@@ -846,7 +847,7 @@ def margin_bitext_mine(
     t = tgt.select(
         F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("__tv")
     ).withColumn("__tn", norm(F.col("__tv"), exact=exact))
-    pairs = (
+    pairs = scoped_persist(
         F.broadcast(s)
         .crossJoin(t)
         .withColumn(
@@ -868,7 +869,6 @@ def margin_bitext_mine(
         # (fwd k-NN, bwd k-NN, final scoring) — unpersisted it ran 3x
         # (guide §1.2; same posture as incremental minhash's banded
         # frame). 24 B/pair caches cheap relative to the dot fold.
-        .persist()
     )
     wf = Window.partitionBy("src_id").orderBy(
         F.col("cos_nano").desc(), F.col("tgt_id").asc()

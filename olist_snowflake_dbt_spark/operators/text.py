@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, token_count, tokens, words
+from ._cache import scoped_persist
 
 # Tiny per-language stopword sets — the heuristic's knowledge base. An
 # n-gram language model would be loaded the same way (broadcast lookup).
@@ -366,7 +367,9 @@ def tfidf_topk(
     # persisted: the doc_freq census and the score join both consume the
     # tf frame — unpersisted, the word explode + (id, term) aggregate
     # ran twice (round 14, guide §1.2)
-    tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = scoped_persist(
+        w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -696,11 +699,11 @@ def soft_dedup_weights(
     # operator's two inherent passes — unpersisted they each re-ran the
     # word split + gram explode + hash from the scan; the cached form
     # pays one explode and re-reads slim 16-byte (id, hash) rows
-    pairs = base.select(
+    pairs = scoped_persist(base.select(
         F.col(id_col), F.explode(grams).alias("__g")
     ).select(
         F.col(id_col), portable_hash60(F.col("__g")).alias("__gh")
-    ).persist()
+    ))
     census = pairs.groupBy("__gh").agg(F.count(F.lit(1)).alias("__freq"))
     per_doc = (
         pairs.join(census, "__gh")
