@@ -596,16 +596,23 @@ def q_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 4 id-range slices staged oldest-first: originals land in earlier
     # batches than their planted duplicates, so first-seen == min id
-    # Round 14: the cuts come from ONE exact-percentile aggregate (the
-    # count rides the same row) — the previous form collected every
-    # doc_id to the driver (510k rows at sf0.1, growing with SF) inside
-    # the timed region (guide §5: the driver should do almost no data
-    # work). Originals (smaller ids) land in earlier-or-equal slices
-    # than their planted +1e6 duplicates under ANY ascending id
-    # slicing, so first-seen == min id whatever the exact cut points.
+    # Round 14: the cuts come from ONE percentile aggregate (the count
+    # rides the same row) — the previous form collected every doc_id to
+    # the driver (510k rows at sf0.1, growing with SF) inside the timed
+    # region (guide §5: the driver should do almost no data work).
+    # Round 15 (ADVICE r14): APPROX_percentile — the exact form buffers
+    # every doc_id in ONE aggregation buffer on a single reducer (the
+    # O(N) footprint had just moved from driver to executor), while the
+    # sketch is map-side-combinable and scale-free. Approximate cuts
+    # are semantically free here: originals (smaller ids) land in
+    # earlier-or-equal slices than their planted +1e6 duplicates under
+    # ANY ascending id slicing, so first-seen == min id whatever the
+    # exact cut points.
     stats = planted.agg(
         F.count(F.lit(1)).alias("__n"),
-        F.expr("percentile(doc_id, array(0.25, 0.5, 0.75))").alias("__cuts"),
+        F.expr(
+            "approx_percentile(doc_id, array(0.25, 0.5, 0.75))"
+        ).alias("__cuts"),
     ).collect()[0]
     n = stats["__n"]
     cuts = [int(c) for c in stats["__cuts"]]

@@ -624,13 +624,19 @@ def cdc_apply_stream(
                 merged.write.mode("overwrite").parquet(tmp)
                 _atomic_swap(state_path, tmp)
                 return
+            # persist the collapsed batch: the touched-bucket collect
+            # and the merge write are separate ACTIONS — unpersisted,
+            # the batch's max_by collapse (and its shuffle) ran twice
+            # per micro-batch (round 15; the same per-batch posture
+            # dedup_admission_stream got in round 14, guide §1.2).
+            # Unpersisted in the finally below, scoped to this batch.
             collapsed = collapsed.withColumn(
                 "key_bucket",
                 F.pmod(
                     F.xxhash64(*[F.col(k) for k in key_cols]),
                     F.lit(n_buckets),
                 ),
-            )
+            ).persist()
             touched = [
                 r[0]
                 for r in collapsed.select("key_bucket").distinct().collect()
@@ -676,6 +682,11 @@ def cdc_apply_stream(
                 _shutil.rmtree(backup, ignore_errors=True)
             _shutil.rmtree(stage, ignore_errors=True)
         finally:
+            try:
+                collapsed.unpersist()  # scoped to this micro-batch;
+                # a no-op for the legacy (never-persisted) path
+            except NameError:
+                pass
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
     return (
@@ -754,7 +765,6 @@ def dedup_admission_stream(
     import uuid as _uuid
 
     from ..functions.text import fingerprint
-    from ..operators.dedup import exact_dedup
 
     def _admit(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -764,17 +774,29 @@ def dedup_admission_stream(
                 spark.conf.set(
                     "spark.sql.shuffle.partitions", str(state_partitions)
                 )
-            # batch-internal first-seen (smallest id per fingerprint) —
-            # the batch twin of operators/dedup.incremental_dedup
+            # batch-internal first-seen (smallest id per fingerprint),
+            # FUSED into one pass (round 15; r14 verdict #5): the old
+            # exact_dedup + re-fingerprint form normalized the text
+            # TWICE (one md5 inside exact_dedup's window key, one in
+            # the outer select) and shuffled the FULL row — text
+            # included — through the window sort just to re-derive the
+            # 16-byte fingerprint afterwards. One map pass now emits
+            # the fingerprint, and a map-side-combinable MIN(id)
+            # aggregate replaces the row_number window (guide §2.3
+            # "aggregate before you shuffle": only (fp, id) crosses the
+            # exchange, with partial mins combined map-side). Same
+            # result by construction: min id per normalized
+            # fingerprint.
             # persisted: the touched-bucket probe and the admitted
             # append are separate ACTIONS — unpersisted, the batch's
-            # dedup shuffle + fingerprint pass ran twice per micro-batch
+            # fingerprint pass ran twice per micro-batch
             batch_fp = (
-                exact_dedup(batch_df, text_col, id_col)
-                .select(
+                batch_df.select(
                     fingerprint(text_col).alias("doc_fingerprint"),
                     F.col(id_col),
                 )
+                .groupBy("doc_fingerprint")
+                .agg(F.min(id_col).alias(id_col))
                 .withColumn(
                     "fp_bucket",
                     F.pmod(F.xxhash64("doc_fingerprint"), F.lit(n_buckets)),
