@@ -31,6 +31,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..functions.local_frame import arrow_local_df
 
 
 def mask_expr(col: str | Column, style: str = "redact", keep: int = 0) -> Column:
@@ -203,7 +204,8 @@ def erasure_cascade(
         )
         audits.append((name, action, n_affected, n_kept, n_surr, residual.count()))
     spark = subjects.sparkSession
-    audit = spark.createDataFrame(
+    audit = arrow_local_df(
+        spark,
         audits,
         "table_name string, action string, n_affected bigint, n_kept bigint, "
         "n_distinct_surrogates bigint, n_residual_links bigint",

@@ -22,6 +22,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from ..functions.local_frame import arrow_local_df
 
 
 def profile_columns(
@@ -100,7 +101,7 @@ def schema_drift(
             T.StructField("new_type", T.StringType(), True),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    return arrow_local_df(spark, rows, schema)
 
 
 def equi_width_histogram(

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..functions.local_frame import arrow_local_df
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -161,7 +162,7 @@ def bpe_train(
         vocab = vocab.withColumn(
             "enc", merge_expr(F.col("enc"), lhs, rhs)
         ).localCheckpoint()
-    return spark.createDataFrame(merges, MERGES_SCHEMA)
+    return arrow_local_df(spark, merges, MERGES_SCHEMA)
 
 
 def bpe_train_batched(
@@ -261,7 +262,7 @@ def bpe_train_batched(
         (i + 1, lhs, rhs, m, f)
         for i, (_, lhs, rhs, m, f) in enumerate(merges)
     ]
-    return spark.createDataFrame(merges, MERGES_SCHEMA)
+    return arrow_local_df(spark, merges, MERGES_SCHEMA)
 
 
 def bpe_segment(

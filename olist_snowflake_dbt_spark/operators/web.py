@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..functions.local_frame import arrow_local_df
 
 _TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
 
@@ -204,8 +205,8 @@ def public_suffixes(spark, path: str | None = None) -> DataFrame:
     rules = _classify_rules(
         load_psl_rules(path) if path else PUBLIC_SUFFIXES
     )
-    return spark.createDataFrame(
-        rules, "suffix string, n_labels int, kind string"
+    return arrow_local_df(
+        spark, rules, "suffix string, n_labels int, kind string"
     )
 
 
@@ -284,7 +285,8 @@ def with_registrable_domain(
 
     def join_width(kind: str, k: int, min_nl: int, col_name: str) -> None:
         nonlocal out
-        dim = spark.createDataFrame(
+        dim = arrow_local_df(
+            spark,
             [(s,) for s in sorted(by_kind[kind][k])],
             f"{col_name} string",
         )

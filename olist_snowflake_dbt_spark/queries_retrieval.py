@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .functions.local_frame import arrow_local_df
 
 from .operators.retrieval import bm25_topk, rrf_fuse
 from .queries import _t, query
@@ -94,7 +95,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query terms select only their postings, and everything downstream is
     proportional to those postings — never the corpus."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string")
+    qdf = arrow_local_df(spark, _BM25_QUERIES, "query_id int, query_text string")
     return bm25_topk(docs, qdf, k=10)
 
 
@@ -161,8 +162,9 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     emb = _t(spark, sf_dir, "embeddings")
-    qdf = spark.createDataFrame(
-        [(0, "spark query data the window scan")], "query_id int, query_text string"
+    qdf = arrow_local_df(
+        spark, [(0, "spark query data the window scan")],
+        "query_id int, query_text string",
     )
     lex = bm25_topk(docs, qdf, k=20).select("query_id", "doc_id", "rank")
     vec = (
@@ -210,7 +212,7 @@ def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.retrieval import context_pack
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string")
+    qdf = arrow_local_df(spark, _BM25_QUERIES, "query_id int, query_text string")
     ranked = bm25_topk(docs, qdf, k=10).select("query_id", "doc_id", "rank")
     tok = docs.select(
         "doc_id", F.size(words("text")).cast("long").alias("n_tokens")

@@ -27,6 +27,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .functions.local_frame import arrow_local_df
 
 from .queries import _t, query
 from .sources import formats as FMT
@@ -227,7 +228,8 @@ def q_runner_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         error_after_seconds=31536000.0,  # 365 days
         as_of=_dt.datetime(2024, 7, 1, 0, 0, 0),
     )
-    return spark.createDataFrame(
+    return arrow_local_df(
+        spark,
         [
             (
                 "events",
@@ -762,7 +764,7 @@ def q_runner_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("mart_order_stats", k, float(got[k]))
         for k in ("n_rows", "n_open", "sum_price")
     ]
-    return spark.createDataFrame(rows, "model string, metric string, value double")
+    return arrow_local_df(spark, rows, "model string, metric string, value double")
 
 
 _UNIT_TEST_ORACLE = """
@@ -813,12 +815,14 @@ def q_runner_unit_test_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     given = {
-        "stg_o": spark.createDataFrame(
+        "stg_o": arrow_local_df(
+            spark,
             [(1, "O", "10.00"), (2, "O", "5.50"), (3, "F", "7.25"), (4, "F", "7.25")],
             "order_id bigint, status string, price string",
         ).withColumn("price", F.col("price").cast("decimal(18,2)"))
     }
-    expect = spark.createDataFrame(
+    expect = arrow_local_df(
+        spark,
         [("O", "15.50", 2), ("F", "14.50", 2)],
         "status string, revenue string, n_orders bigint",
     ).withColumn("revenue", F.col("revenue").cast("decimal(38,2)"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .functions.local_frame import arrow_local_df
 
 from .queries import _t, query
 from .streaming import (
@@ -511,7 +512,12 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_ts = src.agg(F.max("ts")).collect()[0][0]  # 1-row harness setup
     sentinel_ts = max_ts + _dt.timedelta(days=2)
-    sentinels = spark.createDataFrame(
+    # arrow_local_df (round 15): the classic list createDataFrame made
+    # a 32-slice Python RDD whose single-task coalesce(1) write paid
+    # ~115 ms of Python-worker handshake PER SLICE — ~5 s to stage two
+    # sentinel rows (guide §4: cross the boundary as Arrow, not pickle)
+    sentinels = arrow_local_df(
+        spark,
         [(-1, sentinel_ts, -1, "click"), (-2, sentinel_ts, -2, "error")],
         "event_id long, ts timestamp, user_id long, event_type string",
     )

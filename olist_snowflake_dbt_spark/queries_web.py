@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .functions.local_frame import arrow_local_df
 
 from .operators.web import cap_per_host, host_url_stats
 from .queries import _t, query
@@ -338,8 +339,8 @@ def q_web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = capped.withColumn(
         "canonical", canonicalize_url("url")["canonical"]
     ).persist()
-    blocklist = spark.createDataFrame(
-        [("example.com", "/docs/3")], "domain string, path_prefix string"
+    blocklist = arrow_local_df(
+        spark, [("example.com", "/docs/3")], "domain string, path_prefix string"
     )
     blocked = apply_blocklist(capped, blocklist, "url").persist()
     dedup = blocked.groupBy("host", "canonical").agg(
@@ -565,8 +566,8 @@ def q_web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.web import robots_gate
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    rules = spark.createDataFrame(
-        _ROBOTS_RULES, "host string, path_prefix string, allow boolean"
+    rules = arrow_local_df(
+        spark, _ROBOTS_RULES, "host string, path_prefix string, allow boolean"
     )
     out = robots_gate(synth_urls(docs), rules, "url", "doc_id")
     return out.select("doc_id", "host", "robots_allowed")

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .functions.local_frame import arrow_local_df
 
 from .operators.dq import (
     TestResult,
@@ -614,7 +615,7 @@ class Engine:
             ]
         )
         rows = [(i, *e) for i, e in enumerate(self.grants_log)]
-        return self.spark.createDataFrame(rows, schema)
+        return arrow_local_df(self.spark, rows, schema)
 
     @staticmethod
     def _enforce_contract(name: str, df: DataFrame, contract: dict) -> None:
