@@ -46,7 +46,10 @@ def main() -> None:
     t["max_ts_agg"] = time.perf_counter() - t0
 
     sentinel_ts = max_ts + dt.timedelta(days=2)
-    sentinels = spark.createDataFrame(
+    from olist_snowflake_dbt_spark.functions.local_frame import arrow_local_df
+
+    sentinels = arrow_local_df(
+        spark,
         [(-1, sentinel_ts, -1, "click"), (-2, sentinel_ts, -2, "error")],
         "event_id long, ts timestamp, user_id long, event_type string",
     )
