@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from .functions.local_frame import arrow_local_df
 
+from .operators._cache import scoped_persist
 from .operators.retrieval import bm25_topk, rrf_fuse
 from .queries import _t, query
 from .queries_ext import _DOT_DEC, _WORDS
@@ -345,7 +346,14 @@ def q_retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rel_nano").desc(), F.col("doc_id").asc()
         )
     )
-    cand = cos.withColumn("rn", rn).filter(F.col("rn") <= 12).drop("rn")
+    # persist the candidate list (<= 5 queries x 12 docs = 60 rows):
+    # its subtree is the full brute-force cosine fold over the corpus
+    # plus the per-query top-12 window, and THREE consumers re-ran it
+    # otherwise (the kernel's cand input and both sides of the pairwise
+    # self-join via cande) — guide §1.2, round 15
+    cand = scoped_persist(
+        cos.withColumn("rn", rn).filter(F.col("rn") <= 12).drop("rn")
+    )
     cande = cand.join(emb, cand.doc_id == emb.vec_id).select(
         "query_id", "doc_id", "embedding"
     )
